@@ -1,0 +1,13 @@
+from c3s_sm_spark.operators.calendar import (  # noqa: F401
+    FREQS,
+    day_start,
+    dekad_start,
+    month_start,
+    next_period_start,
+    temporal_grid,
+    window_start,
+)
+from c3s_sm_spark.operators.dedup import keep_latest  # noqa: F401
+from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
+from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: F401
+from c3s_sm_spark.operators.salting import salted_repartition  # noqa: F401

@@ -1,0 +1,51 @@
+"""Keep-latest dedup for reprocessed/ambiguous rows (reference J5/W2).
+
+Reference semantics (``/root/reference/src/c3s_sm/interface.py:281-288,
+345-361``): when more than one file matches a timestamp (e.g. a
+reprocessed product version), sort matches and keep the last
+(``sort_last`` default) or first; error mode also exists. Here the same
+contract over rows: one survivor per key group, chosen by ordering
+columns.
+
+Implemented as a ranking window — a single shuffle on the dedup keys,
+which AQE will split if a key is hot. ``dropDuplicates`` is NOT used
+because its survivor is arbitrary; the reference's tie-break order is
+load-bearing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    mode: str = "sort_last",
+) -> DataFrame:
+    """One row per ``keys`` group: last (or first) in ``order_by`` order.
+
+    ``mode='sort_last'`` keeps the row that sorts LAST (reference default,
+    ``interface.py:352-356``); ``'sort_first'`` keeps the first;
+    ``'error'`` raises downstream via a count check the caller performs.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if mode == "sort_last":
+        cols = [c.desc() for c in cols]
+    elif mode != "sort_first":
+        raise ValueError(f"mode must be sort_last|sort_first, got {mode!r}")
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def ambiguity_count(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Groups with >1 row — the validation query behind mode='error'."""
+    return df.groupBy(*keys).count().where(F.col("count") > 1)

@@ -1,0 +1,85 @@
+"""Temporal rollups: the C3S daily / dekadal / monthly tier aggregates.
+
+Reference semantics: the C3S products are temporal means per tier window
+(``freq_lut = {'daily': 'day_average', 'dekadal': '10_day_average',
+'monthly': 'month_average'}``, ``/root/reference/src/c3s_sm/const.py:42-46``)
+carrying ``nobs`` = number of valid observations
+(``/root/reference/src/c3s_sm/metadata.py:212``) and the bit-union of
+sensor/freqband bitmasks over the window
+(``/root/reference/src/c3s_sm/metadata.py:205-211``; golden 768 = Bit8|Bit9,
+``/root/reference/tests/test_reshuffle.py:164``).
+
+Design for exact cascading: every tier carries ``v_sum`` (float64) and
+``nobs`` alongside ``v_mean``; a higher tier aggregates the tier below with
+``sum(v_sum) / sum(nobs)`` — sums and counts are associative, so the
+cascade is EXACTLY equal to aggregating raw (same float64 additions modulo
+order; parity harness in tests pins it). ``bit_or`` is associative too.
+Spark plans these as partial (map-side) + final hash aggregates — one
+shuffle per tier, and the dekadal/monthly tiers aggregate the already-tiny
+daily tier, not raw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators.calendar import window_start
+
+#: aggregate column names shared by all tiers (FIXTURES.md F3)
+TIER_COLS = ("v_mean", "v_sum", "nobs", "flags")
+
+
+def rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    freq: str,
+    value_col: str = "v",
+    flag_col: str | None = "flag",
+) -> DataFrame:
+    """Roll raw points up to one row per ``(keys, window_start)``.
+
+    Output: keys + ``ts`` (window start) + ``v_mean`` (mean of valid
+    values, float64), ``v_sum``, ``nobs`` (count of valid), ``flags``
+    (bit_or over the window; 0 when ``flag_col`` is None/absent).
+    """
+    aggs = [
+        F.sum(F.col(value_col).cast("double")).alias("v_sum"),
+        F.count(value_col).alias("nobs"),
+    ]
+    if flag_col is not None:
+        aggs.append(F.bit_or(F.col(flag_col).cast("int")).alias("flags"))
+    out = (
+        df.groupBy(*keys, window_start(ts_col, freq).alias("ts"))
+        .agg(*aggs)
+        .withColumn("v_mean", F.col("v_sum") / F.col("nobs"))
+    )
+    if flag_col is None:
+        out = out.withColumn("flags", F.lit(None).cast("int"))
+    return out.select(*keys, "ts", *TIER_COLS)
+
+
+def cascade(tier_df: DataFrame, keys: Sequence[str], freq: str) -> DataFrame:
+    """Aggregate a finer tier into a coarser one (continuous-aggregate).
+
+    ``tier_df`` must be a :func:`rollup` output (has ``ts v_sum nobs
+    flags``). E.g. daily -> dekadal -> monthly: each step groups ~10-30
+    child rows per output row, so the shuffle volume shrinks ~10x per
+    tier — the scale story of cascading retention.
+    """
+    return (
+        tier_df.groupBy(*keys, window_start("ts", freq).alias("ts"))
+        .agg(
+            F.sum("v_sum").alias("v_sum"),
+            F.sum("nobs").alias("nobs"),
+            F.bit_or("flags").alias("flags"),
+        )
+        .withColumn(
+            "v_mean",
+            F.when(F.col("nobs") > 0, F.col("v_sum") / F.col("nobs")),
+        )
+        .select(*keys, "ts", *TIER_COLS)
+    )

@@ -1,0 +1,72 @@
+"""SparkSession factory with the engine's canonical configuration.
+
+The reference parallelizes with ``n_proc`` multiprocessing
+(``/root/reference/src/c3s_sm/reshuffle.py:180-182,263-264``); here the
+equivalent knob is the Spark master / executor count, and everything else
+(AQE, Arrow, shuffle partitions, UTC session time zone) is fixed so results
+are reproducible across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitioning: ~cores for local mode; at cluster scale this is
+# overridden by AQE coalescing + the explicit repartition in the pipeline.
+_DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+def get_spark(
+    app_name: str = "c3s_sm_spark",
+    master: str | None = None,
+    shuffle_partitions: str | int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the canonical SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    All configs here are scale-safe: AQE handles runtime partition
+    coalescing and skew-join splitting on a real cluster; Arrow makes the
+    pandas-UDF codec path batch-vectorized.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or _DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Pin the runtime-settable confs the engine depends on.
+
+    Used when the session is created by an external driver (the
+    correctness harness) rather than :func:`get_spark` — session time zone
+    must be UTC for timestamp parity with the UTC-naive oracle
+    (reference stores UTC-naive time too, tz handling at
+    ``/root/reference/src/c3s_sm/interface.py:523-528``).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return spark

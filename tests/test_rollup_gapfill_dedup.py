@@ -1,0 +1,175 @@
+"""Rollup / cascade / gap-fill / dedup semantics vs an independent numpy
+oracle on the deterministic synthetic fixture (FIXTURES.md F2/F3).
+
+The gap-fill golden reproduces the reference's NaN-gap pattern
+(/root/reference/tests/test_reshuffle.py:77-84) and the bit-union golden
+the sensor=[768,768,256] pattern (:164).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators import cascade, gap_fill, keep_latest, rollup
+from c3s_sm_spark.operators.salting import salted_agg
+from c3s_sm_spark.synth import gen_points_raw
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    df = gen_points_raw(spark, 12).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def raw_pd(raw):
+    return raw.toPandas()
+
+
+def test_keep_latest_matches_pandas(raw, raw_pd):
+    got = keep_latest(raw, ["doc_id", "ts"], ["version"]).toPandas()
+    exp = (
+        raw_pd.sort_values(["doc_id", "ts", "version"])
+        .groupby(["doc_id", "ts"], as_index=False)
+        .last()
+    )
+    got = got.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    exp = exp.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert np.allclose(got["v"].to_numpy(), exp["v"].to_numpy())
+    assert (got["version"].to_numpy() == exp["version"].to_numpy()).all()
+
+
+def test_keep_latest_sort_first(raw, raw_pd):
+    got = keep_latest(raw, ["doc_id", "ts"], ["version"], mode="sort_first").toPandas()
+    exp = (
+        raw_pd.sort_values(["doc_id", "ts", "version"])
+        .groupby(["doc_id", "ts"], as_index=False)
+        .first()
+    )
+    assert sorted(got["version"].unique()) == ["v1"]
+    assert len(got) == len(exp)
+
+
+@pytest.fixture(scope="module")
+def tiers(spark, raw):
+    dd = keep_latest(raw, ["doc_id", "ts"], ["version"])
+    daily = rollup(dd, ["doc_id"], "ts", "daily").cache()
+    dek = cascade(daily, ["doc_id"], "dekadal").cache()
+    mon = cascade(dek, ["doc_id"], "monthly").cache()
+    return dd.toPandas(), daily, dek, mon
+
+
+def _np_rollup(pdf, bucket_fn):
+    """Independent oracle: group valid obs by (doc_id, bucket)."""
+    out = {}
+    for row in pdf.itertuples():
+        b = bucket_fn(row.ts)
+        k = (row.doc_id, b)
+        s = out.setdefault(k, [0.0, 0, 0])
+        if row.v is not None and not (isinstance(row.v, float) and math.isnan(row.v)):
+            s[0] += float(row.v)
+            s[1] += 1
+            s[2] |= int(row.flag)
+    return out
+
+
+def _bucket_day(ts):
+    return dt.datetime(ts.year, ts.month, ts.day)
+
+
+def _bucket_dekad(ts):
+    d = 1 if ts.day <= 10 else 11 if ts.day <= 20 else 21
+    return dt.datetime(ts.year, ts.month, d)
+
+
+def _bucket_month(ts):
+    return dt.datetime(ts.year, ts.month, 1)
+
+
+@pytest.mark.parametrize("tier_ix,bucket", [(1, _bucket_day), (2, _bucket_dekad), (3, _bucket_month)])
+def test_tier_vs_numpy_oracle(tiers, tier_ix, bucket):
+    dd_pd = tiers[0]
+    tier = tiers[tier_ix].toPandas()
+    oracle = _np_rollup(dd_pd, bucket)
+    assert len(tier) == len(oracle)
+    for row in tier.itertuples():
+        s, n, fl = oracle[(row.doc_id, row.ts.to_pydatetime())]
+        assert n == row.nobs
+        assert fl == row.flags
+        assert math.isclose(s / n, row.v_mean, rel_tol=1e-12)
+
+
+def test_cascade_equals_direct(spark, raw):
+    """monthly-from-daily == monthly-from-raw (exact sums/counts)."""
+    dd = keep_latest(raw, ["doc_id", "ts"], ["version"])
+    direct = rollup(dd, ["doc_id"], "ts", "monthly").toPandas()
+    casc = tiers_mon = cascade(
+        cascade(rollup(dd, ["doc_id"], "ts", "daily"), ["doc_id"], "dekadal"),
+        ["doc_id"],
+        "monthly",
+    ).toPandas()
+    d = direct.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    c = casc.sort_values(["doc_id", "ts"]).reset_index(drop=True)
+    assert (d["nobs"] == c["nobs"]).all()
+    assert (d["flags"] == c["flags"]).all()
+    assert np.allclose(d["v_mean"], c["v_mean"], rtol=1e-12)
+
+
+def test_gap_fill_golden_pattern(spark, raw):
+    """Missing grid days appear as null rows — the reference's
+    [66.07, nan, 80.71, 70.56, nan] pattern (test_reshuffle.py:77-84)."""
+    dd = keep_latest(raw, ["doc_id", "ts"], ["version"])
+    daily = rollup(dd, ["doc_id"], "ts", "daily")
+    g = gap_fill(daily, ["doc_id"], "ts", "daily", "2019-10-01", "2020-03-31")
+    n_keys = daily.select("doc_id").distinct().count()
+    assert g.count() == n_keys * 183
+    one = g.where(F.col("doc_id") == "doc0000000000").orderBy("ts").toPandas()
+    assert len(one) == 183
+    # the synthetic gap rule drops ~1/7 of days -> nulls present
+    assert one["nobs"].isna().sum() > 0
+    present = daily.where(F.col("doc_id") == "doc0000000000").count()
+    assert one["nobs"].notna().sum() == present
+    # grid is exactly the regular daily axis
+    deltas = one["ts"].diff().dropna().dt.days.unique()
+    assert list(deltas) == [1]
+
+
+def test_gap_fill_fill_policy(spark, raw):
+    dd = keep_latest(raw, ["doc_id", "ts"], ["version"])
+    daily = rollup(dd, ["doc_id"], "ts", "daily")
+    g = gap_fill(
+        daily, ["doc_id"], "ts", "daily", "2019-10-01", "2019-10-31",
+        fill={"nobs": 0, "flags": 0},
+    )
+    pdf = g.toPandas()
+    assert pdf["nobs"].isna().sum() == 0
+    assert (pdf.loc[pdf["v_mean"].isna(), "nobs"] == 0).all()
+
+
+def test_salted_agg_invariance(spark, raw):
+    """Two-phase salted aggregation == direct aggregation, exactly."""
+    direct = (
+        raw.groupBy("source" if "source" in raw.columns else "doc_id")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("n"), F.bit_or("flag").alias("f"))
+        .toPandas()
+    )
+    salted = salted_agg(
+        raw,
+        ["source" if "source" in raw.columns else "doc_id"],
+        "doc_id",
+        {"s": ("sum", "v"), "n": ("count", "v"), "f": ("bit_or", "flag")},
+        n_salts=8,
+    ).toPandas()
+    key = direct.columns[0]
+    d = direct.sort_values(key).reset_index(drop=True)
+    s = salted.sort_values(key).reset_index(drop=True)
+    assert (d["n"] == s["n"]).all()
+    assert (d["f"] == s["f"]).all()
+    assert np.allclose(d["s"], s["s"], rtol=1e-12)
