@@ -10,12 +10,54 @@ are reproducible across parallelism levels.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
 
 # Shuffle partitioning: ~cores for local mode; at cluster scale this is
 # overridden by AQE coalescing + the explicit repartition in the pipeline.
 _DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG_DIR = os.path.join(_REPO_ROOT, "c3s_sm_spark")
+
+
+def _export_pythonpath() -> None:
+    """Make the package importable in executor Python workers.
+
+    Local mode forks workers from the JVM which inherits this process's
+    env; on a cluster the equivalent is ``spark-submit --py-files``
+    (see jobs/). Must run before the JVM starts.
+    """
+    cur = os.environ.get("PYTHONPATH", "")
+    if _REPO_ROOT not in cur.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            _REPO_ROOT + (os.pathsep + cur if cur else "")
+        )
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Ship the package to executors of an already-running session.
+
+    For sessions the engine didn't create (e.g. the correctness driver's):
+    zips ``c3s_sm_spark`` and ``addPyFile``s it so pandas-UDF closures that
+    reference module functions resolve on workers. Idempotent.
+    """
+    if getattr(spark, "_c3s_pkg_shipped", False):
+        return
+    zpath = os.path.join("/tmp", "c3s_sm_spark_pyfiles.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.relpath(full, _REPO_ROOT)
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    spark.sparkContext.addPyFile(zpath)
+    spark._c3s_pkg_shipped = True
 
 
 def get_spark(
@@ -31,6 +73,7 @@ def get_spark(
     coalescing and skew-join splitting on a real cluster; Arrow makes the
     pandas-UDF codec path batch-vectorized.
     """
+    _export_pythonpath()
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
