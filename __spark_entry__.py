@@ -1,38 +1,455 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship cascading-rollup pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each (same
+column names/types; floats rounded identically on both sides).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from c3s_sm_spark.operators.calendar import dekad_start, temporal_grid  # noqa: E402
+from c3s_sm_spark.operators.dedup import keep_latest  # noqa: E402
+from c3s_sm_spark.operators.dedup_text import (  # noqa: E402
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: E402
+from c3s_sm_spark.operators.salting import salted_agg  # noqa: E402
+from c3s_sm_spark.operators.similarity import cosine_topk, lsh_ann_topk  # noqa: E402
+from c3s_sm_spark.operators.textstats import (  # noqa: E402
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from c3s_sm_spark.session import pin_session_conf, ship_package  # noqa: E402
+
+
+def _prep(spark: SparkSession) -> None:
+    pin_session_conf(spark)
+    ship_package(spark)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _flag_expr():
+    """event_type -> sensor-style bitflag (reference bitfield analog,
+    /root/reference/src/c3s_sm/metadata.py:320-345). Built lazily: Column
+    construction needs an active session."""
+    return (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "error", 8)
+        .otherwise(16)
+        .cast("int")
+    )
+_FLAG_SQL = (
+    "CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 "
+    "WHEN 'purchase' THEN 4 WHEN 'error' THEN 8 ELSE 16 END AS INTEGER)"
+)
+
+
+# --------------------------------------------------------------- queries
+
+
+def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 daily tier: mean + valid-obs count per key per day."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v_mean"),
+        F.count("value").alias("nobs"),
+        F.round(F.sum("value"), 2).alias("v_sum"),
+    )
+
+
+def _q_rollup_dekadal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dekadal tier with the reference dekad calendar (W4)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", dekad_start("ts").alias("dekad")).agg(
+        F.round(F.avg("value"), 4).alias("v_mean"),
+        F.count("value").alias("nobs"),
+    )
+
+
+def _q_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 monthly tier incl. bitflag union."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id", F.date_trunc("month", "ts").alias("month")).agg(
+        F.round(F.avg("value"), 4).alias("v_mean"),
+        F.count("value").alias("nobs"),
+        F.bit_or(_flag_expr()).alias("flags"),
+    )
+
+
+def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 continuous-aggregate cascade: raw->daily->dekadal->monthly must
+    equal direct monthly (oracle computes direct)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).withColumn("flag", _flag_expr())
+    daily = rollup(ev, ["user_id"], "ts", "daily", value_col="value", flag_col="flag")
+    mon = cascade(cascade(daily, ["user_id"], "dekadal"), ["user_id"], "monthly")
+    return mon.select(
+        "user_id",
+        F.col("ts").alias("month"),
+        F.round("v_mean", 4).alias("v_mean"),
+        F.col("nobs").alias("nobs"),
+        "flags",
+    )
+
+
+def _q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S4 gap-fill: key x full daily grid, nulls where no data."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v_mean"),
+        F.count("value").alias("nobs"),
+    )
+    bounds = ev.select(F.date_trunc("day", "ts").alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    frame = users.crossJoin(F.broadcast(cal))
+    out = frame.join(daily, ["user_id", "day"], "left")
+    return out.select(
+        "user_id", "day", "v_mean", F.coalesce("nobs", F.lit(0)).alias("nobs")
+    )
+
+
+def _q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/W2 keep-latest dedup (reference sort_last)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return keep_latest(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+def _q_grid_dekadal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 temporal grid driver (dekadal year)."""
+    _prep(spark)
+    return temporal_grid(spark, "dekadal", "2024-01-01", "2024-12-31")
+
+
+def _q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-phase salted aggregation == plain aggregation."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        "event_id",
+        {"n": ("count", "value"), "v_sum": ("sum", "value")},
+        n_salts=16,
+    )
+    return out.select("event_type", "n", F.round("v_sum", 2).alias("v_sum"))
+
+
+def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_series -> unpack_series -> aggregate == aggregate of input.
+
+    Proves the DoD+Gorilla codec round-trip through the driver gate.
+    """
+    _prep(spark)
+    from c3s_sm_spark.functions.codecs import pack_series, unpack_series
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.date_trunc("day", "ts").alias("ts"),
+    ).agg(F.round(F.avg("value"), 4).alias("v_mean"))
+    unpacked = unpack_series(pack_series(daily))
+    return unpacked.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.round(F.sum("v_mean"), 4).alias("checksum")
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup groups."""
+    _prep(spark)
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    _prep(spark)
+    return fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.2)."""
+    _prep(spark)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=2, threshold=0.2)
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 10."""
+    _prep(spark)
+    em = _emb(spark, sf_dir)
+    return cosine_topk(em, em.where(F.col("vec_id") < 10), k=5)
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified at jaccard>=0.2 (no SQL oracle —
+    minhash permutations aren't expressible in ANSI SQL; rows-only check).
+    Recall vs exact jaccard is pinned in tests/test_textops.py."""
+    _prep(spark)
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), k=2, num_hashes=16, bands=8, verify_threshold=0.2
+    )
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (no SQL oracle — 64 bit-vote aggregates;
+    determinism pinned in tests)."""
+    _prep(spark)
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (no SQL oracle — hyperplanes are engine-side;
+    recall vs brute force pinned in tests)."""
+    _prep(spark)
+    em = _emb(spark, sf_dir)
+    return lsh_ann_topk(em, em.where(F.col("vec_id") < 10), k=5, n_planes=4)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
+    return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_daily": _q_rollup_daily,
+        "rollup_dekadal": _q_rollup_dekadal,
+        "rollup_monthly": _q_rollup_monthly,
+        "rollup_cascade": _q_rollup_cascade,
+        "gap_fill_daily": _q_gap_fill_daily,
+        "dedup_keep_latest": _q_dedup_keep_latest,
+        "grid_dekadal": _q_grid_dekadal,
+        "salted_rollup": _q_salted_rollup,
+        "codec_roundtrip": _q_codec_roundtrip,
+        "dedup_exact": _q_dedup_exact,
+        "doc_fingerprint": _q_fingerprint,
+        "token_stats": _q_token_stats,
+        "text_quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "embedding_topk": _q_embedding_topk,
+        "minhash_lsh": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "ann_lsh": _q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_daily": """
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   round(avg(value), 4) AS v_mean,
+                   count(value) AS nobs,
+                   round(sum(value), 2) AS v_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_dekadal": """
+            SELECT user_id,
+                   date_trunc('month', ts)
+                     + (CASE WHEN extract(day FROM ts) <= 10 THEN 0
+                             WHEN extract(day FROM ts) <= 20 THEN 10
+                             ELSE 20 END) * INTERVAL 1 DAY AS dekad,
+                   round(avg(value), 4) AS v_mean,
+                   count(value) AS nobs
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_monthly": f"""
+            SELECT user_id, date_trunc('month', ts) AS month,
+                   round(avg(value), 4) AS v_mean,
+                   count(value) AS nobs,
+                   bit_or({_FLAG_SQL}) AS flags
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_cascade": f"""
+            SELECT user_id, date_trunc('month', ts) AS month,
+                   round(avg(value), 4) AS v_mean,
+                   count(value) AS nobs,
+                   bit_or({_FLAG_SQL}) AS flags
+            FROM events GROUP BY 1, 2
+        """,
+        "gap_fill_daily": """
+            WITH d AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     round(avg(value), 4) AS v_mean, count(value) AS nobs
+              FROM events GROUP BY 1, 2),
+            cal AS (
+              SELECT unnest(generate_series(
+                (SELECT min(date_trunc('day', ts)) FROM events),
+                (SELECT max(date_trunc('day', ts)) FROM events),
+                INTERVAL 1 DAY)) AS day),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id, cal.day, d.v_mean, coalesce(d.nobs, 0) AS nobs
+            FROM u CROSS JOIN cal
+            LEFT JOIN d ON d.user_id = u.user_id AND d.day = cal.day
+        """,
+        "dedup_keep_latest": """
+            SELECT user_id, event_type, event_id, ts, value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "grid_dekadal": """
+            SELECT d AS ts FROM (
+              SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                     TIMESTAMP '2024-12-31', INTERVAL 1 DAY)) AS d)
+            WHERE extract(day FROM d) IN (1, 11, 21)
+        """,
+        "salted_rollup": """
+            SELECT event_type, count(value) AS n,
+                   round(sum(value), 2) AS v_sum
+            FROM events GROUP BY 1
+        """,
+        "codec_roundtrip": """
+            WITH d AS (
+              SELECT CAST(user_id AS VARCHAR) AS doc_id,
+                     date_trunc('day', ts) AS day,
+                     round(avg(value), 4) AS v_mean
+              FROM events GROUP BY 1, 2)
+            SELECT doc_id, count(*) AS n, round(sum(v_mean), 4) AS checksum
+            FROM d GROUP BY 1
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                     AS fp_md5
+            FROM documents
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   round(length(regexp_replace(text, '\\s+', '', 'g'))
+                         / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 4) AS avg_tok_len
+            FROM documents
+        """,
+        "text_quality": """
+            WITH b AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+                     (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces,
+                     len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+              FROM documents)
+            SELECT doc_id,
+                   round(alpha / n_chars, 4) AS alpha_ratio,
+                   round(spaces / n_chars, 4) AS space_ratio,
+                   n_tokens,
+                   round((alpha / n_chars) * 0.5 + (spaces / n_chars) * 0.3
+                         + least(n_tokens / 100.0, 1.0) * 0.2, 4) AS quality
+            FROM b
+        """,
+        "lang_id": """
+            WITH s AS (
+              SELECT doc_id,
+                (CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END
+               + CASE WHEN lower(text) LIKE '% and %' THEN 1 ELSE 0 END
+               + CASE WHEN lower(text) LIKE '% of %' THEN 1 ELSE 0 END
+               + CASE WHEN lower(text) LIKE '% to %' THEN 1 ELSE 0 END
+               + CASE WHEN lower(text) LIKE '% is %' THEN 1 ELSE 0 END)::INTEGER
+                  AS en_score
+              FROM documents)
+            SELECT doc_id, en_score,
+                   CASE WHEN en_score >= 1 THEN 'en' ELSE 'other' END AS lang_pred
+            FROM s
+        """,
+        "ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS sh
+              FROM w WHERE len(ws) >= 2),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+              FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2)
+            SELECT i.a, i.b, i.inter, sa.n_sh AS na, sb.n_sh AS nb,
+                   round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a
+            JOIN sizes sb ON sb.doc_id = i.b
+            WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.2
+        """,
+        "embedding_topk": """
+            SELECT query_id, neighbor_id, cos_sim, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(
+                       CAST(q.embedding AS DOUBLE[]),
+                       CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY round(list_cosine_similarity(
+                         CAST(q.embedding AS DOUBLE[]),
+                         CAST(c.embedding AS DOUBLE[])), 4) DESC,
+                       c.vec_id ASC) AS INTEGER) AS rank
+              FROM embeddings q CROSS JOIN embeddings c
+              WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
+            WHERE rank <= 5
+        """,
+        # minhash_lsh, simhash, ann_lsh: intentionally no oracle (engine-side
+        # hash permutations / hyperplanes are not ANSI-SQL-expressible);
+        # driver records rows-only checks, recall pinned in pytest.
+    }
