@@ -289,8 +289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # date_trunc returns DATE in DuckDB at day/month precision but
+        # TIMESTAMP in Spark — cast so the value-hash compare agrees.
         "rollup_daily": """
-            SELECT user_id, date_trunc('day', ts) AS day,
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    round(avg(value), 4) AS v_mean,
                    count(value) AS nobs,
                    round(sum(value), 2) AS v_sum
@@ -307,14 +309,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "rollup_monthly": f"""
-            SELECT user_id, date_trunc('month', ts) AS month,
+            SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
                    round(avg(value), 4) AS v_mean,
                    count(value) AS nobs,
                    bit_or({_FLAG_SQL}) AS flags
             FROM events GROUP BY 1, 2
         """,
         "rollup_cascade": f"""
-            SELECT user_id, date_trunc('month', ts) AS month,
+            SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
                    round(avg(value), 4) AS v_mean,
                    count(value) AS nobs,
                    bit_or({_FLAG_SQL}) AS flags
