@@ -1,0 +1,303 @@
+"""The cascading-tier rollup pipeline: raw -> daily -> dekadal -> monthly.
+
+This is the engine's R1 (img2ts reshuffle) + R3 (extend_ts incremental
+append) in one resumable object — the reference's flagship lifecycle
+(``/root/reference/src/c3s_sm/reshuffle.py:135-280`` and ``:67-133``).
+
+Design (Spark-first, scale-first):
+
+- every tier is a :class:`~c3s_sm_spark.sources.tableio.SnapshotTable`
+  hive-partitioned by ``pmonth`` (the window-start month). Month is the
+  natural overwrite unit: daily/dekadal/monthly windows never cross a
+  month boundary (3rd dekads end at month end,
+  ``/root/reference/src/c3s_sm/download.py:326-333``), so recomputing the
+  affected months and *dynamic-partition-overwriting* them is exact,
+  idempotent, and hence crash-resumable by simply re-running — while
+  keeping file counts ~30x lower than day-grain partitions;
+- each tier refresh is **incremental**: it diffs its *source* table's
+  snapshots against the high-water-mark snapshot recorded in the lineage
+  table, derives the affected window set from only the delta files
+  (file-level manifest diff — no scan), recomputes exactly those windows
+  from the source tier, and overwrites them. The lineage row advances the
+  HWM in the same logical step; if the process dies between tiers, the
+  next run redoes only the unfinished tiers (reference analog: the
+  ``000_overview.yml`` period record consumed by extend,
+  ``/root/reference/src/c3s_sm/reshuffle.py:94-133``);
+- dekadal aggregates the *daily* tier and monthly the *dekadal* tier
+  (continuous-aggregate cascade): each step shuffles ~10x fewer rows than
+  raw, which is what keeps the cascade cheap at 10^12 points;
+- raw ingest salts its repartition on ``(cell, salt)`` so a hot source
+  (70% "cc" in the synth fixture) cannot pin a single task; AQE handles
+  residual skew at runtime;
+- lineage + per-partition metrics are tables themselves (reference S9/A4:
+  yml summaries + coverage scan, ``/root/reference/src/c3s_sm/misc.py``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.functions.codecs import pack_series, unpack_series
+from c3s_sm_spark.operators.calendar import window_start
+from c3s_sm_spark.operators.dedup import keep_latest
+from c3s_sm_spark.operators.rollup import cascade, rollup
+from c3s_sm_spark.sources.tableio import SnapshotTable
+
+#: tier name -> source tier (None = raw points table)
+TIERS: dict[str, str | None] = {
+    "daily": None,
+    "dekadal": "daily",
+    "monthly": "dekadal",
+}
+
+_LINEAGE_COLS = (
+    "run_id string, tier string, src_snapshot string, dst_snapshot string, "
+    "n_months int, n_rows bigint, wall_s double, finished_at double, "
+    "status string"
+)
+_METRICS_COLS = (
+    "run_id string, tier string, pmonth string, n_rows bigint, n_points bigint, "
+    "ts_min timestamp, ts_max timestamp"
+)
+
+
+class TierPipeline:
+    """Resumable cascading rollup over snapshot tables under ``base_dir``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        key: str = "doc_id",
+        n_buckets: int = 32,
+        n_salts: int = 8,
+    ):
+        self.spark = spark
+        self.base = base_dir
+        self.key = key
+        self.n_buckets = n_buckets
+        self.n_salts = n_salts
+        self.raw = SnapshotTable(os.path.join(base_dir, "raw"), ["pmonth"])
+        self.tiers = {
+            t: SnapshotTable(os.path.join(base_dir, t), ["pmonth"])
+            for t in TIERS
+        }
+        self.packed = {
+            t: SnapshotTable(os.path.join(base_dir, f"{t}_packed"), ["bucket"])
+            for t in TIERS
+        }
+        self.lineage = SnapshotTable(os.path.join(base_dir, "lineage"))
+        self.metrics = SnapshotTable(os.path.join(base_dir, "metrics"))
+
+    # ---------------------------------------------------------------- ingest
+
+    def ingest(self, points: DataFrame) -> str:
+        """Append raw observation points.
+
+        Expected columns: ``key, ts, v`` (+ optional ``flag``, ``version``,
+        ``cell``). Adds the ``pmonth`` partition column and salts the
+        write repartition on ``(pmonth, salt)`` so one hot month/source
+        cannot serialize the write (north_rule skew requirement). Dedup is
+        NOT done here — keep-latest runs at rollup read time so
+        reprocessed rows appended later still win (reference
+        ``sort_last``, ``/root/reference/src/c3s_sm/interface.py:347-356``).
+        """
+        df = points.withColumn("pmonth", F.date_format("ts", "yyyy-MM"))
+        salt = F.pmod(F.xxhash64(self.key, F.lit(17)), F.lit(self.n_salts))
+        df = df.repartition(F.col("pmonth"), salt)
+        return self.raw.append(df, {"op": "ingest"})
+
+    # ----------------------------------------------------------------- state
+
+    def _hwm(self, tier: str) -> str | None:
+        """Source-table snapshot already folded into ``tier`` (lineage)."""
+        try:
+            lin = self.lineage.read(self.spark)
+        except FileNotFoundError:
+            return None
+        row = (
+            lin.where((F.col("tier") == tier) & (F.col("status") == "ok"))
+            .orderBy(F.col("finished_at").desc())
+            .select("src_snapshot")
+            .head()
+        )
+        return row["src_snapshot"] if row else None
+
+    def _source_table(self, tier: str) -> SnapshotTable:
+        src = TIERS[tier]
+        return self.raw if src is None else self.tiers[src]
+
+    # --------------------------------------------------------------- refresh
+
+    def _affected_months(self, tier: str, delta: DataFrame) -> list[str]:
+        """Partition months touched by the source delta.
+
+        No window arithmetic needed beyond month truncation: every tier's
+        windows nest inside calendar months, so "months containing new
+        source rows" is exactly the set of partitions to recompute.
+        """
+        rows = (
+            delta.select(F.date_format("ts", "yyyy-MM").alias("m"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["m"] for r in rows)
+
+    def _compute_tier(self, tier: str, months: list[str]) -> DataFrame:
+        """Recompute every ``tier`` window inside the given months from
+        the source tier (delta tells us *which* months; the recompute
+        itself must see every source row in them). The ``pmonth``
+        predicate is pure partition pruning — unaffected directories are
+        never listed, let alone read."""
+        src_tbl = self._source_table(tier)
+        src = src_tbl.read(self.spark).where(F.col("pmonth").isin(months))
+        if TIERS[tier] is None:
+            # raw -> daily: keep-latest dedup then first-level rollup
+            order = ["version"] if "version" in src.columns else ["ts"]
+            src = keep_latest(src, [self.key, "ts"], order)
+            out = rollup(
+                src,
+                [self.key],
+                "ts",
+                tier,
+                value_col="v",
+                flag_col="flag" if "flag" in src.columns else None,
+            )
+        else:
+            out = cascade(src, [self.key], tier)
+        return out.withColumn("pmonth", F.date_format("ts", "yyyy-MM"))
+
+    def refresh(self, tiers: list[str] | None = None) -> dict[str, dict]:
+        """Incrementally fold new source snapshots into each tier.
+
+        Returns per-tier stats. Safe to re-run at any point: each tier is
+        an idempotent partition overwrite + lineage append; a crashed run
+        leaves the HWM untouched so the next run redoes the same windows.
+        """
+        run_id = uuid.uuid4().hex[:12]
+        report: dict[str, dict] = {}
+        for tier in tiers or list(TIERS):
+            t0 = time.perf_counter()
+            src_tbl = self._source_table(tier)
+            src_head = src_tbl.head()
+            hwm = self._hwm(tier)
+            if src_head is None or src_head == hwm:
+                report[tier] = {"months": 0, "rows": 0, "skipped": True}
+                continue
+            delta = src_tbl.read_incremental(self.spark, hwm, src_head)
+            if delta is None:
+                report[tier] = {"months": 0, "rows": 0, "skipped": True}
+                continue
+            months = self._affected_months(tier, delta)
+            out = self._compute_tier(tier, months)
+            dst_snap = self.tiers[tier].overwrite_partitions(
+                out, {"run_id": run_id, "months": len(months)}
+            )
+            # per-partition metrics (A4 coverage analog) from what we wrote
+            written = self.tiers[tier].read(self.spark).where(
+                F.col("pmonth").isin(months)
+            )
+            mrows = written.groupBy("pmonth").agg(
+                F.count("*").alias("n_rows"),
+                F.sum("nobs").alias("n_points"),
+                F.min("ts").alias("ts_min"),
+                F.max("ts").alias("ts_max"),
+            )
+            n_rows = mrows.agg(F.sum("n_rows")).head()[0] or 0
+            wall = time.perf_counter() - t0
+            self.metrics.append(
+                mrows.select(
+                    F.lit(run_id).alias("run_id"),
+                    F.lit(tier).alias("tier"),
+                    "pmonth",
+                    "n_rows",
+                    "n_points",
+                    "ts_min",
+                    "ts_max",
+                )
+            )
+            self.lineage.append(
+                self.spark.createDataFrame(
+                    [
+                        (
+                            run_id,
+                            tier,
+                            src_head,
+                            dst_snap,
+                            len(months),
+                            int(n_rows),
+                            wall,
+                            time.time(),
+                            "ok",
+                        )
+                    ],
+                    _LINEAGE_COLS,
+                )
+            )
+            report[tier] = {
+                "months": len(months),
+                "rows": int(n_rows),
+                "wall_s": round(wall, 3),
+            }
+        return report
+
+    # ---------------------------------------------------------------- packed
+
+    def pack_tier(self, tier: str) -> str:
+        """Materialize the packed-series form of a tier (delta-of-delta ts
+        + Gorilla-XOR values, chunked), bucketed by key hash for pruned
+        point reads."""
+        df = self.tiers[tier].read(self.spark)
+        packed = pack_series(df, key=self.key, ts_col="ts", val_col="v_mean")
+        packed = packed.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
+        )
+        return self.packed[tier].overwrite_partitions(packed, {"tier": tier})
+
+    # ----------------------------------------------------------------- reads
+
+    def read_tier(self, tier: str) -> DataFrame:
+        return self.tiers[tier].read(self.spark)
+
+    def point_read(self, key_value: str, tier: str = "daily") -> DataFrame:
+        """S5 point time-series query: one key's full series, time-ordered.
+
+        Served from the packed table when materialized (bucket-pruned scan
+        + blob decode of only this key's chunks), else from the tier rows.
+        """
+        try:
+            packed = self.packed[tier].read(self.spark)
+            packed = packed.where(
+                (
+                    F.col("bucket")
+                    == F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)).cast("int")
+                )
+                & (F.col("doc_id") == key_value)
+            )
+            return unpack_series(packed).orderBy("ts")
+        except FileNotFoundError:
+            return (
+                self.read_tier(tier)
+                .where(F.col(self.key) == key_value)
+                .orderBy("ts")
+            )
+
+    def coverage(self) -> DataFrame:
+        """A4/A5 analog: per-tier coverage from the metrics table — no
+        data scan (manifest/metrics only, like Iceberg table stats)."""
+        return (
+            self.metrics.read(self.spark)
+            .groupBy("tier")
+            .agg(
+                F.min("ts_min").alias("period_from"),
+                F.max("ts_max").alias("period_to"),
+                F.sum("n_rows").alias("n_rows"),
+                F.sum("n_points").alias("n_points"),
+            )
+        )

@@ -1,0 +1,246 @@
+"""Snapshot-versioned Parquet table layer (Iceberg-fallback TableIO).
+
+SURVEY.md §7 plans Iceberg for the tier tables; this sandbox has no Iceberg
+runtime jar and no network, so this module provides the same *semantics*
+behind a thin interface that an Iceberg catalog can replace verbatim:
+
+- **atomic commits**: every write produces an immutable snapshot manifest
+  (JSON list of data files); the table HEAD advances by an atomic
+  ``os.replace`` — readers never see a half-written table. The reference's
+  analog is the all-or-nothing netCDF cell-file append plus the
+  ``000_overview.yml`` lineage record written after success
+  (``/root/reference/src/c3s_sm/misc.py:163-250``).
+- **append / dynamic partition overwrite**: ``append(df)`` adds files;
+  ``overwrite_partitions(df)`` replaces exactly the partitions present in
+  ``df`` (Iceberg ``overwritePartitions``), which makes window recompute
+  idempotent — the engine's crash-resume story.
+- **snapshot reads & incremental scans**: ``read(spark, snapshot_id=...)``
+  time-travels; ``read_incremental(spark, since, until)`` reads only files
+  added in ``(since, until]`` — the Iceberg ``start-snapshot-id`` pattern
+  the incremental tier refresh uses (reference extend_ts,
+  ``/root/reference/src/c3s_sm/reshuffle.py:67-133``).
+
+Layout::
+
+    <root>/data/s<snapshot>/<partition dirs>/*.parquet   (immutable)
+    <root>/_manifests/snap-<id>.json                     (immutable)
+    <root>/_manifests/HEAD                               (atomic pointer)
+
+Scale notes: manifests list files, not rows, so commit cost is O(files);
+partition values are encoded in directory names (hive-style via
+``partitionBy``) so partition pruning works through Spark's file index, and
+``basePath`` keeps partition columns when reading an explicit file subset.
+On a real deployment swap this class for Iceberg — the pipeline only calls
+the five methods above.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A partitioned Parquet table with atomic snapshot commits."""
+
+    def __init__(self, root: str, partition_by: list[str] | None = None):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.man_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.man_dir, exist_ok=True)
+        props_path = os.path.join(self.man_dir, "table.json")
+        if os.path.exists(props_path):
+            with open(props_path) as f:
+                self.props = json.load(f)
+            if partition_by is not None and partition_by != self.props["partition_by"]:
+                raise ValueError(
+                    f"table at {root} is partitioned by "
+                    f"{self.props['partition_by']}, not {partition_by}"
+                )
+        else:
+            self.props = {"partition_by": partition_by or []}
+            tmp = props_path + f".tmp{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(self.props, f)
+            os.replace(tmp, props_path)
+
+    # ------------------------------------------------------------- snapshots
+
+    @property
+    def partition_by(self) -> list[str]:
+        return self.props["partition_by"]
+
+    def head(self) -> str | None:
+        """Current snapshot id, or None for an empty table."""
+        try:
+            with open(os.path.join(self.man_dir, "HEAD")) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def _manifest(self, snapshot_id: str) -> dict:
+        with open(os.path.join(self.man_dir, f"snap-{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """All snapshots, oldest first (parent-chain walk from HEAD)."""
+        out: list[dict] = []
+        sid = self.head()
+        while sid:
+            m = self._manifest(sid)
+            out.append(m)
+            sid = m["parent"]
+        out.reverse()
+        return out
+
+    def _files(self, snapshot_id: str | None = None) -> list[str]:
+        sid = snapshot_id or self.head()
+        return self._manifest(sid)["files"] if sid else []
+
+    def _commit(self, files: list[str], operation: str, summary: dict) -> str:
+        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        manifest = {
+            "snapshot_id": sid,
+            "parent": self.head(),
+            "operation": operation,
+            "committed_at": time.time(),
+            "files": sorted(files),
+            "summary": summary,
+        }
+        man_path = os.path.join(self.man_dir, f"snap-{sid}.json")
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, man_path)
+        head_tmp = os.path.join(self.man_dir, f"HEAD.tmp{uuid.uuid4().hex}")
+        with open(head_tmp, "w") as f:
+            f.write(sid)
+        os.replace(head_tmp, os.path.join(self.man_dir, "HEAD"))
+        return sid
+
+    # ---------------------------------------------------------------- writes
+
+    def _write_files(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write ``df`` into an immutable per-snapshot subtree; return
+        (subtree, data files relative to the table root)."""
+        sub = f"s{int(time.time() * 1000):013d}{uuid.uuid4().hex[:6]}"
+        out_dir = os.path.join(self.data_dir, sub)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(out_dir)
+        files = []
+        for dirpath, _dirs, fnames in os.walk(out_dir):
+            for fn in fnames:
+                if fn.endswith(".parquet"):
+                    files.append(
+                        os.path.relpath(os.path.join(dirpath, fn), self.root)
+                    )
+        return sub, files
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> str:
+        """Atomically add ``df``'s rows; returns the new snapshot id."""
+        _sub, new_files = self._write_files(df)
+        return self._commit(
+            self._files() + new_files, "append", summary or {}
+        )
+
+    @staticmethod
+    def _partition_of(relpath: str, partition_by: list[str]) -> tuple:
+        """Hive partition tuple of a data file path (k=v dir segments)."""
+        vals = dict(
+            seg.split("=", 1) for seg in relpath.split(os.sep) if "=" in seg
+        )
+        return tuple(vals.get(k) for k in partition_by)
+
+    def overwrite_partitions(
+        self, df: DataFrame, summary: dict | None = None
+    ) -> str:
+        """Replace exactly the partitions present in ``df`` (dynamic
+        partition overwrite). Idempotent: re-running the same write yields
+        the same table state — the engine's resume primitive."""
+        if not self.partition_by:
+            _sub, new_files = self._write_files(df)
+            return self._commit(new_files, "overwrite", summary or {})
+        _sub, new_files = self._write_files(df)
+        replaced = {
+            self._partition_of(f, self.partition_by) for f in new_files
+        }
+        kept = [
+            f
+            for f in self._files()
+            if self._partition_of(f, self.partition_by) not in replaced
+        ]
+        return self._commit(
+            kept + new_files,
+            "overwrite_partitions",
+            {**(summary or {}), "replaced_partitions": len(replaced)},
+        )
+
+    # ----------------------------------------------------------------- reads
+
+    def _read_files(self, spark: SparkSession, files: list[str]) -> DataFrame:
+        """Read an explicit file list, preserving hive partition columns.
+
+        Files live under per-snapshot subtrees (``data/s<id>/k=v/...``), so
+        each subtree is read with its own ``basePath`` (partition columns
+        survive) and the reads are unioned — a manifest-driven scan, the
+        moral equivalent of Iceberg planning file groups per snapshot.
+        """
+        by_sub: dict[str, list[str]] = {}
+        for f in files:
+            rel = os.path.relpath(f, "data")
+            sub = rel.split(os.sep, 1)[0]
+            by_sub.setdefault(sub, []).append(os.path.join(self.root, f))
+        dfs = [
+            spark.read.option(
+                "basePath", os.path.join(self.data_dir, sub)
+            ).parquet(*paths)
+            for sub, paths in sorted(by_sub.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def read(
+        self, spark: SparkSession, snapshot_id: str | None = None
+    ) -> DataFrame:
+        """Scan the table at HEAD or a past snapshot (time travel)."""
+        files = self._files(snapshot_id)
+        if not files:
+            raise FileNotFoundError(f"table {self.root} is empty")
+        return self._read_files(spark, files)
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        since: str | None,
+        until: str | None = None,
+    ) -> DataFrame | None:
+        """Rows added by snapshots in ``(since, until]``; None if empty.
+
+        File-level diff of the two manifests — no data scan to find the
+        delta, same as Iceberg's incremental append scan.
+        """
+        until = until or self.head()
+        if until is None:
+            return None
+        base = set(self._files(since)) if since else set()
+        delta = [f for f in self._files(until) if f not in base]
+        if not delta:
+            return None
+        return self._read_files(spark, delta)
+
+    def rollback(self, snapshot_id: str) -> None:
+        """Reset HEAD to an earlier snapshot (manifests are immutable)."""
+        self._manifest(snapshot_id)  # existence check
+        tmp = os.path.join(self.man_dir, f"HEAD.tmp{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(snapshot_id)
+        os.replace(tmp, os.path.join(self.man_dir, "HEAD"))

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the tier rollup engine.
+
+Mirrors the reference CLI surface (``c3s_sm reshuffle`` / ``update_ts`` /
+time-series read; ``/root/reference/src/c3s_sm/cli.py:182,234,39``) as
+subcommands over the snapshot-table pipeline:
+
+    synth    generate + ingest the deterministic input_hint corpus
+    rollup   full or incremental tier refresh (idempotent, resumable)
+    extend   alias of rollup --tiers all (reference extend_ts: only new
+             source snapshots are folded in)
+    pack     materialize packed-series (DoD+Gorilla) form of a tier
+    read     one key's series from a tier (packed-aware point read)
+    status   lineage high-water marks + per-tier coverage
+
+Cluster launch::
+
+    spark-submit --py-files dist/c3s_sm_spark.zip jobs/rollup_job.py \
+        --base /data/tiers rollup
+
+Local (this sandbox)::
+
+    python jobs/rollup_job.py --base /tmp/tiers synth --docs 2000
+    python jobs/rollup_job.py --base /tmp/tiers rollup
+    python jobs/rollup_job.py --base /tmp/tiers read --key doc0000000007
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from c3s_sm_spark.plans.pipeline import TIERS, TierPipeline  # noqa: E402
+from c3s_sm_spark.session import get_spark  # noqa: E402
+from c3s_sm_spark.synth import gen_sequences, sequences_to_points  # noqa: E402
+
+
+def _pipeline(args) -> TierPipeline:
+    spark = get_spark(app_name=f"rollup_job:{args.cmd}", master=args.master)
+    return TierPipeline(spark, args.base)
+
+
+def cmd_synth(args) -> None:
+    p = _pipeline(args)
+    seq = gen_sequences(p.spark, args.docs)
+    snap = p.ingest(sequences_to_points(seq))
+    print(json.dumps({"ingested_docs": args.docs, "snapshot": snap}))
+
+
+def cmd_rollup(args) -> None:
+    p = _pipeline(args)
+    tiers = None if args.tiers == "all" else args.tiers.split(",")
+    report = p.refresh(tiers)
+    print(json.dumps(report))
+
+
+def cmd_pack(args) -> None:
+    p = _pipeline(args)
+    snap = p.pack_tier(args.tier)
+    print(json.dumps({"tier": args.tier, "snapshot": snap}))
+
+
+def cmd_read(args) -> None:
+    p = _pipeline(args)
+    rows = p.point_read(args.key, args.tier).limit(args.limit).collect()
+    for r in rows:
+        print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
+
+
+def cmd_status(args) -> None:
+    p = _pipeline(args)
+    out: dict = {"tiers": {}}
+    try:
+        lin = p.lineage.read(p.spark).where("status = 'ok'").collect()
+    except FileNotFoundError:
+        print(json.dumps({"tiers": {}, "note": "no runs yet"}))
+        return
+    for t in TIERS:
+        rows = sorted(
+            (r for r in lin if r["tier"] == t), key=lambda r: r["finished_at"]
+        )
+        if rows:
+            last = rows[-1]
+            out["tiers"][t] = {
+                "hwm_snapshot": last["src_snapshot"],
+                "runs": len(rows),
+                "last_rows": last["n_rows"],
+            }
+    out["coverage"] = [
+        {k: str(v) for k, v in r.asDict().items()}
+        for r in p.coverage().collect()
+    ]
+    print(json.dumps(out))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="rollup_job", description=__doc__)
+    ap.add_argument("--base", required=True, help="pipeline base directory")
+    ap.add_argument("--master", default=None, help="spark master override")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate + ingest synthetic corpus")
+    s.add_argument("--docs", type=int, default=2000)
+    s.set_defaults(fn=cmd_synth)
+
+    for name in ("rollup", "extend"):
+        s = sub.add_parser(name, help="full/incremental tier refresh")
+        s.add_argument("--tiers", default="all", help="comma list or 'all'")
+        s.set_defaults(fn=cmd_rollup)
+
+    s = sub.add_parser("pack", help="materialize packed-series tier")
+    s.add_argument("--tier", default="daily", choices=list(TIERS))
+    s.set_defaults(fn=cmd_pack)
+
+    s = sub.add_parser("read", help="point time-series read")
+    s.add_argument("--key", required=True)
+    s.add_argument("--tier", default="daily", choices=list(TIERS))
+    s.add_argument("--limit", type=int, default=50)
+    s.set_defaults(fn=cmd_read)
+
+    s = sub.add_parser("status", help="lineage HWMs + coverage")
+    s.set_defaults(fn=cmd_status)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

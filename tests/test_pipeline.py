@@ -1,0 +1,174 @@
+"""SnapshotTable + TierPipeline: atomic snapshots, incremental refresh,
+idempotent resume, lineage/metrics, packed point reads.
+
+Mirrors the reference's end-to-end reshuffle + extend tests
+(``/root/reference/tests/test_reshuffle.py``): build from a first slice of
+dates, extend with a later slice, verify the final tiers equal a
+from-scratch computation over the full input, and read a single key's
+series back in time order.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators.dedup import keep_latest
+from c3s_sm_spark.operators.rollup import cascade, rollup
+from c3s_sm_spark.plans.pipeline import TierPipeline
+from c3s_sm_spark.sources.tableio import SnapshotTable
+from c3s_sm_spark.synth import gen_points_raw
+
+
+# ------------------------------------------------------------ SnapshotTable
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "x int, p string")
+    s1 = t.append(df1)
+    df2 = spark.createDataFrame([(3, "a")], "x int, p string")
+    s2 = t.append(df2)
+    assert t.read(spark).count() == 3
+    assert t.read(spark, s1).count() == 2
+    assert [s["snapshot_id"] for s in t.snapshots()] == [s1, s2]
+    t.rollback(s1)
+    assert t.read(spark).count() == 2
+
+
+def test_overwrite_partitions_is_selective_and_idempotent(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "x int, p string"))
+    t.overwrite_partitions(
+        spark.createDataFrame([(10, "a"), (11, "a")], "x int, p string")
+    )
+    got = {(r["x"], r["p"]) for r in t.read(spark).collect()}
+    assert got == {(10, "a"), (11, "a"), (2, "b")}
+    # idempotent: same overwrite again -> same state
+    t.overwrite_partitions(
+        spark.createDataFrame([(10, "a"), (11, "a")], "x int, p string")
+    )
+    assert {(r["x"], r["p"]) for r in t.read(spark).collect()} == got
+
+
+def test_incremental_read_is_file_diff(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    s1 = t.append(spark.createDataFrame([(1, "a")], "x int, p string"))
+    assert t.read_incremental(spark, None).count() == 1
+    s2 = t.append(spark.createDataFrame([(2, "b"), (3, "b")], "x int, p string"))
+    inc = t.read_incremental(spark, s1, s2)
+    assert {r["x"] for r in inc.collect()} == {2, 3}
+    assert t.read_incremental(spark, s2) is None
+
+
+def test_partition_mismatch_rejected(tmp_path, spark):
+    SnapshotTable(str(tmp_path / "t"), ["p"])
+    with pytest.raises(ValueError):
+        SnapshotTable(str(tmp_path / "t"), ["q"])
+
+
+# ------------------------------------------------------------- TierPipeline
+
+
+@pytest.fixture(scope="module")
+def raw_points(spark):
+    return gen_points_raw(spark, 40, start="2019-10-01", end="2019-12-31").cache()
+
+
+def _expected_tiers(raw):
+    """Independent from-scratch computation (no pipeline machinery)."""
+    dd = keep_latest(raw, ["doc_id", "ts"], ["version"])
+    daily = rollup(dd, ["doc_id"], "ts", "daily")
+    dek = cascade(daily, ["doc_id"], "dekadal")
+    mon = cascade(dek, ["doc_id"], "monthly")
+    return daily, dek, mon
+
+
+def _tier_rows(df):
+    return {
+        (r["doc_id"], str(r["ts"]), round(r["v_mean"], 9), r["nobs"], r["flags"])
+        for r in df.select("doc_id", "ts", "v_mean", "nobs", "flags").collect()
+    }
+
+
+def test_full_build_then_extend_matches_scratch(spark, tmp_path, raw_points):
+    early = raw_points.where(F.col("ts") < "2019-11-15")
+    late = raw_points.where(F.col("ts") >= "2019-11-15")
+
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(early)
+    r1 = p.refresh()
+    assert r1["daily"]["months"] > 0 and r1["monthly"]["months"] > 0
+
+    # extend with the later slice — only new/affected months recompute:
+    # November (boundary) + December, but NOT October
+    p.ingest(late)
+    r2 = p.refresh()
+    assert r2["monthly"]["months"] == 2  # Nov + Dec, NOT Oct
+    last_run = p.lineage.read(spark).orderBy(F.col("finished_at").desc()).head()["run_id"]
+    touched = {
+        r["pmonth"]
+        for r in p.metrics.read(spark).where(F.col("run_id") == last_run).collect()
+    }
+    assert "2019-10" not in touched
+
+    daily_e, dek_e, mon_e = _expected_tiers(raw_points)
+    assert _tier_rows(p.read_tier("daily")) == _tier_rows(daily_e)
+    assert _tier_rows(p.read_tier("dekadal")) == _tier_rows(dek_e)
+    assert _tier_rows(p.read_tier("monthly")) == _tier_rows(mon_e)
+
+
+def test_refresh_noop_when_no_new_data(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points.where(F.col("ts") < "2019-10-20"))
+    p.refresh()
+    again = p.refresh()
+    assert all(v.get("skipped") for v in again.values())
+
+
+def test_crash_resume_is_idempotent(spark, tmp_path, raw_points):
+    """Simulate dying between tiers: refresh daily only, then re-run all."""
+    sub = raw_points.where(F.col("ts") < "2019-10-25")
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(sub)
+    p.refresh(["daily"])  # "crash" before dekadal/monthly
+    p2 = TierPipeline(spark, str(tmp_path / "tp"))  # fresh process
+    rep = p2.refresh()
+    assert rep["daily"].get("skipped")  # already folded
+    assert rep["dekadal"]["months"] > 0
+    _daily_e, _dek_e, mon_e = _expected_tiers(sub)
+    assert _tier_rows(p2.read_tier("monthly")) == _tier_rows(mon_e)
+
+
+def test_lineage_and_coverage(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh()
+    lin = p.lineage.read(spark)
+    assert lin.where("status = 'ok'").count() == 3  # one row per tier
+    cov = {r["tier"]: r for r in p.coverage().collect()}
+    assert set(cov) == {"daily", "dekadal", "monthly"}
+    assert str(cov["daily"]["period_from"]).startswith("2019-10-01")
+    # daily n_points = deduped raw row count
+    dd = keep_latest(raw_points, ["doc_id", "ts"], ["version"])
+    assert cov["daily"]["n_points"] == dd.count()
+
+
+def test_packed_point_read_matches_tier(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    key = "doc0000000003"
+    got = p.point_read(key, "daily").collect()
+    exp = (
+        p.read_tier("daily")
+        .where(F.col("doc_id") == key)
+        .orderBy("ts")
+        .select("ts", "v_mean")
+        .collect()
+    )
+    assert len(got) == len(exp) > 0
+    for g, e in zip(got, exp):
+        assert g["ts"] == e["ts"]
+        assert g["v_mean"] == pytest.approx(e["v_mean"], abs=0)  # bit-exact
