@@ -258,6 +258,158 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(em, em.where(F.col("vec_id") < 10), k=5, n_planes=4)
 
 
+def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 coverage min/max + parameter presence per key."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("period_from"),
+        F.max("ts").alias("period_to"),
+        F.count("*").alias("n_obs"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def _q_param_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: group keys by their (sorted) parameter set; >1 group = drift."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    per_key = ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias(
+            "param_set"
+        )
+    )
+    return per_key.groupBy("param_set").agg(F.count("*").alias("n_keys"))
+
+
+def _lonlat():
+    """Deterministic synthetic lon/lat per user (grid-lookup fixture)."""
+    lon = (F.col("user_id") % 1440) * 0.25 - 180.0 + 0.37
+    lat = (F.floor(F.col("user_id") / 1440) % 720) * 0.25 - 90.0 + 0.11
+    return lon, lat
+
+
+def _q_nearest_gpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 nearest-GPI + 5-degree cell lookup — pure arithmetic, no join."""
+    _prep(spark)
+    from c3s_sm_spark.operators.grid import gpi_cell, gpi_lat, gpi_lon, nearest_gpi
+
+    ev = _events(spark, sf_dir).select("user_id").distinct()
+    lon, lat = _lonlat()
+    g = nearest_gpi(lon, lat)
+    return ev.select(
+        "user_id",
+        g.alias("gpi"),
+        F.round(gpi_lon(g), 4).alias("gpi_lon"),
+        F.round(gpi_lat(g), 4).alias("gpi_lat"),
+        gpi_cell(g).alias("cell"),
+    )
+
+
+def _q_bbox_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 bbox predicate over the derived lon/lat + aggregate."""
+    _prep(spark)
+    from c3s_sm_spark.operators.grid import in_bbox
+
+    ev = _events(spark, sf_dir)
+    lon, lat = _lonlat()
+    return (
+        ev.where(in_bbox(lon, lat, -180.0, -100.0, -90.0, -89.0))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v_sum"))
+    )
+
+
+def _q_scale_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/P7/P8: scale/offset projection, sentinel->null, fill policy."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    scaled = F.round(F.col("value") * 0.01 + 5.0, 4)
+    cleaned = F.when(F.round("value", 0) == 42.0, None).otherwise(scaled)
+    return ev.select(
+        "event_id",
+        cleaned.alias("v_clean"),
+        F.coalesce(cleaned, F.lit(-9999.0)).alias("v_filled"),
+    )
+
+
+def _q_moving_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec window: 3-row trailing mean over the daily tier."""
+    _prep(spark)
+    from c3s_sm_spark.operators.rollup import moving_mean
+
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    # order-proof cross-engine float parity: smooth by summing INTEGER
+    # 1e-4-scaled daily means (DuckDB computes window aggs with a segment
+    # tree, so a float sum's last bit differs from Spark's running fold;
+    # integer sums are association-free). moving_mean() is the production
+    # API; this query inlines the same frame to stay hash-comparable.
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg("value"), 4).alias("v_mean")
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
+    vm_i = F.round(F.col("v_mean") * 10000, 0).cast("bigint")
+    out = (
+        daily.withColumn("si", F.sum(vm_i).over(w))
+        .withColumn("cnt", F.count("v_mean").over(w))
+        # half-up rounding in INTEGER space: (2*si + cnt) div (2*cnt) —
+        # Spark rounds doubles via their shortest decimal string while
+        # DuckDB rounds the raw binary, so any float division before the
+        # final round would diverge at exact .5 boundaries
+        .withColumn(
+            "v_smooth", F.expr("(2*si + cnt) div (2*cnt)") / 10000.0
+        )
+    )
+    return out.select("user_id", "day", "v_mean", "v_smooth")
+
+
+def _q_token_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """north_rule per-row token-array-equality invariant: explode tokens
+    to points, reassemble in position order, compare to the source array
+    (W1 deterministic order via sort_array; cf. raw-tier parity,
+    /root/reference/tests/test_reshuffle.py:76,159)."""
+    _prep(spark)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    pts = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    rebuilt = pts.groupBy("doc_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+            lambda s: s["tok"],
+        ).alias("rebuilt")
+    )
+    return docs.join(rebuilt, "doc_id").select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        (F.col("toks") == F.col("rebuilt")).alias("matches"),
+    )
+
+
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.99)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload -> mapInPandas featurization
+    (deterministic fake decoder; no SQL oracle — rows-only check,
+    exact values pinned in tests/test_textops.py)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.multimodal import attach_fake_media, extract_features
+
+    media = attach_fake_media(_docs(spark, sf_dir))
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -284,6 +436,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
+        "coverage": _q_coverage,
+        "param_consistency": _q_param_consistency,
+        "nearest_gpi": _q_nearest_gpi,
+        "bbox_subset": _q_bbox_subset,
+        "scale_fill": _q_scale_fill,
+        "moving_mean": _q_moving_mean,
+        "token_invariant": _q_token_invariant,
+        "embedding_neardup": _q_embedding_neardup,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -451,7 +612,100 @@ def oracle_sql() -> dict[str, str]:
               WHERE q.vec_id < 10 AND c.vec_id != q.vec_id)
             WHERE rank <= 5
         """,
-        # minhash_lsh, simhash, ann_lsh: intentionally no oracle (engine-side
-        # hash permutations / hyperplanes are not ANSI-SQL-expressible);
-        # driver records rows-only checks, recall pinned in pytest.
+        "coverage": """
+            SELECT user_id, min(ts) AS period_from, max(ts) AS period_to,
+                   count(*) AS n_obs,
+                   count(DISTINCT event_type) AS n_types
+            FROM events GROUP BY 1
+        """,
+        "param_consistency": """
+            WITH pk AS (
+              SELECT user_id,
+                     list_aggr(list_sort(list(DISTINCT event_type)),
+                               'string_agg', ',') AS param_set
+              FROM events GROUP BY 1)
+            SELECT param_set, count(*) AS n_keys FROM pk GROUP BY 1
+        """,
+        "nearest_gpi": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            ll AS (
+              SELECT user_id,
+                     (user_id % 1440) * 0.25 - 180.0 + 0.37 AS lon,
+                     (floor(user_id / 1440) % 720) * 0.25 - 90.0 + 0.11 AS lat
+              FROM u),
+            ij AS (
+              SELECT user_id,
+                     least(1439, greatest(0,
+                       CAST(floor((lon + 180.0) / 0.25) AS INTEGER))) AS i,
+                     least(719, greatest(0,
+                       CAST(floor((lat + 90.0) / 0.25) AS INTEGER))) AS j
+              FROM ll)
+            SELECT user_id,
+                   CAST(j * 1440 + i AS BIGINT) AS gpi,
+                   round(i * 0.25 - 180.0 + 0.125, 4) AS gpi_lon,
+                   round(j * 0.25 - 90.0 + 0.125, 4) AS gpi_lat,
+                   CAST(floor((j * 0.25 - 90.0 + 0.125 + 90.0) / 5.0) * 72
+                        + floor((i * 0.25 - 180.0 + 0.125 + 180.0) / 5.0)
+                        AS INTEGER) AS cell
+            FROM ij
+        """,
+        "bbox_subset": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum
+            FROM events
+            WHERE ((user_id % 1440) * 0.25 - 180.0 + 0.37) BETWEEN -180.0 AND -100.0
+              AND ((floor(user_id / 1440) % 720) * 0.25 - 90.0 + 0.11)
+                  BETWEEN -90.0 AND -89.0
+            GROUP BY 1
+        """,
+        "scale_fill": """
+            SELECT event_id,
+                   CASE WHEN round(value, 0) = 42.0 THEN NULL
+                        ELSE round(value * 0.01 + 5.0, 4) END AS v_clean,
+                   coalesce(CASE WHEN round(value, 0) = 42.0 THEN NULL
+                                 ELSE round(value * 0.01 + 5.0, 4) END,
+                            -9999.0) AS v_filled
+            FROM events
+        """,
+        "moving_mean": """
+            WITH d AS (
+              SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     round(avg(value), 4) AS v_mean
+              FROM events GROUP BY 1, 2)
+            SELECT user_id, day, v_mean,
+                   ((2 * sum(CAST(round(v_mean * 10000, 0) AS BIGINT)) OVER w
+                     + count(v_mean) OVER w)
+                    // (2 * count(v_mean) OVER w)) / 10000.0 AS v_smooth
+            FROM d
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "token_invariant": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+            pts AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM t),
+            rb AS (
+              SELECT doc_id, list(tok ORDER BY pos) AS rebuilt
+              FROM pts GROUP BY 1)
+            SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tok,
+                   (t.toks = rb.rebuilt) AS matches
+            FROM t JOIN rb ON t.doc_id = rb.doc_id
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
+        """,
+        # minhash_lsh, simhash, ann_lsh, multimodal_features: intentionally
+        # no oracle (engine-side hash permutations / hyperplanes / binary
+        # featurization are not ANSI-SQL-expressible); driver records
+        # rows-only checks, exact values pinned in pytest.
     }

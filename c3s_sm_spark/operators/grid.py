@@ -1,0 +1,69 @@
+"""Regular-grid key arithmetic: nearest-GPI lookup and 5°x5° cell mapping.
+
+Reference semantics (J1/J2): the 0.25° SMECV grid assigns every point an
+integer GPI, row-major from the south-west corner; lon/lat reads find the
+nearest GPI, and each GPI maps to a 5°x5° cell file
+(golden: GPI 602942 <-> lon 75.625, lat 14.625,
+``/root/reference/tests/test_interface_img.py:124-127``; cellsize fixed at
+``/root/reference/src/c3s_sm/reshuffle.py:260-261``).
+
+On a *regular* grid, nearest-neighbor is pure column arithmetic — no join,
+no shuffle, no UDF (SURVEY.md J1): the expressions below compile to a few
+JVM ops inside whole-stage codegen. The general (irregular-grid) case
+would be a broadcast join + ``row_number()`` over distance; the reference
+never needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+RES = 0.25  #: grid resolution, degrees
+N_LON = 1440
+N_LAT = 720
+CELL_DEG = 5.0
+
+
+def nearest_gpi(lon: Column, lat: Column) -> Column:
+    """Integer GPI of the grid point nearest (lon, lat).
+
+    Grid cell centers sit at ``-180 + (i + 0.5) * RES`` (lon) and
+    ``-90 + (j + 0.5) * RES`` (lat); nearest center = floor of the
+    normalized coordinate, clamped to the grid. GPI = row-major index
+    from the SW corner.
+    """
+    i = F.least(
+        F.lit(N_LON - 1),
+        F.greatest(F.lit(0), F.floor((lon + 180.0) / RES).cast("int")),
+    )
+    j = F.least(
+        F.lit(N_LAT - 1),
+        F.greatest(F.lit(0), F.floor((lat + 90.0) / RES).cast("int")),
+    )
+    return (j * N_LON + i).cast("bigint")
+
+
+def gpi_lon(gpi: Column) -> Column:
+    """Longitude of a GPI's cell center."""
+    return (gpi % N_LON) * F.lit(RES) + F.lit(-180.0 + RES / 2)
+
+
+def gpi_lat(gpi: Column) -> Column:
+    """Latitude of a GPI's cell center."""
+    return F.floor(gpi / N_LON) * F.lit(RES) + F.lit(-90.0 + RES / 2)
+
+
+def gpi_cell(gpi: Column) -> Column:
+    """5°x5° cell id of a GPI (row-major over the 72x36 cell grid)."""
+    ci = F.floor((gpi_lon(gpi) + 180.0) / CELL_DEG).cast("int")
+    cj = F.floor((gpi_lat(gpi) + 90.0) / CELL_DEG).cast("int")
+    return (cj * int(360 / CELL_DEG) + ci).cast("int")
+
+
+def in_bbox(
+    lon: Column, lat: Column, lon_min: float, lon_max: float, lat_min: float, lat_max: float
+) -> Column:
+    """BBox predicate (P4) — a plain range predicate, so Catalyst pushes
+    it into the scan and partition-prunes when lon/lat are partitioners."""
+    return lon.between(lon_min, lon_max) & lat.between(lat_min, lat_max)

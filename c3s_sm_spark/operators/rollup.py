@@ -62,6 +62,31 @@ def rollup(
     return out.select(*keys, "ts", *TIER_COLS)
 
 
+def moving_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n_back: int = 2,
+    out_col: str = "v_smooth",
+) -> DataFrame:
+    """Trailing moving mean over the ``n_back`` previous rows + current.
+
+    The engine's only frame-spec window (SURVEY.md §2.5): drought-index
+    style smoothing over an already-regular tier. One shuffle on ``keys``;
+    rows within a key are sorted once and the frame slides — no
+    per-window rescan.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-n_back, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.avg(F.col(value_col)).over(w))
+
+
 def cascade(tier_df: DataFrame, keys: Sequence[str], freq: str) -> DataFrame:
     """Aggregate a finer tier into a coarser one (continuous-aggregate).
 

@@ -70,6 +70,40 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) for every
+    unordered pair with similarity >= ``threshold``.
+
+    Brute-force O(n^2) — the correctness baseline; the LSH bucket join in
+    :func:`lsh_ann_topk` is the same predicate's scale path (bucket the
+    corpus, compare only within buckets). Self-join keeps ``a < b`` so
+    each pair appears once.
+    """
+    a = df.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("av"),
+    )
+    b = df.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).cast("array<double>").alias("bv"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    sim = F.round(
+        _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))),
+        round_digits,
+    )
+    return (
+        pairs.select("a", "b", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes (public xorshift-free:
     hash-counter -> uniform[-1,1])."""
@@ -89,36 +123,55 @@ def bucket_col(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _buckets_array(vec: Column, tables: list[np.ndarray]) -> Column:
+    """Array of (table_idx << 32 | bucket) ids, one per hash table."""
+    out = []
+    for t, planes in enumerate(tables):
+        out.append(
+            bucket_col(vec, planes).bitwiseOR(F.lit(t << 32).cast("long"))
+        )
+    return F.array(*out)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: bucket join on sign-LSH, exact re-rank in bucket.
+    """Approximate top-k: multi-table sign-LSH bucket join + exact re-rank.
 
-    Recall is tuned by ``n_planes`` (fewer planes = bigger buckets =
-    higher recall, more compute). Returns the same schema as
-    :func:`cosine_topk`; queries whose bucket holds < k corpus rows return
-    fewer neighbors (by design — callers multi-probe if they need fill).
+    Standard L-table LSH: ``n_tables`` independent sets of ``n_planes``
+    hyperplanes; a corpus row is a candidate if it shares ANY table's
+    bucket with the query (candidate fraction ~ L / 2^b on random data).
+    Candidates are deduped before the exact cosine re-rank, so each pair
+    is scored once. The all-pairs scan becomes an equi-join on bucket id —
+    at scale the corpus side is pre-bucketed and the (tiny) query side
+    broadcast, so no corpus shuffle. Returns the :func:`cosine_topk`
+    schema; queries with < k candidates return fewer rows (callers raise
+    ``n_tables`` or multi-probe for fill).
     """
     dim = len(corpus.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
+    tables = [_planes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),
-    ).withColumn("bucket", bucket_col(F.col("cv"), planes))
+    ).withColumn("bucket", F.explode(_buckets_array(F.col("cv"), tables)))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-    ).withColumn("bucket", bucket_col(F.col("qv"), planes))
-    pairs = c.join(F.broadcast(q), "bucket").where(
-        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("bucket", F.explode(_buckets_array(F.col("qv"), tables)))
+    cand = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = pairs.select(
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(

@@ -1,0 +1,108 @@
+"""Streaming-mode tier refresh (SURVEY.md §2.8).
+
+The reference's incremental surface is poll-based: ``update_img`` detects
+the last local image and fetches everything newer, ``extend_ts`` re-runs
+the reshuffle from the lineage high-water mark
+(``/root/reference/src/c3s_sm/cli.py:88-131``,
+``/root/reference/src/c3s_sm/reshuffle.py:67-133``). Structured Streaming
+is the Spark-native version of that loop — two flavors here:
+
+1. :func:`stream_pipeline_refresh` — file-source stream of raw point
+   parquet; each micro-batch is ingested into the
+   :class:`~c3s_sm_spark.plans.pipeline.TierPipeline` and the cascade
+   refreshed. Exactly-once overall effect: the stream checkpoint dedups
+   input files across restarts, and the pipeline's month-partition
+   overwrites are idempotent, so replaying a failed batch converges to
+   the same table state.
+
+2. :func:`stream_daily_rollup` — a pure watermark + tumbling-window
+   aggregate kept in streaming state, for deployments that want the
+   daily tier continuously materialized with bounded late-data handling
+   (watermark = the completeness frontier the reference derives from
+   ``first_missing_date``, ``/root/reference/src/c3s_sm/download.py:312-335``).
+   Dekad/month windows are intentionally NOT streamed: they are
+   non-uniform-width calendar windows (``window()`` can't express them)
+   and cascading them in batch off the daily tier is cheaper than keeping
+   months of streaming state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from c3s_sm_spark.plans.pipeline import TierPipeline
+
+
+def stream_pipeline_refresh(
+    spark: SparkSession,
+    input_dir: str,
+    schema: StructType | str,
+    pipeline: TierPipeline,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuously fold new raw-point files into the tier cascade.
+
+    ``input_dir`` is watched as a parquet file source (the reference's
+    image-archive directory analog). Each micro-batch appends to the raw
+    snapshot table and refreshes daily/dekadal/monthly incrementally —
+    only months present in the batch are recomputed.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_dir)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        pipeline.ingest(batch)
+        pipeline.refresh()
+
+    writer = (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("tier_refresh")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_daily_rollup(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "v",
+    flag_col: str | None = "flag",
+    watermark: str = "3 days",
+) -> DataFrame:
+    """Watermarked tumbling-window daily aggregate (append-mode ready).
+
+    Emits the same columns as the batch rollup (``ts v_mean v_sum nobs
+    flags``) once the watermark passes a window's end — late rows within
+    the watermark are folded in, later ones dropped (the reference instead
+    reprocesses the whole affected period; the batch pipeline keeps that
+    restatement path via partition overwrite).
+    """
+    aggs = [
+        F.sum(F.col(value_col).cast("double")).alias("v_sum"),
+        F.count(value_col).alias("nobs"),
+    ]
+    if flag_col is not None:
+        aggs.append(F.bit_or(F.col(flag_col).cast("int")).alias("flags"))
+    out = (
+        points_stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.window(ts_col, "1 day").alias("w"))
+        .agg(*aggs)
+        .withColumn("v_mean", F.col("v_sum") / F.col("nobs"))
+        .withColumn("ts", F.col("w.start"))
+        .drop("w")
+    )
+    if flag_col is None:
+        out = out.withColumn("flags", F.lit(None).cast("int"))
+    return out.select(key, "ts", "v_mean", "v_sum", "nobs", "flags")

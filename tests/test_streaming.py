@@ -1,0 +1,92 @@
+"""Streaming refresh: file-source micro-batches must converge to the same
+tier state as one batch build, and the watermarked daily window agg must
+equal the batch rollup on closed windows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators.dedup import keep_latest
+from c3s_sm_spark.operators.rollup import cascade, rollup
+from c3s_sm_spark.plans.pipeline import TierPipeline
+from c3s_sm_spark.streaming.refresh import (
+    stream_daily_rollup,
+    stream_pipeline_refresh,
+)
+from c3s_sm_spark.synth import gen_points_raw
+
+
+def _tier_rows(df):
+    return {
+        (r["doc_id"], str(r["ts"]), round(r["v_mean"], 9), r["nobs"], r["flags"])
+        for r in df.select("doc_id", "ts", "v_mean", "nobs", "flags").collect()
+    }
+
+
+def test_stream_refresh_converges_to_batch(spark, tmp_path):
+    raw = gen_points_raw(spark, 20, start="2019-10-01", end="2019-11-30").cache()
+    in_dir = str(tmp_path / "in")
+    # two arrival batches, written as separate files into the watched dir
+    raw.where(F.col("ts") < "2019-11-01").coalesce(2).write.parquet(
+        in_dir, mode="overwrite"
+    )
+    raw.where(F.col("ts") >= "2019-11-01").coalesce(2).write.parquet(
+        in_dir, mode="append"
+    )
+
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    q = stream_pipeline_refresh(
+        spark,
+        in_dir,
+        raw.schema,
+        p,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,  # force >1 micro-batch
+    )
+    q.awaitTermination(300)
+
+    dd = keep_latest(raw, ["doc_id", "ts"], ["version"])
+    mon_e = cascade(cascade(rollup(dd, ["doc_id"], "ts", "daily"), ["doc_id"], "dekadal"), ["doc_id"], "monthly")
+    assert _tier_rows(p.read_tier("monthly")) == _tier_rows(mon_e)
+    # restart with no new files: stream is a no-op (checkpoint dedups input)
+    q2 = stream_pipeline_refresh(
+        spark, in_dir, raw.schema, p, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert _tier_rows(p.read_tier("monthly")) == _tier_rows(mon_e)
+
+
+def test_stream_daily_rollup_matches_batch(spark, tmp_path):
+    raw = gen_points_raw(spark, 10, start="2019-10-01", end="2019-10-20").drop(
+        "version"
+    )
+    in_dir = str(tmp_path / "in")
+    raw.write.parquet(in_dir, mode="overwrite")
+    stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+    agg = stream_daily_rollup(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("daily_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from daily_stream")
+    exp = rollup(raw, ["doc_id"], "ts", "daily")
+    # availableNow + append emits only windows closed by the final
+    # watermark; every emitted row must match the batch rollup exactly
+    exp_map = {
+        (r["doc_id"], str(r["ts"])): (round(r["v_mean"], 9), r["nobs"], r["flags"])
+        for r in exp.collect()
+    }
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert exp_map[(r["doc_id"], str(r["ts"]))] == (
+            round(r["v_mean"], 9),
+            r["nobs"],
+            r["flags"],
+        )

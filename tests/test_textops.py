@@ -1,0 +1,155 @@
+"""Pins for the operators the DuckDB oracle can't express: MinHash-LSH
+recall, SimHash determinism, sign-LSH ANN recall, multimodal featurization
+exact values, cosine pair correctness vs numpy, and grid-lookup goldens.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators.dedup_text import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from c3s_sm_spark.operators.grid import gpi_cell, gpi_lat, gpi_lon, nearest_gpi
+from c3s_sm_spark.operators.multimodal import (
+    FEATURE_DIM,
+    attach_fake_media,
+    extract_features,
+)
+from c3s_sm_spark.operators.rollup import moving_mean
+from c3s_sm_spark.operators.similarity import cosine_pairs, cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates must recover most exact-Jaccard pairs >= 0.5 and
+    never report a verified pair below the verify threshold."""
+    exact = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(docs, k=2, threshold=0.5).collect()
+    }
+    cand = minhash_lsh_candidates(
+        docs, k=2, num_hashes=16, bands=8, verify_threshold=0.5
+    ).collect()
+    got = {(r["a"], r["b"]) for r in cand}
+    assert all(r["jaccard"] >= 0.5 for r in cand)  # no false positives kept
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"recall {recall} over {len(exact)} pairs"
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    a = {r["doc_id"]: r["simhash64"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash64"] for r in simhash(docs).collect()}
+    assert a == b  # bit-stable across runs
+    # identical texts must collide exactly
+    dup = docs.select("doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("doc2"), F.col("text").alias("t2")),
+        F.col("text") == F.col("t2"),
+    ).where(F.col("doc_id") != F.col("doc2")).collect()
+    for r in dup:
+        assert a[r["doc_id"]] == a[r["doc2"]]
+
+
+def test_ann_lsh_recall_vs_brute_force(spark, emb):
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = lsh_ann_topk(emb, queries, k=5, n_planes=4, n_tables=8).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall}"  # 8 tables x 4 planes
+    # more tables must not lower recall (monotone union of candidates)
+    approx16 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, queries, k=5, n_planes=4, n_tables=16).collect()
+    }
+    assert len(exact_set & approx16) / len(exact_set) >= recall
+
+
+def test_cosine_pairs_matches_numpy(spark, emb):
+    rows = emb.limit(50).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    sub = spark.createDataFrame(rows, emb.schema)
+    got = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in cosine_pairs(sub, threshold=0.9).collect()
+    }
+    exp = {}
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 4)
+            if c >= 0.9:
+                exp[(a, b)] = c
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_multimodal_features_exact(spark, docs):
+    media = attach_fake_media(docs.limit(20))
+    feats = {r["doc_id"]: r for r in extract_features(media, fake=True).collect()}
+    for m in media.collect():
+        h = hashlib.sha256(bytes(m["payload"])).digest()
+        exp = (
+            np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64)
+            / 65535.0
+        )
+        got = feats[m["doc_id"]]
+        assert got["n_bytes"] == len(bytes(m["payload"]))
+        np.testing.assert_array_equal(np.array(got["features"]), exp)
+
+
+def test_multimodal_real_decode_is_stubbed():
+    from c3s_sm_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00", fake=False)
+
+
+def test_grid_golden_gpi(spark):
+    """Reference golden: GPI 602942 <-> lon 75.625, lat 14.625
+    (/root/reference/tests/test_interface_img.py:124-127)."""
+    df = spark.range(1).select(
+        nearest_gpi(F.lit(75.625), F.lit(14.625)).alias("gpi")
+    )
+    gpi = df.head()["gpi"]
+    assert gpi == 602942
+    back = spark.range(1).select(
+        gpi_lon(F.lit(602942)).alias("lon"),
+        gpi_lat(F.lit(602942)).alias("lat"),
+        gpi_cell(F.lit(602942)).alias("cell"),
+    ).head()
+    assert back["lon"] == pytest.approx(75.625)
+    assert back["lat"] == pytest.approx(14.625)
+    # cell: lon 75.625 -> col 51, lat 14.625 -> row 20 -> 20*72+51
+    assert back["cell"] == 20 * 72 + 51
+
+
+def test_moving_mean_golden(spark):
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 30.0), ("k", 4, 40.0)],
+        "k string, t int, v double",
+    )
+    out = {
+        r["t"]: r["v_smooth"]
+        for r in moving_mean(df, ["k"], "t", "v", n_back=2).collect()
+    }
+    assert out == {1: 10.0, 2: 15.0, 3: 20.0, 4: 30.0}
