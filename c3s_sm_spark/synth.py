@@ -60,20 +60,34 @@ def gen_sequences(spark: SparkSession, n_docs: int, n_partitions: int | None = N
 def sequences_to_points(seq: DataFrame) -> DataFrame:
     """Explode sequences into raw time-series points (raw tier input).
 
-    Each token position ``p`` maps to timestamp ``T0 + p days``; the value
+    Each token position ``p`` maps to timestamp ``T0 + (p div 24) days +
+    (p mod 24) hours`` — 24 observations per day, like the reference's
+    sub-daily satellite passes that the daily product averages. The value
     is the token id. ``posexplode`` keeps the position so the inverse
-    (re-assembly for the token-array-equality invariant) is exact.
+    (re-assembly for the token-array-equality invariant) is exact, and
+    the 24:1 day fan-in is what gives the daily rollup's map-side partial
+    aggregation real work (without it the "rollup" is a no-op shuffle of
+    every raw point).
     """
     return seq.select(
         "doc_id",
+        # exact integer surrogate key (SURVEY.md §1.5), parsed ONCE per
+        # document before the explode: long group keys roughly halve the
+        # tier-aggregation cost vs 14-char string keys, and unlike a hash
+        # surrogate this is collision-free at any corpus size
+        F.substring("doc_id", 4, 10).cast("bigint").alias("doc_key"),
         "source",
         F.posexplode("tokens").alias("pos", "token"),
     ).select(
         "doc_id",
+        "doc_key",
         "source",
         "pos",
         "token",
-        F.to_timestamp(F.date_add(F.lit(T0), F.col("pos"))).alias("ts"),
+        (
+            F.to_timestamp(F.date_add(F.lit(T0), (F.col("pos") / 24).cast("int")))
+            + F.make_interval(hours=F.pmod("pos", F.lit(24)))
+        ).alias("ts"),
         F.col("token").cast("double").alias("v"),
         # bitmask flag analog (sensor bits, metadata.py:320-345): alternate
         # 768 (Bit8|Bit9) / 256 (Bit8) deterministically
