@@ -32,6 +32,7 @@ val blob: u8 magic=0xD1 | u8 ver=1 | u32 n | f64 v0
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 _TS_MAGIC = 0xD0
 _VAL_MAGIC = 0xD1
@@ -316,40 +317,57 @@ PACKED_SCHEMA = (
 
 
 def pack_series(df, key: str = "doc_id", ts_col: str = "ts", val_col: str = "v_mean"):
-    """Grouped-map packer: one (or more, chunked) packed row per series key.
+    """Packer: one (or more, chunked) packed row per series key.
 
-    ``applyInPandas`` over key groups; inside the group everything is numpy
-    (sort, diff, bit packing) — zero per-row Python. Sidecar columns
-    ``(ts_min, ts_max, n)`` give min/max pruning on the packed table
-    (SURVEY.md §4: predicates prune packed rows without decoding).
+    Physical strategy: ``repartition(key)`` + ``sortWithinPartitions(key,
+    ts)`` + partition-level ``mapInPandas`` — NOT per-group
+    ``applyInPandas``. A grouped-map ships one Arrow batch per GROUP,
+    whose round-trip overhead dwarfs the codec at realistic key counts
+    (measured: identity applyInPandas over 1500 groups/40k rows = 4-7 s
+    vs 1.1 s for the whole codec single-threaded); one batch stream per
+    PARTITION amortizes that to ~nothing. The repartition guarantees a
+    key's rows are complete within one partition, and the sort both
+    replaces the per-group sort and keeps the groupby order-stable.
+    Inside, everything is numpy bit-packing — zero per-row Python.
+    Sidecar columns ``(ts_min, ts_max, n)`` give min/max pruning on the
+    packed table (SURVEY.md §4: predicates prune without decoding).
     """
     import pandas as pd  # local import keeps module import light on executors
 
-    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts_col)
-        ts = pdf[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
-        vals = pdf[val_col].to_numpy(dtype=np.float64)
-        key_val = pdf[key].iloc[0]
+    def _pack_partition(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
         rows = []
-        for ci, lo in enumerate(range(0, len(ts), CHUNK)):
-            t = ts[lo : lo + CHUNK]
-            v = vals[lo : lo + CHUNK]
-            rows.append(
-                {
-                    "doc_id": key_val,
-                    "chunk": ci,
-                    "ts_min": pd.Timestamp(t[0], unit="us"),
-                    "ts_max": pd.Timestamp(t[-1], unit="us"),
-                    "n": len(t),
-                    "ts_blob": encode_ts(t),
-                    "v_blob": encode_vals(v),
-                }
-            )
-        return pd.DataFrame(rows)
+        for key_val, g in pdf.groupby(key, sort=False):
+            ts = g[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+            vals = g[val_col].to_numpy(dtype=np.float64)
+            for ci, lo in enumerate(range(0, len(ts), CHUNK)):
+                t = ts[lo : lo + CHUNK]
+                v = vals[lo : lo + CHUNK]
+                rows.append(
+                    (
+                        key_val,
+                        ci,
+                        pd.Timestamp(t[0], unit="us"),
+                        pd.Timestamp(t[-1], unit="us"),
+                        len(t),
+                        encode_ts(t),
+                        encode_vals(v),
+                    )
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "chunk", "ts_min", "ts_max", "n", "ts_blob", "v_blob"],
+        )
 
-    return df.select(key, ts_col, val_col).groupBy(key).applyInPandas(
-        _pack, schema=PACKED_SCHEMA
+    prepared = (
+        df.select(key, ts_col, val_col)
+        .repartition(F.col(key))
+        .sortWithinPartitions(key, ts_col)
     )
+    return prepared.mapInPandas(_pack_partition, schema=PACKED_SCHEMA)
 
 
 UNPACKED_SCHEMA = "doc_id string, ts timestamp, v_mean double"
