@@ -396,6 +396,42 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_emb(spark, sf_dir), threshold=0.99)
 
 
+def _q_filename_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F1 filename-template ingest: build archive names from rows,
+    parse them back with regexp_extract — round-trip through the
+    reference's name grammar (const.py:53)."""
+    _prep(spark)
+    from c3s_sm_spark.sources.ingest import build_filename, parse_filename
+
+    ev = _events(spark, sf_dir)
+    named = ev.select(
+        "event_id",
+        build_filename(
+            F.lit("V"),
+            F.upper("event_type"),
+            F.lit("DAILY"),
+            F.date_trunc("day", "ts"),
+            F.when(F.col("event_id") % 2 == 0, "TCDR").otherwise("ICDR"),
+            F.lit("202312.0"),
+            F.lit("0"),
+        ).alias("path"),
+    )
+    return named.select("event_id", "path", *parse_filename("path")).select(
+        "event_id", "path", "product", "freq", "record", "version", "ts"
+    )
+
+
+def _q_dedup_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 mode='error' validation: groups with more than one row."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup import ambiguity_count
+
+    ev = _events(spark, sf_dir)
+    return ambiguity_count(ev, ["user_id", "event_type"]).withColumnRenamed(
+        "count", "n"
+    )
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> mapInPandas featurization
     (deterministic fake decoder; no SQL oracle — rows-only check,
@@ -445,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_invariant": _q_token_invariant,
         "embedding_neardup": _q_embedding_neardup,
         "multimodal_features": _q_multimodal_features,
+        "filename_roundtrip": _q_filename_roundtrip,
+        "dedup_ambiguity": _q_dedup_ambiguity,
     }
 
 
@@ -703,6 +741,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(
                     CAST(a.embedding AS DOUBLE[]),
                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.99
+        """,
+        "filename_roundtrip": r"""
+            WITH named AS (
+              SELECT event_id,
+                     'C3S-SOILMOISTURE-L3S-SSMV-' || upper(event_type)
+                     || '-DAILY-' || strftime(date_trunc('day', ts), '%Y%m%d%H%M%S')
+                     || '-' || (CASE WHEN event_id % 2 = 0 THEN 'TCDR' ELSE 'ICDR' END)
+                     || '-v202312.0.0.nc' AS path
+              FROM events)
+            SELECT event_id, path,
+                   regexp_extract(path,
+                     'C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc', 2) AS product,
+                   regexp_extract(path,
+                     'C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc', 3) AS freq,
+                   regexp_extract(path,
+                     'C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc', 5) AS record,
+                   regexp_extract(path,
+                     'C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc', 6) AS version,
+                   strptime(regexp_extract(path,
+                     'C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc', 4),
+                     '%Y%m%d%H%M%S') AS ts
+            FROM named
+        """,
+        "dedup_ambiguity": """
+            SELECT user_id, event_type, count(*) AS n
+            FROM events GROUP BY 1, 2 HAVING count(*) > 1
         """,
         # minhash_lsh, simhash, ann_lsh, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary
