@@ -40,18 +40,30 @@ HEADLINE = [
     "rollup_cascade",
     "gap_fill_daily",
     "dedup_keep_latest",
+    "dedup_ambiguity",
+    "grid_dekadal",
     "salted_rollup",
     "codec_roundtrip",
+    "coverage",
+    "param_consistency",
+    "nearest_gpi",
+    "bbox_subset",
+    "scale_fill",
+    "moving_mean",
+    "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",
     "text_quality",
     "lang_id",
+    "token_invariant",
     "ngram_jaccard",
     "minhash_lsh",
     "simhash",
     "embedding_topk",
+    "embedding_neardup",
     "ann_lsh",
+    "multimodal_features",
 ]
 
 #: docs per unit scale factor for the flagship pipeline (avg ~1056
