@@ -265,11 +265,22 @@ class TierPipeline:
     def read_tier(self, tier: str) -> DataFrame:
         return self.tiers[tier].read(self.spark)
 
-    def point_read(self, key_value: str, tier: str = "daily") -> DataFrame:
-        """S5 point time-series query: one key's full series, time-ordered.
+    def point_read(
+        self,
+        key_value: str,
+        tier: str = "daily",
+        start: str | None = None,
+        end: str | None = None,
+    ) -> DataFrame:
+        """S5 point time-series query: one key's series, time-ordered,
+        optionally restricted to ``[start, end]``.
 
-        Served from the packed table when materialized (bucket-pruned scan
-        + blob decode of only this key's chunks), else from the tier rows.
+        Served from the packed table when materialized: bucket-pruned
+        scan, then the ``(ts_min, ts_max)`` sidecar columns drop whole
+        blobs BEFORE any decode (SURVEY.md §4 — min/max pruning instead
+        of a custom Catalyst rule for packed columns), then the exact
+        ``ts`` predicate trims the decoded edge chunks. Falls back to the
+        tier rows when no packed table exists.
         """
         try:
             packed = self.packed[tier].read(self.spark)
@@ -280,13 +291,18 @@ class TierPipeline:
                 )
                 & (F.col("doc_id") == key_value)
             )
-            return unpack_series(packed).orderBy("ts")
+            if start is not None:
+                packed = packed.where(F.col("ts_max") >= F.lit(start))
+            if end is not None:
+                packed = packed.where(F.col("ts_min") <= F.lit(end))
+            out = unpack_series(packed)
         except FileNotFoundError:
-            return (
-                self.read_tier(tier)
-                .where(F.col(self.key) == key_value)
-                .orderBy("ts")
-            )
+            out = self.read_tier(tier).where(F.col(self.key) == key_value)
+        if start is not None:
+            out = out.where(F.col("ts") >= F.lit(start))
+        if end is not None:
+            out = out.where(F.col("ts") <= F.lit(end))
+        return out.orderBy("ts")
 
     def coverage(self) -> DataFrame:
         """A4/A5 analog: per-tier coverage from the metrics table — no

@@ -154,6 +154,42 @@ def test_lineage_and_coverage(spark, tmp_path, raw_points):
     assert cov["daily"]["n_points"] == dd.count()
 
 
+def test_packed_point_read_range_prunes_chunks(spark, tmp_path, raw_points, monkeypatch):
+    """Range reads drop whole packed blobs via (ts_min, ts_max) before
+    decoding; small CHUNK forces multiple blobs per key so pruning has
+    something to drop."""
+    from c3s_sm_spark.functions import codecs
+
+    monkeypatch.setattr(codecs, "CHUNK", 16)
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    key = "doc0000000005"
+    n_chunks = (
+        p.packed["daily"].read(spark).where(F.col("doc_id") == key).count()
+    )
+    assert n_chunks > 2  # CHUNK=16 over ~80 days -> several blobs
+    got = p.point_read(key, "daily", start="2019-11-01", end="2019-11-30").collect()
+    exp = (
+        p.read_tier("daily")
+        .where(
+            (F.col("doc_id") == key)
+            & (F.col("ts") >= "2019-11-01")
+            & (F.col("ts") <= "2019-11-30")
+        )
+        .orderBy("ts")
+        .select("ts", "v_mean")
+        .collect()
+    )
+    assert len(got) == len(exp) > 0
+    for g, e in zip(got, exp):
+        assert g["ts"] == e["ts"] and g["v_mean"] == e["v_mean"]
+    # the sidecar predicate must appear in the plan (pre-decode pruning)
+    plan = p.point_read(key, "daily", start="2019-11-01", end="2019-11-30")._jdf.queryExecution().toString()
+    assert "ts_min" in plan and "ts_max" in plan
+
+
 def test_packed_point_read_matches_tier(spark, tmp_path, raw_points):
     p = TierPipeline(spark, str(tmp_path / "tp"))
     p.ingest(raw_points)
