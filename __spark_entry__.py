@@ -434,6 +434,15 @@ def _q_dedup_ambiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs blocked on 16-bit chunks (no SQL oracle —
+    engine-side hashing; exact-dup collision pinned in tests)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8)
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload -> mapInPandas featurization
     (deterministic fake decoder; no SQL oracle — rows-only check,
@@ -485,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _q_multimodal_features,
         "filename_roundtrip": _q_filename_roundtrip,
         "dedup_ambiguity": _q_dedup_ambiguity,
+        "simhash_neardup": _q_simhash_neardup,
     }
 
 

@@ -68,7 +68,11 @@ def cmd_pack(args) -> None:
 
 def cmd_read(args) -> None:
     p = _pipeline(args)
-    rows = p.point_read(args.key, args.tier).limit(args.limit).collect()
+    rows = (
+        p.point_read(args.key, args.tier, start=args.start, end=args.end)
+        .limit(args.limit)
+        .collect()
+    )
     for r in rows:
         print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
 
@@ -122,6 +126,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--key", required=True)
     s.add_argument("--tier", default="daily", choices=list(TIERS))
     s.add_argument("--limit", type=int, default=50)
+    s.add_argument("--start", default=None, help="inclusive ts lower bound")
+    s.add_argument("--end", default=None, help="inclusive ts upper bound")
     s.set_defaults(fn=cmd_read)
 
     s = sub.add_parser("status", help="lineage HWMs + coverage")
