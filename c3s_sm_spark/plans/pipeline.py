@@ -304,6 +304,105 @@ class TierPipeline:
             out = out.where(F.col("ts") <= F.lit(end))
         return out.orderBy("ts")
 
+    # ------------------------------------------------------------- retention
+
+    #: which tier must already cover a month before it may be dropped from
+    #: the finer one (raw ages out once daily is rolled up, etc.)
+    _COARSER = {"raw": "daily", "daily": "dekadal", "dekadal": "monthly", "monthly": None}
+
+    def retention(
+        self, policy: dict[str, int], as_of: str | None = None
+    ) -> dict[str, dict]:
+        """Cascading retention: age out month partitions per tier.
+
+        ``policy`` maps tier name (``raw``/``daily``/``dekadal``/
+        ``monthly``) to the number of trailing months to keep. A month is
+        dropped from a tier only when (a) it is older than the tier's
+        horizon measured back from ``as_of`` (default: the newest month
+        present in the raw table) AND (b) the next-coarser tier already
+        has data for that month — the downsampled history must exist
+        before the fine-grained rows age out (TimescaleDB
+        drop_chunks-with-continuous-aggregate semantics; the reference
+        keeps all three C3S product frequencies side by side for the same
+        reason). The drop itself is a metadata-only
+        :meth:`~c3s_sm_spark.sources.tableio.SnapshotTable.delete_partitions`
+        commit — no data rewrite, no scan, time travel intact until
+        ``expire_snapshots`` — and each drop appends a ``status=
+        'retention'`` lineage row (the HWM query filters ``status='ok'``,
+        so retention never perturbs incremental refresh).
+        """
+        run_id = uuid.uuid4().hex[:12]
+        tables = {"raw": self.raw, **self.tiers}
+
+        def _months(tbl: SnapshotTable) -> set[str]:
+            return {
+                tbl._partition_of(f, ["pmonth"])[0] for f in tbl._files()
+            }
+
+        if as_of is None:
+            raw_months = _months(self.raw)
+            if not raw_months:
+                return {}
+            as_of = max(raw_months)
+        year, month = int(as_of[:4]), int(as_of[5:7])
+        report: dict[str, dict] = {}
+        for tier, keep in policy.items():
+            tbl = tables[tier]
+            # keep exactly `keep` trailing months: as_of back to horizon incl.
+            m_total = (year * 12 + month - 1) - (int(keep) - 1)
+            horizon = f"{m_total // 12:04d}-{m_total % 12 + 1:02d}"
+            old = sorted(m for m in _months(tbl) if m < horizon)
+            cov = self._COARSER[tier]
+            if cov is not None:
+                covered = _months(self.tiers[cov])
+                old = [m for m in old if m in covered]
+            if not old:
+                report[tier] = {"dropped_months": 0}
+                continue
+            snap = tbl.delete_partitions(
+                [(m,) for m in old], {"op": "retention", "run_id": run_id}
+            )
+            self.lineage.append(
+                self.spark.createDataFrame(
+                    [
+                        (
+                            run_id,
+                            tier,
+                            tbl.head(),
+                            snap,
+                            len(old),
+                            0,
+                            0.0,
+                            time.time(),
+                            "retention",
+                        )
+                    ],
+                    _LINEAGE_COLS,
+                )
+            )
+            report[tier] = {
+                "dropped_months": len(old),
+                "through": old[-1],
+                "snapshot": snap,
+            }
+        return report
+
+    def maintain(
+        self, target_rows_per_file: int = 4_000_000, keep_snapshots: int = 3
+    ) -> dict[str, dict]:
+        """Table maintenance across all tier tables: small-file compaction
+        (incremental refreshes leave one file set per run) then snapshot
+        expiry + orphan-file removal. The storage-side half of
+        resumability: snapshots accumulate per refresh, and without expiry
+        a 10^12-point table's manifest chain would grow unboundedly.
+        """
+        report: dict[str, dict] = {}
+        for name, tbl in {"raw": self.raw, **self.tiers}.items():
+            compacted = tbl.compact(self.spark, target_rows_per_file)
+            expired = tbl.expire_snapshots(keep_last=keep_snapshots)
+            report[name] = {"compacted": bool(compacted), **expired}
+        return report
+
     def coverage(self) -> DataFrame:
         """A4/A5 analog: per-tier coverage from the metrics table — no
         data scan (manifest/metrics only, like Iceberg table stats)."""

@@ -237,6 +237,111 @@ class SnapshotTable:
             return None
         return self._read_files(spark, delta)
 
+    def delete_partitions(
+        self, values: list[tuple], summary: dict | None = None
+    ) -> str | None:
+        """Metadata-only partition drop (Iceberg ``DELETE WHERE`` on a
+        partition predicate): commit a manifest without the dropped
+        partitions' files. No data is rewritten or removed from disk —
+        time travel to earlier snapshots still sees the rows until
+        :meth:`expire_snapshots` reclaims them. Returns the new snapshot
+        id, or None when nothing matched.
+        """
+        if not self.partition_by:
+            raise ValueError("delete_partitions needs a partitioned table")
+        drop = {tuple(str(x) for x in v) for v in values}
+        cur = self._files()
+        kept = [
+            f for f in cur if self._partition_of(f, self.partition_by) not in drop
+        ]
+        if len(kept) == len(cur):
+            return None
+        return self._commit(
+            kept,
+            "delete_partitions",
+            {**(summary or {}), "dropped_files": len(cur) - len(kept)},
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_rows_per_file: int = 4_000_000,
+        min_files: int = 2,
+        summary: dict | None = None,
+    ) -> str | None:
+        """Small-file compaction (Iceberg ``rewriteDataFiles``): rewrite
+        every partition holding >= ``min_files`` data files into
+        ~``target_rows_per_file``-row files, commit as one data-preserving
+        snapshot. Incremental appends (one file set per ingest) are what
+        fragment partitions; at 10^12 rows an uncompacted month would pay
+        a task per tiny file on every scan. Returns the new snapshot id,
+        or None when nothing needed compacting.
+        """
+        from collections import Counter
+
+        if not self.partition_by:
+            return None
+        cur = self._files()
+        counts = Counter(self._partition_of(f, self.partition_by) for f in cur)
+        todo = {p for p, n in counts.items() if n >= min_files}
+        if not todo:
+            return None
+        victims = [
+            f for f in cur if self._partition_of(f, self.partition_by) in todo
+        ]
+        df = self._read_files(spark, victims)
+        n_rows = df.count()
+        n_out = max(1, -(-n_rows // target_rows_per_file))
+        _sub, new_files = self._write_files(
+            df.repartition(n_out, *self.partition_by)
+        )
+        kept = [f for f in cur if f not in set(victims)]
+        return self._commit(
+            kept + new_files,
+            "compact",
+            {
+                **(summary or {}),
+                "rewritten_files": len(victims),
+                "new_files": len(new_files),
+            },
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the newest ``keep_last`` snapshots and delete
+        data files no retained snapshot references (Iceberg
+        ``expireSnapshots`` + orphan-file removal). This is what makes
+        :meth:`delete_partitions` and :meth:`overwrite_partitions`
+        eventually reclaim space; until it runs, every historical
+        snapshot stays time-travelable.
+        """
+        chain = self.snapshots()
+        if len(chain) <= keep_last:
+            return {"expired": 0, "files_deleted": 0}
+        keep, drop = chain[-keep_last:], chain[:-keep_last]
+        live = {f for m in keep for f in m["files"]}
+        dead = {f for m in drop for f in m["files"]} - live
+        for rel in dead:
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except FileNotFoundError:
+                pass
+        # earliest kept snapshot becomes the chain root
+        first_kept = dict(self._manifest(keep[0]["snapshot_id"]))
+        first_kept["parent"] = None
+        path = os.path.join(self.man_dir, f"snap-{first_kept['snapshot_id']}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(first_kept, f)
+        os.replace(tmp, path)
+        for m in drop:
+            try:
+                os.remove(
+                    os.path.join(self.man_dir, f"snap-{m['snapshot_id']}.json")
+                )
+            except FileNotFoundError:
+                pass
+        return {"expired": len(drop), "files_deleted": len(dead)}
+
     def rollback(self, snapshot_id: str) -> None:
         """Reset HEAD to an earlier snapshot (manifests are immutable)."""
         self._manifest(snapshot_id)  # existence check

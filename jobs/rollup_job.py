@@ -77,6 +77,24 @@ def cmd_read(args) -> None:
         print(json.dumps({k: str(v) for k, v in r.asDict().items()}))
 
 
+def cmd_retention(args) -> None:
+    p = _pipeline(args)
+    policy = {}
+    for item in args.keep.split(","):
+        tier, months = item.split("=")
+        policy[tier.strip()] = int(months)
+    report = p.retention(policy, as_of=args.as_of)
+    print(json.dumps(report))
+
+
+def cmd_maintain(args) -> None:
+    p = _pipeline(args)
+    report = p.maintain(
+        target_rows_per_file=args.target_rows, keep_snapshots=args.keep_snapshots
+    )
+    print(json.dumps(report))
+
+
 def cmd_status(args) -> None:
     p = _pipeline(args)
     out: dict = {"tiers": {}}
@@ -129,6 +147,24 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--start", default=None, help="inclusive ts lower bound")
     s.add_argument("--end", default=None, help="inclusive ts upper bound")
     s.set_defaults(fn=cmd_read)
+
+    s = sub.add_parser(
+        "retention", help="age out old month partitions per tier"
+    )
+    s.add_argument(
+        "--keep",
+        required=True,
+        help="policy, e.g. 'raw=2,daily=6,dekadal=24' (months per tier)",
+    )
+    s.add_argument("--as-of", default=None, help="horizon anchor YYYY-MM")
+    s.set_defaults(fn=cmd_retention)
+
+    s = sub.add_parser(
+        "maintain", help="compact small files + expire old snapshots"
+    )
+    s.add_argument("--target-rows", type=int, default=4_000_000)
+    s.add_argument("--keep-snapshots", type=int, default=3)
+    s.set_defaults(fn=cmd_maintain)
 
     s = sub.add_parser("status", help="lineage HWMs + coverage")
     s.set_defaults(fn=cmd_status)

@@ -208,3 +208,108 @@ def test_packed_point_read_matches_tier(spark, tmp_path, raw_points):
     for g, e in zip(got, exp):
         assert g["ts"] == e["ts"]
         assert g["v_mean"] == pytest.approx(e["v_mean"], abs=0)  # bit-exact
+
+
+# ----------------------------------------------------- retention/maintenance
+
+
+def test_delete_partitions_is_metadata_only(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    s1 = t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "x int, p string")
+    )
+    s2 = t.delete_partitions([("a",)])
+    assert s2 is not None
+    assert t.read(spark).select("p").distinct().collect()[0]["p"] == "b"
+    # time travel still sees the dropped partition (no data removed)
+    assert t.read(spark, s1).count() == 2
+    assert t.delete_partitions([("zzz",)]) is None  # no-op -> no snapshot
+
+
+def test_compact_merges_small_files_losslessly(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    for i in range(3):
+        t.append(
+            spark.createDataFrame([(i, "a"), (i, "b")], "x int, p string")
+        )
+    before = {
+        tuple(sorted(r.asDict().items()))
+        for r in t.read(spark).collect()
+    }
+    n_files_before = len(t._files())
+    snap = t.compact(spark, target_rows_per_file=1000)
+    assert snap is not None
+    after = {
+        tuple(sorted(r.asDict().items()))
+        for r in t.read(spark).collect()
+    }
+    assert before == after
+    assert len(t._files()) < n_files_before
+    assert t.compact(spark) is None  # already compact -> no-op
+
+
+def test_expire_snapshots_reclaims_orphans(spark, tmp_path):
+    import os as _os
+
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    t.append(spark.createDataFrame([(1, "a")], "x int, p string"))
+    t.append(spark.createDataFrame([(2, "b")], "x int, p string"))
+    t.delete_partitions([("a",)])
+    dead = [
+        f for f in {f for m in t.snapshots() for f in m["files"]}
+        if f not in set(t._files())
+    ]
+    assert dead  # partition 'a' files are now orphaned at HEAD
+    rep = t.expire_snapshots(keep_last=1)
+    assert rep["expired"] == 2 and rep["files_deleted"] >= 1
+    assert all(not _os.path.exists(_os.path.join(t.root, f)) for f in dead)
+    assert len(t.snapshots()) == 1
+    assert t.read(spark).collect()[0]["x"] == 2  # survivors intact
+
+
+def test_retention_cascade_and_coverage_guard(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)  # 2019-10 .. 2019-12
+    p.refresh()
+    months = lambda tbl: sorted(  # noqa: E731
+        {tbl._partition_of(f, ["pmonth"])[0] for f in tbl._files()}
+    )
+    assert months(p.raw) == ["2019-10", "2019-11", "2019-12"]
+    rep = p.retention({"raw": 1, "daily": 2}, as_of="2019-12")
+    # raw keeps only the newest month; daily keeps two
+    assert months(p.raw) == ["2019-12"]
+    assert months(p.tiers["daily"]) == ["2019-11", "2019-12"]
+    assert rep["raw"]["dropped_months"] == 2
+    # coarser tiers untouched
+    assert months(p.tiers["monthly"]) == ["2019-10", "2019-11", "2019-12"]
+    # lineage recorded with status=retention, and the refresh HWM is intact
+    lin = p.lineage.read(spark)
+    assert lin.where("status = 'retention'").count() == 2
+    assert p.refresh() == {
+        t: {"months": 0, "rows": 0, "skipped": True}
+        for t in ("daily", "dekadal", "monthly")
+    }
+
+
+def test_retention_requires_coarser_coverage(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])  # dekadal/monthly never built
+    rep = p.retention({"daily": 1}, as_of="2019-12")
+    # daily may not age out: no dekadal coverage exists for any month
+    assert rep["daily"]["dropped_months"] == 0
+
+
+def test_maintain_compacts_and_expires(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    early = raw_points.where(F.col("ts") < "2019-11-15")
+    late = raw_points.where(F.col("ts") >= "2019-11-15")
+    p.ingest(early)
+    p.refresh()
+    p.ingest(late)
+    p.refresh()
+    before = _tier_rows(p.read_tier("daily"))
+    rep = p.maintain(keep_snapshots=1)
+    assert rep["raw"]["compacted"]
+    assert _tier_rows(p.read_tier("daily")) == before
+    assert len(p.raw.snapshots()) == 1
