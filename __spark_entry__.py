@@ -27,7 +27,11 @@ from c3s_sm_spark.operators.dedup_text import (  # noqa: E402
 )
 from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: E402
 from c3s_sm_spark.operators.salting import salted_agg  # noqa: E402
-from c3s_sm_spark.operators.similarity import cosine_topk, lsh_ann_topk  # noqa: E402
+from c3s_sm_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from c3s_sm_spark.operators.textstats import (  # noqa: E402
     fingerprint,
     lang_id,
@@ -258,6 +262,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(em, em.where(F.col("vec_id") < 10), k=5, n_planes=4)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: spherical-k-means inverted lists, probe 4 of 8 (no SQL
+    oracle — trained centroids are engine-side; recall vs brute force and
+    full-probe==exact equivalence pinned in tests/test_textops.py)."""
+    _prep(spark)
+    em = _emb(spark, sf_dir)
+    return ivf_ann_topk(
+        em, em.where(F.col("vec_id") < 10), k=5, n_lists=8, n_probe=4, n_iters=2
+    )
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -483,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": _q_minhash_lsh,
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "coverage": _q_coverage,
         "param_consistency": _q_param_consistency,
         "nearest_gpi": _q_nearest_gpi,

@@ -63,6 +63,7 @@ HEADLINE = [
     "embedding_topk",
     "embedding_neardup",
     "ann_lsh",
+    "ann_ivf",
     "multimodal_features",
 ]
 

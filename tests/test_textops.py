@@ -153,3 +153,36 @@ def test_moving_mean_golden(spark):
         for r in moving_mean(df, ["k"], "t", "v", n_back=2).collect()
     }
     assert out == {1: 10.0, 2: 15.0, 3: 20.0, 4: 30.0}
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    from c3s_sm_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_index,
+        ivf_train_centroids,
+    )
+
+    queries = emb.where(F.col("vec_id") < 20)
+    cent = ivf_train_centroids(emb, n_lists=8, n_iters=2)
+    cent2 = ivf_train_centroids(emb, n_lists=8, n_iters=2)
+    assert np.array_equal(cent, cent2)  # seed-fixed training
+    # every corpus row lands in exactly one list, all lists in range
+    idx = ivf_index(emb, cent)
+    lists = idx.groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in lists) == emb.count()
+    assert all(0 <= r["list_id"] < 8 for r in lists)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx = ivf_ann_topk(
+        emb, queries, k=5, n_lists=8, n_probe=4, centroids=cent
+    ).collect()
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"recall {recall}"  # probing half the lists
+    # probing every list == exhaustive == exact (same rounding + ranking)
+    full = ivf_ann_topk(
+        emb, queries, k=5, n_lists=8, n_probe=8, centroids=cent
+    ).collect()
+    assert {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in full} == {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in exact
+    }
