@@ -70,3 +70,65 @@ def test_cli_matches_api(spark, tmp_path):
         assert cli_r["ts"] == str(api_r["ts"])
         assert float(cli_r["v_mean"]) == api_r["v_mean"]
         assert int(cli_r["nobs"]) == api_r["nobs"]
+
+
+def test_spark_submit_py_files_launch(tmp_path):
+    """The north-rule launch mode: ``spark-submit --py-files pkg.zip
+    jobs/rollup_job.py`` in a clean cwd — the package must resolve from
+    the shipped zip on driver AND executors (pandas-UDF closures
+    deserialize module functions worker-side)."""
+    import shutil
+    import zipfile
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        import pytest
+
+        pytest.skip("spark-submit not on PATH")
+    zpath = str(tmp_path / "c3s_sm_spark.zip")
+    pkg = os.path.join(REPO, "c3s_sm_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _d, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, REPO))
+    base = str(tmp_path / "tiers")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    out = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zpath,
+            os.path.join(REPO, "jobs", "rollup_job.py"),
+            "--base", base,
+            "synth", "--docs", "40",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),  # NOT the repo: only the zip provides the pkg
+        env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert any(l.startswith("{") for l in out.stdout.splitlines())
+    out2 = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--py-files", zpath,
+            os.path.join(REPO, "jobs", "rollup_job.py"),
+            "--base", base,
+            "rollup",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    report = json.loads(
+        [l for l in out2.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["daily"]["rows"] > 0

@@ -45,10 +45,10 @@ if os.path.isdir("/dev/shm"):
 spark = get_spark(app_name=f"scaling{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores * 4, extra_conf=extra)
 # warm-up: JIT + codegen caches, excluded from timing
-run_pipeline(spark, {warm_sf})
+run_pipeline(spark, {warm_sf}, warmup=False)
 best = None
 for _ in range({repeats}):
-    r = run_pipeline(spark, {sf})
+    r = run_pipeline(spark, {sf}, warmup=False)
     if best is None or r["sec"] < best["sec"]:
         best = r
 best["cores"] = cores
