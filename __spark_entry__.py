@@ -273,6 +273,28 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drought-index style departure: z-score of each observation vs the
+    key's hour-of-day climatology (mean/sample-std over full history).
+    Engine analog of the anomaly consumers of the reference's dekadal/
+    monthly products (/root/reference/src/c3s_sm/const.py:42-46)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.anomaly import anomaly
+
+    ev = _events(spark, sf_dir)
+    out = anomaly(ev, ["user_id"], "ts", "value", cycle="hour")
+    return out.select(
+        "event_id",
+        "user_id",
+        "cyc",
+        F.col("clim_n"),
+        F.round("clim_mean", 4).alias("clim_mean"),
+        # + 0.0 canonicalizes IEEE -0.0 (DuckDB keeps the sign, Spark
+        # doesn't; the value-hash compares strings)
+        (F.round("z", 3) + F.lit(0.0)).alias("z"),
+    )
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -499,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
+        "anomaly_zscore": _q_anomaly_zscore,
         "coverage": _q_coverage,
         "param_consistency": _q_param_consistency,
         "nearest_gpi": _q_nearest_gpi,
@@ -722,6 +745,25 @@ def oracle_sql() -> dict[str, str]:
               AND ((floor(user_id / 1440) % 720) * 0.25 - 90.0 + 0.11)
                   BETWEEN -90.0 AND -89.0
             GROUP BY 1
+        """,
+        "anomaly_zscore": """
+            WITH clim AS (
+                SELECT user_id,
+                       CAST(extract(hour FROM ts) AS INTEGER) AS cyc,
+                       avg(value) AS clim_mean,
+                       stddev_samp(value) AS clim_std,
+                       count(value) AS clim_n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(extract(hour FROM e.ts) AS INTEGER) AS cyc,
+                   c.clim_n,
+                   round(c.clim_mean, 4) AS clim_mean,
+                   round((e.value - c.clim_mean) / nullif(c.clim_std, 0), 3) + 0.0 AS z
+            FROM events e
+            LEFT JOIN clim c
+              ON e.user_id = c.user_id
+             AND CAST(extract(hour FROM e.ts) AS INTEGER) = c.cyc
         """,
         "scale_fill": """
             SELECT event_id,

@@ -50,6 +50,7 @@ HEADLINE = [
     "bbox_subset",
     "scale_fill",
     "moving_mean",
+    "anomaly_zscore",
     "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",

@@ -173,3 +173,54 @@ def test_salted_agg_invariance(spark, raw):
     assert (d["n"] == s["n"]).all()
     assert (d["f"] == s["f"]).all()
     assert np.allclose(d["s"], s["s"], rtol=1e-12)
+
+
+# ------------------------------------------------------------- anomaly
+
+
+def test_climatology_and_anomaly_zscore(spark):
+    from c3s_sm_spark.operators.anomaly import anomaly, climatology
+
+    rows = [
+        # key a, month-1 slot: values 10, 20 over two years -> mean 15, std ~7.07
+        ("a", "2019-01-05 00:00:00", 10.0),
+        ("a", "2020-01-07 00:00:00", 20.0),
+        # key a, month-2 slot: single obs -> std NULL -> z NULL
+        ("a", "2019-02-01 00:00:00", 5.0),
+        # key b, month-1: constant values -> std 0 -> z NULL (no div blowup)
+        ("b", "2019-01-01 00:00:00", 3.0),
+        ("b", "2020-01-01 00:00:00", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    clim = {
+        (r["k"], r["cyc"]): r.asDict()
+        for r in climatology(df, ["k"], "ts", "v", cycle="month").collect()
+    }
+    assert clim[("a", 1)]["clim_mean"] == 15.0
+    assert clim[("a", 1)]["clim_n"] == 2
+    assert clim[("a", 2)]["clim_std"] is None  # n=1
+    assert clim[("b", 1)]["clim_std"] == 0.0  # constant
+    out = {
+        (r["k"], str(r["ts"])): r["z"]
+        for r in anomaly(df, ["k"], "ts", "v", cycle="month").collect()
+    }
+    import math
+
+    assert out[("a", "2019-01-05 00:00:00")] == pytest.approx(
+        (10.0 - 15.0) / math.sqrt(50.0)
+    )
+    assert out[("a", "2019-02-01 00:00:00")] is None  # std NULL
+    assert out[("b", "2019-01-01 00:00:00")] is None  # std 0
+    # precomputed (longer-history) climatology path
+    out2 = anomaly(
+        df.where(F.col("ts") >= "2020-01-01"),
+        ["k"],
+        "ts",
+        "v",
+        cycle="month",
+        clim=climatology(df, ["k"], "ts", "v", cycle="month"),
+    ).collect()
+    z20 = {r["k"]: r["z"] for r in out2}
+    assert z20["a"] == pytest.approx((20.0 - 15.0) / math.sqrt(50.0))
