@@ -295,6 +295,39 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-key quantiles (SPI-style percentile products): Spark's
+    native exact ``percentile`` uses the same linear interpolation as
+    DuckDB quantile_cont — verified semantics parity. At 10^12 points the
+    exact form shuffles per-group sorted sketches; the documented scale
+    escape is approx_percentile on the same plan shape."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90"),
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+    )
+
+
+def _q_cell_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/R2 presentation pivot: one 'cell' (key subset) read back wide,
+    time x key — the reference's read_cell transpose
+    (/root/reference/src/c3s_sm/interface.py:553-555). Pivot ONLY at the
+    presentation layer over an enumerated key list (never unbounded)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 5)
+    wide = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("user_id", [0, 1, 2, 3, 4])
+        .agg(F.round(F.avg("value"), 4))
+    )
+    return wide.select(
+        "day", *[F.col(str(u)).alias(f"u{u}") for u in range(5)]
+    )
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -522,6 +555,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "anomaly_zscore": _q_anomaly_zscore,
+        "rollup_quantiles": _q_rollup_quantiles,
+        "cell_pivot": _q_cell_pivot,
         "coverage": _q_coverage,
         "param_consistency": _q_param_consistency,
         "nearest_gpi": _q_nearest_gpi,
@@ -764,6 +799,24 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN clim c
               ON e.user_id = c.user_id
              AND CAST(extract(hour FROM e.ts) AS INTEGER) = c.cyc
+        """,
+        "rollup_quantiles": """
+            SELECT user_id,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 4) AS v_min,
+                   round(max(value), 4) AS v_max
+            FROM events GROUP BY user_id
+        """,
+        "cell_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   round(avg(value) FILTER (user_id = 0), 4) AS u0,
+                   round(avg(value) FILTER (user_id = 1), 4) AS u1,
+                   round(avg(value) FILTER (user_id = 2), 4) AS u2,
+                   round(avg(value) FILTER (user_id = 3), 4) AS u3,
+                   round(avg(value) FILTER (user_id = 4), 4) AS u4
+            FROM events WHERE user_id < 5
+            GROUP BY 1
         """,
         "scale_fill": """
             SELECT event_id,

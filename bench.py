@@ -51,6 +51,8 @@ HEADLINE = [
     "scale_fill",
     "moving_mean",
     "anomaly_zscore",
+    "rollup_quantiles",
+    "cell_pivot",
     "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",
