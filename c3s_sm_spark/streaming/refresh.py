@@ -106,3 +106,28 @@ def stream_daily_rollup(
     if flag_col is None:
         out = out.withColumn("flags", F.lit(None).cast("int"))
     return out.select(key, "ts", "v_mean", "v_sum", "nobs", "flags")
+
+
+def stream_dedup(
+    points_stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "3 days",
+) -> DataFrame:
+    """Streaming duplicate suppression for late/reprocessed rows (J5's
+    streaming analog, §2.8 "Late / reprocessed data").
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key
+    within the watermark horizon and bounds the dedup state by event
+    time — at any corpus size the state holds only the watermark window,
+    never all history. Semantics note vs the batch path: the reference's
+    ``sort_last`` (``/root/reference/src/c3s_sm/interface.py:347-356``)
+    prefers the *newest version* among duplicates, which needs to see all
+    candidates — a batch decision. Streaming first-wins is the bounded-
+    state approximation; authoritative version-aware restatement remains
+    the batch pipeline's keep-latest + month-partition overwrite.
+    """
+    keys = keys or ["doc_id", ts_col]
+    return points_stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)

@@ -90,3 +90,29 @@ def test_stream_daily_rollup_matches_batch(spark, tmp_path):
             r["nobs"],
             r["flags"],
         )
+
+
+def test_stream_dedup_suppresses_replayed_rows(spark, tmp_path):
+    from c3s_sm_spark.streaming.refresh import stream_dedup
+
+    raw = gen_points_raw(spark, 8, start="2019-10-01", end="2019-10-15").cache()
+    in_dir = str(tmp_path / "in")
+    raw.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    raw.coalesce(1).write.parquet(in_dir, mode="append")  # full replay
+    stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+    out = stream_dedup(stream, keys=["doc_id", "ts", "version"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql(
+        "SELECT doc_id, ts, version, count(*) n FROM dedup_sink GROUP BY 1,2,3"
+    ).collect()
+    # every replayed (key, ts, version) row appears exactly once
+    assert got and all(r["n"] == 1 for r in got)
+    assert len(got) == raw.select("doc_id", "ts", "version").distinct().count()
