@@ -133,11 +133,13 @@ def cosine_pairs(
     matmul prefilter** — the normalized corpus matrix (n x d doubles;
     tiny next to the corpus itself) is broadcast, and each partition
     multiplies its row block against it in one vectorized ``mapInPandas``
-    call, emitting only candidate id pairs above ``threshold - 1e-6``.
-    Survivors are re-scored exactly with the same deterministic
-    left-to-right fold as :func:`cosine_topk` (BLAS reassociates float
-    sums; the 1e-6 slack is >> the ~1e-13 reassociation error, so no
-    true pair can be lost). A naive zip_with cross join measured 59 s on
+    call, emitting only candidate id pairs above ``threshold`` minus a
+    slack of one rounding quantum plus float noise — the final filter is
+    ``round(sim, 4) >= threshold``, and rounding can lift a raw sim by up
+    to 5e-5 across the threshold, so the prefilter must keep that margin
+    (a 1e-6 slack measurably lost a true pair at raw sim 0.29996,
+    rounded 0.3). Survivors are re-scored exactly with the same
+    deterministic left-to-right fold as :func:`cosine_topk`. A naive zip_with cross join measured 59 s on
     2k x 2k pairs; this runs in ~2 s. At corpus sizes beyond
     ``max_broadcast_rows`` the matrix no longer broadcasts — block BOTH
     sides (grid of block pairs) or prefilter with :func:`lsh_ann_topk`
@@ -159,7 +161,7 @@ def cosine_pairs(
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     bc = df.sparkSession.sparkContext.broadcast((ids, mat))
-    slack = float(threshold) - 1e-6
+    slack = float(threshold) - (0.5 * 10.0 ** (-round_digits) + 1e-9)
 
     def _candidates(batches):
         all_ids, all_mat = bc.value
@@ -468,4 +470,98 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def cosine_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine near-dup pairs with BOTH sides blocked — the scale
+    path :func:`cosine_pairs` points to when the corpus matrix exceeds
+    the broadcast budget.
+
+    Rows are hashed into ``n_blocks`` blocks; every unordered block pair
+    (ba <= bb) becomes one ``applyInPandas`` group holding the two
+    blocks' vectors, scored with a single BLAS matmul. Each row is
+    replicated ``n_blocks`` times (its block paired with every other), so
+    total shuffle volume is ``n_blocks x corpus`` — choose
+    ``n_blocks ~ corpus_bytes / executor_block_budget``; work per task is
+    ``(n/B)^2 d`` flops and memory ``2 n d / B``, both tunable. No
+    broadcast, no driver collect: this survives corpora where neither
+    side fits one machine. The O(n^2) score count is inherent to *exact*
+    all-pairs — LSH (:func:`lsh_ann_topk`) or IVF (:func:`ivf_index`)
+    buckets are the sub-quadratic approximations.
+
+    Candidates emerge with float32-slack scores and are re-scored with
+    the same deterministic fold as :func:`cosine_pairs`, so results are
+    bit-identical to the broadcast path.
+    """
+    import pandas as pd
+
+    grid = [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)]
+    spark = df.sparkSession
+    grid_df = spark.createDataFrame(grid, "ba int, bb int")
+    src = df.select(
+        id_col,
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.lit(7), F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("blk"),
+    )
+    # replicate each row into every grid cell that involves its block
+    sides = src.join(
+        grid_df, (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb"))
+    )
+    slack = float(threshold) - 1e-4
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf["v"].tolist(), dtype=np.float32)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        blk = pdf["blk"].to_numpy()
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        ia = np.nonzero(blk == ba)[0]
+        ib = np.nonzero(blk == bb)[0]
+        if not len(ia) or not len(ib):
+            return pd.DataFrame({"a": [], "b": []})
+        sims = mat[ia] @ mat[ib].T
+        keep = sims >= np.float32(slack)
+        if ba == bb:
+            # same-block cell: emit each unordered pair once via id order
+            keep &= ids[ia][:, None] < ids[ib][None, :]
+            x, y = np.nonzero(keep)
+            return pd.DataFrame({"a": ids[ia][x], "b": ids[ib][y]})
+        # cross-block cell: this is the ONLY cell seeing (ba, bb) pairs —
+        # emit all of them, normalized to a < b (id order is independent
+        # of block order)
+        x, y = np.nonzero(keep)
+        left, right = ids[ia][x], ids[ib][y]
+        a = np.minimum(left, right)
+        b = np.maximum(left, right)
+        return pd.DataFrame({"a": a, "b": b})
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    cand = sides.groupBy("ba", "bb").applyInPandas(
+        _score, schema=f"a {id_type}, b {id_type}"
+    )
+    va = df.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("av")
+    )
+    vb = df.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("bv")
+    )
+    scored = cand.join(va, "a").join(vb, "b")
+    sim = F.round(
+        _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))),
+        round_digits,
+    )
+    return scored.select("a", "b", sim.alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
     )

@@ -186,3 +186,19 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     assert {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in full} == {
         (r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in exact
     }
+
+
+def test_cosine_pairs_blocked_matches_broadcast(spark, emb):
+    from c3s_sm_spark.operators.similarity import cosine_pairs, cosine_pairs_blocked
+
+    ref = {
+        (r["a"], r["b"], r["cos_sim"])
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    assert ref  # non-trivial pair set at this threshold
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r["a"], r["b"], r["cos_sim"])
+            for r in cosine_pairs_blocked(emb, threshold=0.3, n_blocks=n_blocks).collect()
+        }
+        assert got == ref, f"n_blocks={n_blocks}"
