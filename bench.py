@@ -222,10 +222,15 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         fn = qmap[name]
-        spark.catalog.clearCache()  # each query measured standalone
-        t0 = time.perf_counter()
-        _exec(fn(spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _rep in range(2):  # best-of-2: shields against transient host
+            # noise (a contended window measured 3x on identical queries)
+            spark.catalog.clearCache()  # each query measured standalone
+            t0 = time.perf_counter()
+            _exec(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
 
     pipeline = run_pipeline_isolated(sf) if not only else None
 

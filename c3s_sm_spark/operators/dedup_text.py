@@ -379,10 +379,14 @@ def simhash(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     """
     import pandas as pd
 
+    # explicit width: a bare repartition(col) on a small-by-bytes shingle
+    # frame gets AQE-coalesced to ONE partition, serializing the numpy
+    # tally on a single task (same trap as codecs.pack_series)
+    width = docs.sparkSession.sparkContext.defaultParallelism * 2
     sh = (
         shingles(docs, text_col, k)
         .select("doc_id", F.xxhash64("sh").alias("h"))
-        .repartition(F.col("doc_id"))
+        .repartition(width, F.col("doc_id"))
         .sortWithinPartitions("doc_id")
     )
 

@@ -202,3 +202,34 @@ def test_cosine_pairs_blocked_matches_broadcast(spark, emb):
             for r in cosine_pairs_blocked(emb, threshold=0.3, n_blocks=n_blocks).collect()
         }
         assert got == ref, f"n_blocks={n_blocks}"
+
+
+def test_ngram_jaccard_strategies_agree(spark, docs):
+    from c3s_sm_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    def rows(strategy):
+        return {
+            tuple(r)
+            for r in ngram_jaccard_pairs(
+                docs, k=2, threshold=0.2, strategy=strategy
+            ).collect()
+        }
+
+    mm = rows("matmul")
+    jn = rows("join")
+    assert mm and mm == jn
+    # matmul must refuse (not silently degrade) past the broadcast budget
+    import pytest
+
+    with pytest.raises(ValueError, match="broadcast cells"):
+        ngram_jaccard_pairs(
+            docs, k=2, threshold=0.2, strategy="matmul", max_broadcast_cells=10
+        ).collect()
+    # and 'auto' silently falls back to the join plan at the same budget
+    auto = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            docs, k=2, threshold=0.2, strategy="auto", max_broadcast_cells=10
+        ).collect()
+    }
+    assert auto == jn
