@@ -76,6 +76,39 @@ _FLAG_SQL = (
 )
 
 
+# ----------------------------- exact cross-engine mean ---------------------
+# round(avg(x), 4) is NOT reproducible across engines: float summation
+# order differs (Spark partial aggs vs DuckDB accumulation), group means
+# of 2-decimal inputs routinely land EXACTLY on the 1e-4 rounding
+# boundary (450.85 / 8 = 56.35625), and at that boundary Spark rounds the
+# double's shortest decimal STRING (BigDecimal.valueOf) while DuckDB
+# rounds the BINARY value — a guaranteed flip whenever the nearest double
+# prints as the exact boundary. Exact form used by every mean-producing
+# query: sum INTEGER micro-units (exact and association-free at any
+# partitioning — also the engine's cluster-size-invariant answer to the
+# north rule's bit-for-bit requirement), then half-up rounding in integer
+# space: floor((2*sm + 100*n) / (200*n)). The IEEE division of exact
+# integers is exactly rounded and its quotient is >= 1/(200n) away from
+# any integer, far beyond 1-ulp error, so both engines produce identical
+# bits. Found by running the oracle gate at sf0.1: 2 of 40083 daily
+# groups flipped under round(avg(.), 4).
+
+
+def _micro(col):
+    """Exact 1e-6-unit integer representation of a <=6-decimal double."""
+    return F.round(col * 1000000).cast("long")
+
+
+def _mean4(sm, n):
+    """Half-up 4-decimal mean from a micro-unit sum + count, bit-stable
+    across engines and partitionings."""
+    return F.floor((2 * sm + 100 * n) / (200 * n)) / 10000.0
+
+
+_MICRO_SQL = "CAST(round({c}*1000000) AS BIGINT)"
+_MEAN4_SQL = "floor((2*{sm} + 100*{n}) / (200*{n})) / 10000.0"
+
+
 # --------------------------------------------------------------- queries
 
 
@@ -83,10 +116,20 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2 daily tier: mean + valid-obs count per key per day."""
     _prep(spark)
     ev = _events(spark, sf_dir)
-    return ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.avg("value"), 4).alias("v_mean"),
-        F.count("value").alias("nobs"),
-        F.round(F.sum("value"), 2).alias("v_sum"),
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(_micro(F.col("value"))).alias("sm"),
+            F.count("value").alias("nobs"),
+            F.round(F.sum("value"), 2).alias("v_sum"),
+        )
+        .select(
+            "user_id",
+            "day",
+            _mean4(F.col("sm"), F.col("nobs")).alias("v_mean"),
+            "nobs",
+            "v_sum",
+        )
     )
 
 
@@ -94,9 +137,18 @@ def _q_rollup_dekadal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 dekadal tier with the reference dekad calendar (W4)."""
     _prep(spark)
     ev = _events(spark, sf_dir)
-    return ev.groupBy("user_id", dekad_start("ts").alias("dekad")).agg(
-        F.round(F.avg("value"), 4).alias("v_mean"),
-        F.count("value").alias("nobs"),
+    return (
+        ev.groupBy("user_id", dekad_start("ts").alias("dekad"))
+        .agg(
+            F.sum(_micro(F.col("value"))).alias("sm"),
+            F.count("value").alias("nobs"),
+        )
+        .select(
+            "user_id",
+            "dekad",
+            _mean4(F.col("sm"), F.col("nobs")).alias("v_mean"),
+            "nobs",
+        )
     )
 
 
@@ -104,10 +156,20 @@ def _q_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3 monthly tier incl. bitflag union."""
     _prep(spark)
     ev = _events(spark, sf_dir)
-    return ev.groupBy("user_id", F.date_trunc("month", "ts").alias("month")).agg(
-        F.round(F.avg("value"), 4).alias("v_mean"),
-        F.count("value").alias("nobs"),
-        F.bit_or(_flag_expr()).alias("flags"),
+    return (
+        ev.groupBy("user_id", F.date_trunc("month", "ts").alias("month"))
+        .agg(
+            F.sum(_micro(F.col("value"))).alias("sm"),
+            F.count("value").alias("nobs"),
+            F.bit_or(_flag_expr()).alias("flags"),
+        )
+        .select(
+            "user_id",
+            "month",
+            _mean4(F.col("sm"), F.col("nobs")).alias("v_mean"),
+            "nobs",
+            "flags",
+        )
     )
 
 
@@ -115,13 +177,20 @@ def _q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1 continuous-aggregate cascade: raw->daily->dekadal->monthly must
     equal direct monthly (oracle computes direct)."""
     _prep(spark)
-    ev = _events(spark, sf_dir).withColumn("flag", _flag_expr())
+    # micro-unit longs in, so v_sum cascades as EXACT integer sums
+    # (cascade == direct at the bit level regardless of tier order or
+    # partitioning); the 4-decimal mean materializes only at the end
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("flag", _flag_expr())
+        .withColumn("value", _micro(F.col("value")))
+    )
     daily = rollup(ev, ["user_id"], "ts", "daily", value_col="value", flag_col="flag")
     mon = cascade(cascade(daily, ["user_id"], "dekadal"), ["user_id"], "monthly")
     return mon.select(
         "user_id",
         F.col("ts").alias("month"),
-        F.round("v_mean", 4).alias("v_mean"),
+        _mean4(F.col("v_sum"), F.col("nobs")).alias("v_mean"),
         F.col("nobs").alias("nobs"),
         "flags",
     )
@@ -131,9 +200,18 @@ def _q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3/S4 gap-fill: key x full daily grid, nulls where no data."""
     _prep(spark)
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.avg("value"), 4).alias("v_mean"),
-        F.count("value").alias("nobs"),
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(_micro(F.col("value"))).alias("sm"),
+            F.count("value").alias("nobs"),
+        )
+        .select(
+            "user_id",
+            "day",
+            _mean4(F.col("sm"), F.col("nobs")).alias("v_mean"),
+            "nobs",
+        )
     )
     bounds = ev.select(F.date_trunc("day", "ts").alias("d")).agg(
         F.min("d").alias("lo"), F.max("d").alias("hi")
@@ -187,10 +265,17 @@ def _q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c3s_sm_spark.functions.codecs import pack_series, unpack_series
 
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy(
-        F.col("user_id").cast("string").alias("doc_id"),
-        F.date_trunc("day", "ts").alias("ts"),
-    ).agg(F.round(F.avg("value"), 4).alias("v_mean"))
+    daily = (
+        ev.groupBy(
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.date_trunc("day", "ts").alias("ts"),
+        )
+        .agg(
+            F.sum(_micro(F.col("value"))).alias("sm"),
+            F.count("value").alias("n"),
+        )
+        .select("doc_id", "ts", _mean4(F.col("sm"), F.col("n")).alias("v_mean"))
+    )
     unpacked = unpack_series(pack_series(daily))
     return unpacked.groupBy("doc_id").agg(
         F.count("*").alias("n"), F.round(F.sum("v_mean"), 4).alias("checksum")
@@ -279,19 +364,50 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine analog of the anomaly consumers of the reference's dekadal/
     monthly products (/root/reference/src/c3s_sm/const.py:42-46)."""
     _prep(spark)
-    from c3s_sm_spark.operators.anomaly import anomaly
-
     ev = _events(spark, sf_dir)
-    out = anomaly(ev, ["user_id"], "ts", "value", cycle="hour")
+    # cross-engine determinism (same policy as _mean4): the climatology's
+    # mean AND variance are derived from EXACT integer milli-unit sums —
+    # stddev_samp's float accumulation order diverged between engines at
+    # sf0.1. n, s3 = sum(milli), q3 = sum(milli^2) are association-free;
+    # every double op below runs on identical inputs in an identical
+    # expression tree on both sides. anomaly()/climatology() in
+    # operators/anomaly.py remain the float production API; this query
+    # mirrors their semantics in hash-comparable form.
+    v3 = F.round(F.col("value") * 1000).cast("long")
+    clim = ev.groupBy("user_id", F.hour("ts").cast("int").alias("cyc")).agg(
+        F.count("value").alias("clim_n"),
+        F.sum(v3).alias("s3"),
+        F.sum(v3 * v3).alias("q3"),
+    )
+    n, s3, q3 = F.col("clim_n"), F.col("s3"), F.col("q3")
+    clim_mean = s3 / (F.lit(1000.0) * n)
+    var = F.greatest(
+        (q3 - (s3 * s3) / n) / (n - 1) / F.lit(1000000.0), F.lit(0.0)
+    )
+    clim = clim.select(
+        "user_id",
+        "cyc",
+        "clim_n",
+        # half-up 4-dp mean in integer space: round(10*s3/n) at 1e-4
+        (F.floor((20 * s3 + n) / (2 * n)) / 10000.0).alias("clim_mean"),
+        clim_mean.alias("m_exact"),
+        F.when(n > 1, F.sqrt(var)).alias("sd_exact"),
+    )
+    out = ev.withColumn("cyc", F.hour("ts").cast("int")).join(
+        F.broadcast(clim), ["user_id", "cyc"], "left"
+    )
+    z = (F.col("value") - F.col("m_exact")) / F.nullif(
+        F.col("sd_exact"), F.lit(0.0)
+    )
     return out.select(
         "event_id",
         "user_id",
         "cyc",
         F.col("clim_n"),
-        F.round("clim_mean", 4).alias("clim_mean"),
+        "clim_mean",
         # + 0.0 canonicalizes IEEE -0.0 (DuckDB keeps the sign, Spark
         # doesn't; the value-hash compares strings)
-        (F.round("z", 3) + F.lit(0.0)).alias("z"),
+        (F.round(z, 3) + F.lit(0.0)).alias("z"),
     )
 
 
@@ -416,8 +532,13 @@ def _q_moving_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tree, so a float sum's last bit differs from Spark's running fold;
     # integer sums are association-free). moving_mean() is the production
     # API; this query inlines the same frame to stay hash-comparable.
-    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.avg("value"), 4).alias("v_mean")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(_micro(F.col("value"))).alias("sm"),
+            F.count("value").alias("n"),
+        )
+        .select("user_id", "day", _mean4(F.col("sm"), F.col("n")).alias("v_mean"))
     )
     w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-2, 0)
     vm_i = F.round(F.col("v_mean") * 10000, 0).cast("bigint")
@@ -578,7 +699,7 @@ def oracle_sql() -> dict[str, str]:
         # TIMESTAMP in Spark — cast so the value-hash compare agrees.
         "rollup_daily": """
             SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   round(avg(value), 4) AS v_mean,
+                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
                    count(value) AS nobs,
                    round(sum(value), 2) AS v_sum
             FROM events GROUP BY 1, 2
@@ -589,20 +710,20 @@ def oracle_sql() -> dict[str, str]:
                      + (CASE WHEN extract(day FROM ts) <= 10 THEN 0
                              WHEN extract(day FROM ts) <= 20 THEN 10
                              ELSE 20 END) * INTERVAL 1 DAY AS dekad,
-                   round(avg(value), 4) AS v_mean,
+                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
                    count(value) AS nobs
             FROM events GROUP BY 1, 2
         """,
         "rollup_monthly": f"""
             SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
-                   round(avg(value), 4) AS v_mean,
+                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
                    count(value) AS nobs,
                    bit_or({_FLAG_SQL}) AS flags
             FROM events GROUP BY 1, 2
         """,
         "rollup_cascade": f"""
             SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
-                   round(avg(value), 4) AS v_mean,
+                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
                    count(value) AS nobs,
                    bit_or({_FLAG_SQL}) AS flags
             FROM events GROUP BY 1, 2
@@ -610,7 +731,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_daily": """
             WITH d AS (
               SELECT user_id, date_trunc('day', ts) AS day,
-                     round(avg(value), 4) AS v_mean, count(value) AS nobs
+                     floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean, count(value) AS nobs
               FROM events GROUP BY 1, 2),
             cal AS (
               SELECT unnest(generate_series(
@@ -645,7 +766,7 @@ def oracle_sql() -> dict[str, str]:
             WITH d AS (
               SELECT CAST(user_id AS VARCHAR) AS doc_id,
                      date_trunc('day', ts) AS day,
-                     round(avg(value), 4) AS v_mean
+                     floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean
               FROM events GROUP BY 1, 2)
             SELECT doc_id, count(*) AS n, round(sum(v_mean), 4) AS checksum
             FROM d GROUP BY 1
@@ -785,18 +906,28 @@ def oracle_sql() -> dict[str, str]:
             WITH clim AS (
                 SELECT user_id,
                        CAST(extract(hour FROM ts) AS INTEGER) AS cyc,
-                       avg(value) AS clim_mean,
-                       stddev_samp(value) AS clim_std,
-                       count(value) AS clim_n
+                       count(value) AS clim_n,
+                       sum(CAST(round(value*1000) AS BIGINT)) AS s3,
+                       sum(CAST(round(value*1000) AS BIGINT)
+                           * CAST(round(value*1000) AS BIGINT)) AS q3
                 FROM events GROUP BY 1, 2
+            ),
+            cs AS (
+                SELECT user_id, cyc, clim_n,
+                       floor((20*s3 + clim_n) / (2*clim_n)) / 10000.0 AS clim_mean,
+                       s3 / (1000.0 * clim_n) AS m_exact,
+                       CASE WHEN clim_n > 1 THEN sqrt(greatest(
+                            (q3 - (s3*s3) / clim_n) / (clim_n - 1) / 1000000.0,
+                            0.0)) END AS sd_exact
+                FROM clim
             )
             SELECT e.event_id, e.user_id,
                    CAST(extract(hour FROM e.ts) AS INTEGER) AS cyc,
                    c.clim_n,
-                   round(c.clim_mean, 4) AS clim_mean,
-                   round((e.value - c.clim_mean) / nullif(c.clim_std, 0), 3) + 0.0 AS z
+                   c.clim_mean,
+                   round((e.value - c.m_exact) / nullif(c.sd_exact, 0), 3) + 0.0 AS z
             FROM events e
-            LEFT JOIN clim c
+            LEFT JOIN cs c
               ON e.user_id = c.user_id
              AND CAST(extract(hour FROM e.ts) AS INTEGER) = c.cyc
         """,
@@ -830,7 +961,7 @@ def oracle_sql() -> dict[str, str]:
         "moving_mean": """
             WITH d AS (
               SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                     round(avg(value), 4) AS v_mean
+                     floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean
               FROM events GROUP BY 1, 2)
             SELECT user_id, day, v_mean,
                    ((2 * sum(CAST(round(v_mean * 10000, 0) AS BIGINT)) OVER w
