@@ -82,3 +82,95 @@ def test_window_start_monthly_vs_daily(spark):
     assert vals == [dt.datetime(2020, 3, 1)]
     vals = _col_vals(spark, lambda c: window_start(c, "daily"), ["2020-03-17 13:00:00"])
     assert vals == [dt.datetime(2020, 3, 17)]
+
+
+# ---------------------------------------------- reference-code parity
+
+
+def _import_reference_download():
+    """Import /root/reference's download module with lightweight stubs for
+    its unavailable third-party deps (cdsapi etc. — none touched by the
+    pure date logic under test). cadati.day2dekad is stubbed to its
+    documented public behavior (day 1-10 -> 1, 11-20 -> 2, else 3)."""
+    import sys
+    import types
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        return m
+
+    stub("cdsapi", Client=object)
+    cadati = stub("cadati")
+    dekad = stub(
+        "cadati.dekad", day2dekad=lambda day: 1 if day <= 10 else (2 if day <= 20 else 3)
+    )
+    cadati.dekad = dekad
+    rp = stub("repurpose")
+    rpp = stub("repurpose.process", parallel_process_async=lambda *a, **k: None)
+    rp.process = rpp
+    stub("parse", parse=lambda *a, **k: None)
+    stub("xarray")
+    stub("netCDF4", Dataset=object, num2date=lambda *a, **k: None)
+    sys.path.insert(0, "/root/reference/src")
+    import importlib
+
+    return importlib.import_module("c3s_sm.download")
+
+
+def test_dekad_grid_matches_reference_first_missing_date(spark):
+    """The engine's dekadal temporal grid must enumerate EXACTLY the dates
+    the reference's own frontier logic steps through
+    (/root/reference/src/c3s_sm/download.py:312-335): successive
+    first_missing_date(d, 'dekadal') calls from a dekad start walk every
+    product dekad, including the 3rd-dekad month rollover and leap
+    February."""
+    from datetime import datetime
+
+    dl = _import_reference_download()
+    start, end = datetime(2019, 1, 1), datetime(2021, 12, 21)
+    ref_dates = [start]
+    while True:
+        nxt = dl.first_missing_date(ref_dates[-1].strftime("%Y-%m-%d"), "dekadal")
+        if nxt > end:
+            break
+        ref_dates.append(nxt)
+    got = [
+        r["ts"]
+        for r in temporal_grid(spark, "dekadal", "2019-01-01", "2021-12-31")
+        .orderBy("ts")
+        .collect()
+    ]
+    assert [d.strftime("%Y-%m-%d") for d in ref_dates] == [
+        t.strftime("%Y-%m-%d") for t in got
+    ]
+    # leap February 2020: 3rd dekad starts on the 21st, next lands Mar 1
+    feb = [d for d in ref_dates if d.year == 2020 and d.month == 2]
+    assert [d.day for d in feb] == [1, 11, 21]
+    assert dl.first_missing_date("2020-02-21", "dekadal") == datetime(2020, 3, 1)
+
+
+def test_monthly_daily_grids_match_reference_stepping(spark):
+    from datetime import datetime
+
+    dl = _import_reference_download()
+    for freq, start, end in (
+        ("monthly", "2019-01-01", "2020-12-01"),
+        ("daily", "2020-02-20", "2020-03-05"),  # leap-day window
+    ):
+        cur = datetime.strptime(start, "%Y-%m-%d")
+        ref = [cur]
+        while True:
+            nxt = dl.first_missing_date(ref[-1].strftime("%Y-%m-%d"), freq)
+            if nxt > datetime.strptime(end, "%Y-%m-%d"):
+                break
+            ref.append(nxt)
+        got = [
+            r["ts"]
+            for r in temporal_grid(spark, freq, start, end).orderBy("ts").collect()
+        ]
+        assert [d.date() for d in ref] == [t.date() for t in got], freq
