@@ -68,3 +68,59 @@ def test_year_subdir(spark):
         year_subdir(F.to_timestamp(F.lit("2014-01-22"))).alias("y")
     )
     assert r.head()["y"] == "2014"
+
+
+def test_template_parity_with_reference_fntempl(spark):
+    """Round-trip against the REFERENCE's actual template constant
+    (/root/reference/src/c3s_sm/const.py:53, formatted exactly as
+    interface._build_filename does): names built by the reference
+    template must parse back field-for-field, and build_filename must
+    emit the identical string."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from c3s_sm.const import fntempl
+
+    # field shapes copied from the reference's own test fixtures, e.g.
+    # C3S-SOILMOISTURE-L3S-SSMV-COMBINED-DAILY-20140101000000-TCDR-
+    # v201801.0.0.nc (/root/reference/tests/test_reshuffle.py)
+    cases = [
+        dict(unit="V", product="COMBINED", freq="DAILY",
+             datetime="20140101000000", record="TCDR", version="v201801.0",
+             subversion="0"),
+        dict(unit="V", product="PASSIVE", freq="DEKADAL",
+             datetime="20200221000000", record="ICDR", version="v202212.0",
+             subversion="1"),
+        dict(unit="S", product="ACTIVE", freq="MONTHLY",
+             datetime="20191201000000", record="TCDR", version="v201801.0",
+             subversion="12"),
+    ]
+    names = [fntempl.format(**c) for c in cases]
+    df = spark.createDataFrame([(n,) for n in names], "path string")
+    got = {r["path"]: r.asDict() for r in parse_listing(df).collect()}
+    for c, n in zip(cases, names):
+        r = got[n]
+        assert r["product"] == c["product"] and r["freq"] == c["freq"]
+        assert r["record"] == c["record"]
+        assert r["dt_raw"] == c["datetime"]
+        assert "v" + r["version"] == c["version"]
+        assert r["subversion"] == c["subversion"]
+    # build side: identical string to the reference template
+    from c3s_sm_spark.sources.ingest import build_filename
+
+    src = spark.createDataFrame(
+        [("V", "COMBINED", "DAILY", "2014-01-01 00:00:00", "TCDR", "201801.0", "0")],
+        "unit string, product string, freq string, ts string, record string, "
+        "version string, subversion string",
+    ).select(
+        build_filename(
+            F.col("unit"), F.col("product"), F.col("freq"),
+            F.col("ts").cast("timestamp"), F.col("record"),
+            F.col("version"), F.col("subversion"),
+        ).alias("name")
+    )
+    assert src.head()["name"] == fntempl.format(
+        unit="V", product="COMBINED", freq="DAILY",
+        datetime="20140101000000", record="TCDR", version="v201801.0",
+        subversion="0",
+    )
