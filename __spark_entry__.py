@@ -444,6 +444,28 @@ def _q_cell_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_flag_meanings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/A3: bit-union per month decoded back to meanings via the
+    engine's literal bit tables (reference meaning tables,
+    /root/reference/src/c3s_sm/metadata.py:41-116; golden 768 decode
+    parity pinned in tests/test_ingest.py). concat_ws skips NULL branches
+    identically in both engines, so the csv form is hash-comparable."""
+    _prep(spark)
+    from c3s_sm_spark.functions.bitflags import decode_bits_csv
+
+    table = {0: "click", 1: "view", 2: "purchase", 3: "error", 4: "other"}
+    ev = _events(spark, sf_dir)
+    mon = ev.groupBy(
+        "user_id", F.date_trunc("month", "ts").alias("month")
+    ).agg(F.bit_or(_flag_expr()).alias("flags"))
+    return mon.select(
+        "user_id",
+        "month",
+        "flags",
+        decode_bits_csv(F.col("flags"), table).alias("seen"),
+    )
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -676,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
         "anomaly_zscore": _q_anomaly_zscore,
+        "flag_meanings": _q_flag_meanings,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,
         "coverage": _q_coverage,
@@ -930,6 +953,18 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN cs c
               ON e.user_id = c.user_id
              AND CAST(extract(hour FROM e.ts) AS INTEGER) = c.cyc
+        """,
+        "flag_meanings": f"""
+            SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+                   bit_or({_FLAG_SQL}) AS flags,
+                   concat_ws(',',
+                     CASE WHEN bit_or({_FLAG_SQL}) & 1  <> 0 THEN 'click' END,
+                     CASE WHEN bit_or({_FLAG_SQL}) & 2  <> 0 THEN 'view' END,
+                     CASE WHEN bit_or({_FLAG_SQL}) & 4  <> 0 THEN 'purchase' END,
+                     CASE WHEN bit_or({_FLAG_SQL}) & 8  <> 0 THEN 'error' END,
+                     CASE WHEN bit_or({_FLAG_SQL}) & 16 <> 0 THEN 'other' END
+                   ) AS seen
+            FROM events GROUP BY 1, 2
         """,
         "rollup_quantiles": """
             SELECT user_id,

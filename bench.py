@@ -53,6 +53,7 @@ HEADLINE = [
     "anomaly_zscore",
     "rollup_quantiles",
     "cell_pivot",
+    "flag_meanings",
     "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",

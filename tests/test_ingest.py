@@ -124,3 +124,59 @@ def test_template_parity_with_reference_fntempl(spark):
         datetime="20140101000000", record="TCDR", version="v201801.0",
         subversion="0",
     )
+
+
+def test_bitflag_tables_match_reference_metadata(spark):
+    """The engine's bit->meaning tables must equal the reference's
+    (/root/reference/src/c3s_sm/metadata.py:41-116), and decoding the
+    golden monthly sensor mask 768 must yield ASCATA+ASCATB (the value
+    the reference's own reshuffle test asserts,
+    /root/reference/tests/test_reshuffle.py:164)."""
+    import sys
+    import types
+
+    for name in ("netCDF4", "xarray", "parse", "cdsapi"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.path.insert(0, "/root/reference/src")
+    from c3s_sm.metadata import C3S_SM_TS_Attrs
+
+    from c3s_sm_spark.functions.bitflags import (
+        FREQBAND_BITS,
+        QUALITY_BITS,
+        SENSOR_BITS,
+        decode_bits_csv,
+        decode_sensors,
+    )
+
+    attrs = C3S_SM_TS_Attrs.__new__(C3S_SM_TS_Attrs)  # tables need no init
+    values, meanings = attrs.sensor_flag()
+    ref_sensor = {
+        int(v[3:]): m for v, m in zip(values, meanings) if v.startswith("Bit")
+    }
+    assert ref_sensor == SENSOR_BITS
+    values, meanings = attrs.freqbandID_flag()
+    ref_freq = {
+        int(v[3:]): m for v, m in zip(values, meanings) if v.startswith("Bit")
+    }
+    assert ref_freq == FREQBAND_BITS
+    values, meanings = attrs.flag()
+    ref_q = {
+        int(v[3:]): m
+        for v, m in zip(values, meanings)
+        if v.startswith("Bit") and m != "NaN"
+    }
+    assert ref_q == QUALITY_BITS
+
+    df = spark.createDataFrame([(768,), (256,), (0,), (1 << 6,)], "mask int")
+    got = {
+        r["mask"]: (r["names"], r["csv"])
+        for r in df.select(
+            "mask",
+            decode_sensors(F.col("mask")).alias("names"),
+            decode_bits_csv(F.col("mask"), SENSOR_BITS).alias("csv"),
+        ).collect()
+    }
+    assert got[768] == (["ASCATA", "ASCATB"], "ASCATA,ASCATB")
+    assert got[256] == (["ASCATA"], "ASCATA")
+    assert got[0] == ([], "")
+    assert got[64] == (["SMOS"], "SMOS")
