@@ -107,6 +107,17 @@ def _mean4(sm, n):
 
 _MICRO_SQL = "CAST(round({c}*1000000) AS BIGINT)"
 _MEAN4_SQL = "floor((2*{sm} + 100*{n}) / (200*{n})) / 10000.0"
+#: the composed oracle-side twin of F.sum(_micro(value)) + _mean4
+_MEAN4_VALUE_SQL = _MEAN4_SQL.format(
+    sm=f"sum({_MICRO_SQL.format(c='value')})", n="count(value)"
+)
+
+
+def _mean4_filter_sql(uid: int) -> str:
+    """cell_pivot oracle helper: bit-stable mean restricted to one key."""
+    sm = f"sum({_MICRO_SQL.format(c='value')}) FILTER (user_id = {uid})"
+    n = f"count(value) FILTER (user_id = {uid})"
+    return _MEAN4_SQL.format(sm=sm, n=n)
 
 
 # --------------------------------------------------------------- queries
@@ -374,15 +385,22 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/anomaly.py remain the float production API; this query
     # mirrors their semantics in hash-comparable form.
     v3 = F.round(F.col("value") * 1000).cast("long")
+    # q3 sums DOUBLE-cast squares and s3*s3 multiplies in double: a long
+    # sum of squares wraps silently past 2^63 (~6e8 rows/group at value
+    # ~100), while the double forms stay exact below 2^53 and merely lose
+    # precision beyond — and remain bit-identical across engines because
+    # every partial is an exactly-representable integer
     clim = ev.groupBy("user_id", F.hour("ts").cast("int").alias("cyc")).agg(
         F.count("value").alias("clim_n"),
         F.sum(v3).alias("s3"),
-        F.sum(v3 * v3).alias("q3"),
+        F.sum((v3 * v3).cast("double")).alias("q3"),
     )
     n, s3, q3 = F.col("clim_n"), F.col("s3"), F.col("q3")
     clim_mean = s3 / (F.lit(1000.0) * n)
     var = F.greatest(
-        (q3 - (s3 * s3) / n) / (n - 1) / F.lit(1000000.0), F.lit(0.0)
+        (q3 - (s3.cast("double") * s3.cast("double")) / n) / (n - 1)
+        / F.lit(1000000.0),
+        F.lit(0.0),
     )
     clim = clim.select(
         "user_id",
@@ -434,10 +452,11 @@ def _q_cell_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     presentation layer over an enumerated key list (never unbounded)."""
     _prep(spark)
     ev = _events(spark, sf_dir).where(F.col("user_id") < 5)
+    sm, n = F.sum(_micro(F.col("value"))), F.count("value")
     wide = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .pivot("user_id", [0, 1, 2, 3, 4])
-        .agg(F.round(F.avg("value"), 4))
+        .agg(_mean4(sm, n))  # composite agg: bit-stable mean (see _mean4)
     )
     return wide.select(
         "day", *[F.col(str(u)).alias(f"u{u}") for u in range(5)]
@@ -720,41 +739,41 @@ def oracle_sql() -> dict[str, str]:
     return {
         # date_trunc returns DATE in DuckDB at day/month precision but
         # TIMESTAMP in Spark — cast so the value-hash compare agrees.
-        "rollup_daily": """
+        "rollup_daily": f"""
             SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
+                   {_MEAN4_VALUE_SQL} AS v_mean,
                    count(value) AS nobs,
                    round(sum(value), 2) AS v_sum
             FROM events GROUP BY 1, 2
         """,
-        "rollup_dekadal": """
+        "rollup_dekadal": f"""
             SELECT user_id,
                    date_trunc('month', ts)
                      + (CASE WHEN extract(day FROM ts) <= 10 THEN 0
                              WHEN extract(day FROM ts) <= 20 THEN 10
                              ELSE 20 END) * INTERVAL 1 DAY AS dekad,
-                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
+                   {_MEAN4_VALUE_SQL} AS v_mean,
                    count(value) AS nobs
             FROM events GROUP BY 1, 2
         """,
         "rollup_monthly": f"""
             SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
-                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
+                   {_MEAN4_VALUE_SQL} AS v_mean,
                    count(value) AS nobs,
                    bit_or({_FLAG_SQL}) AS flags
             FROM events GROUP BY 1, 2
         """,
         "rollup_cascade": f"""
             SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
-                   floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean,
+                   {_MEAN4_VALUE_SQL} AS v_mean,
                    count(value) AS nobs,
                    bit_or({_FLAG_SQL}) AS flags
             FROM events GROUP BY 1, 2
         """,
-        "gap_fill_daily": """
+        "gap_fill_daily": f"""
             WITH d AS (
               SELECT user_id, date_trunc('day', ts) AS day,
-                     floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean, count(value) AS nobs
+                     {_MEAN4_VALUE_SQL} AS v_mean, count(value) AS nobs
               FROM events GROUP BY 1, 2),
             cal AS (
               SELECT unnest(generate_series(
@@ -785,11 +804,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS v_sum
             FROM events GROUP BY 1
         """,
-        "codec_roundtrip": """
+        "codec_roundtrip": f"""
             WITH d AS (
               SELECT CAST(user_id AS VARCHAR) AS doc_id,
                      date_trunc('day', ts) AS day,
-                     floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean
+                     {_MEAN4_VALUE_SQL} AS v_mean
               FROM events GROUP BY 1, 2)
             SELECT doc_id, count(*) AS n, round(sum(v_mean), 4) AS checksum
             FROM d GROUP BY 1
@@ -931,8 +950,8 @@ def oracle_sql() -> dict[str, str]:
                        CAST(extract(hour FROM ts) AS INTEGER) AS cyc,
                        count(value) AS clim_n,
                        sum(CAST(round(value*1000) AS BIGINT)) AS s3,
-                       sum(CAST(round(value*1000) AS BIGINT)
-                           * CAST(round(value*1000) AS BIGINT)) AS q3
+                       sum(CAST(CAST(round(value*1000) AS BIGINT)
+                           * CAST(round(value*1000) AS BIGINT) AS DOUBLE)) AS q3
                 FROM events GROUP BY 1, 2
             ),
             cs AS (
@@ -940,7 +959,8 @@ def oracle_sql() -> dict[str, str]:
                        floor((20*s3 + clim_n) / (2*clim_n)) / 10000.0 AS clim_mean,
                        s3 / (1000.0 * clim_n) AS m_exact,
                        CASE WHEN clim_n > 1 THEN sqrt(greatest(
-                            (q3 - (s3*s3) / clim_n) / (clim_n - 1) / 1000000.0,
+                            (q3 - (CAST(s3 AS DOUBLE)*CAST(s3 AS DOUBLE))
+                                  / clim_n) / (clim_n - 1) / 1000000.0,
                             0.0)) END AS sd_exact
                 FROM clim
             )
@@ -974,13 +994,13 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 4) AS v_max
             FROM events GROUP BY user_id
         """,
-        "cell_pivot": """
+        "cell_pivot": f"""
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                   round(avg(value) FILTER (user_id = 0), 4) AS u0,
-                   round(avg(value) FILTER (user_id = 1), 4) AS u1,
-                   round(avg(value) FILTER (user_id = 2), 4) AS u2,
-                   round(avg(value) FILTER (user_id = 3), 4) AS u3,
-                   round(avg(value) FILTER (user_id = 4), 4) AS u4
+                   {_mean4_filter_sql(0)} AS u0,
+                   {_mean4_filter_sql(1)} AS u1,
+                   {_mean4_filter_sql(2)} AS u2,
+                   {_mean4_filter_sql(3)} AS u3,
+                   {_mean4_filter_sql(4)} AS u4
             FROM events WHERE user_id < 5
             GROUP BY 1
         """,
@@ -993,10 +1013,10 @@ def oracle_sql() -> dict[str, str]:
                             -9999.0) AS v_filled
             FROM events
         """,
-        "moving_mean": """
+        "moving_mean": f"""
             WITH d AS (
               SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-                     floor((2*sum(CAST(round(value*1000000) AS BIGINT)) + 100*count(value)) / (200*count(value))) / 10000.0 AS v_mean
+                     {_MEAN4_VALUE_SQL} AS v_mean
               FROM events GROUP BY 1, 2)
             SELECT user_id, day, v_mean,
                    ((2 * sum(CAST(round(v_mean * 10000, 0) AS BIGINT)) OVER w

@@ -91,6 +91,10 @@ def cosine_topk(
     cand = corpus.select(id_col, vec_col).mapInPandas(
         _cand, schema=f"query_id {id_type}, neighbor_id {id_type}"
     )
+    # the -inf self mask alone is NOT a self-filter: when the query's
+    # block has <= k rows, kth is -inf and -inf >= -inf - slack keeps the
+    # masked self row, which would re-score to 1.0 and take rank 1
+    cand = cand.where(F.col("query_id") != F.col("neighbor_id"))
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
@@ -347,10 +351,14 @@ def ivf_train_centroids(
     """
     src = corpus.select(id_col, vec_col)
     if sample_fraction is not None:
-        denom = max(2, int(round(1.0 / sample_fraction)))
-        src = src.where(
-            F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(denom)) == 0
-        )
+        # keep-1-in-k hash filter; fraction rounds to the nearest 1/k, and
+        # fractions >= ~2/3 round to k=1 == use everything (no silent halving)
+        denom = max(1, int(round(1.0 / sample_fraction)))
+        if denom > 1:
+            src = src.where(
+                F.pmod(F.xxhash64(F.lit(seed + 1), F.col(id_col)), F.lit(denom))
+                == 0
+            )
     init = (
         src.orderBy(F.xxhash64(F.lit(seed), F.col(id_col)), F.col(id_col))
         .limit(n_lists)

@@ -58,7 +58,7 @@ TIERS: dict[str, str | None] = {
 _LINEAGE_COLS = (
     "run_id string, tier string, src_snapshot string, dst_snapshot string, "
     "n_months int, n_rows bigint, wall_s double, finished_at double, "
-    "status string"
+    "status string, note string"
 )
 _METRICS_COLS = (
     "run_id string, tier string, pmonth string, n_rows bigint, n_points bigint, "
@@ -128,6 +128,26 @@ class TierPipeline:
         )
         return row["src_snapshot"] if row else None
 
+    def _retention_through(self, table_name: str) -> str | None:
+        """Newest month dropped from ``table_name`` by retention (lineage
+        ``status='retention'`` rows carry it in ``note``), or None."""
+        try:
+            lin = self.lineage.read(self.spark)
+        except FileNotFoundError:
+            return None
+        if "note" not in lin.columns:
+            return None
+        row = (
+            lin.where(
+                (F.col("tier") == table_name)
+                & (F.col("status") == "retention")
+                & F.col("note").isNotNull()
+            )
+            .agg(F.max("note").alias("m"))
+            .head()
+        )
+        return row["m"] if row else None
+
     def _source_table(self, tier: str) -> SnapshotTable:
         src = TIERS[tier]
         return self.raw if src is None else self.tiers[src]
@@ -194,6 +214,23 @@ class TierPipeline:
                 report[tier] = {"months": 0, "rows": 0, "skipped": True}
                 continue
             months = self._affected_months(tier, delta)
+            src_name = "raw" if TIERS[tier] is None else TIERS[tier]
+            horizon = self._retention_through(src_name)
+            if horizon is not None:
+                aged = [m for m in months if m <= horizon]
+                if aged:
+                    # the source no longer holds these months in full —
+                    # recomputing from the partial remainder would destroy
+                    # the coarser history that justified the drop. Late
+                    # rows older than the retention horizon are dropped by
+                    # policy (the reference reprocesses such periods from
+                    # the archive instead; here that is rollback + re-ingest).
+                    months = [m for m in months if m > horizon]
+                    report.setdefault(tier, {})["skipped_aged_months"] = aged
+            if not months:
+                report[tier] = {**report.get(tier, {}), "months": 0,
+                                "rows": 0, "skipped": True}
+                continue
             out = self._compute_tier(tier, months)
             dst_snap = self.tiers[tier].overwrite_partitions(
                 out, {"run_id": run_id, "months": len(months)}
@@ -234,6 +271,7 @@ class TierPipeline:
                             wall,
                             time.time(),
                             "ok",
+                            None,
                         )
                     ],
                     _LINEAGE_COLS,
@@ -359,6 +397,8 @@ class TierPipeline:
             if not old:
                 report[tier] = {"dropped_months": 0}
                 continue
+            pre_drop = tbl.head()  # BEFORE the commit: the snapshot to
+            # time-travel to when auditing what this run removed
             snap = tbl.delete_partitions(
                 [(m,) for m in old], {"op": "retention", "run_id": run_id}
             )
@@ -368,13 +408,14 @@ class TierPipeline:
                         (
                             run_id,
                             tier,
-                            tbl.head(),
+                            pre_drop,
                             snap,
                             len(old),
                             0,
                             0.0,
                             time.time(),
                             "retention",
+                            old[-1],  # note: horizon month dropped through
                         )
                     ],
                     _LINEAGE_COLS,

@@ -223,16 +223,47 @@ class SnapshotTable:
         since: str | None,
         until: str | None = None,
     ) -> DataFrame | None:
-        """Rows added by snapshots in ``(since, until]``; None if empty.
+        """Rows added by DATA-CHANGING snapshots in ``(since, until]``;
+        None if empty.
 
-        File-level diff of the two manifests — no data scan to find the
-        delta, same as Iceberg's incremental append scan.
+        Walks the manifest chain and collects each snapshot's file delta
+        vs its parent, skipping ``compact`` commits — a compaction
+        rewrites existing rows into new files, and a naive two-manifest
+        file diff would misread the entire rewritten table as fresh rows
+        (degrading every post-maintenance refresh to a full rebuild).
+        Same contract as Iceberg's incremental APPEND scan, which also
+        excludes replace/rewrite snapshots. No data scan.
+
+        If ``since`` has been expired (manifest gone), degrades to the
+        FULL ``until`` file set: with idempotent partition overwrite
+        downstream this is correct, just not incremental — callers that
+        must stay incremental should expire snapshots no older than their
+        consumers' high-water marks.
         """
         until = until or self.head()
         if until is None:
             return None
-        base = set(self._files(since)) if since else set()
-        delta = [f for f in self._files(until) if f not in base]
+        chain = self.snapshots()
+        ids = [m["snapshot_id"] for m in chain]
+        if since is not None and since not in ids:
+            # since expired: full rebuild fallback
+            return self._read_files(spark, self._files(until))
+        lo = ids.index(since) + 1 if since is not None else 0
+        hi = ids.index(until) + 1
+        delta: list[str] = []
+        seen: set[str] = set()
+        for i in range(lo, hi):
+            m = chain[i]
+            if m["operation"] == "compact":
+                continue
+            parent_files = set(chain[i - 1]["files"]) if i > 0 else set()
+            for f in m["files"]:
+                if f not in parent_files and f not in seen:
+                    seen.add(f)
+                    delta.append(f)
+        # drop files that a later delete/overwrite removed again by `until`
+        live = set(self._files(until))
+        delta = [f for f in delta if f in live]
         if not delta:
             return None
         return self._read_files(spark, delta)

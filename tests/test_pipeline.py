@@ -313,3 +313,57 @@ def test_maintain_compacts_and_expires(spark, tmp_path, raw_points):
     assert rep["raw"]["compacted"]
     assert _tier_rows(p.read_tier("daily")) == before
     assert len(p.raw.snapshots()) == 1
+
+
+def test_refresh_survives_expired_hwm_snapshot(spark, tmp_path, raw_points):
+    """expire_snapshots may remove the manifest a tier's HWM points at;
+    the next refresh must degrade to a (correct, idempotent) full
+    recompute instead of crashing on the missing manifest."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    early = raw_points.where(F.col("ts") < "2019-11-15")
+    late = raw_points.where(F.col("ts") >= "2019-11-15")
+    p.ingest(early)
+    p.refresh()
+    p.ingest(late)
+    p.raw.expire_snapshots(keep_last=1)  # HWM snapshot manifest now gone
+    rep = p.refresh()  # must not raise
+    assert rep["daily"]["rows"] > 0
+    daily_e, dek_e, mon_e = _expected_tiers(raw_points)
+    assert _tier_rows(p.read_tier("monthly")) == _tier_rows(mon_e)
+
+
+def test_compaction_does_not_trigger_full_recompute(spark, tmp_path, raw_points):
+    """A compact commit rewrites existing rows; incremental refresh must
+    NOT read the rewrite as fresh data (it would recompute every month
+    after each maintenance run)."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points.where(F.col("ts") < "2019-11-15"))
+    p.ingest(raw_points.where(F.col("ts") >= "2019-11-15"))
+    p.refresh()
+    assert p.raw.compact(spark, target_rows_per_file=10**9) is not None
+    rep = p.refresh()
+    assert rep["daily"].get("skipped"), rep  # no new DATA -> no recompute
+
+
+def test_refresh_skips_months_aged_out_of_source(spark, tmp_path, raw_points):
+    """A late row for a month that retention already dropped from raw
+    must NOT trigger a recompute of that month from the now-partial raw
+    table — that would overwrite correct daily/dekadal/monthly history
+    with a rollup of the single late row."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)  # 2019-10..12
+    p.refresh()
+    before = _tier_rows(p.read_tier("daily"))
+    p.retention({"raw": 1}, as_of="2019-12")  # raw keeps only 2019-12
+    # one late/reprocessed point for the aged-out month arrives
+    late = raw_points.where(F.col("ts") < "2019-10-02").limit(1)
+    assert late.count() == 1
+    p.ingest(late)
+    rep = p.refresh()
+    assert rep["daily"].get("skipped_aged_months") == ["2019-10"]
+    # daily history for the dropped month is untouched
+    assert _tier_rows(p.read_tier("daily")) == before
+    # retention lineage records the pre-drop snapshot (src != dst)
+    lin = p.lineage.read(spark).where("status = 'retention'").head()
+    assert lin["src_snapshot"] != lin["dst_snapshot"]
+    assert lin["note"] == "2019-11"

@@ -233,3 +233,13 @@ def test_ngram_jaccard_strategies_agree(spark, docs):
         ).collect()
     }
     assert auto == jn
+
+
+def test_cosine_topk_never_returns_self(spark, emb):
+    # force many tiny corpus blocks so the query's block has <= k rows:
+    # the -inf self mask alone would then leak the self-match back in
+    small = emb.where(F.col("vec_id") < 40).repartition(32)
+    out = cosine_topk(small, small.where(F.col("vec_id") < 5), k=5).collect()
+    assert out
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    assert not any(r["cos_sim"] == 1.0 and r["rank"] == 1 for r in out)
