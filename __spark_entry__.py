@@ -485,6 +485,51 @@ def _q_flag_meanings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mask_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P6 subgrid mask as a broadcast LEFT-SEMI join: keep only events
+    whose key is in the active set (reference keeps activegpis rows,
+    /root/reference/src/c3s_sm/interface.py:158-195; land grid
+    reshuffle.py:156-159). isin() works for tiny sets; the semi-join is
+    the scale form — no payload columns move for the mask side."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    active = cust.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        ev.join(F.broadcast(active), "user_id", "leftsemi")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v_sum"))
+    )
+
+
+def _q_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 general (irregular-grid) case: broadcast-kNN join + row_number
+    over distance — the plan the regular-grid arithmetic shortcut
+    replaces. Station coordinates derive from supplier keys on exact
+    half-degree points so distances are exact binary fractions (hash-
+    stable across engines)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.grid import nearest_join
+
+    ev = _events(spark, sf_dir).select("user_id").distinct()
+    lon, lat = _lonlat()
+    pts = ev.select("user_id", lon.alias("lon"), lat.alias("lat"))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    stations = sup.select(
+        F.col("s_suppkey").alias("station_id"),
+        ((F.col("s_suppkey") * 37 % 720) - 360 + 0.5).cast("double").alias("lon"),
+        ((F.col("s_suppkey") * 17 % 360) - 180 + 0.5).cast("double").alias("lat"),
+    )
+    out = nearest_join(pts, stations, ["user_id"], k=1)
+    return out.select(
+        "user_id",
+        F.col("nn_id").alias("station_id"),
+        F.round("nn_d2", 4).alias("d2"),
+    )
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -718,6 +763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "anomaly_zscore": _q_anomaly_zscore,
         "flag_meanings": _q_flag_meanings,
+        "mask_semi_join": _q_mask_semi_join,
+        "nearest_station": _q_nearest_station,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,
         "coverage": _q_coverage,
@@ -985,6 +1032,37 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN bit_or({_FLAG_SQL}) & 16 <> 0 THEN 'other' END
                    ) AS seen
             FROM events GROUP BY 1, 2
+        """,
+        "mask_semi_join": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_acctbal > 5000)
+            GROUP BY event_type
+        """,
+        "nearest_station": """
+            WITH pts AS (
+                SELECT DISTINCT user_id,
+                       (user_id % 1440) * 0.25 - 180.0 + 0.37 AS lon,
+                       (floor(user_id / 1440)::BIGINT % 720) * 0.25 - 90.0 + 0.11 AS lat
+                FROM events),
+            st AS (
+                SELECT s_suppkey AS station_id,
+                       CAST((s_suppkey * 37 % 720) - 360 + 0.5 AS DOUBLE) AS slon,
+                       CAST((s_suppkey * 17 % 360) - 180 + 0.5 AS DOUBLE) AS slat
+                FROM supplier),
+            scored AS (
+                SELECT p.user_id, s.station_id,
+                       (p.lon - s.slon)*(p.lon - s.slon)
+                       + (p.lat - s.slat)*(p.lat - s.slat) AS d2,
+                       row_number() OVER (
+                           PARTITION BY p.user_id
+                           ORDER BY (p.lon - s.slon)*(p.lon - s.slon)
+                                    + (p.lat - s.slat)*(p.lat - s.slat) ASC,
+                                    s.station_id ASC) AS rn
+                FROM pts p CROSS JOIN st s)
+            SELECT user_id, station_id, round(d2, 4) AS d2
+            FROM scored WHERE rn = 1
         """,
         "rollup_quantiles": """
             SELECT user_id,

@@ -54,6 +54,8 @@ HEADLINE = [
     "rollup_quantiles",
     "cell_pivot",
     "flag_meanings",
+    "mask_semi_join",
+    "nearest_station",
     "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",

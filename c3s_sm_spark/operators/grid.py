@@ -67,3 +67,47 @@ def in_bbox(
     """BBox predicate (P4) — a plain range predicate, so Catalyst pushes
     it into the scan and partition-prunes when lon/lat are partitioners."""
     return lon.between(lon_min, lon_max) & lat.between(lat_min, lat_max)
+
+
+def nearest_join(
+    left,
+    right,
+    left_keys,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    right_id: str = "station_id",
+    k: int = 1,
+):
+    """General-case nearest-neighbor lookup — J1 when the grid is NOT
+    regular (so the arithmetic shortcut above doesn't apply).
+
+    Broadcasts the (small) ``right`` point set, scores every pair with
+    squared euclidean distance in whole-stage codegen, and keeps the
+    ``k`` nearest per left row via ``row_number`` (ties break on the
+    right id ascending, deterministically). The left side streams
+    scan->project with no shuffle until the final per-key window; at
+    billions of left rows this is the standard broadcast-kNN plan — for
+    a LARGE right side, pre-bucket both sides by coarse cell
+    (:func:`gpi_cell`) and equi-join on the cell instead.
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    r = right.select(
+        F.col(right_id).alias("nn_id"),
+        F.col(lon_col).alias("nn_lon"),
+        F.col(lat_col).alias("nn_lat"),
+    )
+    joined = left.crossJoin(F.broadcast(r))
+    # explicit x*x, not **2: pow() guarantees only 1 ulp while multiply is
+    # exactly rounded — keeps distances bit-identical to SQL engines
+    dlon = F.col(lon_col) - F.col("nn_lon")
+    dlat = F.col(lat_col) - F.col("nn_lat")
+    d2 = dlon * dlon + dlat * dlat
+    w = Window.partitionBy(*left_keys).orderBy(
+        d2.asc(), F.col("nn_id").asc()
+    )
+    return (
+        joined.withColumn("nn_d2", d2)
+        .withColumn("nn_rank", F.row_number().over(w))
+        .where(F.col("nn_rank") <= k)
+    )
