@@ -159,7 +159,10 @@ def cosine_pairs(
             f"rows (got {len(rows)}); use LSH bucketing or block the "
             "pair space"
         )
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    # ids as dtype=object: works for long AND string keys (doc_id is the
+    # engine's canonical key); argsort on object arrays sorts like Spark's
+    # binary ordering for ASCII ids
+    ids = np.array([r[id_col] for r in rows], dtype=object)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     order = np.argsort(ids)
@@ -169,11 +172,11 @@ def cosine_pairs(
 
     def _candidates(batches):
         all_ids, all_mat = bc.value
-        pos = {int(i): p for p, i in enumerate(all_ids)}
+        pos = {i: p for p, i in enumerate(all_ids)}
         for pdf in batches:
             if not len(pdf):
                 continue
-            rows_idx = np.array([pos[int(i)] for i in pdf[id_col]])
+            rows_idx = np.array([pos[i] for i in pdf[id_col]])
             block = all_mat[rows_idx]
             sims = block @ all_mat.T
             ai, bj = np.nonzero(sims >= slack)
@@ -182,7 +185,10 @@ def cosine_pairs(
             keep = a_ids < b_ids
             yield pd.DataFrame({"a": a_ids[keep], "b": b_ids[keep]})
 
-    cand = df.select(id_col).mapInPandas(_candidates, schema="a long, b long")
+    id_type = df.schema[id_col].dataType.simpleString()
+    cand = df.select(id_col).mapInPandas(
+        _candidates, schema=f"a {id_type}, b {id_type}"
+    )
     va = df.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).cast("array<double>").alias("av"),

@@ -62,7 +62,7 @@ _LINEAGE_COLS = (
 )
 _METRICS_COLS = (
     "run_id string, tier string, pmonth string, n_rows bigint, n_points bigint, "
-    "ts_min timestamp, ts_max timestamp"
+    "ts_min timestamp, ts_max timestamp, written_at double"
 )
 
 
@@ -178,7 +178,10 @@ class TierPipeline:
         src = src_tbl.read(self.spark).where(F.col("pmonth").isin(months))
         if TIERS[tier] is None:
             # raw -> daily: keep-latest dedup then first-level rollup
-            order = ["version"] if "version" in src.columns else ["ts"]
+            # 'ts' is constant within a (key, ts) group — ordering by it
+            # made the survivor partition-dependent; the value column gives
+            # a deterministic keep-largest tiebreak when no version exists
+            order = ["version"] if "version" in src.columns else ["v"]
             src = keep_latest(src, [self.key, "ts"], order)
             out = rollup(
                 src,
@@ -256,6 +259,7 @@ class TierPipeline:
                     "n_points",
                     "ts_min",
                     "ts_max",
+                    F.lit(time.time()).alias("written_at"),
                 )
             )
             self.lineage.append(
@@ -296,7 +300,10 @@ class TierPipeline:
             "bucket",
             F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
         )
-        return self.packed[tier].overwrite_partitions(packed, {"tier": tier})
+        return self.packed[tier].overwrite_partitions(
+            packed,
+            {"tier": tier, "src_snapshot": self.tiers[tier].head()},
+        )
 
     # ----------------------------------------------------------------- reads
 
@@ -321,7 +328,19 @@ class TierPipeline:
         tier rows when no packed table exists.
         """
         try:
-            packed = self.packed[tier].read(self.spark)
+            ptbl = self.packed[tier]
+            head = ptbl.head()
+            if head is None:
+                raise FileNotFoundError(ptbl.root)
+            # staleness guard: the packed form is a materialization of a
+            # specific tier snapshot; after later ingest+refresh the tier
+            # moves on and the packed table would silently serve OLD data
+            # — fall back to the (always-current) tier rows until the
+            # next pack_tier()
+            packed_src = ptbl._manifest(head)["summary"].get("src_snapshot")
+            if packed_src != self.tiers[tier].head():
+                raise FileNotFoundError("packed table is stale")
+            packed = ptbl.read(self.spark)
             packed = packed.where(
                 (
                     F.col("bucket")
@@ -446,14 +465,26 @@ class TierPipeline:
 
     def coverage(self) -> DataFrame:
         """A4/A5 analog: per-tier coverage from the metrics table — no
-        data scan (manifest/metrics only, like Iceberg table stats)."""
-        return (
-            self.metrics.read(self.spark)
-            .groupBy("tier")
-            .agg(
-                F.min("ts_min").alias("period_from"),
-                F.max("ts_max").alias("period_to"),
-                F.sum("n_rows").alias("n_rows"),
-                F.sum("n_points").alias("n_points"),
-            )
+        data scan (manifest/metrics only, like Iceberg table stats).
+
+        Each refresh appends one metrics row per recomputed month that
+        describes the whole overwritten partition, so only the NEWEST row
+        per (tier, pmonth) is current — summing across runs would inflate
+        counts for every re-refreshed month."""
+        from pyspark.sql import Window
+
+        met = self.metrics.read(self.spark)
+        if "written_at" not in met.columns:  # pre-upgrade tables
+            met = met.withColumn("written_at", F.lit(None).cast("double"))
+        w = Window.partitionBy("tier", "pmonth").orderBy(
+            F.col("written_at").desc_nulls_last(), F.col("run_id").desc()
+        )
+        latest = met.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        )
+        return latest.groupBy("tier").agg(
+            F.min("ts_min").alias("period_from"),
+            F.max("ts_max").alias("period_to"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("n_points").alias("n_points"),
         )

@@ -45,7 +45,15 @@ def ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_c3s_pkg_shipped", False):
         return
-    zpath = os.path.join("/tmp", "c3s_sm_spark_pyfiles.zip")
+    # zip name keyed on the newest source mtime: a fixed name kept
+    # shipping STALE code to executors after any edit (pandas-UDF
+    # closures then ran the old module version worker-side)
+    newest = 0.0
+    for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
+        for fn in filenames:
+            if fn.endswith(".py"):
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
+    zpath = os.path.join("/tmp", f"c3s_sm_spark_pyfiles_{int(newest)}.zip")
     if not os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:

@@ -367,3 +367,38 @@ def test_refresh_skips_months_aged_out_of_source(spark, tmp_path, raw_points):
     lin = p.lineage.read(spark).where("status = 'retention'").head()
     assert lin["src_snapshot"] != lin["dst_snapshot"]
     assert lin["note"] == "2019-11"
+
+
+def test_coverage_not_inflated_by_rerefresh(spark, tmp_path, raw_points):
+    """Each refresh appends metrics rows for the whole overwritten month;
+    coverage must report the CURRENT state, not the sum across runs."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    early = raw_points.where(F.col("ts") < "2019-10-20")
+    late = raw_points.where(
+        (F.col("ts") >= "2019-10-20") & (F.col("ts") < "2019-11-01")
+    )
+    p.ingest(early)
+    p.refresh(["daily"])
+    p.ingest(late)
+    p.refresh(["daily"])  # October recomputed+overwritten a second time
+    cov = {r["tier"]: r.asDict() for r in p.coverage().collect()}
+    truth = p.read_tier("daily").count()
+    assert cov["daily"]["n_rows"] == truth
+
+
+def test_point_read_falls_back_when_packed_stale(spark, tmp_path, raw_points):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    early = raw_points.where(F.col("ts") < "2019-11-01")
+    late = raw_points.where(F.col("ts") >= "2019-11-01")
+    p.ingest(early)
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    key = "doc0000000003"
+    n_before = len(p.point_read(key, "daily").collect())
+    p.ingest(late)
+    p.refresh(["daily"])  # daily tier moves on; packed table now stale
+    got = p.point_read(key, "daily").collect()
+    exp = p.read_tier("daily").where(F.col("doc_id") == key).count()
+    assert len(got) == exp > n_before  # fresh rows visible, not stale pack
+    p.pack_tier("daily")  # re-pack: packed path serves current data again
+    assert len(p.point_read(key, "daily").collect()) == exp
