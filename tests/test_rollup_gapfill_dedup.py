@@ -224,3 +224,36 @@ def test_climatology_and_anomaly_zscore(spark):
     ).collect()
     z20 = {r["k"]: r["z"] for r in out2}
     assert z20["a"] == pytest.approx((20.0 - 15.0) / math.sqrt(50.0))
+
+
+def test_tiers_bit_identical_across_partitionings(spark):
+    """north_rule: rolled-up points must match bit-for-bit at different
+    cluster sizes. The raw values are integer-valued doubles (token ids),
+    so every partial sum is exact below 2^53 and float addition order —
+    the only partitioning-dependent effect — cannot change any tier
+    value. This test pins that: same input at 3 vs 64 partitions, both
+    paths repartitioned differently, compared on raw value BITS."""
+    import struct
+
+    from c3s_sm_spark.synth import gen_sequences, sequences_to_points
+
+    def tiers(n_parts):
+        pts = sequences_to_points(gen_sequences(spark, 150, n_partitions=n_parts))
+        pts = pts.repartition(n_parts)
+        daily = rollup(pts, ["doc_key"], "ts", "daily", value_col="v", flag_col="flag")
+        mon = cascade(cascade(daily, ["doc_key"], "dekadal"), ["doc_key"], "monthly")
+        out = {}
+        for name, df in (("daily", daily), ("monthly", mon)):
+            out[name] = {
+                (r["doc_key"], str(r["ts"])): (
+                    struct.pack("<d", r["v_mean"]),
+                    struct.pack("<d", r["v_sum"]),
+                    r["nobs"],
+                    r["flags"],
+                )
+                for r in df.collect()
+            }
+        return out
+
+    a, b = tiers(3), tiers(64)
+    assert a == b  # exact bit equality, including the float columns
