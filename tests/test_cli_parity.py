@@ -33,6 +33,10 @@ main(["--base", {base!r}, "--master", "local[4]", "rollup"])
 main(["--base", {base!r}, "--master", "local[4]", "status"])
 main(["--base", {base!r}, "--master", "local[4]", "read",
       "--key", "doc0000000003", "--tier", "monthly", "--limit", "100"])
+main(["--base", {base!r}, "--master", "local[4]", "retention",
+      "--keep", "raw=1", "--as-of", "2019-12"])
+main(["--base", {base!r}, "--master", "local[4]", "maintain",
+      "--keep-snapshots", "2"])
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -52,7 +56,12 @@ def test_cli_matches_api(spark, tmp_path):
     assert report["daily"]["rows"] > 0
     status = json.loads(cli_lines[2])
     assert set(status["tiers"]) == {"daily", "dekadal", "monthly"}
-    read_rows = [json.loads(l) for l in cli_lines[3:]]
+    # last two lines: retention report then maintain report
+    maintain = json.loads(cli_lines[-1])
+    assert set(maintain) == {"raw", "daily", "dekadal", "monthly"}
+    retention = json.loads(cli_lines[-2])
+    assert retention["raw"]["dropped_months"] >= 1  # 2019-10/11 aged out
+    read_rows = [json.loads(l) for l in cli_lines[3:-2]]
     assert read_rows
 
     # API path on the same deterministic input
