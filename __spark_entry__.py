@@ -22,6 +22,7 @@ from c3s_sm_spark.operators.dedup import keep_latest  # noqa: E402
 from c3s_sm_spark.operators.dedup_text import (  # noqa: E402
     exact_dedup,
     minhash_lsh_candidates,
+    ngram_containment,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -530,6 +531,18 @@ def _q_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-(doc, probe) n-gram containment —
+    probes are the first 20 documents standing in for an eval suite;
+    self-pairs are the containment-1.0 positives the op must flag."""
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    probes = docs.where(
+        F.col("doc_id") < 20
+    ).select(F.col("doc_id").alias("probe_id"), "text")
+    return ngram_containment(docs, probes, k=2, threshold=0.5)
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -764,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anomaly_zscore": _q_anomaly_zscore,
         "flag_meanings": _q_flag_meanings,
         "mask_semi_join": _q_mask_semi_join,
+        "decontaminate": _q_decontaminate,
         "nearest_station": _q_nearest_station,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,
@@ -1032,6 +1046,28 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN bit_or({_FLAG_SQL}) & 16 <> 0 THEN 'other' END
                    ) AS seen
             FROM events GROUP BY 1, 2
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS sh
+              FROM w WHERE len(ws) >= 2),
+            psh AS (SELECT doc_id AS probe_id, sh FROM sh WHERE doc_id < 20),
+            totals AS (SELECT probe_id, count(*) AS probe_total
+                       FROM psh GROUP BY 1),
+            inter AS (
+              SELECT d.doc_id, p.probe_id, count(*) AS contained
+              FROM sh d JOIN psh p ON d.sh = p.sh
+              GROUP BY 1, 2)
+            SELECT i.doc_id, i.probe_id, i.contained, t.probe_total,
+                   round(i.contained / t.probe_total, 4) AS containment
+            FROM inter i JOIN totals t USING (probe_id)
+            WHERE round(i.contained / t.probe_total, 4) >= 0.5
         """,
         "mask_semi_join": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS v_sum

@@ -56,6 +56,7 @@ HEADLINE = [
     "flag_meanings",
     "mask_semi_join",
     "nearest_station",
+    "decontaminate",
     "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",

@@ -453,3 +453,55 @@ def simhash_near_pairs(
         .select("a", "b", "hamming")
     )
     return pairs
+
+
+def ngram_containment(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    probe_id_col: str = "probe_id",
+    probe_text_col: str = "text",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per (doc, probe) n-gram containment.
+
+    For every training document and every probe (an eval/benchmark item),
+    the fraction of the PROBE's distinct k-gram shingles that appear in
+    the document — the standard n-gram-overlap decontamination signal
+    (docs with containment ~1 for some probe leak the benchmark and
+    should be dropped). Output: ``(doc_id, probe_id, contained,
+    probe_total, containment)``; with ``threshold``, only pairs at or
+    above it.
+
+    Physical strategy: the probe set is small by definition (an eval
+    suite), so its shingles broadcast; the corpus-side shingle stream
+    joins it with no corpus shuffle before the per-pair count. At 100 TB
+    the only shuffle is the (doc, probe) aggregation, whose cardinality
+    is bounded by matches — near-zero for a clean corpus.
+    """
+    d_sh = shingles(docs, text_col, k).select(
+        "doc_id", F.xxhash64("sh").alias("shh")
+    )
+    p_base = probes.select(
+        F.col(probe_id_col).alias("doc_id"), F.col(probe_text_col).alias("text")
+    )
+    p_sh = shingles(p_base, "text", k).select(
+        F.col("doc_id").alias(probe_id_col), F.xxhash64("sh").alias("shh")
+    )
+    totals = p_sh.groupBy(probe_id_col).agg(F.count("*").alias("probe_total"))
+    inter = (
+        d_sh.join(F.broadcast(p_sh), "shh")
+        .groupBy("doc_id", probe_id_col)
+        .agg(F.count("*").alias("contained"))
+    )
+    out = inter.join(F.broadcast(totals), probe_id_col).select(
+        "doc_id",
+        probe_id_col,
+        "contained",
+        "probe_total",
+        F.round(F.col("contained") / F.col("probe_total"), 4).alias("containment"),
+    )
+    if threshold is not None:
+        out = out.where(F.col("containment") >= threshold)
+    return out

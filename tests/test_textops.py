@@ -243,3 +243,24 @@ def test_cosine_topk_never_returns_self(spark, emb):
     assert out
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
     assert not any(r["cos_sim"] == 1.0 and r["rank"] == 1 for r in out)
+
+
+def test_ngram_containment_decontamination(spark, docs):
+    from c3s_sm_spark.operators.dedup_text import ngram_containment
+
+    probes = docs.limit(3).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    out = ngram_containment(docs, probes, k=2).collect()
+    by_pair = {(r["doc_id"], r["probe_id"]): r for r in out}
+    # every probe is fully contained in its own source doc
+    for p in probes.collect():
+        r = by_pair[(p["probe_id"], p["probe_id"])]
+        assert r["containment"] == 1.0
+        assert r["contained"] == r["probe_total"] > 0
+    # threshold filters
+    flagged = ngram_containment(docs, probes, k=2, threshold=1.0).collect()
+    assert all(r["containment"] >= 1.0 for r in flagged)
+    assert {(r["doc_id"], r["probe_id"]) for r in flagged} >= {
+        (p["probe_id"], p["probe_id"]) for p in probes.collect()
+    }
