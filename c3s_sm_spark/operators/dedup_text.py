@@ -328,22 +328,17 @@ def minhash_lsh_candidates(
     sh = sh_cached.withColumnRenamed("h", "shh")
     cand = cand.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # no broadcast hints: candidate cardinality is data-dependent (tiny for
-    # a clean corpus, big for a dup-heavy one) and sizes is one row per
-    # doc — AQE picks broadcast vs shuffle join from runtime sizes
-    a_sh = sh.join(
-        cand.select("a").distinct(),
-        sh["doc_id"] == F.col("a"),
-        "leftsemi",
-    ).select(F.col("doc_id").alias("a"), "shh")
-    b_sh = sh.join(
-        cand.select("b").distinct(),
-        sh["doc_id"] == F.col("b"),
-        "leftsemi",
-    ).select(F.col("doc_id").alias("b"), "shh")
+    # two joins, no prefilter stages: joining cand directly against the
+    # a-side shingles both restricts AND attaches b in one step (AQE
+    # broadcasts the tiny candidate set at runtime; no hard hint — a
+    # dup-heavy corpus with a huge candidate set falls back to a shuffle
+    # join safely). The earlier two-leftsemi + two-join formulation spent
+    # more wall time scheduling its extra stages than verifying.
+    a_sh = cand.join(
+        sh.select(F.col("doc_id").alias("a"), "shh"), "a"
+    )  # (a, b, shh) = every shingle of a, per candidate pair
     inter = (
-        cand.join(a_sh, "a")
-        .join(b_sh, ["b", "shh"])
+        a_sh.join(sh.select(F.col("doc_id").alias("b"), "shh"), ["b", "shh"])
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
