@@ -1191,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2 HAVING count(*) > 1
         """,
-        # minhash_lsh, simhash, ann_lsh, multimodal_features: intentionally
+        # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary
         # featurization are not ANSI-SQL-expressible); driver records
         # rows-only checks, exact values pinned in pytest.

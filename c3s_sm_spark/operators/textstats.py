@@ -32,7 +32,8 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_tok.alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
-        F.round(n_nonspace / n_tok, 4).alias("avg_tok_len"),
+        # nullif: empty text must yield NULL like SQL engines, not 0/0=NaN
+        F.round(n_nonspace / F.nullif(n_tok, F.lit(0)), 4).alias("avg_tok_len"),
     )
 
 
@@ -42,7 +43,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The composite ``quality`` is a plain weighted expression so it stays
     in codegen; thresholds are the caller's policy.
     """
-    n_chars = F.length(text_col).cast("long")
+    n_chars = F.nullif(F.length(text_col).cast("long"), F.lit(0))
     alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")).cast("long")
     spaces = n_chars - F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("long")
     w = words_col(text_col)

@@ -75,7 +75,10 @@ def sequences_to_points(seq: DataFrame) -> DataFrame:
         # document before the explode: long group keys roughly halve the
         # tier-aggregation cost vs 14-char string keys, and unlike a hash
         # surrogate this is collision-free at any corpus size
-        F.substring("doc_id", 4, 10).cast("bigint").alias("doc_key"),
+        # length 18, not 10: %010d pads to a MINIMUM of 10 digits, so ids
+        # >= 1e10 print 11+ digits and a 10-char slice would truncate —
+        # colliding distinct docs above 1e10 (the advertised scale is 1e12)
+        F.substring("doc_id", 4, 18).cast("bigint").alias("doc_key"),
         "source",
         F.posexplode("tokens").alias("pos", "token"),
     ).select(

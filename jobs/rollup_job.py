@@ -53,9 +53,23 @@ def cmd_synth(args) -> None:
     print(json.dumps({"ingested_docs": args.docs, "snapshot": snap}))
 
 
+def _parse_tiers(spec: str) -> list[str] | None:
+    if spec == "all":
+        return None
+    tiers = [t.strip() for t in spec.split(",") if t.strip()]
+    bad = [t for t in tiers if t not in TIERS]
+    if bad:
+        raise SystemExit(
+            f"unknown tier(s) {bad}; valid: {', '.join(TIERS)}"
+        )
+    return tiers
+
+
 def cmd_rollup(args) -> None:
+    # validate BEFORE starting Spark: a typo'd tier must be a usage
+    # error, not a KeyError after half the tiers already refreshed
+    tiers = _parse_tiers(args.tiers)
     p = _pipeline(args)
-    tiers = None if args.tiers == "all" else args.tiers.split(",")
     report = p.refresh(tiers)
     print(json.dumps(report))
 
@@ -78,11 +92,20 @@ def cmd_read(args) -> None:
 
 
 def cmd_retention(args) -> None:
-    p = _pipeline(args)
     policy = {}
+    valid = {"raw", *TIERS}
     for item in args.keep.split(","):
-        tier, months = item.split("=")
-        policy[tier.strip()] = int(months)
+        try:
+            tier, months = item.split("=")
+        except ValueError:
+            raise SystemExit(f"bad --keep entry {item!r}; use tier=months")
+        tier = tier.strip()
+        if tier not in valid:
+            raise SystemExit(
+                f"unknown tier {tier!r}; valid: {', '.join(sorted(valid))}"
+            )
+        policy[tier] = int(months)
+    p = _pipeline(args)
     report = p.retention(policy, as_of=args.as_of)
     print(json.dumps(report))
 

@@ -75,3 +75,27 @@ def test_points_raw_gaps_and_dups(spark):
     # duplicates collide on (doc_id, ts) with different values
     j = base.join(dups, ["doc_id", "ts"], "inner")
     assert j.count() == dups.count()
+
+
+def test_doc_key_unique_beyond_ten_digits(spark):
+    """%010d pads to a MINIMUM of 10 digits; the surrogate key must not
+    truncate ids >= 1e10 (a 10-char slice collided doc1000000000 with
+    doc10000000000 — fatal at the advertised 1e12 scale)."""
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.synth import sequences_to_points
+
+    seq = spark.createDataFrame(
+        [
+            ("doc%010d" % i, [1, 2], 2, "cc")
+            for i in (7, 999_999_999, 1_000_000_000, 10_000_000_000, 123_456_789_012)
+        ],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    keys = {
+        r["doc_id"]: r["doc_key"]
+        for r in sequences_to_points(seq).select("doc_id", "doc_key").distinct().collect()
+    }
+    assert len(set(keys.values())) == len(keys)
+    for doc_id, key in keys.items():
+        assert key == int(doc_id[3:])

@@ -77,10 +77,9 @@ print("RESULT " + json.dumps(best))
 """
 
 
-def run_at(cores: int, sf: float, repeats: int, docs: int) -> dict:
+def run_at(cores: int, sf: float, repeats: int) -> dict:
     code = _CHILD.format(
         repo=REPO, cores=cores, sf=sf, warm_sf=sf / 10, repeats=repeats,
-        docs=docs,
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -106,8 +105,8 @@ def main() -> None:
     from bench import PIPELINE_DOCS_PER_SF
 
     sf = args.docs / PIPELINE_DOCS_PER_SF
-    small = run_at(args.small, sf, args.repeats, args.docs)
-    large = run_at(args.large, sf, args.repeats, args.docs)
+    small = run_at(args.small, sf, args.repeats)
+    large = run_at(args.large, sf, args.repeats)
     ratio = args.large / args.small
     eff = (large["points_per_sec"] / small["points_per_sec"]) / ratio
     cpu_eff = (small["cpu_probe_sec"] / large["cpu_probe_sec"]) / ratio
