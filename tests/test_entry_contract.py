@@ -89,3 +89,33 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema) > 0
+
+
+def test_mean4_formula_is_decimal_exact_half_up():
+    """The engine's bit-stable mean floor((2*sm + 100*n)/(200*n))/1e4 must
+    equal DECIMAL-exact half-up rounding of sm/(1e2*n) at 4 places for
+    any micro-unit sum and count (property test, no Spark needed)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        sm=st.integers(min_value=0, max_value=10**13),
+        n=st.integers(min_value=1, max_value=10**5),
+    )
+    def check(sm, n):
+        got = int((2 * sm + 100 * n) // (200 * n))  # integer form
+        exp = int(
+            (Decimal(sm) / (100 * n)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+        assert got == exp, (sm, n, got, exp)
+        # the float-division form used in the actual Column expression
+        # agrees within the proven 1/(200n) >> 1-ulp safety margin
+        import math
+
+        got_f = math.floor((2 * sm + 100 * n) / (200 * n))
+        assert got_f == exp, (sm, n, got_f, exp)
+
+    check()
