@@ -543,6 +543,31 @@ def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment(docs, probes, k=2, threshold=0.5)
 
 
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary histogram: top-50 tokens by total occurrences
+    with document frequency — the canonical explode -> count -> rank
+    pattern over the token payload (ties broken on the token string so
+    the cut is deterministic)."""
+    _prep(spark)
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.regexp_replace(F.trim("text"), r"\s+", " "), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count("*").alias("occurrences"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select("rank", "tok", "occurrences", "doc_freq")
+    )
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -778,6 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_meanings": _q_flag_meanings,
         "mask_semi_join": _q_mask_semi_join,
         "decontaminate": _q_decontaminate,
+        "token_freq": _q_token_freq,
         "nearest_station": _q_nearest_station,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,
@@ -1046,6 +1072,22 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN bit_or({_FLAG_SQL}) & 16 <> 0 THEN 'other' END
                    ) AS seen
             FROM events GROUP BY 1, 2
+        """,
+        "token_freq": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(
+                        regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+              FROM documents),
+            counts AS (
+              SELECT tok, count(*) AS occurrences,
+                     count(DISTINCT doc_id) AS doc_freq
+              FROM toks GROUP BY tok)
+            SELECT row_number() OVER (ORDER BY occurrences DESC, tok ASC) AS rank,
+                   tok, occurrences, doc_freq
+            FROM counts
+            ORDER BY occurrences DESC, tok ASC
+            LIMIT 50
         """,
         "decontaminate": r"""
             WITH w AS (

@@ -57,6 +57,7 @@ HEADLINE = [
     "mask_semi_join",
     "nearest_station",
     "decontaminate",
+    "token_freq",
     "filename_roundtrip",
     "dedup_exact",
     "doc_fingerprint",
