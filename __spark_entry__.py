@@ -568,6 +568,17 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame via a
+    one-to-many mapInPandas (decode stubbed deterministically — no SQL
+    oracle; exact frame indices/payloads pinned in tests)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.multimodal import attach_fake_media, sample_frames
+
+    media = attach_fake_media(_docs(spark, sf_dir).limit(200))
+    return sample_frames(media, every_n=10, max_frames=8)
+
+
 def _q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/A5 coverage min/max + parameter presence per key."""
     _prep(spark)
@@ -804,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_semi_join": _q_mask_semi_join,
         "decontaminate": _q_decontaminate,
         "token_freq": _q_token_freq,
+        "frame_sample": _q_frame_sample,
         "nearest_station": _q_nearest_station,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,

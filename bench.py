@@ -73,6 +73,7 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "multimodal_features",
+    "frame_sample",
 ]
 
 #: docs per unit scale factor for the flagship pipeline (avg ~1056

@@ -80,3 +80,82 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         _featurize,
         schema="doc_id string, media_type string, n_bytes long, features array<double>",
     )
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224, fake: bool = True
+) -> DataFrame:
+    """Distributed image resize over binary payloads (``mapInPandas``).
+
+    Real path (STUBBED — no image library here): decode -> resample to
+    (target_w, target_h) -> re-encode. The fake path exercises the full
+    Spark plumbing with a deterministic payload transform: output bytes =
+    sha256(payload || WxH), so schema, metadata propagation and
+    per-batch shape are testable end-to-end. Swapping in a real resizer
+    changes only ``_resize_one``.
+    """
+    import pandas as pd
+
+    def _resize_one(payload: bytes) -> bytes:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires an image library not available in "
+                "this environment; pass fake=True for the deterministic stub"
+            )
+        tag = f"{target_w}x{target_h}".encode()
+        return hashlib.sha256(payload + tag).digest()
+
+    def _resize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": [_resize_one(p) for p in pdf["payload"]],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, max_frames: int = 8, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row PER SAMPLED FRAME (a
+    one-to-many ``mapInPandas``, the flatMap shape real video pipelines
+    need). Frame count derives deterministically from the payload; each
+    fake frame's payload is sha256(payload || frame_idx). Output:
+    ``(doc_id, frame_idx, frame_payload)``.
+    """
+    import pandas as pd
+
+    def _sample(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame extraction requires a video library not "
+                        "available here; pass fake=True for the stub"
+                    )
+                n_total = (payload[0] % 100) + 1  # deterministic "video length"
+                sampled = list(range(0, n_total, every_n))[:max_frames]
+                for i in sampled:
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(
+                        hashlib.sha256(payload + i.to_bytes(4, "little")).digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_payload": frames}
+            )
+
+    return media.mapInPandas(
+        _sample, schema="doc_id string, frame_idx int, frame_payload binary"
+    )

@@ -264,3 +264,35 @@ def test_ngram_containment_decontamination(spark, docs):
     assert {(r["doc_id"], r["probe_id"]) for r in flagged} >= {
         (p["probe_id"], p["probe_id"]) for p in probes.collect()
     }
+
+
+def test_multimodal_resize_and_frame_sampling(spark, docs):
+    import hashlib
+
+    from c3s_sm_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_images,
+        sample_frames,
+    )
+
+    media = attach_fake_media(docs.limit(50))
+    resized = resize_images(media, target_w=64, target_h=64).collect()
+    assert len(resized) == 50
+    src = {r["doc_id"]: r["payload"] for r in media.collect()}
+    for r in resized:
+        assert (r["width"], r["height"]) == (64, 64)
+        exp = hashlib.sha256(bytes(src[r["doc_id"]]) + b"64x64").digest()
+        assert bytes(r["payload"]) == exp  # deterministic through Spark
+    frames = sample_frames(media, every_n=10, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert set(by_doc) <= set(src)
+    for doc_id, idxs in by_doc.items():
+        n_total = (bytes(src[doc_id])[0] % 100) + 1
+        assert sorted(idxs) == list(range(0, n_total, 10))[:8]
+    # unsupported real path fails loudly, not silently
+    import pytest
+
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        resize_images(media, fake=False).collect()
