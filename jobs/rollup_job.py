@@ -9,9 +9,11 @@ subcommands over the snapshot-table pipeline:
     rollup   full or incremental tier refresh (idempotent, resumable)
     extend   alias of rollup --tiers all (reference extend_ts: only new
              source snapshots are folded in)
-    pack     materialize packed-series (DoD+Gorilla) form of a tier
-    read     one key's series from a tier (packed-aware point read)
-    status   lineage high-water marks + per-tier coverage
+    pack      materialize packed-series (DoD+Gorilla) form of a tier
+    read      one key's series from a tier (packed-aware point read)
+    retention age out month partitions per keep-N-months policy
+    maintain  small-file compaction + snapshot expiry
+    status    lineage high-water marks + per-tier coverage
 
 Cluster launch::
 
