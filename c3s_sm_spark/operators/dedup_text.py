@@ -94,14 +94,13 @@ def ngram_jaccard_pairs(
     # negligible, and a collision only perturbs one count by 1)
     sh = shingles(docs, text_col, k).select(
         "doc_id", F.xxhash64("sh").alias("shh")
-    )
+    ).cache()  # one shingling pass serves the size probe AND either strategy
     if strategy != "join":
         out = _ngram_jaccard_matmul(
             docs, sh, threshold, max_broadcast_cells, strict=strategy == "matmul"
         )
         if out is not None:
             return out
-    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     left = sh.select(F.col("doc_id").alias("a"), "shh")
     right = sh.select(F.col("doc_id").alias("b"), "shh")
@@ -135,9 +134,23 @@ def _ngram_jaccard_matmul(
 
     Returns None when the shared-shingle matrix exceeds the broadcast
     budget (caller falls back to the join strategy), unless ``strict``.
+    The budget is checked with two cheap AGGREGATE jobs before anything
+    is collected — the earlier collect-then-check ordering materialized
+    the unbounded per-doc shingle lists on the driver first, OOM-ing it
+    on exactly the corpora the fallback exists for (ADVICE r1).
     """
     import pandas as pd
 
+    probe = sh.groupBy("shh").agg(F.count("*").alias("df_"))
+    v = probe.where(F.col("df_") >= 2).count()
+    n = sh.select("doc_id").distinct().count()
+    if n * max(v, 1) > max_broadcast_cells:
+        if strict:
+            raise ValueError(
+                f"matmul strategy needs {n}x{v} broadcast cells "
+                f"(cap {max_broadcast_cells}); use strategy='join' or LSH"
+            )
+        return None
     per_doc = (
         sh.groupBy("doc_id")
         .agg(F.collect_list("shh").alias("hs"))
@@ -149,15 +162,8 @@ def _ngram_jaccard_matmul(
     for hs in sets:
         for h in hs:
             df_count[h] = df_count.get(h, 0) + 1
-    vocab = {h: i for i, h in enumerate(c for c, n in df_count.items() if n >= 2)}
+    vocab = {h: i for i, h in enumerate(c for c, n_ in df_count.items() if n_ >= 2)}
     n, v = len(doc_ids), len(vocab)
-    if n * max(v, 1) > max_broadcast_cells:
-        if strict:
-            raise ValueError(
-                f"matmul strategy needs {n}x{v} broadcast cells "
-                f"(cap {max_broadcast_cells}); use strategy='join' or LSH"
-            )
-        return None
     order = np.argsort(np.array(doc_ids, dtype=object))
     doc_ids = [doc_ids[i] for i in order]
     sets = [sets[i] for i in order]

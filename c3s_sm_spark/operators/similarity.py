@@ -30,6 +30,15 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
+def _cos(a: Column, b: Column, round_digits: int = 4) -> Column:
+    """Rounded cosine with a null (not ANSI divide-error, not NaN) result
+    for zero-norm vectors; null sorts after every real similarity under
+    ``desc``, so a zero embedding can never displace a true neighbor."""
+    return F.round(
+        _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0)), round_digits
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -59,7 +68,9 @@ def cosine_topk(
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[id_col] for r in qrows], dtype=object)
     qmat = np.array([r[vec_col] for r in qrows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorms[qnorms == 0] = 1.0  # zero vector: sims stay 0, not NaN
+    qmat = qmat / qnorms
     bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
     # slack: one rounding quantum (ties on the rounded value re-order by
     # neighbor id, so a candidate a hair below the kth raw sim can still
@@ -73,7 +84,12 @@ def cosine_topk(
                 continue
             ids = pdf[id_col].to_numpy(dtype=object)
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            # a zero embedding would make its whole row NaN; NaN sorts as
+            # largest in np.partition and would inflate (or poison) the
+            # block's kth cut, silently dropping true neighbors
+            norms[norms == 0] = 1.0
+            mat = mat / norms
             sims = mat @ q_mat.T  # (block, nq)
             out_q, out_n = [], []
             for j in range(len(q_ids)):
@@ -107,10 +123,7 @@ def cosine_topk(
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            round_digits,
-        ).alias("cos_sim"),
+        _cos(F.col("qv"), F.col("cv"), round_digits).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -129,6 +142,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     round_digits: int = 4,
     max_broadcast_rows: int = 500_000,
+    strict: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) for every
     unordered pair with similarity >= ``threshold``.
@@ -145,26 +159,42 @@ def cosine_pairs(
     rounded 0.3). Survivors are re-scored exactly with the same
     deterministic left-to-right fold as :func:`cosine_topk`. A naive zip_with cross join measured 59 s on
     2k x 2k pairs; this runs in ~2 s. At corpus sizes beyond
-    ``max_broadcast_rows`` the matrix no longer broadcasts — block BOTH
-    sides (grid of block pairs) or prefilter with :func:`lsh_ann_topk`
-    buckets instead; this function then raises rather than silently
-    degrading.
+    ``max_broadcast_rows`` the matrix no longer broadcasts: the call
+    auto-routes to :func:`cosine_pairs_blocked` (both-sides-blocked
+    grid, bit-identical results) with a block count sized so each block
+    stays under the broadcast budget — unless ``strict=True``, which
+    raises instead for callers that must know the broadcast plan was
+    exceeded. The size probe is a metadata-cheap ``count()`` BEFORE any
+    driver materialization.
     """
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"cosine_pairs broadcast path caps at {max_broadcast_rows} "
-            f"rows (got {len(rows)}); use LSH bucketing or block the "
-            "pair space"
+    n_rows_total = df.count()
+    if n_rows_total > max_broadcast_rows:
+        if strict:
+            raise ValueError(
+                f"cosine_pairs broadcast path caps at {max_broadcast_rows} "
+                f"rows (got {n_rows_total}); use LSH bucketing or block "
+                "the pair space"
+            )
+        n_blocks = max(2, -(-4 * n_rows_total // max_broadcast_rows))
+        return cosine_pairs_blocked(
+            df,
+            threshold,
+            n_blocks=int(n_blocks),
+            id_col=id_col,
+            vec_col=vec_col,
+            round_digits=round_digits,
         )
+    rows = df.select(id_col, vec_col).collect()
     # ids as dtype=object: works for long AND string keys (doc_id is the
     # engine's canonical key); argsort on object arrays sorts like Spark's
     # binary ordering for ASCII ids
     ids = np.array([r[id_col] for r in rows], dtype=object)
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # zero vector: sims 0, never a candidate
+    mat = mat / norms
     order = np.argsort(ids)
     ids, mat = ids[order], mat[order]
     bc = df.sparkSession.sparkContext.broadcast((ids, mat))
@@ -198,10 +228,7 @@ def cosine_pairs(
         F.col(vec_col).cast("array<double>").alias("bv"),
     )
     scored = cand.join(va, "a").join(vb, "b")
-    sim = F.round(
-        _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))),
-        round_digits,
-    )
+    sim = _cos(F.col("av"), F.col("bv"), round_digits)
     return scored.select("a", "b", sim.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
@@ -295,10 +322,7 @@ def lsh_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            4,
-        ).alias("cos_sim"),
+        _cos(F.col("qv"), F.col("cv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -472,10 +496,7 @@ def ivf_ann_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            4,
-        ).alias("cos_sim"),
+        _cos(F.col("qv"), F.col("cv"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -572,10 +593,7 @@ def cosine_pairs_blocked(
         F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("bv")
     )
     scored = cand.join(va, "a").join(vb, "b")
-    sim = F.round(
-        _dot(F.col("av"), F.col("bv")) / (_norm(F.col("av")) * _norm(F.col("bv"))),
-        round_digits,
-    )
+    sim = _cos(F.col("av"), F.col("bv"), round_digits)
     return scored.select("a", "b", sim.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )

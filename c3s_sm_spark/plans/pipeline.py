@@ -281,7 +281,10 @@ class TierPipeline:
                     _LINEAGE_COLS,
                 )
             )
+            # merge, don't replace: an earlier skipped_aged_months note
+            # for this tier must survive alongside the refresh stats
             report[tier] = {
+                **report.get(tier, {}),
                 "months": len(months),
                 "rows": int(n_rows),
                 "wall_s": round(wall, 3),
@@ -421,6 +424,19 @@ class TierPipeline:
             snap = tbl.delete_partitions(
                 [(m,) for m in old], {"op": "retention", "run_id": run_id}
             )
+            if tier in self.tiers:
+                # tombstone metrics rows: without them coverage()'s
+                # latest-row-per-(tier, pmonth) would keep reporting the
+                # dropped months' last refresh stats forever
+                self.metrics.append(
+                    self.spark.createDataFrame(
+                        [
+                            (run_id, tier, m, 0, 0, None, None, time.time())
+                            for m in old
+                        ],
+                        _METRICS_COLS,
+                    )
+                )
             self.lineage.append(
                 self.spark.createDataFrame(
                     [

@@ -234,6 +234,21 @@ class SnapshotTable:
         Same contract as Iceberg's incremental APPEND scan, which also
         excludes replace/rewrite snapshots. No data scan.
 
+        Removals are attributed to the OPERATION that made them: a file a
+        ``compact`` dropped from the manifest still holds live rows (the
+        rewrite preserved them) and stays in the delta — its bytes remain
+        on disk until :meth:`expire_snapshots`, which can only reclaim
+        them after every manifest referencing them (including ``since``'s
+        whole retained suffix) has been expired, and an expired ``since``
+        already degrades to the full-read fallback below. Only
+        ``delete_partitions`` / ``overwrite`` / ``overwrite_partitions``
+        removals mean the rows themselves are gone or superseded: those
+        drop every delta file in the affected partitions (the removal
+        grain of both operations). The end-state ``files(until)`` filter
+        this replaces silently LOST rows appended after ``since`` and
+        compacted before ``until`` — the appends' files failed the
+        end-state check while their compacted replacements were skipped.
+
         If ``since`` has been expired (manifest gone), degrades to the
         FULL ``until`` file set: with idempotent partition overwrite
         downstream this is correct, just not incremental — callers that
@@ -255,15 +270,31 @@ class SnapshotTable:
         for i in range(lo, hi):
             m = chain[i]
             if m["operation"] == "compact":
-                continue
+                continue  # rewrite-only: no logical row change
             parent_files = set(chain[i - 1]["files"]) if i > 0 else set()
+            removed = parent_files - set(m["files"])
+            if removed:
+                # delete/overwrite removal: rows in the affected
+                # partitions are gone/superseded — drop them from the
+                # delta BEFORE adding this snapshot's own files
+                if self.partition_by:
+                    gone = {
+                        self._partition_of(f, self.partition_by)
+                        for f in removed
+                    }
+                    delta = [
+                        f
+                        for f in delta
+                        if self._partition_of(f, self.partition_by)
+                        not in gone
+                    ]
+                else:
+                    delta = []  # unpartitioned full overwrite
+                seen = set(delta)
             for f in m["files"]:
                 if f not in parent_files and f not in seen:
                     seen.add(f)
                     delta.append(f)
-        # drop files that a later delete/overwrite removed again by `until`
-        live = set(self._files(until))
-        delta = [f for f in delta if f in live]
         if not delta:
             return None
         return self._read_files(spark, delta)

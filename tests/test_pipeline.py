@@ -345,6 +345,56 @@ def test_compaction_does_not_trigger_full_recompute(spark, tmp_path, raw_points)
     assert rep["daily"].get("skipped"), rep  # no new DATA -> no recompute
 
 
+def test_append_then_compact_rows_still_reach_tiers(spark, tmp_path, raw_points):
+    """Rows appended after the HWM and compacted before the next refresh
+    must still be folded in: compaction only rewrites files, it never
+    removes logical rows, so the incremental delta must keep reading the
+    pre-compaction files (which stay on disk until expire_snapshots)."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    early = raw_points.where(F.col("ts") < "2019-11-15")
+    late = raw_points.where(F.col("ts") >= "2019-11-15")
+    p.ingest(early)
+    p.refresh()
+    p.ingest(late)  # two file sets in some partitions now
+    assert p.raw.compact(spark, target_rows_per_file=10**9) is not None
+    rep = p.refresh()  # delta = the late append's (pre-compact) files
+    assert rep["daily"]["rows"] > 0, rep
+    daily_e, dek_e, mon_e = _expected_tiers(raw_points)
+    assert _tier_rows(p.read_tier("daily")) == _tier_rows(daily_e)
+    assert _tier_rows(p.read_tier("monthly")) == _tier_rows(mon_e)
+    # and the now-caught-up refresh is a no-op
+    assert p.refresh()["daily"].get("skipped")
+
+
+def test_incremental_survives_compact_before_first_refresh(spark, tmp_path):
+    """ADVICE r1 (high): ingest -> compact -> read_incremental lost the
+    ingested rows entirely (delta emptied by the end-state file filter)."""
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    t.append(spark.createDataFrame([(1, "a"), (2, "a")], "x int, p string"))
+    t.append(spark.createDataFrame([(3, "a")], "x int, p string"))
+    assert t.compact(spark, target_rows_per_file=1000) is not None
+    inc = t.read_incremental(spark, None)
+    assert inc is not None
+    assert {r["x"] for r in inc.collect()} == {1, 2, 3}
+
+
+def test_incremental_respects_overwrite_and_delete_partitions(spark, tmp_path):
+    """Delta files superseded by a later overwrite_partitions (or dropped
+    by delete_partitions) inside the window must NOT be read back."""
+    t = SnapshotTable(str(tmp_path / "t"), ["p"])
+    s0 = t.append(spark.createDataFrame([(1, "a")], "x int, p string"))
+    t.append(spark.createDataFrame([(2, "a"), (3, "b")], "x int, p string"))
+    t.overwrite_partitions(
+        spark.createDataFrame([(20, "a")], "x int, p string")
+    )
+    inc = t.read_incremental(spark, s0)
+    # partition a's append (x=2) was superseded; b's append survives
+    assert {r["x"] for r in inc.collect()} == {20, 3}
+    t.delete_partitions([("b",)])
+    inc2 = t.read_incremental(spark, s0)
+    assert {r["x"] for r in inc2.collect()} == {20}
+
+
 def test_refresh_skips_months_aged_out_of_source(spark, tmp_path, raw_points):
     """A late row for a month that retention already dropped from raw
     must NOT trigger a recompute of that month from the now-partial raw
@@ -367,6 +417,20 @@ def test_refresh_skips_months_aged_out_of_source(spark, tmp_path, raw_points):
     lin = p.lineage.read(spark).where("status = 'retention'").head()
     assert lin["src_snapshot"] != lin["dst_snapshot"]
     assert lin["note"] == "2019-11"
+
+
+def test_coverage_reflects_retention_drops(spark, tmp_path, raw_points):
+    """Months aged out by retention() must leave per-tier coverage: the
+    tombstone metrics row supersedes the month's last refresh stats."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)  # 2019-10..12
+    p.refresh()
+    rep = p.retention({"daily": 1}, as_of="2019-12")
+    assert rep["daily"]["dropped_months"] == 2
+    cov = {r["tier"]: r.asDict() for r in p.coverage().collect()}
+    truth = p.read_tier("daily").count()
+    assert cov["daily"]["n_rows"] == truth
+    assert str(cov["daily"]["period_from"]).startswith("2019-12")
 
 
 def test_coverage_not_inflated_by_rerefresh(spark, tmp_path, raw_points):

@@ -204,6 +204,42 @@ def test_cosine_pairs_blocked_matches_broadcast(spark, emb):
         assert got == ref, f"n_blocks={n_blocks}"
 
 
+def test_cosine_pairs_auto_routes_past_broadcast_cap(spark, emb):
+    """Past max_broadcast_rows the call must route to the blocked grid
+    (same results), and raise only under strict=True (ADVICE/VERDICT r1)."""
+    ref = {
+        (r["a"], r["b"], r["cos_sim"])
+        for r in cosine_pairs(emb, threshold=0.3).collect()
+    }
+    routed = {
+        (r["a"], r["b"], r["cos_sim"])
+        for r in cosine_pairs(emb, threshold=0.3, max_broadcast_rows=100).collect()
+    }
+    assert routed == ref
+    with pytest.raises(ValueError, match="broadcast path caps"):
+        cosine_pairs(emb, threshold=0.3, max_broadcast_rows=100, strict=True)
+
+
+def test_cosine_topk_zero_norm_embedding_is_harmless(spark, emb):
+    """A zero embedding must not poison its block's top-k cut (NaN rows
+    sort as largest in np.partition) nor appear as a neighbor."""
+    zero_row = spark.createDataFrame(
+        [(99999, [0.0] * len(emb.select("embedding").first()[0]))],
+        emb.select("vec_id", "embedding").schema,
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(zero_row)
+    queries = emb.where(F.col("vec_id") < 5)
+    base = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    with_zero = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    assert with_zero == base  # zero vector never outranks a true neighbor
+
+
 def test_ngram_jaccard_strategies_agree(spark, docs):
     from c3s_sm_spark.operators.dedup_text import ngram_jaccard_pairs
 
