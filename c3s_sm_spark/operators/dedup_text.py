@@ -31,9 +31,21 @@ from c3s_sm_spark.operators.textstats import words_col
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: one row per distinct text with the keeper
-    (min doc_id) and the copy count."""
+    (min doc_id) and the copy count.
+
+    Groups by ``xxhash64(text)``, NOT the text column itself: the group
+    key is what moves through the shuffle, and at 100 TB keying on the
+    raw text would shuffle the entire corpus's bytes — the hash carries 8
+    bytes per row instead. Collision odds are ~n^2 / 2^65 (~3e-7 for a
+    10^9-doc corpus); a collision merges two distinct-text groups, which
+    callers needing certainty rule out by re-checking the kept docs'
+    texts (same argument :func:`ngram_jaccard_pairs` documents for its
+    shingle hashing). The DuckDB oracle groups by the text itself —
+    hash-equality of the results is exactly the collision-freeness check
+    at test scale.
+    """
     return (
-        docs.groupBy(text_col)
+        docs.groupBy(F.xxhash64(text_col).alias("th"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -141,9 +153,11 @@ def _ngram_jaccard_matmul(
     """
     import pandas as pd
 
+    # n upper bound: total docs (docs without shingles only shrink the
+    # matrix) — a metadata-cheap count, no extra shuffle over sh
+    n = docs.count()
     probe = sh.groupBy("shh").agg(F.count("*").alias("df_"))
     v = probe.where(F.col("df_") >= 2).count()
-    n = sh.select("doc_id").distinct().count()
     if n * max(v, 1) > max_broadcast_cells:
         if strict:
             raise ValueError(

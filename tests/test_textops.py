@@ -188,6 +188,46 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     }
 
 
+def test_ann_ivf_high_dimension(spark):
+    """IVF training cost must be dimension-independent (array partial
+    sums, not per-dim agg columns): d=256 trains and full-probe equals
+    exact brute force."""
+    from c3s_sm_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    rng = np.random.default_rng(7)
+    dim, n = 256, 300
+    base = rng.standard_normal((4, dim))
+    rows = [
+        (
+            i,
+            (base[i % 4] + 0.3 * rng.standard_normal(dim)).astype(float).tolist(),
+        )
+        for i in range(n)
+    ]
+    emb256 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb256.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in cosine_topk(emb256, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_ann_topk(
+            emb256, queries, k=5, n_lists=4, n_probe=4, n_iters=2
+        ).collect()
+    }
+    assert full == exact
+    # clustered corpus: probing 1 of 4 lists still finds most neighbors
+    part = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            emb256, queries, k=5, n_lists=4, n_probe=1, n_iters=2
+        ).collect()
+    }
+    exact_ids = {(q, nbh) for q, nbh, _ in exact}
+    assert len(part & exact_ids) / len(exact_ids) >= 0.6
+
+
 def test_cosine_pairs_blocked_matches_broadcast(spark, emb):
     from c3s_sm_spark.operators.similarity import cosine_pairs, cosine_pairs_blocked
 

@@ -111,7 +111,44 @@ def main() -> None:
         extra=lambda txt: {"single shuffle": txt.count("Exchange (") == 1},
     )
 
-    # 6. temporal grid: generated relation, no scan at all
+    # 6. token_freq top-k: TakeOrderedAndProject (per-partition top-50
+    # then merge), never a global single-partition rank window
+    import __spark_entry__ as E
+
+    tf = E._q_token_freq(spark, SF)
+    tf_txt = plan_text(tf)
+    sections.append(
+        (
+            "token_freq top-k: partial top-50, no global sort",
+            tf_txt,
+            {
+                "TakeOrderedAndProject": "TakeOrderedAndProject" in tf_txt,
+                # the only window left ranks the 50 surviving rows AFTER
+                # the limit, never the full token relation
+                "no pre-limit global window": tf_txt.index("TakeOrderedAndProject")
+                > tf_txt.index("Window")
+                if "Window" in tf_txt
+                else True,
+            },
+        )
+    )
+
+    # 7. nearest_join k=1: map-side partial min_by, no window over the
+    # expanded cross product
+    ns = E._q_nearest_station(spark, SF)
+    ns_txt = plan_text(ns)
+    sections.append(
+        (
+            "nearest_join k=1 (J1): partial min_by aggregation",
+            ns_txt,
+            {
+                "map-side partial min_by": "partial_min_by" in ns_txt,
+                "no rank window": "row_number" not in ns_txt,
+            },
+        )
+    )
+
+    # 8. temporal grid: generated relation, no scan at all
     grid_txt = plan_text(temporal_grid(spark, "dekadal", "2024-01-01", "2024-12-31"))
     sections.append(
         (
