@@ -789,6 +789,142 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_record_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: CDR+ICDR record merge — the reference unions the consolidated
+    (TCDR) and intermediate (ICDR) record streams into one timeline and
+    resolves overlaps by keeping the file that sorts LAST
+    (/root/reference/src/c3s_sm/download.py:93-96, interface.py:345-361;
+    'TCDR' > 'ICDR' lexicographically, so the consolidated record wins
+    the overlap — matching the product semantics). Here: two overlapping
+    event windows stand in for the records; union -> keep-latest on
+    event_id -> per (record, day) rollup."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    tcdr = ev.where(F.col("ts") < "2024-01-20").withColumn(
+        "record", F.lit("TCDR")
+    )
+    icdr = ev.where(F.col("ts") >= "2024-01-10").withColumn(
+        "record", F.lit("ICDR")
+    )
+    merged = tcdr.unionByName(icdr)
+    kept = keep_latest(merged, ["event_id"], ["record"])
+    return kept.groupBy(
+        "record", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v_sum"))
+
+
+def _q_ts_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: timestamp-match validation — the reference asserts the
+    timestamp embedded in a loaded file equals the requested one
+    (/root/reference/src/c3s_sm/interface.py:210-213). Here each row
+    builds its archive filename (1 in 97 deliberately embeds the WRONG
+    day), parses it back, and the per-day validation relation counts
+    mismatches — the relational form of that assert."""
+    _prep(spark)
+    from c3s_sm_spark.sources.ingest import build_filename, parse_filename
+
+    ev = _events(spark, sf_dir)
+    expected = F.date_trunc("day", "ts")
+    embedded = F.when(
+        F.col("event_id") % 97 == 0, expected + F.expr("INTERVAL 1 DAY")
+    ).otherwise(expected)
+    named = ev.select(
+        "event_id",
+        expected.alias("expected_day"),
+        build_filename(
+            F.lit("V"),
+            F.upper("event_type"),
+            F.lit("DAILY"),
+            embedded,
+            F.lit("TCDR"),
+            F.lit("202312.0"),
+            F.lit("0"),
+        ).alias("path"),
+    )
+    parsed = named.select(
+        "event_id", "expected_day", "path", *parse_filename("path")
+    )
+    return parsed.groupBy(F.col("expected_day").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("ts") != F.col("expected_day"), 1).otherwise(0)
+        ).cast("bigint").alias("n_mismatch"),
+    )
+
+
+def _q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: sorted-walk first/last match — the reference sorts the archive
+    listing and returns the first file whose name parses against the
+    template, skipping non-conforming names
+    (/root/reference/src/c3s_sm/misc.py:64-91, start_from first|last).
+    Relationally: first-match == min(path), last-match == max(path) over
+    the template-conforming subset per (freq, record) — a pure min/max
+    aggregate with map-side partials, no sort, no directory walk."""
+    _prep(spark)
+    from c3s_sm_spark.sources.ingest import build_filename, parse_listing
+
+    ev = _events(spark, sf_dir)
+    freq = (
+        F.when(F.col("event_type") == "click", "DAILY")
+        .when(F.col("event_type") == "view", "DEKADAL")
+        .otherwise("MONTHLY")
+    )
+    path = F.when(
+        F.col("event_id") % 101 == 0, F.lit("not-a-product.nc")
+    ).otherwise(
+        build_filename(
+            F.lit("V"),
+            F.upper("event_type"),
+            freq,
+            F.date_trunc("day", "ts"),
+            F.when(F.col("event_id") % 2 == 0, "TCDR").otherwise("ICDR"),
+            F.lit("202312.0"),
+            F.lit("0"),
+        )
+    )
+    listing = parse_listing(ev.select(path.alias("path")))
+    return listing.groupBy("freq", "record").agg(
+        F.min("path").alias("first_path"),
+        F.max("path").alias("last_path"),
+        F.count("*").alias("n_files"),
+    )
+
+
+def _q_product_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: product/global-attribute metadata as a relation — the
+    reference attaches product_full_name/temporal_sampling/cdr/version/
+    resolution to every file (/root/reference/src/c3s_sm/metadata.py:
+    163-177); the engine keeps them as table properties + this literal
+    relation, here joined with per-frequency period counts from the data
+    so metadata composes relationally with coverage."""
+    _prep(spark)
+    from c3s_sm_spark.functions.product_attrs import product_attr_rows
+
+    ev = _events(spark, sf_dir)
+    periods = ev.select(
+        F.countDistinct(F.date_trunc("day", "ts")).alias("DAILY"),
+        F.countDistinct(dekad_start("ts")).alias("DEKADAL"),
+        F.countDistinct(F.date_trunc("month", "ts")).alias("MONTHLY"),
+    ).select(
+        F.explode(
+            F.create_map(
+                F.lit("DAILY"), F.col("DAILY"),
+                F.lit("DEKADAL"), F.col("DEKADAL"),
+                F.lit("MONTHLY"), F.col("MONTHLY"),
+            )
+        ).alias("freq", "n_periods")
+    )
+    attrs = product_attr_rows(spark)
+    return attrs.join(F.broadcast(periods), "freq").select(
+        "freq",
+        "cdr",
+        "product_full_name",
+        "version",
+        "resolution",
+        F.col("n_periods").cast("bigint").alias("n_periods"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -837,6 +973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_roundtrip": _q_filename_roundtrip,
         "dedup_ambiguity": _q_dedup_ambiguity,
         "simhash_neardup": _q_simhash_neardup,
+        "record_union": _q_record_union,
+        "ts_match": _q_ts_match,
+        "first_match": _q_first_match,
+        "product_attrs": _q_product_attrs,
     }
 
 
@@ -1250,6 +1390,75 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ambiguity": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "record_union": """
+            WITH m AS (
+              SELECT *, 'TCDR' AS record FROM events
+              WHERE ts < TIMESTAMP '2024-01-20'
+              UNION ALL
+              SELECT *, 'ICDR' AS record FROM events
+              WHERE ts >= TIMESTAMP '2024-01-10'),
+            k AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY event_id ORDER BY record DESC) AS rn
+                FROM m)
+              WHERE rn = 1)
+            SELECT record, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n, round(sum(value), 2) AS v_sum
+            FROM k GROUP BY 1, 2
+        """,
+        "ts_match": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mismatch
+            FROM events GROUP BY 1
+        """,
+        "first_match": """
+            WITH named AS (
+              SELECT 'C3S-SOILMOISTURE-L3S-SSMV-' || upper(event_type)
+                     || '-' || (CASE WHEN event_type = 'click' THEN 'DAILY'
+                                     WHEN event_type = 'view' THEN 'DEKADAL'
+                                     ELSE 'MONTHLY' END)
+                     || '-' || strftime(date_trunc('day', ts), '%Y%m%d%H%M%S')
+                     || '-' || (CASE WHEN event_id % 2 = 0
+                                     THEN 'TCDR' ELSE 'ICDR' END)
+                     || '-v202312.0.0.nc' AS path,
+                     (CASE WHEN event_type = 'click' THEN 'DAILY'
+                           WHEN event_type = 'view' THEN 'DEKADAL'
+                           ELSE 'MONTHLY' END) AS freq,
+                     (CASE WHEN event_id % 2 = 0
+                           THEN 'TCDR' ELSE 'ICDR' END) AS record
+              FROM events WHERE event_id % 101 <> 0)
+            SELECT freq, record, min(path) AS first_path,
+                   max(path) AS last_path, count(*) AS n_files
+            FROM named GROUP BY 1, 2
+        """,
+        "product_attrs": """
+            WITH p AS (
+              SELECT 'DAILY' AS freq,
+                     count(DISTINCT date_trunc('day', ts)) AS n_periods
+              FROM events
+              UNION ALL
+              SELECT 'DEKADAL',
+                     count(DISTINCT date_trunc('month', ts)
+                       + (CASE WHEN extract(day FROM ts) <= 10 THEN 0
+                               WHEN extract(day FROM ts) <= 20 THEN 10
+                               ELSE 20 END) * INTERVAL 1 DAY)
+              FROM events
+              UNION ALL
+              SELECT 'MONTHLY',
+                     count(DISTINCT date_trunc('month', ts))
+              FROM events),
+            c AS (SELECT 'TCDR' AS cdr UNION ALL SELECT 'ICDR')
+            SELECT p.freq, c.cdr,
+                   'C3S SOILMOISTURE L3S SSMV COMBINED ' || p.freq || ' '
+                     || c.cdr || ' v202312' AS product_full_name,
+                   'v202312' AS version,
+                   '0.25 degree' AS resolution,
+                   CAST(p.n_periods AS BIGINT) AS n_periods
+            FROM p CROSS JOIN c
         """,
         # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary

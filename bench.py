@@ -59,6 +59,10 @@ HEADLINE = [
     "decontaminate",
     "token_freq",
     "filename_roundtrip",
+    "record_union",
+    "ts_match",
+    "first_match",
+    "product_attrs",
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",

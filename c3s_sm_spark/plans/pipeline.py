@@ -93,6 +93,27 @@ class TierPipeline:
         }
         self.lineage = SnapshotTable(os.path.join(base_dir, "lineage"))
         self.metrics = SnapshotTable(os.path.join(base_dir, "metrics"))
+        # F6: stamp each tier table with the reference's per-product
+        # global attributes as table properties (once; merge is idempotent)
+        from c3s_sm_spark.functions.product_attrs import global_attrs
+
+        for t, tbl in self.tiers.items():
+            if "product_full_name" not in tbl.properties():
+                tbl.set_properties(global_attrs(t, "TCDR"))
+
+    def table_properties(self) -> DataFrame:
+        """All tier tables' properties as one relation
+        ``(tier, key, value)`` — the engine's relational surface for the
+        reference's global attributes (F6): metadata joins/filters like
+        any other table instead of living in opaque file headers."""
+        rows = [
+            (t, k, v)
+            for t, tbl in self.tiers.items()
+            for k, v in sorted(tbl.properties().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "tier string, key string, value string"
+        )
 
     # ---------------------------------------------------------------- ingest
 

@@ -75,6 +75,31 @@ class SnapshotTable:
     def partition_by(self) -> list[str]:
         return self.props["partition_by"]
 
+    # ------------------------------------------------------- table properties
+
+    def _write_props(self) -> None:
+        path = os.path.join(self.man_dir, "table.json")
+        tmp = path + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(self.props, f)
+        os.replace(tmp, path)
+
+    def set_properties(self, properties: dict[str, str]) -> None:
+        """Merge string table properties (Iceberg ``ALTER TABLE ... SET
+        TBLPROPERTIES`` analog) into the table metadata atomically. The
+        engine uses this for the reference's per-product global
+        attributes (product name / temporal sampling / cdr / version,
+        ``/root/reference/src/c3s_sm/metadata.py:163-177``) — metadata
+        that belongs to the TABLE, not to any row."""
+        merged = {**self.props.get("properties", {})}
+        merged.update({str(k): str(v) for k, v in properties.items()})
+        self.props["properties"] = merged
+        self._write_props()
+
+    def properties(self) -> dict[str, str]:
+        """Current table properties (empty dict when never set)."""
+        return dict(self.props.get("properties", {}))
+
     def head(self) -> str | None:
         """Current snapshot id, or None for an empty table."""
         try:

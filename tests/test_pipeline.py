@@ -450,6 +450,30 @@ def test_coverage_not_inflated_by_rerefresh(spark, tmp_path, raw_points):
     assert cov["daily"]["n_rows"] == truth
 
 
+def test_table_properties_stamped_and_relational(spark, tmp_path, raw_points):
+    """F6: each tier table carries the reference-style product attrs as
+    table properties, readable relationally and surviving re-open."""
+    from c3s_sm_spark.functions.product_attrs import global_attrs
+
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    props = p.tiers["daily"].properties()
+    assert props["temporal_sampling"] == "DAILY"
+    assert props["product_full_name"] == global_attrs("daily", "TCDR")[
+        "product_full_name"
+    ]
+    rel = {
+        (r["tier"], r["key"]): r["value"]
+        for r in p.table_properties().collect()
+    }
+    assert rel[("monthly", "temporal_sampling")] == "MONTHLY"
+    assert rel[("dekadal", "resolution")] == "0.25 degree"
+    # user-set properties merge and persist across re-open
+    p.tiers["daily"].set_properties({"owner": "pipeline"})
+    p2 = TierPipeline(spark, str(tmp_path / "tp"))
+    assert p2.tiers["daily"].properties()["owner"] == "pipeline"
+    assert p2.tiers["daily"].properties()["temporal_sampling"] == "DAILY"
+
+
 def test_point_read_falls_back_when_packed_stale(spark, tmp_path, raw_points):
     p = TierPipeline(spark, str(tmp_path / "tp"))
     early = raw_points.where(F.col("ts") < "2019-11-01")
