@@ -446,6 +446,26 @@ def _q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-point scale path for percentile products:
+    ``approx_percentile`` is a MERGEABLE sketch aggregate — map-side
+    partials of bounded size combine associatively, so per-group memory
+    is O(accuracy) instead of O(group rows) and the shuffle carries
+    sketches, not values (the exact ``percentile`` in `rollup_quantiles`
+    buffers every group value — correct, and the oracle-parity form, but
+    documented-weak at scale). accuracy=10000 makes the sketch exact for
+    groups below 10k rows. No SQL oracle: sketch algorithms are
+    engine-specific; closeness to the exact form is pinned in
+    tests/test_rollup_gapfill_dedup.py::test_quantiles_approx_close."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("user_id").agg(
+        F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("p50"),
+        F.round(F.percentile_approx("value", 0.9, 10000), 4).alias("p90"),
+        F.count("value").alias("n_obs"),
+    )
+
+
 def _q_cell_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/R2 presentation pivot: one 'cell' (key subset) read back wide,
     time x key — the reference's read_cell transpose
@@ -960,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": _q_frame_sample,
         "nearest_station": _q_nearest_station,
         "rollup_quantiles": _q_rollup_quantiles,
+        "rollup_quantiles_approx": _q_rollup_quantiles_approx,
         "cell_pivot": _q_cell_pivot,
         "coverage": _q_coverage,
         "param_consistency": _q_param_consistency,

@@ -52,6 +52,7 @@ HEADLINE = [
     "moving_mean",
     "anomaly_zscore",
     "rollup_quantiles",
+    "rollup_quantiles_approx",
     "cell_pivot",
     "flag_meanings",
     "mask_semi_join",
