@@ -551,6 +551,30 @@ def _q_nearest_station(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nearest_station_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 scale path: cell-ring equi-join kNN (right side NOT broadcast)
+    with the certified-exactness fallback — must produce byte-identical
+    results to the broadcast plan, so it shares nearest_station's oracle."""
+    _prep(spark)
+    from c3s_sm_spark.operators.grid import nearest_join_bucketed
+
+    ev = _events(spark, sf_dir).select("user_id").distinct()
+    lon, lat = _lonlat()
+    pts = ev.select("user_id", lon.alias("lon"), lat.alias("lat"))
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    stations = sup.select(
+        F.col("s_suppkey").alias("station_id"),
+        ((F.col("s_suppkey") * 37 % 720) - 360 + 0.5).cast("double").alias("lon"),
+        ((F.col("s_suppkey") * 17 % 360) - 180 + 0.5).cast("double").alias("lat"),
+    )
+    out = nearest_join_bucketed(pts, stations, ["user_id"])
+    return out.select(
+        "user_id",
+        F.col("nn_id").alias("station_id"),
+        F.round("nn_d2", 4).alias("d2"),
+    )
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: per-(doc, probe) n-gram containment —
     probes are the first 20 documents standing in for an eval suite;
@@ -979,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_freq": _q_token_freq,
         "frame_sample": _q_frame_sample,
         "nearest_station": _q_nearest_station,
+        "nearest_station_bucketed": _q_nearest_station_bucketed,
         "rollup_quantiles": _q_rollup_quantiles,
         "rollup_quantiles_approx": _q_rollup_quantiles_approx,
         "cell_pivot": _q_cell_pivot,
@@ -1298,6 +1323,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "nearest_station": """
+            WITH pts AS (
+                SELECT DISTINCT user_id,
+                       (user_id % 1440) * 0.25 - 180.0 + 0.37 AS lon,
+                       (floor(user_id / 1440)::BIGINT % 720) * 0.25 - 90.0 + 0.11 AS lat
+                FROM events),
+            st AS (
+                SELECT s_suppkey AS station_id,
+                       CAST((s_suppkey * 37 % 720) - 360 + 0.5 AS DOUBLE) AS slon,
+                       CAST((s_suppkey * 17 % 360) - 180 + 0.5 AS DOUBLE) AS slat
+                FROM supplier),
+            scored AS (
+                SELECT p.user_id, s.station_id,
+                       (p.lon - s.slon)*(p.lon - s.slon)
+                       + (p.lat - s.slat)*(p.lat - s.slat) AS d2,
+                       row_number() OVER (
+                           PARTITION BY p.user_id
+                           ORDER BY (p.lon - s.slon)*(p.lon - s.slon)
+                                    + (p.lat - s.slat)*(p.lat - s.slat) ASC,
+                                    s.station_id ASC) AS rn
+                FROM pts p CROSS JOIN st s)
+            SELECT user_id, station_id, round(d2, 4) AS d2
+            FROM scored WHERE rn = 1
+        """,
+        "nearest_station_bucketed": """
             WITH pts AS (
                 SELECT DISTINCT user_id,
                        (user_id % 1440) * 0.25 - 180.0 + 0.37 AS lon,

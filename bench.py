@@ -57,6 +57,7 @@ HEADLINE = [
     "flag_meanings",
     "mask_semi_join",
     "nearest_station",
+    "nearest_station_bucketed",
     "decontaminate",
     "token_freq",
     "filename_roundtrip",
@@ -113,6 +114,11 @@ def run_pipeline(spark, sf: float, warmup: bool = True) -> dict:
 
     n_docs = max(2000, int(PIPELINE_DOCS_PER_SF * sf))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # input partition count: overridable so a two-parallelism scaling
+    # comparison can pin the SAME logical input split on both sides
+    # (tools/bench_scaling.py) — otherwise each side generates cores*4
+    # partitions and the comparison mixes parallelism with layout
+    n_parts = int(os.environ.get("SPARK_GRAFT_PIPELINE_PARTS", cores * 4))
     if warmup:
         # steady-state measurement (JMH-style): one untimed full-scale
         # pass populates the JVM JIT + whole-stage-codegen caches first —
@@ -122,7 +128,7 @@ def run_pipeline(spark, sf: float, warmup: bool = True) -> dict:
         # clean executor heap.
         spark.catalog.clearCache()
         run_pipeline(spark, sf, warmup=False)
-    seq = gen_sequences(spark, n_docs, n_partitions=cores * 4)
+    seq = gen_sequences(spark, n_docs, n_partitions=n_parts)
     # tier sink on tmpfs when available: a cluster's sink bandwidth scales
     # with executor count (node-local NVMe / object-store fan-out); a
     # single sandbox disk does not, and would cap the parallel run's

@@ -136,3 +136,108 @@ def nearest_join(
         .withColumn("nn_rank", F.row_number().over(w))
         .where(F.col("nn_rank") <= k)
     )
+
+
+def _cell_ij(lon: Column, lat: Column, cell_deg: float) -> tuple[Column, Column]:
+    n_ci = int(round(360 / cell_deg))
+    n_cj = int(round(180 / cell_deg))
+    ci = F.least(
+        F.lit(n_ci - 1),
+        F.greatest(F.lit(0), F.floor((lon + 180.0) / cell_deg).cast("int")),
+    )
+    cj = F.least(
+        F.lit(n_cj - 1),
+        F.greatest(F.lit(0), F.floor((lat + 90.0) / cell_deg).cast("int")),
+    )
+    return ci, cj
+
+
+def nearest_join_bucketed(
+    left,
+    right,
+    left_keys,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    right_id: str = "station_id",
+    cell_deg: float = CELL_DEG,
+):
+    """EXACT nearest-neighbor (k=1) when the right side is too large to
+    broadcast — the scale path :func:`nearest_join`'s docstring points
+    to, made precise.
+
+    Both sides key on a coarse ``cell_deg`` x ``cell_deg`` cell; the
+    right side replicates into its 3x3 neighbor ring (lon wraps, lat
+    clamps), so the candidate join is a plain EQUI-join on the cell id —
+    co-partitioned, skew handled by AQE, neither side broadcast. Per
+    left key the ring winner is taken with the same map-side
+    ``min_by(payload, struct(d2, id))`` partial aggregate as
+    :func:`nearest_join`.
+
+    Exactness: if the ring winner's distance is <= ``cell_deg``, any
+    closer point would lie inside the +-``cell_deg`` box and hence
+    inside the ring — contradiction, so the winner IS the global
+    nearest. The (rare, geometry-dependent) keys whose ring winner is
+    farther than ``cell_deg`` — or whose ring is empty — fall back to
+    the exact broadcast plan on JUST those keys, unioned in. At 100 TB
+    with any realistically dense right side the fallback set is ~empty,
+    the ring join carries ~9x|right| replicated dimension rows (tiny
+    next to the fact side), and no all-pairs cross product ever exists.
+    Returns the :func:`nearest_join` ``k=1`` schema.
+    """
+    n_ci = int(round(360 / cell_deg))
+    n_cj = int(round(180 / cell_deg))
+    lci, lcj = _cell_ij(F.col(lon_col), F.col(lat_col), cell_deg)
+    lf = left.withColumn("_cell", (lcj * n_ci + lci).cast("int"))
+    rci, rcj = _cell_ij(F.col(lon_col), F.col(lat_col), cell_deg)
+    ring_cells = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    (rcj + dj >= 0) & (rcj + dj <= n_cj - 1),
+                    (
+                        (rcj + dj) * n_ci
+                        + F.pmod(rci + di + n_ci, F.lit(n_ci))
+                    ).cast("int"),
+                )
+                for dj in (-1, 0, 1)
+                for di in (-1, 0, 1)
+            ]
+        )
+    )
+    r = right.select(
+        F.col(right_id).alias("nn_id"),
+        F.col(lon_col).alias("nn_lon"),
+        F.col(lat_col).alias("nn_lat"),
+        F.explode(ring_cells).alias("_cell"),
+    )
+    cand = lf.join(r, "_cell")
+    dlon = F.col(lon_col) - F.col("nn_lon")
+    dlat = F.col(lat_col) - F.col("nn_lat")
+    d2 = dlon * dlon + dlat * dlat
+    carry = [c for c in left.columns if c not in left_keys]
+    payload = F.struct(
+        *[F.col(c) for c in carry],
+        F.col("nn_id"),
+        F.col("nn_lon"),
+        F.col("nn_lat"),
+        d2.alias("nn_d2"),
+    )
+    best = cand.groupBy(*left_keys).agg(
+        F.min_by(payload, F.struct(d2, F.col("nn_id"))).alias("_nn")
+    )
+    ring_won = best.select(*left_keys, "_nn.*").where(
+        F.col("nn_d2") <= F.lit(cell_deg * cell_deg)
+    )
+    # exactness fallback for keys the ring could not certify; the plan is
+    # built unconditionally (no driver branch) — when the unresolved set
+    # is empty the broadcast cross join runs over zero rows
+    unresolved = left.join(
+        ring_won.select(*left_keys), list(left_keys), "left_anti"
+    )
+    fb = nearest_join(
+        unresolved, right, left_keys, lon_col, lat_col, right_id, k=1
+    ).drop("nn_rank")
+    out = ring_won.unionByName(fb).withColumn("nn_rank", F.lit(1))
+    return out.select(
+        *left_keys, *carry, "nn_id", "nn_lon", "nn_lat", "nn_d2", "nn_rank"
+    )

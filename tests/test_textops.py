@@ -372,3 +372,59 @@ def test_multimodal_resize_and_frame_sampling(spark, docs):
 
     with pytest.raises(Exception, match="NotImplementedError|image library"):
         resize_images(media, fake=False).collect()
+
+
+def test_nearest_join_bucketed_equals_broadcast(spark):
+    """The cell-ring equi-join kNN must equal the broadcast plan exactly,
+    including keys that need the certified-exactness fallback (sparse
+    right side: ring empty or ring winner farther than one cell)."""
+    from c3s_sm_spark.operators.grid import nearest_join, nearest_join_bucketed
+
+    rng = np.random.default_rng(11)
+    left = spark.createDataFrame(
+        [
+            (i, float(lo), float(la))
+            for i, (lo, la) in enumerate(
+                zip(rng.uniform(-179, 179, 400), rng.uniform(-89, 89, 400))
+            )
+        ],
+        "uid long, lon double, lat double",
+    )
+    # only 12 stations over the globe: most rings are empty -> fallback path
+    right = spark.createDataFrame(
+        [
+            (i, float(lo), float(la))
+            for i, (lo, la) in enumerate(
+                zip(rng.uniform(-179, 179, 12), rng.uniform(-89, 89, 12))
+            )
+        ],
+        "station_id long, lon double, lat double",
+    )
+    ref = {
+        r["uid"]: (r["nn_id"], r["nn_d2"])
+        for r in nearest_join(left, right, ["uid"], k=1).collect()
+    }
+    got = {
+        r["uid"]: (r["nn_id"], r["nn_d2"])
+        for r in nearest_join_bucketed(left, right, ["uid"]).collect()
+    }
+    assert got == ref
+    # dense right side: ring certifies nearly everything, still exact
+    right2 = spark.createDataFrame(
+        [
+            (i, float(lo), float(la))
+            for i, (lo, la) in enumerate(
+                zip(rng.uniform(-179, 179, 3000), rng.uniform(-89, 89, 3000))
+            )
+        ],
+        "station_id long, lon double, lat double",
+    )
+    ref2 = {
+        r["uid"]: (r["nn_id"], r["nn_d2"])
+        for r in nearest_join(left, right2, ["uid"], k=1).collect()
+    }
+    got2 = {
+        r["uid"]: (r["nn_id"], r["nn_d2"])
+        for r in nearest_join_bucketed(left, right2, ["uid"]).collect()
+    }
+    assert got2 == ref2
