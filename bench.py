@@ -74,6 +74,7 @@ HEADLINE = [
     "ngram_jaccard",
     "minhash_lsh",
     "simhash",
+    "simhash_neardup",
     "embedding_topk",
     "embedding_neardup",
     "ann_lsh",

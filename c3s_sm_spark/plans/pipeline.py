@@ -314,20 +314,89 @@ class TierPipeline:
 
     # ---------------------------------------------------------------- packed
 
-    def pack_tier(self, tier: str) -> str:
+    def pack_tier(self, tier: str, incremental: bool = True) -> str | None:
         """Materialize the packed-series form of a tier (delta-of-delta ts
         + Gorilla-XOR values, chunked), bucketed by key hash for pruned
-        point reads."""
-        df = self.tiers[tier].read(self.spark)
-        packed = pack_series(df, key=self.key, ts_col="ts", val_col="v_mean")
-        packed = packed.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
+        point reads.
+
+        Incremental by default: the tier's snapshot delta since the last
+        pack names the touched KEYS, and only their hash buckets are
+        re-packed and partition-overwritten — a chunk's boundaries depend
+        on the key's whole series, so the bucket (not the month) is the
+        repack grain. A retention drop (``delete_partitions``) or an
+        expired high-water mark degrades to a full repack; a
+        rewrite-only window (compaction) advances the recorded source
+        snapshot with a data-free commit so the point-read staleness
+        guard keeps serving the packed form. At 10^12 rows the member
+        scan for a bucket still reads the tier's row groups — bucket the
+        TIER table by the same key hash to make that scan prune too;
+        the repack itself then touches 1/n_buckets of the data instead
+        of all of it.
+        """
+        tbl = self.tiers[tier]
+        ptbl = self.packed[tier]
+        head = tbl.head()
+        if head is None:
+            return None
+        # two spellings of the same hash: the tier frame keys on self.key,
+        # pack_series output always names the key column 'doc_id'
+        key_bucket = F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast(
+            "int"
         )
-        return self.packed[tier].overwrite_partitions(
-            packed,
-            {"tier": tier, "src_snapshot": self.tiers[tier].head()},
+        bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
+            "int"
         )
+        prev_src = None
+        if incremental and ptbl.head() is not None:
+            prev_src = ptbl._manifest(ptbl.head())["summary"].get(
+                "src_snapshot"
+            )
+        chain_ids = [m["snapshot_id"] for m in tbl.snapshots()]
+        if prev_src is not None and prev_src in chain_ids and prev_src != head:
+            window = tbl.snapshots()[chain_ids.index(prev_src) + 1 :]
+            if any(m["operation"] == "delete_partitions" for m in window):
+                prev_src = None  # rows vanished: bucket delta can't see it
+        if prev_src is not None and prev_src in chain_ids:
+            if prev_src == head:
+                return ptbl.head()  # already current
+            delta = tbl.read_incremental(self.spark, prev_src, head)
+            if delta is None:
+                # rewrite-only window (compact): data unchanged — record
+                # the new source snapshot without touching any file
+                empty = self.spark.createDataFrame([], self.packed_schema())
+                return ptbl.overwrite_partitions(
+                    empty, {"tier": tier, "src_snapshot": head, "noop": True}
+                )
+            buckets = [
+                r["b"]
+                for r in delta.select(key_bucket.alias("b")).distinct().collect()
+            ]
+            members = tbl.read(self.spark).where(key_bucket.isin(buckets))
+            packed = pack_series(
+                members, key=self.key, ts_col="ts", val_col="v_mean"
+            ).withColumn("bucket", bucket_of)
+            return ptbl.overwrite_partitions(
+                packed,
+                {
+                    "tier": tier,
+                    "src_snapshot": head,
+                    "mode": "incremental",
+                    "repacked_buckets": len(buckets),
+                },
+            )
+        df = tbl.read(self.spark)
+        packed = pack_series(
+            df, key=self.key, ts_col="ts", val_col="v_mean"
+        ).withColumn("bucket", bucket_of)
+        return ptbl.overwrite_partitions(
+            packed, {"tier": tier, "src_snapshot": head, "mode": "full"}
+        )
+
+    @staticmethod
+    def packed_schema() -> str:
+        from c3s_sm_spark.functions.codecs import PACKED_SCHEMA
+
+        return PACKED_SCHEMA + ", bucket int"
 
     # ----------------------------------------------------------------- reads
 

@@ -474,6 +474,77 @@ def test_table_properties_stamped_and_relational(spark, tmp_path, raw_points):
     assert p2.tiers["daily"].properties()["temporal_sampling"] == "DAILY"
 
 
+def test_pack_tier_incremental_repacks_only_touched_buckets(
+    spark, tmp_path, raw_points
+):
+    """After a refresh that touched a few keys, pack_tier must overwrite
+    only those keys' hash buckets — and read back identically to the
+    tier rows."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh()
+    s1 = p.pack_tier("daily")
+    assert p.packed["daily"]._manifest(s1)["summary"]["mode"] == "full"
+    # late arrivals: TWO docs only, in a brand-new month (2020-01) so the
+    # refresh delta contains just those docs' rows
+    late = (
+        raw_points.where(F.col("doc_id").isin("doc0000000001", "doc0000000002"))
+        .where(F.col("ts") < "2019-10-05")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 95 DAYS"))
+    )
+    p.ingest(late)
+    p.refresh()
+    s2 = p.pack_tier("daily")
+    man = p.packed["daily"]._manifest(s2)["summary"]
+    assert man["mode"] == "incremental"
+    assert 1 <= man["repacked_buckets"] <= 2
+    # parity: every key (touched or not) reads back equal to tier rows
+    for key in ("doc0000000001", "doc0000000002", "doc0000000007"):
+        got = {
+            (str(r["ts"]), round(r["v_mean"], 9))
+            for r in p.point_read(key, "daily").collect()
+        }
+        exp = {
+            (str(r["ts"]), round(r["v_mean"], 9))
+            for r in p.read_tier("daily")
+            .where(F.col("doc_id") == key)
+            .collect()
+        }
+        assert got == exp and got
+    # re-pack with no new data: data-free commit, still served packed
+    s3 = p.pack_tier("daily")
+    assert s3 == s2  # already current -> no new snapshot
+
+
+def test_pack_tier_noop_after_compaction_and_full_after_retention(
+    spark, tmp_path, raw_points
+):
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh()
+    s1 = p.pack_tier("daily")
+    # compaction rewrites tier files without changing rows: pack_tier
+    # must advance its source snapshot WITHOUT repacking anything
+    assert p.tiers["daily"].compact(
+        spark, target_rows_per_file=10**9, min_files=1
+    )
+    s2 = p.pack_tier("daily")
+    m2 = p.packed["daily"]._manifest(s2)
+    assert m2["summary"].get("noop") is True
+    assert m2["files"] == p.packed["daily"]._manifest(s1)["files"]
+    key = "doc0000000003"
+    exp = p.read_tier("daily").where(F.col("doc_id") == key).count()
+    assert len(p.point_read(key, "daily").collect()) == exp  # packed path
+    # retention drops months: bucket delta can't express removals ->
+    # full repack, dropped months gone from the packed form
+    p.refresh(["dekadal"])
+    p.retention({"daily": 1}, as_of="2019-12")
+    s3 = p.pack_tier("daily")
+    assert p.packed["daily"]._manifest(s3)["summary"]["mode"] == "full"
+    pts = p.point_read(key, "daily").collect()
+    assert pts and all(str(r["ts"]).startswith("2019-12") for r in pts)
+
+
 def test_point_read_falls_back_when_packed_stale(spark, tmp_path, raw_points):
     p = TierPipeline(spark, str(tmp_path / "tp"))
     early = raw_points.where(F.col("ts") < "2019-11-01")
