@@ -833,6 +833,31 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER resolution — the step after pair emission: exact
+    Jaccard pairs -> connected components (iterative min-label
+    propagation) -> keep the best-quality member per cluster. Oracled
+    via a DuckDB recursive-CTE transitive closure over the same pair
+    relation, so the fixpoint itself is hash-verified."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import (
+        keep_best_per_cluster,
+        neardup_components,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, k=2, threshold=0.2).select("a", "b")
+    comp = neardup_components(pairs)
+    q = quality_score(docs).select("doc_id", "quality")
+    out = keep_best_per_cluster(comp, q)
+    return out.select(
+        "component",
+        "keep_id",
+        F.round("best_score", 4).alias("best_quality"),
+        "n_members",
+    )
+
+
 def _q_record_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: CDR+ICDR record merge — the reference unions the consolidated
     (TCDR) and intermediate (ICDR) record streams into one timeline and
@@ -1019,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filename_roundtrip": _q_filename_roundtrip,
         "dedup_ambiguity": _q_dedup_ambiguity,
         "simhash_neardup": _q_simhash_neardup,
+        "neardup_clusters": _q_neardup_clusters,
         "record_union": _q_record_union,
         "ts_match": _q_ts_match,
         "first_match": _q_first_match,
@@ -1460,6 +1486,60 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ambiguity": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "neardup_clusters": r"""
+            WITH RECURSIVE w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS sh
+              FROM w WHERE len(ws) >= 2),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            inter AS (
+              SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS inter
+              FROM sh s1 JOIN sh s2 ON s1.sh = s2.sh AND s1.doc_id < s2.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.a, i.b FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a
+              JOIN sizes sb ON sb.doc_id = i.b
+              WHERE round(i.inter / (sa.n_sh + sb.n_sh - i.inter), 4) >= 0.2),
+            edges AS (
+              SELECT a AS src, b AS dst FROM pairs
+              UNION SELECT b, a FROM pairs),
+            reach(node, m) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT r.node, e.dst FROM reach r JOIN edges e ON r.m = e.src),
+            comp AS (SELECT node, min(m) AS component FROM reach GROUP BY 1),
+            qb AS (
+              SELECT doc_id,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+                     (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces,
+                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+              FROM documents),
+            qual AS (
+              SELECT doc_id,
+                     round((alpha / n_chars) * 0.5 + (spaces / n_chars) * 0.3
+                           + least(n_tokens / 100.0, 1.0) * 0.2, 4) AS quality
+              FROM qb),
+            ranked AS (
+              SELECT c.component, c.node, q.quality,
+                     row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY q.quality DESC, c.node ASC) AS rn
+              FROM comp c JOIN qual q ON c.node = q.doc_id),
+            agg AS (
+              SELECT component, round(max(quality), 4) AS best_quality,
+                     count(*) AS n_members
+              FROM ranked GROUP BY 1)
+            SELECT a.component, r.node AS keep_id, a.best_quality, a.n_members
+            FROM agg a JOIN ranked r
+              ON r.component = a.component AND r.rn = 1
         """,
         "record_union": """
             WITH m AS (

@@ -73,6 +73,7 @@ HEADLINE = [
     "token_invariant",
     "ngram_jaccard",
     "minhash_lsh",
+    "neardup_clusters",
     "simhash",
     "simhash_neardup",
     "embedding_topk",

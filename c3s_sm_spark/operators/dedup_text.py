@@ -470,6 +470,91 @@ def simhash_near_pairs(
     return pairs
 
 
+def neardup_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair relation:
+    ``(node, component)`` with ``component`` = the smallest node id in
+    the component. The step LSH/Jaccard/SimHash pair emission leaves
+    open — a duplicate CLUSTER {A,B,C} surfaces as pairs (A,B), (B,C),
+    and keep-one-per-pair logic would wrongly keep two of the three.
+
+    Algorithm: iterative min-label propagation to a fixpoint — each
+    round every node takes the min of its own label and its neighbors'
+    (one equi-join + one min-aggregate, both map-side-combinable), and
+    iteration stops when no label changed. Rounds needed = component
+    diameter; near-dup components are cliques or short chains (diameter
+    ~<= 3), so this converges in a handful of shuffles even at 10^12
+    docs — the same reason GraphFrames' connected components defaults to
+    label propagation for small-diameter graphs. Each round's labels are
+    cached and the previous round unpersisted, so lineage stays O(1).
+    Deterministic: min over longs/strings has no ties to break.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    edges = sym.distinct().cache()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iters):
+        neigh = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "component")
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "node")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def keep_best_per_cluster(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """One keeper per duplicate cluster: the member with the highest
+    ``score_col`` (ties on the smaller id — deterministic). A single
+    ``min_by`` hash aggregate with map-side partial combine; the LLM-
+    pipeline policy of 'keep the best-quality duplicate, drop the rest'
+    (exact-dup keep-min-id is :func:`exact_dedup`'s special case).
+    Output: (component, keep_id, best_score, n_members).
+    """
+    members = components.join(
+        scores.select(F.col(id_col).alias("node"), score_col), "node"
+    )
+    return members.groupBy("component").agg(
+        F.min_by(
+            "node", F.struct((-F.col(score_col)).alias("ns"), F.col("node"))
+        ).alias("keep_id"),
+        F.max(score_col).alias("best_score"),
+        F.count("*").alias("n_members"),
+    )
+
+
 def ngram_containment(
     docs: DataFrame,
     probes: DataFrame,

@@ -428,3 +428,52 @@ def test_nearest_join_bucketed_equals_broadcast(spark):
         for r in nearest_join_bucketed(left, right2, ["uid"]).collect()
     }
     assert got2 == ref2
+
+
+def test_neardup_components_vs_union_find(spark):
+    """Label propagation fixpoint == classic union-find, including long
+    chains (diameter > 1 forces multiple propagation rounds) and
+    cliques; keep_best picks max quality with min-id ties."""
+    from c3s_sm_spark.operators.dedup_text import (
+        keep_best_per_cluster,
+        neardup_components,
+    )
+
+    # chain 1-2-3-4-5, clique {10,11,12}, pair (20,21), chain 30-31-32
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+             (20, 21), (31, 30), (31, 32)]
+    pairs = spark.createDataFrame(edges, "a long, b long")
+    comp = {
+        r["node"]: r["component"]
+        for r in neardup_components(pairs).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {n: find(n) for n in parent}
+    assert comp == exp
+    scores = spark.createDataFrame(
+        [(n, float(n % 7)) for n in comp], "doc_id long, quality double"
+    )
+    kept = {
+        r["component"]: (r["keep_id"], r["best_score"], r["n_members"])
+        for r in keep_best_per_cluster(
+            neardup_components(pairs), scores
+        ).collect()
+    }
+    # cluster {1..5}: quality n%7 -> best is 5 (5.0); {10,11,12} -> 12
+    # (5.0); {20,21} -> 20 (6.0); {30,31,32} -> 32 (4.0)
+    assert kept[1] == (5, 5.0, 5)
+    assert kept[10] == (12, 5.0, 3)
+    assert kept[20] == (20, 6.0, 2)
+    assert kept[30] == (32, 4.0, 3)
