@@ -833,6 +833,28 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (data-mixing primitive): keep a
+    per-event-type fraction chosen by md5 content hash — the exact same
+    row set at any parallelism and in any engine, which the oracle
+    verifies by summing the selected ids."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import stratified_mix
+
+    ev = _events(spark, sf_dir)
+    mixed = stratified_mix(
+        ev,
+        "event_type",
+        {"click": 0.5, "view": 0.25, "purchase": 0.1, "error": 0.05},
+        key_col="event_id",
+    )
+    return mixed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum("value"), 2).alias("v_sum"),
+    )
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution — the step after pair emission: exact
     Jaccard pairs -> connected components (iterative min-label
@@ -1045,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ambiguity": _q_dedup_ambiguity,
         "simhash_neardup": _q_simhash_neardup,
         "neardup_clusters": _q_neardup_clusters,
+        "sample_mix": _q_sample_mix,
         "record_union": _q_record_union,
         "ts_match": _q_ts_match,
         "first_match": _q_first_match,
@@ -1486,6 +1509,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ambiguity": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "sample_mix": """
+            SELECT event_type, count(*) AS n,
+                   sum(event_id) AS id_sum,
+                   round(sum(value), 2) AS v_sum
+            FROM events
+            WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <
+                  CASE event_type
+                       WHEN 'click' THEN '8000'
+                       WHEN 'view' THEN '4000'
+                       WHEN 'purchase' THEN '1999'
+                       WHEN 'error' THEN '0ccc'
+                       ELSE '0000' END
+            GROUP BY 1
         """,
         "neardup_clusters": r"""
             WITH RECURSIVE w AS (

@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_ambiguity",
     "grid_dekadal",
     "salted_rollup",
+    "sample_mix",
     "codec_roundtrip",
     "coverage",
     "param_consistency",

@@ -477,3 +477,48 @@ def test_neardup_components_vs_union_find(spark):
     assert kept[10] == (12, 5.0, 3)
     assert kept[20] == (20, 6.0, 2)
     assert kept[30] == (32, 4.0, 3)
+
+
+def test_deterministic_sample_properties(spark, docs):
+    """Hash sampling: partitioning-invariant row set, ~correct rate,
+    disjoint salts give independent samples, strata respect fractions."""
+    from c3s_sm_spark.operators.sampling import (
+        deterministic_sample,
+        stratified_mix,
+    )
+
+    a = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(17), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b  # identical row set at any parallelism
+    n = docs.count()
+    assert abs(len(a) / n - 0.3) < 0.08
+    # monotone: a smaller fraction is a SUBSET (same hash, lower cut)
+    small = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 0.1).select("doc_id").collect()
+    }
+    assert small <= a
+    # a different salt draws an ~independent sample
+    c = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, "doc_id", 0.3, salt="v2")
+        .select("doc_id")
+        .collect()
+    }
+    assert c != a
+    assert abs(len(a & c) / n - 0.09) < 0.06  # ~0.3*0.3 overlap
+    # stratified: listed strata sampled, unlisted dropped
+    docs2 = docs.withColumn(
+        "src", (F.col("doc_id") % 3).cast("string")
+    )
+    mix = stratified_mix(docs2, "src", {"0": 1.0, "1": 0.2}, "doc_id")
+    got = {r["src"]: r["n"] for r in mix.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert "2" not in got
+    full = {r["src"]: r["n"] for r in docs2.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got["0"] == full["0"]
+    assert 0.05 < got["1"] / full["1"] < 0.4
