@@ -833,6 +833,22 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-doc repetition ratio (repeated word bigrams)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import repetition_score
+
+    return repetition_score(_docs(spark, sf_dir), k=2)
+
+
+def _q_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-pattern filter signals: digit density, URL/email counts."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import pattern_counts
+
+    return pattern_counts(_docs(spark, sf_dir))
+
+
 def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (data-mixing primitive): keep a
     per-event-type fraction chosen by md5 content hash — the exact same
@@ -1068,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "neardup_clusters": _q_neardup_clusters,
         "sample_mix": _q_sample_mix,
+        "repetition": _q_repetition,
+        "pattern_counts": _q_pattern_counts,
         "record_union": _q_record_union,
         "ts_match": _q_ts_match,
         "first_match": _q_first_match,
@@ -1509,6 +1527,36 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ambiguity": """
             SELECT user_id, event_type, count(*) AS n
             FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        """,
+        "repetition": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                          THEN list_transform(range(1, len(ws)),
+                                              i -> ws[i] || ' ' || ws[i + 1])
+                          ELSE [] END AS grams
+              FROM w)
+            SELECT doc_id,
+                   len(grams)::BIGINT AS n_grams,
+                   len(list_distinct(grams))::BIGINT AS n_distinct,
+                   round((len(grams) - len(list_distinct(grams)))
+                         / nullif(len(grams)::DOUBLE, 0.0), 4) AS rep_ratio
+            FROM g
+        """,
+        "pattern_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digits,
+                   len(regexp_extract_all(text, 'https?://[^ ]+'))::BIGINT AS n_urls,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_emails,
+                   round(len(regexp_extract_all(text, '[0-9]'))
+                         / nullif(length(text)::BIGINT, 0), 4) AS digit_ratio
+            FROM documents
         """,
         "sample_mix": """
             SELECT event_type, count(*) AS n,

@@ -71,6 +71,8 @@ HEADLINE = [
     "token_stats",
     "text_quality",
     "lang_id",
+    "repetition",
+    "pattern_counts",
     "token_invariant",
     "ngram_jaccard",
     "minhash_lsh",

@@ -86,3 +86,55 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.xxhash64(norm).alias("fp_xx64"),
     )
+
+
+def repetition_score(
+    docs: DataFrame, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality filter): the
+    fraction of word k-grams that are repeats of an earlier k-gram in
+    the SAME document — high values flag boilerplate/spam that
+    cross-document dedup never sees.
+
+    Pure column expressions (``regexp_extract_all`` k-gram array +
+    ``array_distinct``), whole-stage codegen, zero shuffle, zero UDF —
+    per-row work at any corpus size. Output: ``(doc_id, n_grams,
+    n_distinct, rep_ratio)``; docs too short for a k-gram get
+    ``n_grams = 0`` and a null ratio.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pat = r"(?:^|(?<= ))(?=(\S+" + r" \S+" * (k - 1) + r"))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
+    n = F.size(grams).cast("long")
+    nd = F.size(F.array_distinct(grams)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_grams"),
+        nd.alias("n_distinct"),
+        F.round((n - nd) / F.nullif(n.cast("double"), F.lit(0.0)), 4).alias(
+            "rep_ratio"
+        ),
+    )
+
+
+def pattern_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Surface-pattern signals for corpus filtering: digit density, URL
+    and email mention counts — the cheap structural features quality
+    classifiers cut on (and the first pass of PII triage). Plain
+    ``regexp_count`` projections in codegen; patterns are deliberately
+    conservative so ANSI engines agree byte-for-byte.
+    """
+    t = F.col(text_col)
+    n_chars = F.nullif(F.length(t).cast("long"), F.lit(0))
+    digits = F.regexp_count(t, F.lit(r"[0-9]")).cast("long")
+    return docs.select(
+        "doc_id",
+        digits.alias("n_digits"),
+        F.regexp_count(t, F.lit(r"https?://[^ ]+")).cast("long").alias("n_urls"),
+        F.regexp_count(
+            t, F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        )
+        .cast("long")
+        .alias("n_emails"),
+        F.round(digits / n_chars, 4).alias("digit_ratio"),
+    )
