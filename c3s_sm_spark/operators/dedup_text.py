@@ -493,10 +493,14 @@ def neardup_components(
     cached and the previous round unpersisted, so lineage stays O(1).
     Deterministic: min over longs/strings has no ties to break.
     """
-    sym = pairs.select(
+    # cache the pair relation BEFORE symmetrizing: the union references
+    # it twice, and near-dup pair sources (Jaccard/LSH) are expensive to
+    # recompute — without this the whole upstream pipeline runs twice
+    pairs_c = pairs.select(a_col, b_col).cache()
+    sym = pairs_c.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
-        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs_c.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
     edges = sym.distinct().cache()
     labels = (
@@ -527,6 +531,7 @@ def neardup_components(
         if changed == 0:
             break
     edges.unpersist()
+    pairs_c.unpersist()
     return labels
 
 
