@@ -119,11 +119,11 @@ def run_pipeline(spark, sf: float, warmup: bool = True) -> dict:
 
     n_docs = max(2000, int(PIPELINE_DOCS_PER_SF * sf))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    # input partition count: overridable so a two-parallelism scaling
-    # comparison can pin the SAME logical input split on both sides
-    # (tools/bench_scaling.py) — otherwise each side generates cores*4
-    # partitions and the comparison mixes parallelism with layout
-    n_parts = int(os.environ.get("SPARK_GRAFT_PIPELINE_PARTS", cores * 4))
+    # input partition count: cores*16 — a {32..512}-partition grid at 8
+    # and 32 cores found 16x fastest at BOTH sizes (smaller tasks balance
+    # the tail; ~15% over 4x). Overridable so layout experiments and the
+    # scaling harness can pin it explicitly.
+    n_parts = int(os.environ.get("SPARK_GRAFT_PIPELINE_PARTS", cores * 16))
     if warmup:
         # steady-state measurement (JMH-style): one untimed full-scale
         # pass populates the JVM JIT + whole-stage-codegen caches first —
