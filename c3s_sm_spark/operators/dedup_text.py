@@ -560,6 +560,48 @@ def keep_best_per_cluster(
     )
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    num_hashes: int = 16,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+    scores: DataFrame | None = None,
+) -> DataFrame:
+    """The whole near-dup dedup pipeline in one call: MinHash+LSH pair
+    emission -> exact-Jaccard verify -> connected components ->
+    keep-best-per-cluster -> the surviving corpus rows.
+
+    ``scores`` is any (doc_id, quality) frame — default
+    :func:`~c3s_sm_spark.operators.textstats.quality_score` — so "which
+    duplicate survives" is a policy input, not hardcoded. Docs in no
+    cluster pass through untouched; cluster members other than the
+    keeper are dropped. Every stage is the scale-shaped form documented
+    on its own operator (banded equi-join candidates, candidate-only
+    verify, diameter-bounded label propagation, one min_by per
+    cluster); the only full-corpus shuffles are the shingle passes.
+    """
+    from c3s_sm_spark.operators.textstats import quality_score
+
+    pairs = minhash_lsh_candidates(
+        docs, text_col, k, num_hashes, bands, verify_threshold
+    ).select("a", "b")
+    comp = neardup_components(pairs)
+    if scores is None:
+        scores = quality_score(docs, text_col).select("doc_id", "quality")
+    keepers = keep_best_per_cluster(comp, scores).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    # drop list = cluster members minus keepers (bounded by the duplicate
+    # count, so usually broadcast-sized — but left to AQE rather than a
+    # hard hint: a 90%-duplicate crawl would overflow a forced broadcast)
+    drop = comp.select(F.col("node").alias("doc_id")).join(
+        keepers, "doc_id", "leftanti"
+    )
+    return docs.join(drop, "doc_id", "leftanti")
+
+
 def ngram_containment(
     docs: DataFrame,
     probes: DataFrame,

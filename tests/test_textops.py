@@ -522,3 +522,36 @@ def test_deterministic_sample_properties(spark, docs):
     full = {r["src"]: r["n"] for r in docs2.groupBy("src").agg(F.count("*").alias("n")).collect()}
     assert got["0"] == full["0"]
     assert 0.05 < got["1"] / full["1"] < 0.4
+
+
+def test_dedup_corpus_end_to_end(spark, docs):
+    """dedup_corpus keeps exactly one (best-quality) member per near-dup
+    cluster and passes unclustered docs through untouched."""
+    from c3s_sm_spark.operators.dedup_text import (
+        dedup_corpus,
+        keep_best_per_cluster,
+        minhash_lsh_candidates,
+        neardup_components,
+    )
+    from c3s_sm_spark.operators.textstats import quality_score
+
+    out = dedup_corpus(docs, verify_threshold=0.5)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    pairs = minhash_lsh_candidates(docs, verify_threshold=0.5).select("a", "b")
+    comp = {r["node"]: r["component"] for r in neardup_components(pairs).collect()}
+    keepers = {
+        r["keep_id"]
+        for r in keep_best_per_cluster(
+            neardup_components(pairs),
+            quality_score(docs).select("doc_id", "quality"),
+        ).collect()
+    }
+    clustered = set(comp)
+    assert kept == (all_ids - clustered) | keepers
+    # exactly one survivor per cluster
+    by_comp = {}
+    for n, c in comp.items():
+        by_comp.setdefault(c, set()).add(n)
+    for c, members in by_comp.items():
+        assert len(members & kept) == 1

@@ -148,7 +148,36 @@ def main() -> None:
         )
     )
 
-    # 8. temporal grid: generated relation, no scan at all
+    # 8. pure-projection text filters: single codegen span, NO exchange
+    rep = E._q_repetition(spark, SF)
+    rep_txt = plan_text(rep)
+    sections.append(
+        (
+            "repetition / pattern filters: projection-only, shuffle-free",
+            rep_txt,
+            {
+                "no exchange": "Exchange" not in rep_txt,
+                "whole-stage codegen": "codegen id" in rep_txt,
+            },
+        )
+    )
+
+    # 9. deterministic sampling: predicate + single agg exchange only
+    sm = E._q_sample_mix(spark, SF)
+    sm_txt = plan_text(sm)
+    sections.append(
+        (
+            "sample_mix: hash-cut predicate, one agg shuffle",
+            sm_txt,
+            {
+                "single exchange": sm_txt.count("Exchange (") == 1,
+                "map-side partial agg": "partial_count" in sm_txt
+                or "partial_sum" in sm_txt,
+            },
+        )
+    )
+
+    # 10. temporal grid: generated relation, no scan at all
     grid_txt = plan_text(temporal_grid(spark, "dekadal", "2024-01-01", "2024-12-31"))
     sections.append(
         (
