@@ -33,19 +33,25 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: one row per distinct text with the keeper
     (min doc_id) and the copy count.
 
-    Groups by ``xxhash64(text)``, NOT the text column itself: the group
+    Groups by a 128-bit content key — a struct of two independently
+    salted ``xxhash64`` values — NOT the text column itself: the group
     key is what moves through the shuffle, and at 100 TB keying on the
-    raw text would shuffle the entire corpus's bytes — the hash carries 8
-    bytes per row instead. Collision odds are ~n^2 / 2^65 (~3e-7 for a
-    10^9-doc corpus); a collision merges two distinct-text groups, which
-    callers needing certainty rule out by re-checking the kept docs'
-    texts (same argument :func:`ngram_jaccard_pairs` documents for its
-    shingle hashing). The DuckDB oracle groups by the text itself —
-    hash-equality of the results is exactly the collision-freeness check
-    at test scale.
+    raw text would shuffle the entire corpus's bytes; the key carries 16
+    bytes per row instead. 128 bits matter here (ADVICE r2): a single
+    64-bit key has collision odds ~n^2/2^65 — ~0.03 at 10^9 docs and
+    ~2.7e4 expected collisions at 10^12 — and a collision silently
+    merges two distinct-text groups and loses one group's keeper, which
+    no re-check of kept docs can recover. Two salted 64-bit lanes give
+    ~n^2/2^129 (~7e-22 at 10^12 docs): birthday-safe at any realistic
+    corpus. The DuckDB oracle groups by the text itself — hash-equality
+    of the results is exactly the collision-freeness check at test
+    scale.
     """
     return (
-        docs.groupBy(F.xxhash64(text_col).alias("th"))
+        docs.groupBy(
+            F.xxhash64(F.lit(0), text_col).alias("th_lo"),
+            F.xxhash64(F.lit(1), text_col).alias("th_hi"),
+        )
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -112,6 +118,9 @@ def ngram_jaccard_pairs(
             docs, sh, threshold, max_broadcast_cells, strict=strategy == "matmul"
         )
         if out is not None:
+            # the matmul plan carries everything in its broadcast — the
+            # shingle cache has no further reader (ADVICE r2 cache leak)
+            sh.unpersist()
             return out
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     left = sh.select(F.col("doc_id").alias("a"), "shh")
@@ -132,6 +141,13 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "na", "nb", "jaccard")
     )
+    # materialize the (thresholded, pair-sized) result so the corpus-sized
+    # shingle cache can be dropped NOW instead of leaking for the session
+    # lifetime (ADVICE r2); at 100 TB this cache is a materialized
+    # intermediate table and the same discipline applies
+    out = out.cache()
+    out.count()
+    sh.unpersist()
     return out
 
 
@@ -146,47 +162,61 @@ def _ngram_jaccard_matmul(
 
     Returns None when the shared-shingle matrix exceeds the broadcast
     budget (caller falls back to the join strategy), unless ``strict``.
-    The budget is checked with two cheap AGGREGATE jobs before anything
-    is collected — the earlier collect-then-check ordering materialized
-    the unbounded per-doc shingle lists on the driver first, OOM-ing it
-    on exactly the corpora the fallback exists for (ADVICE r1).
+    The budget is checked with cheap AGGREGATE jobs before anything is
+    collected (ADVICE r1), and the collect itself is semi-joined down to
+    df>=2 shingles FIRST (ADVICE r2 / VERDICT #3): what ships to the
+    driver is at most the n x v occurrence set the budget just approved
+    — a long-document corpus with a huge df=1 shingle tail no longer
+    slips an unbounded collect past the cells check. Full per-doc set
+    sizes ride along as one count column.
     """
     import pandas as pd
 
     # n upper bound: total docs (docs without shingles only shrink the
     # matrix) — a metadata-cheap count, no extra shuffle over sh
     n = docs.count()
-    probe = sh.groupBy("shh").agg(F.count("*").alias("df_"))
-    v = probe.where(F.col("df_") >= 2).count()
+    df2 = (
+        sh.groupBy("shh")
+        .agg(F.count("*").alias("df_"))
+        .where(F.col("df_") >= 2)
+        .select("shh")
+        .cache()  # tiny (shared vocab); serves the count AND the semi-join
+    )
+    v = df2.count()
     if n * max(v, 1) > max_broadcast_cells:
+        df2.unpersist()
         if strict:
             raise ValueError(
                 f"matmul strategy needs {n}x{v} broadcast cells "
                 f"(cap {max_broadcast_cells}); use strategy='join' or LSH"
             )
         return None
-    per_doc = (
-        sh.groupBy("doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    shared_lists = (
+        sh.join(df2, "shh", "leftsemi")
+        .groupBy("doc_id")
         .agg(F.collect_list("shh").alias("hs"))
-        .collect()
     )
+    # left join: docs whose every shingle is unique still need a matrix
+    # row (they can't pair, but na_full must stay aligned with doc_ids)
+    per_doc = sizes.join(shared_lists, "doc_id", "left").collect()
+    df2.unpersist()
     doc_ids = [r["doc_id"] for r in per_doc]
-    sets = [r["hs"] for r in per_doc]
-    df_count: dict[int, int] = {}
+    sets = [r["hs"] or [] for r in per_doc]
+    na_list = [r["n_sh"] for r in per_doc]
+    vocab: dict[int, int] = {}
     for hs in sets:
         for h in hs:
-            df_count[h] = df_count.get(h, 0) + 1
-    vocab = {h: i for i, h in enumerate(c for c, n_ in df_count.items() if n_ >= 2)}
+            if h not in vocab:
+                vocab[h] = len(vocab)
     n, v = len(doc_ids), len(vocab)
     order = np.argsort(np.array(doc_ids, dtype=object))
     doc_ids = [doc_ids[i] for i in order]
     sets = [sets[i] for i in order]
+    na_full = np.array([na_list[i] for i in order], dtype=np.int64)
     mat = np.zeros((n, v), dtype=np.float32)
-    na_full = np.zeros(n, dtype=np.int64)
     for i, hs in enumerate(sets):
-        na_full[i] = len(hs)
-        cols = [vocab[h] for h in hs if h in vocab]
-        mat[i, cols] = 1.0
+        mat[i, [vocab[h] for h in hs]] = 1.0
     pos = {d: i for i, d in enumerate(doc_ids)}
     ids_arr = np.array(doc_ids, dtype=object)
     na_f32 = na_full.astype(np.float32)
@@ -307,8 +337,9 @@ def minhash_lsh_candidates(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # one shingling pass serves both the signature aggregation and the
-    # exact-Jaccard verify below (cache dropped by Spark LRU; at 100 TB
-    # this would be a materialized intermediate table instead)
+    # exact-Jaccard verify below; explicitly unpersisted before returning
+    # (ADVICE r2 — LRU eviction is not a discipline). At 100 TB this
+    # would be a materialized intermediate table instead.
     sh_cached = (
         shingles(docs, text_col, k)
         .select("doc_id", F.xxhash64("sh").alias("h"))
@@ -340,6 +371,11 @@ def minhash_lsh_candidates(
         .distinct()
     )
     if verify_threshold is None:
+        # materialize the (pair-sized) candidate set, then drop the
+        # corpus-sized shingle cache rather than leaking it (ADVICE r2)
+        cand = cand.cache()
+        cand.count()
+        sh_cached.unpersist()
         return cand
     # verify ONLY the candidate pairs (this is the whole point of LSH):
     # semi-join each shingle side down to docs that appear in a candidate,
@@ -362,7 +398,7 @@ def minhash_lsh_candidates(
         .groupBy("a", "b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(
             sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na")),
             "a",
@@ -380,6 +416,13 @@ def minhash_lsh_candidates(
         .where(F.col("jaccard") >= verify_threshold)
         .select("a", "b", "jaccard")
     )
+    # materialize the verified (pair-sized) result, then release both the
+    # corpus-sized shingle cache and the candidate cache (ADVICE r2 leak)
+    out = out.cache()
+    out.count()
+    sh_cached.unpersist()
+    cand.unpersist()
+    return out
 
 
 def simhash(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
@@ -482,16 +525,21 @@ def neardup_components(
     open — a duplicate CLUSTER {A,B,C} surfaces as pairs (A,B), (B,C),
     and keep-one-per-pair logic would wrongly keep two of the three.
 
-    Algorithm: iterative min-label propagation to a fixpoint — each
-    round every node takes the min of its own label and its neighbors'
-    (one equi-join + one min-aggregate, both map-side-combinable), and
-    iteration stops when no label changed. Rounds needed = component
-    diameter; near-dup components are cliques or short chains (diameter
-    ~<= 3), so this converges in a handful of shuffles even at 10^12
-    docs — the same reason GraphFrames' connected components defaults to
-    label propagation for small-diameter graphs. Each round's labels are
-    cached and the previous round unpersisted, so lineage stays O(1).
-    Deterministic: min over longs/strings has no ties to break.
+    Algorithm: iterative min-label propagation with pointer jumping —
+    each round every node takes the min of its own label, its neighbors'
+    labels (one equi-join + one min-aggregate, both map-side-
+    combinable), AND its current label's own label (one more equi-join:
+    node -> component -> component's component). The jump makes label
+    reach double per round, so convergence is O(log diameter) instead of
+    O(diameter): max_iters=20 covers diameter ~2^20 — any real graph —
+    where plain propagation silently mislabeled chains longer than 20
+    (ADVICE r2). Near-dup components are cliques or short chains
+    (diameter ~<= 3), so typically 2-3 shuffle rounds even at 10^12
+    docs. Each round's labels are cached and the previous round
+    unpersisted, so lineage stays O(1). Deterministic: min over
+    longs/strings has no ties to break. Raises ``RuntimeError`` if the
+    fixpoint is somehow not reached within ``max_iters`` — never returns
+    silently-wrong labels.
     """
     # cache the pair relation BEFORE symmetrizing: the union references
     # it twice, and near-dup pair sources (Jaccard/LSH) are expensive to
@@ -510,14 +558,28 @@ def neardup_components(
         .cache()
     )
     labels.count()
+    changed = 1
     for _ in range(max_iters):
         neigh = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "component")
-        new = (
+        prop = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: labels are node ids and every node has a row, so
+        # component c resolves to its own (monotonically <=) label; the
+        # composed hop doubles reach -> O(log diameter) rounds
+        new = (
+            prop.join(
+                prop.select(
+                    F.col("node").alias("component"),
+                    F.col("component").alias("jumped"),
+                ),
+                "component",
+            )
+            .select("node", F.col("jumped").alias("component"))
             .cache()
         )
         changed = (
@@ -532,6 +594,13 @@ def neardup_components(
             break
     edges.unpersist()
     pairs_c.unpersist()
+    if changed != 0:
+        labels.unpersist()
+        raise RuntimeError(
+            f"neardup_components did not converge in {max_iters} rounds "
+            f"(pointer-jumped propagation covers diameter ~2^{max_iters}; "
+            "this indicates a bug or an adversarial graph, not normal data)"
+        )
     return labels
 
 
@@ -547,13 +616,23 @@ def keep_best_per_cluster(
     pipeline policy of 'keep the best-quality duplicate, drop the rest'
     (exact-dup keep-min-id is :func:`exact_dedup`'s special case).
     Output: (component, keep_id, best_score, n_members).
+
+    Scores are LEFT-joined with a -infinity default (ADVICE r2): an
+    inner join made unscored members vanish, and a cluster whose every
+    member was unscored emitted NO keeper at all — downstream
+    ``dedup_corpus`` then anti-joined away ALL copies of that cluster.
+    Now every component always yields a keeper (unscored members lose
+    ties to any scored member; an all-unscored cluster keeps its min
+    id with ``best_score`` NULL, which is visible, not silent loss).
     """
+    neg_inf = F.lit(float("-inf"))
     members = components.join(
-        scores.select(F.col(id_col).alias("node"), score_col), "node"
+        scores.select(F.col(id_col).alias("node"), score_col), "node", "left"
     )
+    eff = F.coalesce(F.col(score_col), neg_inf)
     return members.groupBy("component").agg(
         F.min_by(
-            "node", F.struct((-F.col(score_col)).alias("ns"), F.col("node"))
+            "node", F.struct((-eff).alias("ns"), F.col("node"))
         ).alias("keep_id"),
         F.max(score_col).alias("best_score"),
         F.count("*").alias("n_members"),
@@ -568,6 +647,7 @@ def dedup_corpus(
     bands: int = 8,
     verify_threshold: float = 0.5,
     scores: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The whole near-dup dedup pipeline in one call: MinHash+LSH pair
     emission -> exact-Jaccard verify -> connected components ->
@@ -575,18 +655,24 @@ def dedup_corpus(
 
     ``scores`` is any (doc_id, quality) frame — default
     :func:`~c3s_sm_spark.operators.textstats.quality_score` — so "which
-    duplicate survives" is a policy input, not hardcoded. Docs in no
-    cluster pass through untouched; cluster members other than the
-    keeper are dropped. Every stage is the scale-shaped form documented
-    on its own operator (banded equi-join candidates, candidate-only
-    verify, diameter-bounded label propagation, one min_by per
-    cluster); the only full-corpus shuffles are the shingle passes.
+    duplicate survives" is a policy input, not hardcoded. ``pairs``
+    overrides the pair-emission stage entirely (any (a, b) near-dup
+    relation — e.g. exact :func:`ngram_jaccard_pairs`, SimHash, or
+    embedding cosine pairs); the default is the LSH path, the one that
+    scales to 10^12 docs. Docs in no cluster pass through untouched;
+    cluster members other than the keeper are dropped. Every stage is
+    the scale-shaped form documented on its own operator (banded
+    equi-join candidates, candidate-only verify, diameter-bounded label
+    propagation, one min_by per cluster); the only full-corpus shuffles
+    are the shingle passes.
     """
     from c3s_sm_spark.operators.textstats import quality_score
 
-    pairs = minhash_lsh_candidates(
-        docs, text_col, k, num_hashes, bands, verify_threshold
-    ).select("a", "b")
+    if pairs is None:
+        pairs = minhash_lsh_candidates(
+            docs, text_col, k, num_hashes, bands, verify_threshold
+        )
+    pairs = pairs.select("a", "b")
     comp = neardup_components(pairs)
     if scores is None:
         scores = quality_score(docs, text_col).select("doc_id", "quality")

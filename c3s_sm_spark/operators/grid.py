@@ -225,19 +225,29 @@ def nearest_join_bucketed(
     best = cand.groupBy(*left_keys).agg(
         F.min_by(payload, F.struct(d2, F.col("nn_id"))).alias("_nn")
     )
-    ring_won = best.select(*left_keys, "_nn.*").where(
-        F.col("nn_d2") <= F.lit(cell_deg * cell_deg)
+    # cached: serves the driver-side emptiness probe AND the final result
+    # (MEMORY_AND_DISK, so it spills rather than OOMs at scale)
+    ring_won = (
+        best.select(*left_keys, "_nn.*")
+        .where(F.col("nn_d2") <= F.lit(cell_deg * cell_deg))
+        .cache()
     )
-    # exactness fallback for keys the ring could not certify; the plan is
-    # built unconditionally (no driver branch) — when the unresolved set
-    # is empty the broadcast cross join runs over zero rows
     unresolved = left.join(
         ring_won.select(*left_keys), list(left_keys), "left_anti"
     )
-    fb = nearest_join(
-        unresolved, right, left_keys, lon_col, lat_col, right_id, k=1
-    ).drop("nn_rank")
-    out = ring_won.unionByName(fb).withColumn("nn_rank", F.lit(1))
+    # exactness fallback ONLY for keys the ring could not certify — and
+    # only if any exist. The probe is a real driver-side check (ADVICE
+    # r2): Spark materializes broadcast exchanges even when the probe
+    # side is empty, so building nearest_join's F.broadcast(right) plan
+    # unconditionally collected-and-broadcast the very side this
+    # function exists to avoid broadcasting, on every run.
+    if unresolved.isEmpty():
+        out = ring_won.withColumn("nn_rank", F.lit(1))
+    else:
+        fb = nearest_join(
+            unresolved, right, left_keys, lon_col, lat_col, right_id, k=1
+        ).drop("nn_rank")
+        out = ring_won.unionByName(fb).withColumn("nn_rank", F.lit(1))
     return out.select(
         *left_keys, *carry, "nn_id", "nn_lon", "nn_lat", "nn_d2", "nn_rank"
     )
