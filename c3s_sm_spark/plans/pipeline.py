@@ -39,7 +39,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c3s_sm_spark.functions.codecs import pack_series, unpack_series
@@ -83,8 +83,14 @@ class TierPipeline:
         self.n_buckets = n_buckets
         self.n_salts = n_salts
         self.raw = SnapshotTable(os.path.join(base_dir, "raw"), ["pmonth"])
+        # tiers carry a second, key-hash partition level: pack_tier's
+        # incremental repack reads "all rows of these key buckets", and
+        # with kb in the path that member scan file-prunes to
+        # touched_buckets/n_buckets of the tier instead of scanning all
+        # of it (the month-only layout's documented 10^12-row weak spot).
+        # The refresh overwrite unit stays the month (replace_grain=1).
         self.tiers = {
-            t: SnapshotTable(os.path.join(base_dir, t), ["pmonth"])
+            t: SnapshotTable(os.path.join(base_dir, t), ["pmonth", "kb"])
             for t in TIERS
         }
         self.packed = {
@@ -214,7 +220,16 @@ class TierPipeline:
             )
         else:
             out = cascade(src, [self.key], tier)
-        return out.withColumn("pmonth", F.date_format("ts", "yyyy-MM"))
+        return out.withColumn(
+            "pmonth", F.date_format("ts", "yyyy-MM")
+        ).withColumn("kb", self._kb())
+
+    def _kb(self, col: str | Column | None = None) -> Column:
+        """Key-bucket partition value: ``pmod(xxhash64(key), n_buckets)``.
+        One definition shared by the tier writer, pack_tier, and the
+        packed table's ``bucket`` column so bucket sets compose."""
+        target = self.key if col is None else col
+        return F.pmod(F.xxhash64(target), F.lit(self.n_buckets)).cast("int")
 
     def refresh(self, tiers: list[str] | None = None) -> dict[str, dict]:
         """Incrementally fold new source snapshots into each tier.
@@ -256,8 +271,13 @@ class TierPipeline:
                                 "rows": 0, "skipped": True}
                 continue
             out = self._compute_tier(tier, months)
+            # replace_grain=1: the recompute unit is the month — every
+            # (pmonth, kb) file under a recomputed month is superseded,
+            # including buckets the new month data happens not to touch
             dst_snap = self.tiers[tier].overwrite_partitions(
-                out, {"run_id": run_id, "months": len(months)}
+                out,
+                {"run_id": run_id, "months": len(months)},
+                replace_grain=1,
             )
             # per-partition metrics (A4 coverage analog) from what we wrote
             written = self.tiers[tier].read(self.spark).where(
@@ -327,69 +347,98 @@ class TierPipeline:
         expired high-water mark degrades to a full repack; a
         rewrite-only window (compaction) advances the recorded source
         snapshot with a data-free commit so the point-read staleness
-        guard keeps serving the packed form. At 10^12 rows the member
-        scan for a bucket still reads the tier's row groups — bucket the
-        TIER table by the same key hash to make that scan prune too;
-        the repack itself then touches 1/n_buckets of the data instead
-        of all of it.
+        guard keeps serving the packed form.
+
+        Scale shape: tier tables are hive-partitioned ``(pmonth, kb)``
+        with ``kb`` the same key hash as the packed ``bucket``, so the
+        member scan for the touched buckets is a PARTITION-PRUNED read —
+        touched/n_buckets of the tier's files, not all of them. Touched
+        buckets come from two metadata-cheap places: the delta rows'
+        ``kb`` partition values (added data) and the ``kb`` path segment
+        of every file REMOVED by an overwrite in the window — a caller's
+        ``overwrite_partitions`` that drops a key entirely leaves no
+        added row for it, but its old file's path still names the bucket
+        whose packed series must stop serving the superseded rows
+        (ADVICE r2; zero I/O, the manifest diff alone names the bucket).
         """
         tbl = self.tiers[tier]
         ptbl = self.packed[tier]
         head = tbl.head()
         if head is None:
             return None
-        # two spellings of the same hash: the tier frame keys on self.key,
         # pack_series output always names the key column 'doc_id'
-        key_bucket = F.pmod(F.xxhash64(self.key), F.lit(self.n_buckets)).cast(
-            "int"
-        )
-        bucket_of = F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
-            "int"
-        )
+        bucket_of = self._kb("doc_id")
         prev_src = None
         if incremental and ptbl.head() is not None:
             prev_src = ptbl._manifest(ptbl.head())["summary"].get(
                 "src_snapshot"
             )
-        chain_ids = [m["snapshot_id"] for m in tbl.snapshots()]
+        snaps = tbl.snapshots()
+        chain_ids = [m["snapshot_id"] for m in snaps]
         if prev_src is not None and prev_src in chain_ids and prev_src != head:
-            window = tbl.snapshots()[chain_ids.index(prev_src) + 1 :]
+            window = snaps[chain_ids.index(prev_src) + 1 :]
             if any(m["operation"] == "delete_partitions" for m in window):
                 prev_src = None  # rows vanished: bucket delta can't see it
         if prev_src is not None and prev_src in chain_ids:
             if prev_src == head:
                 return ptbl.head()  # already current
             delta = tbl.read_incremental(self.spark, prev_src, head)
-            if delta is None:
+            buckets: set[int] = set()
+            if delta is not None:
+                buckets |= {
+                    int(r["kb"])
+                    for r in delta.select("kb").distinct().collect()
+                }
+            # buckets named only by removed files (keys superseded by an
+            # overwrite, no replacement row): read the kb path segment of
+            # each file an overwrite dropped vs its parent manifest
+            for i in range(chain_ids.index(prev_src) + 1, len(snaps)):
+                m = snaps[i]
+                if m["operation"] == "compact":
+                    continue
+                parent = set(snaps[i - 1]["files"]) if i > 0 else set()
+                for f in parent - set(m["files"]):
+                    kb = tbl._partition_of(f, ["kb"])[0]
+                    if kb is not None:
+                        buckets.add(int(kb))
+            if not buckets:
                 # rewrite-only window (compact): data unchanged — record
                 # the new source snapshot without touching any file
                 empty = self.spark.createDataFrame([], self.packed_schema())
                 return ptbl.overwrite_partitions(
                     empty, {"tier": tier, "src_snapshot": head, "noop": True}
                 )
-            buckets = [
-                r["b"]
-                for r in delta.select(key_bucket.alias("b")).distinct().collect()
-            ]
-            members = tbl.read(self.spark).where(key_bucket.isin(buckets))
+            blist = sorted(buckets)
+            # file-pruned: kb is a partition column of the tier table and
+            # the predicate is a bare attribute IN-list, so it lands in
+            # the scan's PartitionFilters (no cast to defeat pruning)
+            members = tbl.read(self.spark).where(F.col("kb").isin(blist))
             packed = pack_series(
                 members, key=self.key, ts_col="ts", val_col="v_mean"
             ).withColumn("bucket", bucket_of)
+            # static replace set: a touched bucket that packs to ZERO
+            # rows (all its keys superseded) must still drop its old
+            # packed partition — dynamic overwrite alone would keep it
             return ptbl.overwrite_partitions(
                 packed,
                 {
                     "tier": tier,
                     "src_snapshot": head,
                     "mode": "incremental",
-                    "repacked_buckets": len(buckets),
+                    "repacked_buckets": len(blist),
                 },
+                replace_values=[(b,) for b in blist],
             )
         df = tbl.read(self.spark)
         packed = pack_series(
             df, key=self.key, ts_col="ts", val_col="v_mean"
         ).withColumn("bucket", bucket_of)
+        # replace_grain=0: a FULL repack supersedes every existing packed
+        # partition, including buckets the new pack writes no rows for
         return ptbl.overwrite_partitions(
-            packed, {"tier": tier, "src_snapshot": head, "mode": "full"}
+            packed,
+            {"tier": tier, "src_snapshot": head, "mode": "full"},
+            replace_grain=0,
         )
 
     @staticmethod
@@ -401,7 +450,8 @@ class TierPipeline:
     # ----------------------------------------------------------------- reads
 
     def read_tier(self, tier: str) -> DataFrame:
-        return self.tiers[tier].read(self.spark)
+        # kb is physical layout (key-hash partition level), not schema
+        return self.tiers[tier].read(self.spark).drop("kb")
 
     def point_read(
         self,
@@ -447,7 +497,18 @@ class TierPipeline:
                 packed = packed.where(F.col("ts_min") <= F.lit(end))
             out = unpack_series(packed)
         except FileNotFoundError:
-            out = self.read_tier(tier).where(F.col(self.key) == key_value)
+            # kb partition predicate: the fallback point read file-prunes
+            # to the key's bucket (1/n_buckets of the tier) before the
+            # exact key filter touches a row
+            out = (
+                self.tiers[tier]
+                .read(self.spark)
+                .where(
+                    (F.col("kb") == self._kb(F.lit(key_value)))
+                    & (F.col(self.key) == key_value)
+                )
+                .drop("kb")
+            )
         if start is not None:
             out = out.where(F.col("ts") >= F.lit(start))
         if end is not None:

@@ -184,22 +184,50 @@ class SnapshotTable:
         return tuple(vals.get(k) for k in partition_by)
 
     def overwrite_partitions(
-        self, df: DataFrame, summary: dict | None = None
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        replace_grain: int | None = None,
+        replace_values: list[tuple] | None = None,
     ) -> str:
         """Replace exactly the partitions present in ``df`` (dynamic
         partition overwrite). Idempotent: re-running the same write yields
-        the same table state — the engine's resume primitive."""
+        the same table state — the engine's resume primitive.
+
+        ``replace_grain`` replaces at a COARSER unit: the first
+        ``replace_grain`` partition columns define the replace set, and
+        every existing file under a touched coarse partition is dropped
+        even when the new data has no rows for its sub-partition. A table
+        hive-partitioned ``(pmonth, kb)`` whose recompute unit is the
+        month needs ``replace_grain=1`` — plain dynamic overwrite would
+        leave a stale ``(pmonth, kb)`` file behind whenever a recomputed
+        month no longer has rows for that key bucket (Iceberg's static
+        ``REPLACE WHERE`` on the month predicate vs dynamic mode).
+
+        ``replace_values`` adds an EXPLICIT static replace set (partition
+        value tuples, prefix-matched like :meth:`delete_partitions`):
+        those partitions are dropped even when ``df`` writes no rows
+        into them — the "this partition is now empty" half of a static
+        overwrite that dynamic mode cannot express.
+        """
         if not self.partition_by:
             _sub, new_files = self._write_files(df)
             return self._commit(new_files, "overwrite", summary or {})
+        g = len(self.partition_by) if replace_grain is None else replace_grain
         _sub, new_files = self._write_files(df)
         replaced = {
-            self._partition_of(f, self.partition_by) for f in new_files
+            self._partition_of(f, self.partition_by)[:g] for f in new_files
         }
+        if replace_values is not None:
+            replaced |= {tuple(str(x) for x in v) for v in replace_values}
+        lens = {len(v) for v in replaced}
         kept = [
             f
             for f in self._files()
-            if self._partition_of(f, self.partition_by) not in replaced
+            if not any(
+                self._partition_of(f, self.partition_by)[:n] in replaced
+                for n in lens
+            )
         ]
         return self._commit(
             kept + new_files,
@@ -336,10 +364,18 @@ class SnapshotTable:
         """
         if not self.partition_by:
             raise ValueError("delete_partitions needs a partitioned table")
+        # prefix match: a tuple shorter than partition_by drops every
+        # sub-partition under it (month drop on a (pmonth, kb) table)
         drop = {tuple(str(x) for x in v) for v in values}
+        lens = {len(v) for v in drop}
         cur = self._files()
         kept = [
-            f for f in cur if self._partition_of(f, self.partition_by) not in drop
+            f
+            for f in cur
+            if not any(
+                self._partition_of(f, self.partition_by)[:n] in drop
+                for n in lens
+            )
         ]
         if len(kept) == len(cur):
             return None

@@ -67,6 +67,42 @@ def test_partition_mismatch_rejected(tmp_path, spark):
         SnapshotTable(str(tmp_path / "t"), ["q"])
 
 
+def test_overwrite_replace_grain_and_values(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p", "q"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+            "v int, p string, q string",
+        )
+    )
+    # grain 1: replacing partition p='a' supersedes BOTH (a,x) and (a,y)
+    # even though the new data only writes rows into (a,x)
+    t.overwrite_partitions(
+        spark.createDataFrame([(10, "a", "x")], "v int, p string, q string"),
+        replace_grain=1,
+    )
+    assert {r["v"] for r in t.read(spark).collect()} == {10, 3}
+    # replace_values: declare (b,) replaced with zero rows -> dropped
+    t.overwrite_partitions(
+        spark.createDataFrame([], "v int, p string, q string"),
+        replace_values=[("b",)],
+    )
+    assert {r["v"] for r in t.read(spark).collect()} == {10}
+
+
+def test_delete_partitions_prefix_match(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"), ["p", "q"])
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")],
+            "v int, p string, q string",
+        )
+    )
+    # month-grain drop on a (p, q) table: ('a',) prefix-matches both subdirs
+    t.delete_partitions([("a",)])
+    assert {r["v"] for r in t.read(spark).collect()} == {3}
+
+
 # ------------------------------------------------------------- TierPipeline
 
 
@@ -514,6 +550,76 @@ def test_pack_tier_incremental_repacks_only_touched_buckets(
     # re-pack with no new data: data-free commit, still served packed
     s3 = p.pack_tier("daily")
     assert s3 == s2  # already current -> no new snapshot
+
+
+def test_tier_layout_is_month_and_key_bucket(spark, tmp_path, raw_points):
+    """Tier files carry both partition levels; the pack member scan's
+    kb predicate therefore file-prunes (PLANS.md §pack-bucket-prune)."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    files = p.tiers["daily"]._files()
+    assert files
+    assert all("pmonth=" in f and "kb=" in f for f in files)
+    # partition pruning: the kb predicate must land in the FileScan's
+    # PartitionFilters (file-listing-time pruning), NOT PushedFilters /
+    # post-scan Filter — i.e. unmatched buckets' files are never opened
+    import re
+
+    tbl = p.tiers["daily"]
+    full = tbl.read(spark)
+    kbs = sorted({int(r["kb"]) for r in full.select("kb").distinct().collect()})
+    assert len(kbs) > 1  # 40 keys over 32 buckets: several occupied
+    one = tbl.read(spark).where(F.col("kb").isin([kbs[0]]))
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^\]]*kb", plan), plan
+    # and the filtered read returns exactly that bucket's rows
+    assert one.select("kb").distinct().collect()[0]["kb"] == kbs[0]
+
+
+def test_pack_tier_repacks_buckets_of_overwrite_dropped_keys(
+    spark, tmp_path, raw_points
+):
+    """ADVICE r2: a caller-level tier overwrite whose new files no longer
+    contain some key must still repack that key's bucket — the removed
+    files' kb path segments name it even though no added row does."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    tier = p.tiers["daily"]
+    month_df = tier.read(spark).where(F.col("pmonth") == "2019-10")
+    survivor = "doc0000000003"
+    # rewrite the month keeping ONE key: every other key's 2019-10 rows
+    # are superseded with no replacement row in the delta
+    tier.overwrite_partitions(
+        month_df.where(F.col("doc_id") == survivor),
+        {"op": "manual-overwrite"},
+        replace_grain=1,
+    )
+    s = p.pack_tier("daily")
+    man = p.packed["daily"]._manifest(s)["summary"]
+    assert man["mode"] == "incremental"
+    # parity for a key whose rows VANISHED from the month (its bucket was
+    # named only by removed files): packed must stop serving them
+    victim = "doc0000000007"
+    got = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.point_read(victim, "daily").collect()
+    }
+    exp = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.read_tier("daily")
+        .where(F.col("doc_id") == victim)
+        .collect()
+    }
+    assert got == exp
+    assert not any(ts.startswith("2019-10") for ts, _ in got)
+    # and the survivor still reads back correctly too
+    got_s = {
+        str(r["ts"]) for r in p.point_read(survivor, "daily").collect()
+    }
+    assert any(ts.startswith("2019-10") for ts in got_s)
 
 
 def test_pack_tier_noop_after_compaction_and_full_after_retention(
