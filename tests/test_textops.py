@@ -82,6 +82,39 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     assert len(exact_set & approx16) / len(exact_set) >= recall
 
 
+def test_ann_lsh_multiprobe_fills_and_recall_monotone(spark, emb):
+    """Multi-probe: a sparse config (few tables, many planes) under-fills
+    top-k; probing the lowest-margin bit flips must (a) never return
+    fewer rows per query, (b) never lower recall, and (c) strictly grow
+    the candidate pool in this deliberately-starved setup."""
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    def run(p):
+        rows = lsh_ann_topk(
+            emb, queries, k=5, n_planes=8, n_tables=2, n_probes=p
+        ).collect()
+        per_q: dict = {}
+        for r in rows:
+            per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return per_q, pairs
+
+    fill1, pairs1 = run(1)
+    fill3, pairs3 = run(3)
+    fill6, pairs6 = run(6)
+    for qid, n in fill1.items():
+        assert fill3.get(qid, 0) >= n
+        assert fill6.get(qid, 0) >= fill3.get(qid, 0)
+    r1 = len(exact_set & pairs1) / len(exact_set)
+    r3 = len(exact_set & pairs3) / len(exact_set)
+    r6 = len(exact_set & pairs6) / len(exact_set)
+    assert r1 <= r3 <= r6, (r1, r3, r6)
+    # 2 tables x 8 planes starves 256-way buckets: probing must help
+    assert sum(fill6.values()) > sum(fill1.values())
+
+
 def test_cosine_pairs_matches_numpy(spark, emb):
     rows = emb.limit(50).collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
