@@ -256,6 +256,29 @@ def main() -> None:
 
     pipeline = run_pipeline_isolated(sf) if not only else None
 
+    # host-contention calibration: the same zero-allocation JVM probe
+    # tools/bench_scaling.py uses (2e9 xxhash64 folds, no shuffle, no
+    # heap churn). On a clean host at 32 threads this measures 0.495 s
+    # (BENCH_SCALING.json pairs_full/8_32/large/cpu_probe_sec); the
+    # sandbox's shared socket has contention windows measured up to ~5x
+    # (r1 VERDICT; re-observed r3), so host_probe_ratio is the factor to
+    # divide out when comparing BENCH_r{N}.json files across rounds.
+    from pyspark.sql import functions as F
+
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    probe = (
+        spark.range(0, 2_000_000_000, 1, cores * 16)
+        .select((F.xxhash64("id") % 1_000_000).alias("h"))
+        .agg(F.sum("h"))
+    )
+    probe.head()  # warm
+    pbest = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        probe.head()
+        dt = time.perf_counter() - t0
+        pbest = dt if pbest is None or dt < pbest else pbest
+
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline query wall time (sum) + flagship rollup points/sec",
@@ -263,6 +286,9 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "host_probe_sec": round(pbest, 3),
+        "host_probe_clean_sec": 0.495,
+        "host_probe_ratio": round(pbest / 0.495, 2),
     }
     if pipeline:
         out["pipeline"] = pipeline

@@ -513,11 +513,52 @@ def simhash_near_pairs(
     return pairs
 
 
+def _components_driver(
+    pairs_c: DataFrame, a_col: str, b_col: str, max_iters: int
+) -> DataFrame:
+    """Driver-side vectorized min-label fixpoint for bounded pair sets
+    (see :func:`neardup_components`). Ids are factorized by SORTED
+    unique value, so index order preserves id order and min-over-index
+    equals min-over-id — identical labels to the distributed path."""
+    import pandas as pd
+
+    pdf = pairs_c.select(a_col, b_col).toPandas()
+    uniq, inv = np.unique(
+        np.concatenate([pdf[a_col].to_numpy(), pdf[b_col].to_numpy()]),
+        return_inverse=True,
+    )
+    m = len(pdf)
+    ai, bi = inv[:m], inv[m:]
+    lbl = np.arange(len(uniq), dtype=np.int64)
+    # the numpy rounds are microseconds; 2*max_iters jump-accelerated
+    # rounds cover diameter ~2^(2*max_iters) — unreachable in practice
+    for _ in range(2 * max_iters):
+        new = lbl.copy()
+        e = np.minimum(lbl[ai], lbl[bi])
+        np.minimum.at(new, ai, e)
+        np.minimum.at(new, bi, e)
+        new = new[new]  # pointer jump
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    else:
+        raise RuntimeError(
+            f"_components_driver did not converge in {2 * max_iters} rounds"
+        )
+    spark = pairs_c.sparkSession
+    out_pdf = pd.DataFrame({"node": uniq, "component": uniq[lbl]})
+    id_type = pairs_c.schema[a_col].dataType.simpleString()
+    return spark.createDataFrame(
+        out_pdf, schema=f"node {id_type}, component {id_type}"
+    )
+
+
 def neardup_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iters: int = 20,
+    driver_max_pairs: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair relation:
     ``(node, component)`` with ``component`` = the smallest node id in
@@ -525,26 +566,39 @@ def neardup_components(
     open — a duplicate CLUSTER {A,B,C} surfaces as pairs (A,B), (B,C),
     and keep-one-per-pair logic would wrongly keep two of the three.
 
-    Algorithm: iterative min-label propagation with pointer jumping —
-    each round every node takes the min of its own label, its neighbors'
-    labels (one equi-join + one min-aggregate, both map-side-
-    combinable), AND its current label's own label (one more equi-join:
-    node -> component -> component's component). The jump makes label
-    reach double per round, so convergence is O(log diameter) instead of
-    O(diameter): max_iters=20 covers diameter ~2^20 — any real graph —
-    where plain propagation silently mislabeled chains longer than 20
-    (ADVICE r2). Near-dup components are cliques or short chains
-    (diameter ~<= 3), so typically 2-3 shuffle rounds even at 10^12
-    docs. Each round's labels are cached and the previous round
-    unpersisted, so lineage stays O(1). Deterministic: min over
-    longs/strings has no ties to break. Raises ``RuntimeError`` if the
-    fixpoint is somehow not reached within ``max_iters`` — never returns
-    silently-wrong labels.
+    Dual strategy (same pattern as :func:`ngram_jaccard_pairs`):
+
+    - pair sets within ``driver_max_pairs`` (~80 MB at the 5M default —
+      the pair relation is bounded by duplicate density, orders of
+      magnitude below corpus size) are collected via Arrow and resolved
+      with a vectorized numpy min-label fixpoint (factorize ids, per
+      round ``minimum.at`` over both edge directions + a
+      ``labels[labels]`` pointer jump) — microseconds per round vs a
+      full scheduled shuffle round in Spark, which measured ~4 s/round
+      of pure fixed cost on a 47-node graph;
+    - beyond the budget: distributed iterative min-label propagation
+      with pointer jumping — each round every node takes the min of its
+      own label, its neighbors' labels (one equi-join + one min-
+      aggregate, both map-side-combinable), AND its current label's own
+      label (one more equi-join). The jump doubles label reach per
+      round, so convergence is O(log diameter): max_iters=20 covers
+      diameter ~2^20, where plain propagation silently mislabeled
+      chains longer than 20 (ADVICE r2). Each round's labels are cached
+      and the previous round unpersisted, so lineage stays O(1).
+
+    Both paths are deterministic (min over ids, no ties) and produce
+    identical labels; both raise ``RuntimeError`` instead of returning
+    silently-wrong labels if the fixpoint is not reached.
     """
     # cache the pair relation BEFORE symmetrizing: the union references
     # it twice, and near-dup pair sources (Jaccard/LSH) are expensive to
     # recompute — without this the whole upstream pipeline runs twice
     pairs_c = pairs.select(a_col, b_col).cache()
+    n_pairs = pairs_c.count()
+    if n_pairs <= driver_max_pairs:
+        out = _components_driver(pairs_c, a_col, b_col, max_iters)
+        pairs_c.unpersist()
+        return out
     sym = pairs_c.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
@@ -563,14 +617,22 @@ def neardup_components(
         neigh = edges.join(
             labels.withColumnRenamed("node", "dst"), "dst"
         ).select(F.col("src").alias("node"), "component")
+        # localCheckpoint (eager), NOT cache: the pointer-jump self-join
+        # references prop twice, so with ordinary lineage the LOGICAL
+        # plan doubles every round — the optimizer grinds exponentially
+        # after ~5 rounds even though the data is tiny. Checkpointing
+        # truncates the plan to a flat scan each round (the standard
+        # iterative-algorithm discipline; old block RDDs are dereferenced
+        # on rebind and reclaimed by the context cleaner).
         prop = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint()
         )
         # pointer jump: labels are node ids and every node has a row, so
         # component c resolves to its own (monotonically <=) label; the
-        # composed hop doubles reach -> O(log diameter) rounds
+        # composed hop compounds reach -> O(log diameter) rounds
         new = (
             prop.join(
                 prop.select(
@@ -580,7 +642,7 @@ def neardup_components(
                 "component",
             )
             .select("node", F.col("jumped").alias("component"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new.join(labels.withColumnRenamed("component", "old"), "node")
@@ -588,7 +650,6 @@ def neardup_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new
         if changed == 0:
             break

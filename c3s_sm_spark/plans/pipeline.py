@@ -220,9 +220,15 @@ class TierPipeline:
             )
         else:
             out = cascade(src, [self.key], tier)
-        return out.withColumn(
+        out = out.withColumn(
             "pmonth", F.date_format("ts", "yyyy-MM")
         ).withColumn("kb", self._kb())
+        # one shuffle keyed on the partition tuple so the partitionBy
+        # write emits ~one file per (pmonth, kb) dir — without it every
+        # write task opens a file per dir it touches (tasks x months x
+        # buckets small files; measured 3.5x slower end-to-end and a
+        # per-scan task-count tax forever after)
+        return out.repartition(F.col("pmonth"), F.col("kb"))
 
     def _kb(self, col: str | Column | None = None) -> Column:
         """Key-bucket partition value: ``pmod(xxhash64(key), n_buckets)``.

@@ -480,6 +480,13 @@ def test_neardup_components_vs_union_find(spark):
         r["node"]: r["component"]
         for r in neardup_components(pairs).collect()
     }
+    # both physical strategies must produce identical labels:
+    # driver_max_pairs=0 forces the distributed propagation path
+    comp_dist = {
+        r["node"]: r["component"]
+        for r in neardup_components(pairs, driver_max_pairs=0).collect()
+    }
+    assert comp == comp_dist
     parent = {}
 
     def find(x):
@@ -510,6 +517,22 @@ def test_neardup_components_vs_union_find(spark):
     assert kept[10] == (12, 5.0, 3)
     assert kept[20] == (20, 6.0, 2)
     assert kept[30] == (32, 4.0, 3)
+
+
+def test_neardup_components_long_chain(spark):
+    """Diameter-49 chain: plain 20-round propagation would mislabel it
+    (ADVICE r2); pointer jumping must converge on BOTH paths."""
+    from c3s_sm_spark.operators.dedup_text import neardup_components
+
+    chain = [(i, i + 1) for i in range(100, 150)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    for kw in ({}, {"driver_max_pairs": 0}):
+        comp = {
+            r["node"]: r["component"]
+            for r in neardup_components(pairs, **kw).collect()
+        }
+        assert set(comp.values()) == {100}
+        assert len(comp) == 51
 
 
 def test_deterministic_sample_properties(spark, docs):
