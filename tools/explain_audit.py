@@ -190,6 +190,39 @@ def main() -> None:
         )
     )
 
+    # 11. pack member scan: tier tables are (pmonth, kb)-partitioned and
+    # pack_tier's bucket repack filters on kb — the predicate must land
+    # in the scan's PartitionFilters (file-listing-time pruning: only the
+    # touched buckets' files are ever opened), not as a row filter
+    import re
+    import shutil
+    import tempfile
+
+    from c3s_sm_spark.plans.pipeline import TierPipeline
+    from c3s_sm_spark.synth import gen_points_raw
+
+    base = tempfile.mkdtemp(prefix="audit_tiers_")
+    try:
+        p = TierPipeline(spark, base)
+        p.ingest(gen_points_raw(spark, 12, start="2019-10-01", end="2019-11-30"))
+        p.refresh(["daily"])
+        member = p.tiers["daily"].read(spark).where(F.col("kb").isin([0, 1, 2]))
+        mtxt = plan_text(member)
+        sections.append(
+            (
+                "pack-bucket-prune: (pmonth, kb) tier layout, kb IN-list prunes at file listing (pack_tier)",
+                mtxt,
+                {
+                    "kb predicate in PartitionFilters": bool(
+                        re.search(r"PartitionFilters: \[[^\]]*kb", mtxt)
+                    ),
+                    "kb not a data filter": "PushedFilters: [In(kb" not in mtxt,
+                },
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
