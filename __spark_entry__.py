@@ -1072,6 +1072,16 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: span-level cross-corpus duplication profile (Lee et al. 2022
+    exact-substring dedup signal) — fraction of each doc's distinct
+    5-word spans that occur in >= 1 other document."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import duplication_profile
+
+    return duplication_profile(_docs(spark, sf_dir), k=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1124,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ambiguity": _q_dedup_ambiguity,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_corpus": _q_dedup_corpus,
+        "dup_profile": _q_dup_profile,
         "sample_mix": _q_sample_mix,
         "repetition": _q_repetition,
         "pattern_counts": _q_pattern_counts,
@@ -1694,6 +1705,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
             FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
             WHERE dr.node IS NULL
+        """,
+        "dup_profile": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(range(1, len(ws) - 3),
+                            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                 || ' ' || ws[i+3] || ' ' || ws[i+4])) AS sh
+              FROM w WHERE len(ws) >= 5),
+            d AS (SELECT sh, count(*) AS span_df FROM sh GROUP BY 1)
+            SELECT s.doc_id, count(*) AS n_spans,
+                   sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_shared,
+                   round(sum(CASE WHEN d.span_df >= 2 THEN 1 ELSE 0 END)
+                         / count(*), 4) AS dup_fraction
+            FROM sh s JOIN d USING (sh) GROUP BY 1
         """,
         "record_union": f"""
             WITH m AS (

@@ -76,6 +76,54 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     )
 
 
+def duplication_profile(
+    docs: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Per-document cross-corpus duplication profile: for every document,
+    the fraction of its distinct k-word spans that also occur in at
+    least one OTHER document. Output: ``(doc_id, n_spans, n_shared,
+    dup_fraction)``.
+
+    This is the span-level signal behind exact-substring training-data
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): documents with a high shared-span fraction are
+    near-copies, boilerplate, or templated text even when no single
+    whole-document pair crosses a Jaccard threshold — filtering on
+    ``dup_fraction`` removes them without any pairwise comparison.
+
+    Physical shape (fully distributed, no broadcast, no driver state):
+    one shingling pass -> one groupBy(shingle-hash) count to get each
+    span's document frequency -> join back on the hash -> one per-doc
+    aggregate. Both shuffles key on the 8-byte span hash / doc id, never
+    the text. ``shingles`` is distinct-per-doc, so the count IS document
+    frequency; a df >= 2 span is by definition shared with another doc.
+    Hashing note: a 64-bit collision only perturbs one doc's fraction by
+    one span (unlike :func:`exact_dedup`, where a collision loses a
+    whole group — hence its 128-bit key; the same argument
+    :func:`ngram_jaccard_pairs` documents).
+    """
+    sh = shingles(docs, text_col, k).select(
+        "doc_id", F.xxhash64("sh").alias("shh")
+    )
+    span_df = sh.groupBy("shh").agg(F.count("*").alias("span_df"))
+    return (
+        sh.join(span_df, "shh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("span_df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_spans"), 4).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",

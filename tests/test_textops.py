@@ -535,6 +535,28 @@ def test_neardup_components_long_chain(spark):
         assert len(comp) == 51
 
 
+def test_duplication_profile_exact(spark):
+    """Hand-computed span sharing: docs 1 and 2 share exactly one 5-gram
+    ('a b c d e'); doc 3 shares nothing."""
+    from c3s_sm_spark.operators.dedup_text import duplication_profile
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e x"),
+            (3, "q w e r t y u"),
+        ],
+        "doc_id long, text string",
+    )
+    prof = {
+        r["doc_id"]: (r["n_spans"], r["n_shared"], r["dup_fraction"])
+        for r in duplication_profile(docs, k=5).collect()
+    }
+    assert prof[1] == (2, 1, 0.5)
+    assert prof[2] == (2, 1, 0.5)
+    assert prof[3] == (3, 0, 0.0)
+
+
 def test_deterministic_sample_properties(spark, docs):
     """Hash sampling: partitioning-invariant row set, ~correct rate,
     disjoint salts give independent samples, strata respect fractions."""
