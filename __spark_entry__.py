@@ -1072,6 +1072,22 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: sequence packing — documents streamed in id order into
+    fixed-token-budget training bins via a distributed two-phase prefix
+    sum (never the single-task global-order Window; see
+    operators/sampling.py:pack_sequences)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import pack_sequences
+    from c3s_sm_spark.operators.textstats import words_col
+
+    docs = _docs(spark, sf_dir)
+    with_tok = docs.select(
+        "doc_id", F.size(words_col("text")).alias("n_tok")
+    )
+    return pack_sequences(with_tok, budget=4096)
+
+
 def _q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29: span-level cross-corpus duplication profile (Lee et al. 2022
     exact-substring dedup signal) — fraction of each doc's distinct
@@ -1135,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": _q_neardup_clusters,
         "dedup_corpus": _q_dedup_corpus,
         "dup_profile": _q_dup_profile,
+        "seq_pack": _q_seq_pack,
         "sample_mix": _q_sample_mix,
         "repetition": _q_repetition,
         "pattern_counts": _q_pattern_counts,
@@ -1143,15 +1160,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_match": _q_first_match,
         "product_attrs": _q_product_attrs,
         # ---- rows-only by design (no ANSI-SQL oracle; pytest-pinned) ----
+        # one in-gate row per operator family first (X3 LSH dedup, X8
+        # IVF ANN, X10 multimodal, X4 SimHash):
         "minhash_lsh": _q_minhash_lsh,
-        "simhash_neardup": _q_simhash_neardup,
-        "ann_lsh": _q_ann_lsh,
         "ann_ivf": _q_ann_ivf,
-        "rollup_quantiles_approx": _q_rollup_quantiles_approx,
         "multimodal_features": _q_multimodal_features,
-        # beyond the ~50-row gate window: simhash is the same codepath
+        "simhash_neardup": _q_simhash_neardup,
+        # beyond the ~50-row gate window (all pytest-pinned): ann_lsh has
+        # its recall floor test, rollup_quantiles_approx its
+        # rank-exactness test; simhash is the same codepath
         # simhash_neardup exercises, frame_sample shares multimodal's
-        # pytest-pinned mapInPandas plumbing — least marginal signal.
+        # mapInPandas plumbing — least marginal driver signal.
+        "ann_lsh": _q_ann_lsh,
+        "rollup_quantiles_approx": _q_rollup_quantiles_approx,
         "simhash": _q_simhash,
         "frame_sample": _q_frame_sample,
     }
@@ -1705,6 +1726,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, length(d.text)::BIGINT AS n_chars
             FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.node
             WHERE dr.node IS NULL
+        """,
+        "seq_pack": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tok
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tok,
+                     sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tok AS cum
+              FROM t)
+            SELECT doc_id, n_tok,
+                   (cum // 4096)::BIGINT AS bin_id,
+                   (cum % 4096)::BIGINT AS pos_in_bin
+            FROM c
         """,
         "dup_profile": r"""
             WITH w AS (

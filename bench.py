@@ -76,6 +76,7 @@ HEADLINE = [
     "token_invariant",
     "ngram_jaccard",
     "dup_profile",
+    "seq_pack",
     "minhash_lsh",
     "neardup_clusters",
     "dedup_corpus",

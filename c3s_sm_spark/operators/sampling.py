@@ -84,3 +84,71 @@ def stratified_mix(
         raise ValueError("fractions must not be empty")
     cut = cut.otherwise(F.lit(_cut(0.0)))
     return df.where(hash_bucket(F.col(key_col), salt) < cut)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training batches: assign each document to a
+    fixed-token-budget bin by streaming them in deterministic ``id_col``
+    order and cutting a new bin whenever the running total crosses
+    ``budget`` (the standard contiguous-fill approximation of bin
+    packing used to build fixed-length training sequences). Output:
+    ``(id_col, token_col, bin_id, pos_in_bin)`` where ``pos_in_bin`` is
+    the document's exclusive token offset within its bin.
+
+    The core is a GLOBAL prefix sum — and the naive formulation,
+    ``sum(...).over(Window.orderBy(id))``, collapses the whole corpus
+    into ONE task (Spark warns: "No Partition Defined for Window").
+    This implements the classic two-phase distributed scan instead:
+    range-partition by id, per-partition cumulative sums (window WITH a
+    partition key -> parallel), then add each partition's exclusive
+    total as a literal offset map (one tiny driver collect, one
+    broadcast-sized expression). Identical result at any parallelism —
+    the offsets adapt to wherever the range partitioner draws bounds.
+    """
+    n = n_partitions or docs.sparkSession.sparkContext.defaultParallelism * 4
+    d = (
+        docs.select(id_col, token_col)
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    # localCheckpoint PINS the range partitioning: the offsets below are
+    # computed against these exact partition bounds, and a lazy recompute
+    # would re-sample different bounds (repartitionByRange samples per
+    # execution), silently misaligning _pid -> offset. At 10^12 rows this
+    # materialization is a written intermediate table instead — the same
+    # two-phase scan, one table write deep.
+    part = d.withColumn(
+        "_cum_incl", F.sum(token_col).over(w)
+    ).localCheckpoint()
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in part.groupBy("_pid")
+        .agg(F.max("_cum_incl").alias("t"))
+        .collect()
+    )
+    running = 0
+    offs = {}
+    for pid, t in totals:
+        offs[pid] = running
+        running += t
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offs.items() for x in kv]
+    )
+    cum_excl = (
+        F.col("_cum_incl") - F.col(token_col) + off_map[F.col("_pid")]
+    )
+    return part.select(
+        id_col,
+        F.col(token_col).cast("long").alias(token_col),
+        F.floor(cum_excl / budget).cast("long").alias("bin_id"),
+        (cum_excl % budget).cast("long").alias("pos_in_bin"),
+    )

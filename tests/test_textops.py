@@ -535,6 +535,29 @@ def test_neardup_components_long_chain(spark):
         assert len(comp) == 51
 
 
+def test_pack_sequences_invariant_and_exact(spark):
+    """Two-phase distributed prefix sum == sequential pack, at ANY
+    partition count (the offsets adapt to the range bounds)."""
+    from c3s_sm_spark.operators.sampling import pack_sequences
+
+    rows = [(i, (i * 37) % 97 + 1) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+    def run(n):
+        return {
+            r["doc_id"]: (r["bin_id"], r["pos_in_bin"])
+            for r in pack_sequences(docs, 256, n_partitions=n).collect()
+        }
+
+    a, b, c = run(1), run(7), run(32)
+    assert a == b == c
+    cum, exp = 0, {}
+    for i, t in rows:
+        exp[i] = (cum // 256, cum % 256)
+        cum += t
+    assert a == exp
+
+
 def test_duplication_profile_exact(spark):
     """Hand-computed span sharing: docs 1 and 2 share exactly one 5-gram
     ('a b c d e'); doc 3 shares nothing."""
