@@ -191,7 +191,7 @@ def run_pipeline(spark, sf: float, warmup: bool = True) -> dict:
 
 
 _CHILD = r"""
-import json, os, sys
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from c3s_sm_spark.session import get_spark
 from bench import run_pipeline
@@ -205,6 +205,19 @@ for _ in range(3):  # pass 1 doubles as the JIT warm-up; report steady state
     r = run_pipeline(spark, {sf}, warmup=False)
     if best is None or r["sec"] < best["sec"]:
         best = r
+# same-JVM contention probe (see main()): the flagship number is only
+# comparable across rounds relative to this
+from pyspark.sql import functions as F
+cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+probe = (spark.range(0, 2_000_000_000, 1, cores * 16)
+         .select((F.xxhash64("id") % 1_000_000).alias("h")).agg(F.sum("h")))
+probe.head()
+pb = None
+for _ in range(3):
+    t0 = time.perf_counter(); probe.head(); dt = time.perf_counter() - t0
+    pb = dt if pb is None or dt < pb else pb
+best["host_probe_sec"] = round(pb, 3)
+best["host_probe_ratio"] = round(pb / 0.495, 2)
 print("RESULT " + json.dumps(best))
 """
 
