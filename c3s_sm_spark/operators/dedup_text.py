@@ -257,22 +257,35 @@ def _ngram_jaccard_matmul(
                 f"(cap {max_broadcast_cells}); use strategy='join' or LSH"
             )
         return None
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    # two Arrow collects, no per-row Python: the flat (doc_id, shh)
-    # occurrence pairs for df>=2 shingles, plus the per-doc full sizes.
-    # Docs whose every shingle is unique get a matrix row of zeros via
-    # the sizes frame (they can't pair, but na_full must stay aligned).
-    occ = (
-        sh.join(df2, "shh", "leftsemi")
+    # ONE Arrow collect, no per-row Python: per doc its full shingle
+    # count plus the list of its df>=2 shingle hashes (collect_list
+    # skips the nulls the when() leaves on df=1 rows, so only the
+    # budget-approved occurrence set ships to the driver). Docs whose
+    # every shingle is unique get an empty list — a zero matrix row
+    # (they can't pair, but na_full must stay aligned).
+    per_doc = (
+        sh.join(df2.withColumn("_k", F.lit(1)), "shh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.collect_list(F.when(F.col("_k") == 1, F.col("shh"))).alias(
+                "hs"
+            ),
+        )
         .toPandas()
+        .sort_values("doc_id", kind="stable")
     )
-    sizes_pdf = sizes.toPandas().sort_values("doc_id", kind="stable")
     df2.unpersist()
-    doc_ids = sizes_pdf["doc_id"].to_numpy()
-    na_full = sizes_pdf["n_sh"].to_numpy(dtype=np.int64)
+    doc_ids = per_doc["doc_id"].to_numpy()
+    na_full = per_doc["n_sh"].to_numpy(dtype=np.int64)
     # vectorized factorization: unique() sorts, searchsorted maps — all C
-    occ_docs = occ["doc_id"].to_numpy()
-    occ_shh = occ["shh"].to_numpy(dtype=np.int64)
+    lens = per_doc["hs"].map(len).to_numpy(dtype=np.int64)
+    occ_docs = np.repeat(doc_ids, lens)
+    occ_shh = (
+        np.concatenate(per_doc["hs"].to_numpy())
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    ).astype(np.int64)
     uniq_h = np.unique(occ_shh)
     n, v = len(doc_ids), len(uniq_h)
     mat = np.zeros((n, v), dtype=np.float32)
