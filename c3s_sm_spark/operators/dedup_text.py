@@ -590,7 +590,7 @@ def simhash_near_pairs(
 
 
 def _components_driver(
-    pairs_c: DataFrame, a_col: str, b_col: str, max_iters: int
+    spark, pdf, a_col: str, b_col: str, id_type: str, max_iters: int
 ) -> DataFrame:
     """Driver-side vectorized min-label fixpoint for bounded pair sets
     (see :func:`neardup_components`). Ids are factorized by SORTED
@@ -598,7 +598,6 @@ def _components_driver(
     equals min-over-id — identical labels to the distributed path."""
     import pandas as pd
 
-    pdf = pairs_c.select(a_col, b_col).toPandas()
     uniq, inv = np.unique(
         np.concatenate([pdf[a_col].to_numpy(), pdf[b_col].to_numpy()]),
         return_inverse=True,
@@ -621,9 +620,7 @@ def _components_driver(
         raise RuntimeError(
             f"_components_driver did not converge in {2 * max_iters} rounds"
         )
-    spark = pairs_c.sparkSession
     out_pdf = pd.DataFrame({"node": uniq, "component": uniq[lbl]})
-    id_type = pairs_c.schema[a_col].dataType.simpleString()
     return spark.createDataFrame(
         out_pdf, schema=f"node {id_type}, component {id_type}"
     )
@@ -666,15 +663,22 @@ def neardup_components(
     identical labels; both raise ``RuntimeError`` instead of returning
     silently-wrong labels if the fixpoint is not reached.
     """
-    # cache the pair relation BEFORE symmetrizing: the union references
-    # it twice, and near-dup pair sources (Jaccard/LSH) are expensive to
-    # recompute — without this the whole upstream pipeline runs twice
+    # single-pass size probe + fetch: limit(cap+1).toPandas() collects
+    # the whole pair set iff it fits the driver budget — the common case
+    # finishes in ONE job with no cache at all (the pair relation is
+    # consumed exactly once there). Only an over-budget set falls through
+    # to the distributed path, which then caches because the symmetrize
+    # union references the (expensive-upstream) relation twice.
+    head_pdf = (
+        pairs.select(a_col, b_col).limit(driver_max_pairs + 1).toPandas()
+    )
+    if len(head_pdf) <= driver_max_pairs:
+        id_type = pairs.schema[a_col].dataType.simpleString()
+        return _components_driver(
+            pairs.sparkSession, head_pdf, a_col, b_col, id_type, max_iters
+        )
+    del head_pdf
     pairs_c = pairs.select(a_col, b_col).cache()
-    n_pairs = pairs_c.count()
-    if n_pairs <= driver_max_pairs:
-        out = _components_driver(pairs_c, a_col, b_col, max_iters)
-        pairs_c.unpersist()
-        return out
     sym = pairs_c.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
