@@ -114,7 +114,15 @@ _MEAN4_VALUE_SQL = _MEAN4_SQL.format(
 )
 #: oracle twin of F.sum(_micro(value)) — the only cross-engine-stable sum
 #: witness over doubles (see the parity note above _micro)
-_VSUM_MICRO_SQL = f"sum({_MICRO_SQL.format(c='value')}) AS v_sum_micro"
+#: CAST(... AS BIGINT) is load-bearing: DuckDB promotes sum(BIGINT) to
+#: HUGEINT (int128), which pandas materialization renders as float64
+#: ("29270123.0") while Spark emits a long ("29270123") — a value-hash
+#: mismatch even when every value is identical.  Every top-level integer
+#: sum in oracle_sql() must carry this cast (r3 verdict: the single root
+#: cause of all 7 hash failures).
+_VSUM_MICRO_SQL = (
+    f"CAST(sum({_MICRO_SQL.format(c='value')}) AS BIGINT) AS v_sum_micro"
+)
 
 
 def _mean4_filter_sql(uid: int) -> str:
@@ -143,8 +151,13 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             _mean4(F.col("sm"), F.col("nobs")).alias("v_mean"),
             "nobs",
             # integer micro-unit sum: order-independent, bit-stable across
-            # engines/partitionings (round(sum(double),k) is NOT — it cost
-            # sample_mix its r2 hash; see the parity rule atop this file)
+            # engines/partitionings.  (Historical note: sample_mix's r2
+            # hash failure was NOT float ordering — it was DuckDB's
+            # HUGEINT promotion of its uncast sum(event_id), rendered as
+            # float64 by the driver's pandas materialization; see the
+            # CAST note above _VSUM_MICRO_SQL.  The micro-int witness is
+            # still the right design: round(sum(double),k) genuinely is
+            # partition-order-dependent — the _mean4 analysis stands.)
             F.col("sm").alias("v_sum_micro"),
         )
     )
@@ -1072,6 +1085,25 @@ def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 DEFAULT path under the hard signal (rows-only): MinHash-LSH
+    banded candidates -> exact-Jaccard verify -> connected components ->
+    keep-best-per-cluster -> anti-join. This is the 10^12-doc
+    configuration itself (the oracled `dedup_corpus` row pins the same
+    composition through the deterministic exact-pairs override; LSH
+    banding has no ANSI-SQL twin, so this row is rows-only and the
+    survivor set is additionally pinned by
+    tests/test_textops.py::test_dedup_corpus_end_to_end)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import dedup_corpus
+
+    docs = _docs(spark, sf_dir)
+    out = dedup_corpus(docs, verify_threshold=0.5)
+    return out.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
 def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X30: sequence packing — documents streamed in id order into
     fixed-token-budget training bins via a distributed two-phase prefix
@@ -1107,10 +1139,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate records at most ~50
     # rows and walks this dict in order (r2 evidence: 51 registered, the
     # 51st — product_attrs — was the one row missing from
-    # CORRECTNESS_r02.json while still present in BENCH_r02.json). All
-    # fully-oracled queries come first; the rows-only-by-design entries
-    # (engine-side hash permutations etc., each value-pinned in pytest)
-    # sit at the tail where truncation costs the least signal.
+    # CORRECTNESS_r02.json while still present in BENCH_r02.json).
+    # Window policy (r3 verdict task 6): every operator FAMILY gets at
+    # least one in-window row, so the rows-only singles ann_lsh (X7),
+    # rollup_quantiles_approx (X24) and dedup_corpus_lsh (X28 default
+    # path) moved inside, and three family-DUPLICATE oracled rows moved
+    # to the tail: nearest_station (same oracle as
+    # nearest_station_bucketed, J1/X23 family keeps 2 in-window rows),
+    # dedup_ambiguity (same family as dedup_keep_latest, J5/W2), and
+    # doc_fingerprint (X9 keeps token_stats/text_quality/lang_id).
+    # Tail rows stay fully checked by tools/oracle_check.py and
+    # tests/test_entry_contract.py — only the driver row is forgone.
     return {
         # ---- oracled (rows + schema + value-hash) ----
         "rollup_daily": _q_rollup_daily,
@@ -1123,7 +1162,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_rollup": _q_salted_rollup,
         "codec_roundtrip": _q_codec_roundtrip,
         "dedup_exact": _q_dedup_exact,
-        "doc_fingerprint": _q_fingerprint,
         "token_stats": _q_token_stats,
         "text_quality": _q_quality,
         "lang_id": _q_lang_id,
@@ -1134,7 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_semi_join": _q_mask_semi_join,
         "decontaminate": _q_decontaminate,
         "token_freq": _q_token_freq,
-        "nearest_station": _q_nearest_station,
         "nearest_station_bucketed": _q_nearest_station_bucketed,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,
@@ -1147,7 +1184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_invariant": _q_token_invariant,
         "embedding_neardup": _q_embedding_neardup,
         "filename_roundtrip": _q_filename_roundtrip,
-        "dedup_ambiguity": _q_dedup_ambiguity,
         "neardup_clusters": _q_neardup_clusters,
         "dedup_corpus": _q_dedup_corpus,
         "dup_profile": _q_dup_profile,
@@ -1160,19 +1196,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_match": _q_first_match,
         "product_attrs": _q_product_attrs,
         # ---- rows-only by design (no ANSI-SQL oracle; pytest-pinned) ----
-        # one in-gate row per operator family first (X3 LSH dedup, X8
-        # IVF ANN, X10 multimodal, X4 SimHash):
+        # one in-gate row per operator family (X3 LSH dedup, X8 IVF ANN,
+        # X10 multimodal, X4 SimHash, X7 sign-LSH ANN, X24 sketch
+        # percentiles, X28 default LSH path):
         "minhash_lsh": _q_minhash_lsh,
         "ann_ivf": _q_ann_ivf,
         "multimodal_features": _q_multimodal_features,
         "simhash_neardup": _q_simhash_neardup,
-        # beyond the ~50-row gate window (all pytest-pinned): ann_lsh has
-        # its recall floor test, rollup_quantiles_approx its
-        # rank-exactness test; simhash is the same codepath
-        # simhash_neardup exercises, frame_sample shares multimodal's
-        # mapInPandas plumbing — least marginal driver signal.
         "ann_lsh": _q_ann_lsh,
         "rollup_quantiles_approx": _q_rollup_quantiles_approx,
+        "dedup_corpus_lsh": _q_dedup_corpus_lsh,
+        # ---- beyond the ~50-row gate window ----
+        # family duplicates (oracled — still verified by the local
+        # mirror and the pytest contract, just no driver row):
+        "nearest_station": _q_nearest_station,
+        "dedup_ambiguity": _q_dedup_ambiguity,
+        "doc_fingerprint": _q_fingerprint,
+        # rows-only codepath duplicates: simhash is the same codepath
+        # simhash_neardup exercises, frame_sample shares multimodal's
+        # mapInPandas plumbing — least marginal driver signal.
         "simhash": _q_simhash,
         "frame_sample": _q_frame_sample,
     }
@@ -1306,7 +1348,8 @@ def oracle_sql() -> dict[str, str]:
                      {_MEAN4_VALUE_SQL} AS v_mean
               FROM events GROUP BY 1, 2)
             SELECT doc_id, count(*) AS n,
-                   sum(CAST(round(v_mean*10000) AS BIGINT)) AS checksum_t4
+                   CAST(sum(CAST(round(v_mean*10000) AS BIGINT))
+                        AS BIGINT) AS checksum_t4
             FROM d GROUP BY 1
         """,
         "dedup_exact": """
@@ -1698,7 +1741,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_mix": f"""
             SELECT event_type, count(*) AS n,
-                   sum(event_id) AS id_sum,
+                   CAST(sum(event_id) AS BIGINT) AS id_sum,
                    {_VSUM_MICRO_SQL}
             FROM events
             WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) <

@@ -80,6 +80,7 @@ HEADLINE = [
     "minhash_lsh",
     "neardup_clusters",
     "dedup_corpus",
+    "dedup_corpus_lsh",
     "simhash",
     "simhash_neardup",
     "embedding_topk",
@@ -190,6 +191,89 @@ def run_pipeline(spark, sf: float, warmup: bool = True) -> dict:
     }
 
 
+def run_packed_read(spark) -> dict:
+    """Packed-tier read path (r3 verdict task 8): point read latency on
+    the DoD+Gorilla packed form vs the unpacked kb-pruned tier, plus the
+    incremental bucket-repack cost after an append.
+
+    Tier shape: ~2k keys x ~15 months daily (~0.8M rows) — point-read
+    latency is governed by partition pruning + per-bucket decode, both
+    independent of total tier size once pruning works, so this small
+    tier measures the same path a 10^12-row tier would serve.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.plans.pipeline import TierPipeline
+    from c3s_sm_spark.synth import gen_points_raw
+
+    base = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIR",
+        "/dev/shm" if os.path.isdir("/dev/shm") else None,
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_packed_", dir=base)
+    try:
+        p = TierPipeline(spark, tmp)
+        early = gen_points_raw(spark, 2000, start="2019-01-01", end="2020-02-29")
+        late = gen_points_raw(spark, 2000, start="2019-01-01", end="2020-03-31").where(
+            F.col("ts") >= "2020-03-01"
+        )
+        t0 = time.perf_counter()
+        p.ingest(early)
+        p.refresh(["daily"])
+        build_s = time.perf_counter() - t0
+        n_rows = p.read_tier("daily").count()
+        keys = [r["doc_id"] for r in
+                p.read_tier("daily").select("doc_id").distinct().limit(5).collect()]
+
+        def _point_ms(reps: int = 5) -> float:
+            best = None
+            for _ in range(reps):
+                t = time.perf_counter()
+                for k in keys:
+                    p.point_read(k, "daily").collect()
+                dt = (time.perf_counter() - t) / len(keys)
+                best = dt if best is None or dt < best else best
+            return best * 1000
+
+        unpacked_ms = _point_ms()  # no packed table yet: kb-pruned fallback
+        t0 = time.perf_counter()
+        p.pack_tier("daily")
+        full_pack_s = time.perf_counter() - t0
+        packed_ms = _point_ms()
+
+        def _bytes(tbl) -> int:
+            return sum(
+                os.path.getsize(os.path.join(tbl.root, f))
+                for f in tbl._files()
+            )
+
+        tier_bytes = _bytes(p.tiers["daily"])
+        packed_bytes = _bytes(p.packed["daily"])
+        # incremental repack: append one month for 1/10 of the keys ->
+        # only their hash buckets repack
+        t0 = time.perf_counter()
+        p.ingest(late.where(F.substring("doc_id", 4, 10).cast("long") % 10 == 0))
+        p.refresh(["daily"])
+        p.pack_tier("daily")
+        incr_pack_s = time.perf_counter() - t0
+        return {
+            "tier_rows": int(n_rows),
+            "build_daily_sec": round(build_s, 3),
+            "point_read_unpacked_ms": round(unpacked_ms, 1),
+            "point_read_packed_ms": round(packed_ms, 1),
+            "full_pack_sec": round(full_pack_s, 3),
+            "incremental_append_repack_sec": round(incr_pack_s, 3),
+            "tier_bytes": tier_bytes,
+            "packed_bytes": packed_bytes,
+            "compression_vs_tier": round(tier_bytes / packed_bytes, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
@@ -271,6 +355,7 @@ def main() -> None:
         times[name] = round(best, 3)
 
     pipeline = run_pipeline_isolated(sf) if not only else None
+    packed_read = run_packed_read(spark) if not only else None
 
     # host-contention calibration: the same zero-allocation JVM probe
     # tools/bench_scaling.py uses (2e9 xxhash64 folds, no shuffle, no
@@ -308,6 +393,8 @@ def main() -> None:
     }
     if pipeline:
         out["pipeline"] = pipeline
+    if packed_read:
+        out["packed_read"] = packed_read
     print(json.dumps(out))
 
 

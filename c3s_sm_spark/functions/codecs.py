@@ -310,10 +310,18 @@ def decode_vals(blob: bytes) -> np.ndarray:
 #: (SURVEY.md §7 hard-part 5)
 CHUNK = 8192
 
-PACKED_SCHEMA = (
-    "doc_id string, chunk int, ts_min timestamp, ts_max timestamp, "
-    "n int, ts_blob binary, v_blob binary"
-)
+def packed_schema_for(key_type: str = "string") -> str:
+    """Packed-row schema with the key column at its SOURCE dtype — a
+    LongType key must stay long end-to-end, or the read-side hash-bucket
+    predicate (xxhash64 hashes int/long/string differently) and the
+    equality filter silently miss."""
+    return (
+        f"doc_id {key_type}, chunk int, ts_min timestamp, ts_max timestamp, "
+        "n int, ts_blob binary, v_blob binary"
+    )
+
+
+PACKED_SCHEMA = packed_schema_for()
 
 
 def pack_series(
@@ -379,7 +387,10 @@ def pack_series(
         .repartition(n_partitions, F.col(key))
         .sortWithinPartitions(key, ts_col)
     )
-    return prepared.mapInPandas(_pack_partition, schema=PACKED_SCHEMA)
+    return prepared.mapInPandas(
+        _pack_partition,
+        schema=packed_schema_for(df.schema[key].dataType.simpleString()),
+    )
 
 
 UNPACKED_SCHEMA = "doc_id string, ts timestamp, v_mean double"
@@ -408,6 +419,7 @@ def unpack_series(packed_df):
                 )
             yield pd.concat(outs, ignore_index=True)
 
+    key_type = packed_df.schema["doc_id"].dataType.simpleString()
     return packed_df.select("doc_id", "ts_blob", "v_blob").mapInPandas(
-        _unpack, schema=UNPACKED_SCHEMA
+        _unpack, schema=f"doc_id {key_type}, ts timestamp, v_mean double"
     )

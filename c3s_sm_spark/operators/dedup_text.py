@@ -207,12 +207,13 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "na", "nb", "jaccard")
     )
-    # materialize the (thresholded, pair-sized) result so the corpus-sized
-    # shingle cache can be dropped NOW instead of leaking for the session
-    # lifetime (ADVICE r2); at 100 TB this cache is a materialized
-    # intermediate table and the same discipline applies
-    out = out.cache()
-    out.count()
+    # eagerly materialize the (thresholded, pair-sized) result via
+    # localCheckpoint so the corpus-sized shingle cache can be dropped
+    # NOW instead of leaking for the session lifetime (ADVICE r2); unlike
+    # cache()+count(), the checkpoint blocks are auto-reclaimed when the
+    # returned frame is dereferenced, so the pair set doesn't leak either
+    # (ADVICE r3). At 100 TB this is a materialized intermediate table.
+    out = out.localCheckpoint()
     sh.unpersist()
     return out
 
@@ -447,10 +448,11 @@ def minhash_lsh_candidates(
         .distinct()
     )
     if verify_threshold is None:
-        # materialize the (pair-sized) candidate set, then drop the
-        # corpus-sized shingle cache rather than leaking it (ADVICE r2)
-        cand = cand.cache()
-        cand.count()
+        # eagerly materialize the (pair-sized) candidate set, then drop
+        # the corpus-sized shingle cache rather than leaking it (ADVICE
+        # r2); localCheckpoint so the candidates themselves are reclaimed
+        # when the caller drops the frame (ADVICE r3)
+        cand = cand.localCheckpoint()
         sh_cached.unpersist()
         return cand
     # verify ONLY the candidate pairs (this is the whole point of LSH):
@@ -492,10 +494,13 @@ def minhash_lsh_candidates(
         .where(F.col("jaccard") >= verify_threshold)
         .select("a", "b", "jaccard")
     )
-    # materialize the verified (pair-sized) result, then release both the
-    # corpus-sized shingle cache and the candidate cache (ADVICE r2 leak)
-    out = out.cache()
-    out.count()
+    # eagerly materialize the verified (pair-sized) result, then release
+    # both the corpus-sized shingle cache and the candidate cache (ADVICE
+    # r2 leak); localCheckpoint instead of cache()+count() so the blocks
+    # are reclaimed when the caller drops the frame instead of leaking
+    # for the session lifetime (ADVICE r3), and the caller's action reads
+    # a flat block scan rather than re-optimizing the verify plan
+    out = out.localCheckpoint()
     sh_cached.unpersist()
     cand.unpersist()
     return out
@@ -692,6 +697,7 @@ def neardup_components(
         .cache()
     )
     labels.count()
+    labels0 = labels  # initial cached frame: released after first rebind
     changed = 1
     for _ in range(max_iters):
         neigh = edges.join(
@@ -735,6 +741,8 @@ def neardup_components(
             break
     edges.unpersist()
     pairs_c.unpersist()
+    if labels is not labels0:  # loop rebound: the round-0 cache is dead
+        labels0.unpersist()
     if changed != 0:
         labels.unpersist()
         raise RuntimeError(

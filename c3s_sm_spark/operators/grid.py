@@ -225,12 +225,16 @@ def nearest_join_bucketed(
     best = cand.groupBy(*left_keys).agg(
         F.min_by(payload, F.struct(d2, F.col("nn_id"))).alias("_nn")
     )
-    # cached: serves the driver-side emptiness probe AND the final result
-    # (MEMORY_AND_DISK, so it spills rather than OOMs at scale)
+    # eager localCheckpoint, not cache(): it serves the driver-side
+    # emptiness probe AND the final result exactly like a cache
+    # (MEMORY_AND_DISK blocks, spills rather than OOMs), but the blocks
+    # are reclaimed by the context cleaner when the returned frame is
+    # dereferenced — a cache() here leaked for the session lifetime
+    # because no caller could know it had to unpersist (ADVICE r3)
     ring_won = (
         best.select(*left_keys, "_nn.*")
         .where(F.col("nn_d2") <= F.lit(cell_deg * cell_deg))
-        .cache()
+        .localCheckpoint()
     )
     unresolved = left.join(
         ring_won.select(*left_keys), list(left_keys), "left_anti"

@@ -410,7 +410,14 @@ class TierPipeline:
             if not buckets:
                 # rewrite-only window (compact): data unchanged — record
                 # the new source snapshot without touching any file
-                empty = self.spark.createDataFrame([], self.packed_schema())
+                empty = self.spark.createDataFrame(
+                    [],
+                    self.packed_schema(
+                        tbl.read(self.spark)
+                        .schema[self.key]
+                        .dataType.simpleString()
+                    ),
+                )
                 return ptbl.overwrite_partitions(
                     empty, {"tier": tier, "src_snapshot": head, "noop": True}
                 )
@@ -419,9 +426,18 @@ class TierPipeline:
             # the predicate is a bare attribute IN-list, so it lands in
             # the scan's PartitionFilters (no cast to defeat pruning)
             members = tbl.read(self.spark).where(F.col("kb").isin(blist))
-            packed = pack_series(
-                members, key=self.key, ts_col="ts", val_col="v_mean"
-            ).withColumn("bucket", bucket_of)
+            # repartition by bucket before the partitioned write: without
+            # it every pack task spills a sliver into every touched
+            # bucket dir (tasks x buckets tiny files — measured 1264
+            # files for 2k packed rows, costing ~3 s of driver file
+            # listing PER point read). One file per bucket per commit is
+            # the layout the bucket-pruned read wants; packed blobs are
+            # compact, so this shuffle moves little data.
+            packed = (
+                pack_series(members, key=self.key, ts_col="ts", val_col="v_mean")
+                .withColumn("bucket", bucket_of)
+                .repartition("bucket")
+            )
             # static replace set: a touched bucket that packs to ZERO
             # rows (all its keys superseded) must still drop its old
             # packed partition — dynamic overwrite alone would keep it
@@ -436,9 +452,12 @@ class TierPipeline:
                 replace_values=[(b,) for b in blist],
             )
         df = tbl.read(self.spark)
-        packed = pack_series(
-            df, key=self.key, ts_col="ts", val_col="v_mean"
-        ).withColumn("bucket", bucket_of)
+        # one file per bucket (see the incremental branch note above)
+        packed = (
+            pack_series(df, key=self.key, ts_col="ts", val_col="v_mean")
+            .withColumn("bucket", bucket_of)
+            .repartition("bucket")
+        )
         # replace_grain=0: a FULL repack supersedes every existing packed
         # partition, including buckets the new pack writes no rows for
         return ptbl.overwrite_partitions(
@@ -448,10 +467,10 @@ class TierPipeline:
         )
 
     @staticmethod
-    def packed_schema() -> str:
-        from c3s_sm_spark.functions.codecs import PACKED_SCHEMA
+    def packed_schema(key_type: str = "string") -> str:
+        from c3s_sm_spark.functions.codecs import packed_schema_for
 
-        return PACKED_SCHEMA + ", bucket int"
+        return packed_schema_for(key_type) + ", bucket int"
 
     # ----------------------------------------------------------------- reads
 
@@ -490,11 +509,13 @@ class TierPipeline:
             if packed_src != self.tiers[tier].head():
                 raise FileNotFoundError("packed table is stale")
             packed = ptbl.read(self.spark)
+            # cast the literal to the stored key dtype BEFORE hashing:
+            # xxhash64 hashes int and long differently, so an int32-sized
+            # Python literal against a LongType column would name the
+            # wrong bucket and silently return zero rows
+            doc_lit = F.lit(key_value).cast(packed.schema["doc_id"].dataType)
             packed = packed.where(
-                (
-                    F.col("bucket")
-                    == F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets)).cast("int")
-                )
+                (F.col("bucket") == self._kb(doc_lit))
                 & (F.col("doc_id") == key_value)
             )
             if start is not None:
@@ -506,11 +527,12 @@ class TierPipeline:
             # kb partition predicate: the fallback point read file-prunes
             # to the key's bucket (1/n_buckets of the tier) before the
             # exact key filter touches a row
+            tdf = self.tiers[tier].read(self.spark)
+            # same dtype-before-hash rule as the packed branch above
+            key_lit = F.lit(key_value).cast(tdf.schema[self.key].dataType)
             out = (
-                self.tiers[tier]
-                .read(self.spark)
-                .where(
-                    (F.col("kb") == self._kb(F.lit(key_value)))
+                tdf.where(
+                    (F.col("kb") == self._kb(key_lit))
                     & (F.col(self.key) == key_value)
                 )
                 .drop("kb")

@@ -49,6 +49,14 @@ class SnapshotTable:
 
     def __init__(self, root: str, partition_by: list[str] | None = None):
         self.root = root
+        # snapshot-id -> DataFrame memo for read(): snapshots are
+        # immutable, so the planned scan over a snapshot's file list can
+        # be reused verbatim. The explicit-file-list read costs a
+        # driver-side per-path listing (~2-3 ms/file — measured 3 s to
+        # construct a 1264-file scan), which a repeated point-read loop
+        # would otherwise pay on every call. This is the moral twin of
+        # Iceberg caching manifests for a snapshot.
+        self._read_cache: dict[tuple[int, str], DataFrame] = {}
         self.data_dir = os.path.join(root, "data")
         self.man_dir = os.path.join(root, "_manifests")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -265,10 +273,18 @@ class SnapshotTable:
         self, spark: SparkSession, snapshot_id: str | None = None
     ) -> DataFrame:
         """Scan the table at HEAD or a past snapshot (time travel)."""
+        sid = snapshot_id or self.head()
+        if sid is not None:
+            memo = self._read_cache.get((id(spark), sid))
+            if memo is not None:
+                return memo
         files = self._files(snapshot_id)
         if not files:
             raise FileNotFoundError(f"table {self.root} is empty")
-        return self._read_files(spark, files)
+        df = self._read_files(spark, files)
+        if sid is not None:
+            self._read_cache[(id(spark), sid)] = df
+        return df
 
     def read_incremental(
         self,

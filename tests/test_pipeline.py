@@ -249,6 +249,26 @@ def test_packed_point_read_matches_tier(spark, tmp_path, raw_points):
 # ----------------------------------------------------- retention/maintenance
 
 
+def test_point_read_numeric_key_hits_right_bucket(spark, tmp_path, raw_points):
+    """kb/bucket predicates must hash the literal AT the stored key dtype:
+    xxhash64(int32) != xxhash64(int64), so an int-sized Python literal
+    against a LongType key column would name the wrong hash bucket and
+    the point read would silently return zero rows (ADVICE r3)."""
+    raw_long = raw_points.withColumn(
+        "doc_id", F.substring("doc_id", 4, 10).cast("long")
+    )
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_long)
+    p.refresh(["daily"])
+    exp = p.read_tier("daily").where(F.col("doc_id") == 5).count()
+    assert exp > 0
+    # fallback (unpacked) path: kb partition predicate
+    assert p.point_read(5, "daily").count() == exp
+    # packed path: bucket predicate
+    p.pack_tier("daily")
+    assert p.point_read(5, "daily").count() == exp
+
+
 def test_delete_partitions_is_metadata_only(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"), ["p"])
     s1 = t.append(
