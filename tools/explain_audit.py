@@ -220,6 +220,34 @@ def main() -> None:
                 },
             )
         )
+
+        # 12. packed point read: bucket partition-prunes at file listing,
+        # doc_id + (ts_min, ts_max) sidecar predicates push into the
+        # parquet scan so whole blobs are dropped BEFORE the Python
+        # decode (unpack_series' MapInPandas) sees a row
+        p.pack_tier("daily")
+        pr = p.point_read(
+            "doc0000000003", "daily", start="2019-10-15", end="2019-11-15"
+        )
+        pr_txt = plan_text(pr)
+        sections.append(
+            (
+                "packed point read (S5): bucket prune + sidecar min/max pushdown before decode",
+                pr_txt,
+                {
+                    "bucket in PartitionFilters": bool(
+                        re.search(r"PartitionFilters: \[[^\]]*bucket", pr_txt)
+                    ),
+                    "doc_id pushed to scan": bool(
+                        re.search(r"PushedFilters: \[[^\]]*EqualTo\(doc_id", pr_txt)
+                    ),
+                    "ts sidecar pushed to scan": "ts_max" in pr_txt.split("PushedFilters")[1].split("]")[0]
+                    if "PushedFilters" in pr_txt
+                    else False,
+                    "decode after filters (MapInPandas present)": "MapInPandas" in pr_txt,
+                },
+            )
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
