@@ -900,6 +900,38 @@ def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 per-source quality selection: keep the top 30% of each
+    source by the composite quality score (exact percent_rank path;
+    the sketch-threshold scale path is pytest-pinned against it)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import quality_top_fraction
+
+    docs = _docs(spark, sf_dir)
+    q = docs.select("doc_id", "source").join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    return quality_top_fraction(
+        q, 0.3, score_col="quality", by="source", id_col="doc_id"
+    ).select("doc_id", "source", "quality")
+
+
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32 temperature (alpha=0.5) source mixing under a 0.5 budget:
+    low-resource sources sample at a higher fraction than their raw
+    share. The kept ROW SET is the verified object — the cut is
+    computed in exact integer space (see operators/sampling.py), so the
+    DuckDB oracle reproduces it bit-for-bit."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import temperature_mix
+
+    docs = _docs(spark, sf_dir)
+    return temperature_mix(
+        docs, stratum_col="source", key_col="doc_id",
+        alpha=0.5, budget_frac=0.5,
+    ).select("doc_id", "source")
+
+
 def _q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER resolution — the step after pair emission: exact
     Jaccard pairs -> connected components (iterative min-label
@@ -1153,7 +1185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- oracled (rows + schema + value-hash) ----
         "rollup_daily": _q_rollup_daily,
-        "rollup_dekadal": _q_rollup_dekadal,
         "rollup_monthly": _q_rollup_monthly,
         "rollup_cascade": _q_rollup_cascade,
         "gap_fill_daily": _q_gap_fill_daily,
@@ -1163,8 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": _q_codec_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
-        "text_quality": _q_quality,
         "lang_id": _q_lang_id,
+        "quality_select": _q_quality_select,
+        "temperature_mix": _q_temperature_mix,
         "ngram_jaccard": _q_ngram_jaccard,
         "embedding_topk": _q_embedding_topk,
         "anomaly_zscore": _q_anomaly_zscore,
@@ -1209,6 +1241,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- beyond the ~50-row gate window ----
         # family duplicates (oracled — still verified by the local
         # mirror and the pytest contract, just no driver row):
+        # rollup_dekadal (A1 keeps daily/monthly/cascade; W4 dekads
+        # keep grid_dekadal) and text_quality (X9 keeps token_stats +
+        # lang_id; the quality expression itself is hash-verified
+        # through quality_select) made room for the r4 additions
+        # quality_select (X31) and temperature_mix (X32) in-window.
+        "rollup_dekadal": _q_rollup_dekadal,
+        "text_quality": _q_quality,
         "nearest_station": _q_nearest_station,
         "dedup_ambiguity": _q_dedup_ambiguity,
         "doc_fingerprint": _q_fingerprint,
@@ -1752,6 +1791,59 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 'error' THEN '0ccc'
                        ELSE '0000' END
             GROUP BY 1
+        """,
+        "quality_select": r"""
+            WITH qb AS (
+              SELECT doc_id, source,
+                     length(text)::BIGINT AS n_chars,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
+                     (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces,
+                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+              FROM documents),
+            q AS (
+              SELECT doc_id, source,
+                     round((alpha / n_chars) * 0.5 + (spaces / n_chars) * 0.3
+                           + least(n_tokens / 100.0, 1.0) * 0.2, 4) AS quality
+              FROM qb),
+            r AS (
+              SELECT doc_id, source, quality,
+                     percent_rank() OVER (
+                       PARTITION BY source
+                       ORDER BY quality DESC, doc_id) AS pr
+              FROM q)
+            SELECT doc_id, source, quality FROM r WHERE pr < 0.3
+        """,
+        # integer-exact twin of temperature_mix(alpha=0.5, budget=0.5):
+        # w_s = floor(sqrt(n_s)*1e6) is one correctly-rounded float op
+        # on identical operands; everything after is exact HUGEINT
+        # arithmetic (32768 = floor(0.5*65536)), mirroring the Python
+        # big-int chain in operators/sampling.py — no float reduction,
+        # so no summation-order hazard
+        "temperature_mix": """
+            WITH n AS (
+              SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+            w AS (
+              SELECT source, n_s,
+                     CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000000)
+                          AS HUGEINT) AS w_s
+              FROM n),
+            agg AS (
+              SELECT CAST(sum(n_s) AS HUGEINT) AS big_n,
+                     sum(w_s) AS big_w
+              FROM w),
+            cuts AS (
+              SELECT source,
+                     CASE WHEN cv >= 65536 THEN 'g'
+                          ELSE lpad(lower(hex(CAST(cv AS BIGINT))), 4, '0')
+                     END AS cut
+              FROM (SELECT source,
+                           least(CAST(65536 AS HUGEINT),
+                                 (32768 * agg.big_n * w_s)
+                                 // (agg.big_w * CAST(n_s AS HUGEINT))) AS cv
+                    FROM w, agg) t)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN cuts c ON d.source = c.source
+            WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < c.cut
         """,
         "neardup_clusters": f"""
             WITH RECURSIVE {_NEARDUP_CLOSURE_CTE},

@@ -71,6 +71,8 @@ HEADLINE = [
     "token_stats",
     "text_quality",
     "lang_id",
+    "quality_select",
+    "temperature_mix",
     "repetition",
     "pattern_counts",
     "token_invariant",

@@ -63,6 +63,29 @@ def deterministic_sample(
     return df.where(hash_bucket(F.col(key_col), salt) < _cut(fraction))
 
 
+def _mix_with_cuts(
+    df: DataFrame,
+    stratum_col: str,
+    cuts: dict[str, str],
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Shared core of the per-stratum samplers: one ``when`` chain
+    mapping stratum -> pre-quantized hex cut, compared against the
+    content hash. A row's fate depends only on (salt, key, its
+    stratum's cut)."""
+    cut = None
+    for value, hexcut in sorted(cuts.items()):
+        branch = F.when(F.col(stratum_col) == value, F.lit(hexcut))
+        cut = branch if cut is None else cut.when(
+            F.col(stratum_col) == value, F.lit(hexcut)
+        )
+    if cut is None:
+        raise ValueError("cuts must not be empty")
+    cut = cut.otherwise(F.lit(_cut(0.0)))
+    return df.where(hash_bucket(F.col(key_col), salt) < cut)
+
+
 def stratified_mix(
     df: DataFrame,
     stratum_col: str,
@@ -72,18 +95,128 @@ def stratified_mix(
 ) -> DataFrame:
     """Per-stratum deterministic sampling — the data-mixing primitive:
     ``fractions`` maps stratum value -> keep fraction; strata not listed
-    are dropped. One ``when`` chain over the shared hash, so a row's
-    fate depends only on (salt, key, its stratum's fraction)."""
-    cut = None
-    for value, frac in sorted(fractions.items()):
-        branch = F.when(F.col(stratum_col) == value, F.lit(_cut(frac)))
-        cut = branch if cut is None else cut.when(
-            F.col(stratum_col) == value, F.lit(_cut(frac))
-        )
-    if cut is None:
-        raise ValueError("fractions must not be empty")
-    cut = cut.otherwise(F.lit(_cut(0.0)))
-    return df.where(hash_bucket(F.col(key_col), salt) < cut)
+    are dropped."""
+    return _mix_with_cuts(
+        df,
+        stratum_col,
+        {v: _cut(f) for v, f in fractions.items()},
+        key_col,
+        salt,
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    salt: str = "",
+) -> DataFrame:
+    """X32 temperature-based source mixing — the multilingual-corpus
+    alpha-sampling rule (mBERT/XLM-R style): sample stratum ``s`` with
+    probability proportional to ``n_s^alpha``, which upsamples
+    low-resource strata relative to their raw share, under a total
+    budget of ``budget_frac * N`` rows. Per-stratum keep fraction::
+
+        f_s = min(1, budget_frac * N * p_s / n_s),
+        p_s = n_s^alpha / sum_t n_t^alpha
+
+    then the deterministic md5 cut keeps the same rows at any
+    parallelism, in any engine, forever.
+
+    Cross-engine bit-stability (the repo's parity rule): the cut is
+    computed ENTIRELY in integer space — ``w_s = floor(n_s^alpha * 1e6)``
+    (one correctly-rounded float op on identical operands per stratum;
+    ``alpha=0.5`` uses sqrt, which is correctly rounded in every IEEE
+    engine), then ``cut_v = (floor(budget_frac*65536) * N * w_s)
+    // (W * n_s)`` in exact big-integer arithmetic — no float REDUCTION
+    anywhere, so no summation-order hazard. The DuckDB oracle replays
+    the identical integer chain in HUGEINT.
+
+    Scale: one dimension-sized count aggregate collected to the driver
+    (bounded by the number of strata), then a pure column predicate —
+    codegen, pushdown-eligible, zero shuffle on the corpus itself.
+    """
+    import math
+
+    if not 0.0 <= budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in [0, 1], got {budget_frac}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()  # bounded: one row per stratum (dimension-sized)
+    }
+    if not counts:
+        raise ValueError("input has no rows")
+    w = {
+        s: int((math.sqrt(n) if alpha == 0.5 else n**alpha) * 1_000_000)
+        for s, n in counts.items()
+    }
+    big_n = sum(counts.values())
+    big_w = sum(w.values())
+    bq = int(budget_frac * 16**_HEX_W)
+    cuts = {}
+    for s, n in counts.items():
+        cv = min(16**_HEX_W, (bq * big_n * w[s]) // (big_w * n))
+        cuts[s] = "g" if cv >= 16**_HEX_W else format(cv, f"0{_HEX_W}x")
+    return _mix_with_cuts(df, stratum_col, cuts, key_col, salt)
+
+
+def quality_top_fraction(
+    df: DataFrame,
+    fraction: float,
+    score_col: str = "quality",
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X31 per-stratum quality selection (exact): keep the top
+    ``fraction`` of rows in each stratum by ``score_col`` — the "keep
+    the best 30% of each source" curation rule. ``percent_rank`` over
+    (score DESC, id ASC): the id tiebreak makes the order total, so the
+    kept set is deterministic and engine-reproducible; a row is kept
+    iff its percent_rank < fraction.
+
+    Scale shape: ONE shuffle on the stratum key, then a rank window.
+    The window serializes each stratum into one task — exact and fine
+    up to ~10^8 rows/stratum; past that use
+    :func:`quality_top_fraction_sketch` (mergeable-sketch threshold, no
+    window at all), the same exact/approx duality as the rollup
+    quantiles (X12/X24).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") < fraction)
+        .drop("_pr")
+    )
+
+
+def quality_top_fraction_sketch(
+    df: DataFrame,
+    fraction: float,
+    score_col: str = "quality",
+    by: str = "source",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """X31 scale path: per-stratum score threshold from a mergeable
+    ``percentile_approx`` sketch (map-side partials — no stratum ever
+    assembles in one task), broadcast back as a dimension-sized
+    threshold table; keep rows with ``score >= threshold``. Boundary
+    rows within the sketch's rank-error of the exact cut may differ
+    from :func:`quality_top_fraction`; everything else agrees.
+    """
+    thr = df.groupBy(by).agg(
+        F.percentile_approx(score_col, 1.0 - fraction, accuracy).alias("_thr")
+    )
+    return (
+        df.join(F.broadcast(thr), by)
+        .where(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )
 
 
 def pack_sequences(

@@ -656,3 +656,93 @@ def test_dedup_corpus_end_to_end(spark, docs):
         by_comp.setdefault(c, set()).add(n)
     for c, members in by_comp.items():
         assert len(members & kept) == 1
+
+
+def test_quality_top_fraction_exact_and_sketch(spark, docs):
+    """X31: exact per-source selection keeps floor-of-fraction counts
+    under a total (score DESC, id) order; the sketch path agrees with
+    the exact path up to the sketch's rank error at the boundary."""
+    from c3s_sm_spark.operators.sampling import (
+        quality_top_fraction,
+        quality_top_fraction_sketch,
+    )
+    from c3s_sm_spark.operators.textstats import quality_score
+
+    q = docs.select("doc_id", "source").join(
+        quality_score(docs).select("doc_id", "quality"), "doc_id"
+    )
+    kept = quality_top_fraction(q, 0.3, by="source").collect()
+    per_src = {}
+    for r in kept:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    full = {
+        r["source"]: r["n"]
+        for r in q.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # percent_rank < f with total order keeps ceil(f*(n-1)) rows
+    import math
+
+    for s, n in full.items():
+        assert per_src.get(s, 0) == math.ceil(0.3 * (n - 1))
+    # determinism: same rows on a second run
+    kept2 = {r["doc_id"] for r in quality_top_fraction(q, 0.3, by="source").collect()}
+    assert kept2 == {r["doc_id"] for r in kept}
+    # the kept set is the TOP of each source: every kept row's quality
+    # >= every dropped row's quality within the source (ties broken by id)
+    rows = q.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["quality"], r["doc_id"]))
+    kept_ids = kept2
+    for s, lst in by_src.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        k = per_src.get(s, 0)
+        assert {d for _, d in lst[:k]} == {d for _, d in lst if d in kept_ids}
+    # sketch path: per-source counts within a small boundary tolerance
+    sk = quality_top_fraction_sketch(q, 0.3, by="source").collect()
+    sk_src = {}
+    for r in sk:
+        sk_src[r["source"]] = sk_src.get(r["source"], 0) + 1
+    for s, n in full.items():
+        assert abs(sk_src.get(s, 0) - per_src.get(s, 0)) <= max(2, int(0.05 * n))
+
+
+def test_temperature_mix_properties(spark, docs):
+    """X32: deterministic row set; per-source keep-rate decreases with
+    source size (the whole point of alpha<1 sampling); total kept close
+    to the budget; alpha=1 degrades to uniform budget_frac sampling."""
+    from c3s_sm_spark.operators.sampling import temperature_mix
+
+    # skew the sources: fold most into one mega-source
+    skewed = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("big")).otherwise(
+            F.concat(F.lit("small"), (F.col("doc_id") % 3).cast("string"))
+        ),
+    )
+    out = temperature_mix(skewed, alpha=0.5, budget_frac=0.5)
+    again = temperature_mix(skewed, alpha=0.5, budget_frac=0.5)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert ids == {r["doc_id"] for r in again.select("doc_id").collect()}
+    full = {
+        r["source"]: r["n"]
+        for r in skewed.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rate = {s: kept.get(s, 0) / n for s, n in full.items()}
+    # alpha < 1 upsamples small sources relative to the big one
+    assert all(rate[s] > rate["big"] for s in full if s != "big")
+    # budget: md5-cut quantization + hash noise stay within ~15%
+    total_kept = sum(kept.values())
+    assert abs(total_kept - 0.5 * sum(full.values())) < 0.15 * sum(full.values())
+    # alpha=1: p_s = n_s/N, so every source's fraction == budget_frac
+    flat = temperature_mix(skewed, alpha=1.0, budget_frac=0.5)
+    kept1 = {
+        r["source"]: r["n"]
+        for r in flat.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in full.items():
+        assert abs(kept1.get(s, 0) / n - 0.5) < 0.15
