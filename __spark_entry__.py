@@ -900,6 +900,17 @@ def _q_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33 table profile: per-column row/null/distinct counts + typed
+    min/max over the events table, computed in ONE aggregate job
+    (multi-count-distinct via a single Expand pass) and unpivoted
+    driver-free. The dataset-card primitive run on every corpus drop."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import profile_table
+
+    return profile_table(_events(spark, sf_dir))
+
+
 def _q_quality_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X31 per-source quality selection: keep the top 30% of each
     source by the composite quality score (exact percent_rank path;
@@ -1185,7 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- oracled (rows + schema + value-hash) ----
         "rollup_daily": _q_rollup_daily,
-        "rollup_monthly": _q_rollup_monthly,
+        "profile_events": _q_profile_events,
         "rollup_cascade": _q_rollup_cascade,
         "gap_fill_daily": _q_gap_fill_daily,
         "dedup_keep_latest": _q_dedup_keep_latest,
@@ -1245,8 +1256,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep grid_dekadal) and text_quality (X9 keeps token_stats +
         # lang_id; the quality expression itself is hash-verified
         # through quality_select) made room for the r4 additions
-        # quality_select (X31) and temperature_mix (X32) in-window.
+        # quality_select (X31) and temperature_mix (X32) in-window;
+        # rollup_monthly likewise (rollup_cascade's hash-verified output
+        # IS the monthly tier, via the cascade path) for profile_events
+        # (X33).
         "rollup_dekadal": _q_rollup_dekadal,
+        "rollup_monthly": _q_rollup_monthly,
         "text_quality": _q_quality,
         "nearest_station": _q_nearest_station,
         "dedup_ambiguity": _q_dedup_ambiguity,
@@ -1791,6 +1806,41 @@ def oracle_sql() -> dict[str, str]:
                        WHEN 'error' THEN '0ccc'
                        ELSE '0000' END
             GROUP BY 1
+        """,
+        "profile_events": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                     count(event_id) AS nn1, count(DISTINCT event_id) AS nd1,
+                     CAST(min(event_id) AS DOUBLE) AS mn1,
+                     CAST(max(event_id) AS DOUBLE) AS mx1,
+                     count(ts) AS nn2, count(DISTINCT ts) AS nd2,
+                     strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS mn2,
+                     strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS mx2,
+                     count(user_id) AS nn3, count(DISTINCT user_id) AS nd3,
+                     CAST(min(user_id) AS DOUBLE) AS mn3,
+                     CAST(max(user_id) AS DOUBLE) AS mx3,
+                     count(event_type) AS nn4, count(DISTINCT event_type) AS nd4,
+                     min(event_type) AS mn4, max(event_type) AS mx4,
+                     count(value) AS nn5, count(DISTINCT value) AS nd5,
+                     CAST(min(value) AS DOUBLE) AS mn5,
+                     CAST(max(value) AS DOUBLE) AS mx5,
+                     count(props) AS nn6, count(DISTINCT props) AS nd6,
+                     min(props) AS mn6, max(props) AS mx6
+              FROM events)
+            SELECT 'event_id' AS col_name, n AS n_rows, n - nn1 AS n_null,
+                   nd1 AS n_distinct, mn1 AS min_num, mx1 AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str FROM a
+            UNION ALL
+            SELECT 'ts', n, n - nn2, nd2, NULL, NULL, mn2, mx2 FROM a
+            UNION ALL
+            SELECT 'user_id', n, n - nn3, nd3, mn3, mx3, NULL, NULL FROM a
+            UNION ALL
+            SELECT 'event_type', n, n - nn4, nd4, NULL, NULL, mn4, mx4 FROM a
+            UNION ALL
+            SELECT 'value', n, n - nn5, nd5, mn5, mx5, NULL, NULL FROM a
+            UNION ALL
+            SELECT 'props', n, n - nn6, nd6, NULL, NULL, mn6, mx6 FROM a
         """,
         "quality_select": r"""
             WITH qb AS (

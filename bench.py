@@ -73,6 +73,7 @@ HEADLINE = [
     "lang_id",
     "quality_select",
     "temperature_mix",
+    "profile_events",
     "repetition",
     "pattern_counts",
     "token_invariant",

@@ -1,0 +1,102 @@
+"""Single-pass table profiling (X33) — the ANALYZE TABLE / dataset-card
+primitive a training-data pipeline runs on every new corpus drop:
+per-column row/null/distinct counts and typed min/max, one row per
+column.
+
+Spark shape: ONE aggregate job. All per-column aggregates (count,
+count-distinct, min, max) go into a single ``agg`` — Spark plans the
+multi-count-distinct via one Expand + partial aggregation pass — and the
+single result row is unpivoted to one row per column with a driver-free
+``explode(array(struct...))``. No per-column jobs, no collect.
+
+Scale: exact ``count(distinct)`` over k columns Expands the input k-fold
+before the partial agg — fine into the billions, but at 10^12 rows pass
+``exact_distinct=False`` to use ``approx_count_distinct`` (HLL — one
+mergeable sketch per column, no Expand, ~2% error) — the same
+exact/sketch duality as the quantile (X12/X24) and quality-selection
+(X31) operators.
+
+Typed min/max without cross-engine string-formatting hazards:
+- numeric columns -> ``(min_num, max_num)`` as double (exact for longs
+  up to 2^53; min/max SELECT a value, no arithmetic, so bits match any
+  engine);
+- string columns -> ``(min_str, max_str)`` (binary collation in both
+  Spark and DuckDB);
+- timestamp/date columns -> ``(min_str, max_str)`` via an explicit
+  ``yyyy-MM-dd HH:mm:ss`` format (never engine-default rendering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    StringType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) of ``df`` in one aggregate job.
+
+    Output, one row per column:
+    ``(col_name, n_rows, n_null, n_distinct, min_num, max_num,
+    min_str, max_str)`` — the num/str min-max pair not applicable to a
+    column's type is NULL.
+    """
+    cols = columns or df.columns
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    kinds: dict[str, str] = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        nd = (
+            F.countDistinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs.append(nd.alias(f"_nd_{c}"))
+        if isinstance(dt, NumericType):
+            kinds[c] = "num"
+            aggs.append(F.min(c).cast("double").alias(f"_min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"_max_{c}"))
+        elif isinstance(dt, (TimestampType, TimestampNTZType, DateType)):
+            kinds[c] = "ts"
+            aggs.append(F.date_format(F.min(c), _TS_FMT).alias(f"_min_{c}"))
+            aggs.append(F.date_format(F.max(c), _TS_FMT).alias(f"_max_{c}"))
+        elif isinstance(dt, StringType):
+            kinds[c] = "str"
+            aggs.append(F.min(c).alias(f"_min_{c}"))
+            aggs.append(F.max(c).alias(f"_max_{c}"))
+        else:  # arrays/binary/structs: counts only
+            kinds[c] = "other"
+    row = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    entries = []
+    for c in cols:
+        k = kinds[c]
+        entries.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                (F.col(f"_min_{c}") if k == "num" else null_d).alias("min_num"),
+                (F.col(f"_max_{c}") if k == "num" else null_d).alias("max_num"),
+                (F.col(f"_min_{c}") if k in ("ts", "str") else null_s).alias("min_str"),
+                (F.col(f"_max_{c}") if k in ("ts", "str") else null_s).alias("max_str"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

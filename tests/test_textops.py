@@ -746,3 +746,41 @@ def test_temperature_mix_properties(spark, docs):
     }
     for s, n in full.items():
         assert abs(kept1.get(s, 0) / n - 0.5) < 0.15
+
+
+def test_profile_table_exact_and_sketch(spark):
+    """X33: one-pass profile matches hand-computed stats incl. nulls and
+    type routing; the HLL variant approximates distinct counts."""
+    from c3s_sm_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, "2024-01-02 03:04:05"),
+            (2, "b", None, "2024-01-01 00:00:00"),
+            (3, None, 2.5, None),
+            (3, "a", 2.5, "2024-03-01 12:00:00"),
+        ],
+        "id long, s string, v double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s", "v", "ts"}
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert (prof["id"]["n_null"], prof["id"]["n_distinct"]) == (0, 3)
+    assert (prof["id"]["min_num"], prof["id"]["max_num"]) == (1.0, 3.0)
+    assert prof["id"]["min_str"] is None
+    assert (prof["s"]["n_null"], prof["s"]["n_distinct"]) == (1, 2)
+    assert (prof["s"]["min_str"], prof["s"]["max_str"]) == ("a", "b")
+    assert prof["s"]["min_num"] is None
+    assert (prof["v"]["n_null"], prof["v"]["n_distinct"]) == (1, 2)
+    assert (prof["v"]["min_num"], prof["v"]["max_num"]) == (1.5, 2.5)
+    assert prof["ts"]["n_null"] == 1
+    assert prof["ts"]["min_str"] == "2024-01-01 00:00:00"
+    assert prof["ts"]["max_str"] == "2024-03-01 12:00:00"
+    # one aggregate job: the plan has exactly one Expand (the shared
+    # multi-count-distinct pass), no per-column scan fan-out
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") <= 1 and plan.count("Scan") <= 1
+    # sketch mode: distinct counts within HLL error of exact
+    sk = {r["col_name"]: r for r in profile_table(df, exact_distinct=False).collect()}
+    for c in prof:
+        assert abs(sk[c]["n_distinct"] - prof[c]["n_distinct"]) <= 1
