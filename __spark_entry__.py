@@ -1173,6 +1173,141 @@ def _q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_profile(_docs(spark, sf_dir), k=5)
 
 
+# ------------------------- point-in-time / session operators (X34-X39)
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 as-of join: attach to every click the most recent view value
+    at-or-before it (per user, tolerance 1h) via the union-tag window
+    plan — one shuffle on the key, never a range join
+    (operators/timeseries.py:asof_join). Misses / out-of-tolerance are
+    emitted as the -1 sentinel instead of NULL: a nullable BIGINT would
+    materialize float64 ("X.0") on the gate's pandas path — the exact
+    HUGEINT failure class of r3."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", _micro(F.col("value")).alias("vm")
+    )
+    out = asof_join(
+        clicks, views, ["user_id"], value_cols=["vm"],
+        tolerance_s=3600, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.coalesce("asof_vm", F.lit(-1)).cast("long").alias("asof_vm"),
+        F.coalesce("asof_age_s", F.lit(-1)).cast("long").alias("asof_age_s"),
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 sessionization: gap-based (30 min) session ordinals + per-
+    session stats, all exact integers (epoch seconds), one shuffle on
+    the key (operators/timeseries.py:sessionize/session_stats)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import session_stats
+
+    return session_stats(_events(spark, sf_dir), "user_id", "ts", gap_s=1800)
+
+
+def _q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36 linear-interpolation gap fill: per-user daily purchase sums
+    gap-filled onto the full daily grid (J3), interior nulls linearly
+    interpolated in exact 1e-6 integer space (truncating div on both
+    engines), edges left unfilled — emitted as the -1 sentinel (values
+    are positive) to keep the output column a non-null BIGINT."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import interp_linear_micro
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_micro(F.col("value"))).alias("vm"))
+    bounds = ev.select(F.date_trunc("day", "ts").alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(cal)).join(
+        daily, ["user_id", "day"], "left"
+    )
+    out = interp_linear_micro(grid, ["user_id"], "day", "vm")
+    return out.select(
+        "user_id",
+        "day",
+        F.coalesce("vm", F.lit(-1)).cast("long").alias("vm"),
+        F.coalesce("vm_filled", F.lit(-1)).cast("long").alias("vm_filled"),
+    )
+
+
+def _q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37 trailing 7-day time-RANGE window over the (gappy) per-user
+    daily purchase series — unlike the rows-frame `moving_mean`, gaps
+    shrink the window instead of reaching further back
+    (operators/timeseries.py:range_window_sums)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import range_window_sums
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_micro(F.col("value"))).cast("long").alias("vm"))
+    return range_window_sums(
+        daily, ["user_id"], F.col("day"), F.col("vm"), trailing_days=7
+    )
+
+
+def _q_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38 time-weighted sums (step-function integral, LOCF) per
+    (user, day): exact BIGINT pieces tw_sum/dt_total so the division
+    into a float mean never enters the cross-engine witness
+    (operators/timeseries.py:time_weighted_sums)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import time_weighted_sums
+
+    ev = _events(spark, sf_dir)
+    return time_weighted_sums(
+        ev, ["user_id"], "ts",
+        value_micro=_micro(F.col("value")),
+        bucket=F.date_trunc("day", "ts"),
+    )
+
+
+def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39 monotone-counter increase with reset detection (Prometheus
+    increase() semantics) per (user, day). The counter is synthesized
+    deterministically from the events stream: per-user running sum of
+    value micro-units mod 5e7, so resets genuinely occur and the reset
+    branch is exercised under the hash gate
+    (operators/timeseries.py:counter_increase)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    from c3s_sm_spark.operators.timeseries import counter_increase
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ctr = ev.withColumn(
+        "counter",
+        F.pmod(F.sum(_micro(F.col("value"))).over(w), F.lit(50000000)).cast("long"),
+    )
+    return counter_increase(
+        ctr, ["user_id"], "ts", "counter", bucket=F.date_trunc("day", "ts")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1190,7 +1325,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # to the tail: nearest_station (same oracle as
     # nearest_station_bucketed, J1/X23 family keeps 2 in-window rows),
     # dedup_ambiguity (same family as dedup_keep_latest, J5/W2), and
-    # doc_fingerprint (X9 keeps token_stats/text_quality/lang_id).
+    # doc_fingerprint (X9 keeps token_stats).
+    # r4 point-in-time additions: asof_join (X34), sessionize (X35),
+    # interp_fill (X36) and range_window (X37) enter the window; the
+    # rows demoted to make room are all family duplicates whose
+    # semantics stay hash-pinned by an in-window sibling — lang_id (X9
+    # keeps token_stats), moving_mean (frame-window family: range_window
+    # is the RANGE-frame superset of its ROWS frame), grid_dekadal (S4
+    # daily enumeration inside gap_fill_daily's calendar; W4 dekad
+    # bucketing hash-pinned by rollup_cascade's dekadal stage), and
+    # token_freq (top-k token counting; not a SURVEY §2 operator row —
+    # its TakeOrderedAndProject plan stays audited in PLANS.md).
+    # time_weighted (X38) and counter_rate (X39) sit at tail-top,
+    # oracled and mirror-checked.
     # Tail rows stay fully checked by tools/oracle_check.py and
     # tests/test_entry_contract.py — only the driver row is forgone.
     return {
@@ -1200,12 +1347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_cascade": _q_rollup_cascade,
         "gap_fill_daily": _q_gap_fill_daily,
         "dedup_keep_latest": _q_dedup_keep_latest,
-        "grid_dekadal": _q_grid_dekadal,
+        "asof_join": _q_asof_join,
         "salted_rollup": _q_salted_rollup,
         "codec_roundtrip": _q_codec_roundtrip,
         "dedup_exact": _q_dedup_exact,
         "token_stats": _q_token_stats,
-        "lang_id": _q_lang_id,
+        "sessionize": _q_sessionize,
         "quality_select": _q_quality_select,
         "temperature_mix": _q_temperature_mix,
         "ngram_jaccard": _q_ngram_jaccard,
@@ -1214,7 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flag_meanings": _q_flag_meanings,
         "mask_semi_join": _q_mask_semi_join,
         "decontaminate": _q_decontaminate,
-        "token_freq": _q_token_freq,
+        "interp_fill": _q_interp_fill,
         "nearest_station_bucketed": _q_nearest_station_bucketed,
         "rollup_quantiles": _q_rollup_quantiles,
         "cell_pivot": _q_cell_pivot,
@@ -1223,7 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_gpi": _q_nearest_gpi,
         "bbox_subset": _q_bbox_subset,
         "scale_fill": _q_scale_fill,
-        "moving_mean": _q_moving_mean,
+        "range_window": _q_range_window,
         "token_invariant": _q_token_invariant,
         "embedding_neardup": _q_embedding_neardup,
         "filename_roundtrip": _q_filename_roundtrip,
@@ -1250,19 +1397,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_quantiles_approx": _q_rollup_quantiles_approx,
         "dedup_corpus_lsh": _q_dedup_corpus_lsh,
         # ---- beyond the ~50-row gate window ----
+        # tail-top: the two r4 point-in-time ops that did not fit the
+        # 50-row window — oracled, mirror-checked, pytest-pinned:
+        "time_weighted": _q_time_weighted,
+        "counter_rate": _q_counter_rate,
         # family duplicates (oracled — still verified by the local
         # mirror and the pytest contract, just no driver row):
         # rollup_dekadal (A1 keeps daily/monthly/cascade; W4 dekads
-        # keep grid_dekadal) and text_quality (X9 keeps token_stats +
-        # lang_id; the quality expression itself is hash-verified
-        # through quality_select) made room for the r4 additions
-        # quality_select (X31) and temperature_mix (X32) in-window;
-        # rollup_monthly likewise (rollup_cascade's hash-verified output
-        # IS the monthly tier, via the cascade path) for profile_events
-        # (X33).
+        # keep rollup_cascade's dekadal stage) and text_quality (X9
+        # keeps token_stats; the quality expression itself is
+        # hash-verified through quality_select) made room for the r4
+        # additions quality_select (X31) and temperature_mix (X32)
+        # in-window; rollup_monthly likewise (rollup_cascade's
+        # hash-verified output IS the monthly tier, via the cascade
+        # path) for profile_events (X33).
         "rollup_dekadal": _q_rollup_dekadal,
         "rollup_monthly": _q_rollup_monthly,
         "text_quality": _q_quality,
+        "lang_id": _q_lang_id,
+        "moving_mean": _q_moving_mean,
+        "grid_dekadal": _q_grid_dekadal,
+        "token_freq": _q_token_freq,
         "nearest_station": _q_nearest_station,
         "dedup_ambiguity": _q_dedup_ambiguity,
         "doc_fingerprint": _q_fingerprint,
@@ -2014,6 +2169,161 @@ def oracle_sql() -> dict[str, str]:
                    '0.25 degree' AS resolution,
                    CAST(p.n_periods AS BIGINT) AS n_periods
             FROM p CROSS JOIN c
+        """,
+        # ---- X34-X39 point-in-time / session operators. Cross-engine
+        # contract: CAST(floor(epoch(ts)) AS BIGINT) is the DuckDB twin
+        # of Spark's unix_timestamp (both truncate the microsecond
+        # timestamps of `events` to whole seconds); every windowed or
+        # grouped integer sum carries the BIGINT cast (HUGEINT rule);
+        # nullable-BIGINT outputs are sentinel-coalesced to -1 on both
+        # sides (a NULL in a pandas int column forces float64 "X.0").
+        "asof_join": f"""
+            WITH clicks AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts, event_id,
+                     {_MICRO_SQL.format(c='value')} AS vm
+              FROM events WHERE event_type = 'view'),
+            m AS (
+              SELECT c.user_id, c.event_id, j.vm, j.age_s
+              FROM clicks c LEFT JOIN LATERAL (
+                SELECT v.vm,
+                       CAST(floor(epoch(c.ts)) AS BIGINT)
+                         - CAST(floor(epoch(v.ts)) AS BIGINT) AS age_s
+                FROM views v
+                WHERE v.user_id = c.user_id AND v.ts <= c.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+              ) j ON TRUE)
+            SELECT user_id, event_id,
+                   CAST(coalesce(CASE WHEN age_s <= 3600 THEN vm END, -1)
+                        AS BIGINT) AS asof_vm,
+                   CAST(coalesce(CASE WHEN age_s <= 3600 THEN age_s END, -1)
+                        AS BIGINT) AS asof_age_s
+            FROM m
+        """,
+        "sessionize": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep
+              FROM events),
+            f AS (
+              SELECT user_id, ts, ep,
+                     CASE WHEN lag(ep) OVER w IS NULL
+                            OR ep - lag(ep) OVER w > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT user_id, ep,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_seq
+              FROM f)
+            SELECT user_id, session_seq,
+                   count(*) AS n_events,
+                   CAST(min(ep) AS BIGINT) AS start_epoch,
+                   CAST(max(ep) AS BIGINT) AS end_epoch,
+                   CAST(max(ep) - min(ep) AS BIGINT) AS duration_s
+            FROM s GROUP BY 1, 2
+        """,
+        "interp_fill": f"""
+            WITH p AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(sum({_MICRO_SQL.format(c='value')}) AS BIGINT) AS vm
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM p),
+            cal AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b),
+            u AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase'),
+            g AS (
+              SELECT u.user_id, cal.day, p.vm,
+                     CAST(floor(epoch(cal.day)) AS BIGINT) AS t
+              FROM u CROSS JOIN cal
+              LEFT JOIN p ON p.user_id = u.user_id AND p.day = cal.day),
+            nb AS (
+              SELECT user_id, day, vm, t,
+                     last_value(vm IGNORE NULLS) OVER wb AS v0,
+                     last_value(CASE WHEN vm IS NOT NULL THEN t END
+                                IGNORE NULLS) OVER wb AS t0,
+                     first_value(vm IGNORE NULLS) OVER wf AS v1,
+                     first_value(CASE WHEN vm IS NOT NULL THEN t END
+                                 IGNORE NULLS) OVER wf AS t1
+              FROM g
+              WINDOW wb AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wf AS (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, day,
+                   CAST(coalesce(vm, -1) AS BIGINT) AS vm,
+                   CAST(coalesce(
+                     CASE WHEN vm IS NOT NULL THEN vm
+                          WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+                          THEN v0 + (((v1 - v0) * (t - t0)) // (t1 - t0))
+                     END, -1) AS BIGINT) AS vm_filled
+            FROM nb
+        """,
+        "range_window": f"""
+            WITH p AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(sum({_MICRO_SQL.format(c='value')}) AS BIGINT) AS vm
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT user_id, day, vm,
+                   CAST(sum(vm) OVER w AS BIGINT) AS w_sum,
+                   CAST(count(vm) OVER w AS BIGINT) AS w_n
+            FROM p
+            WINDOW w AS (
+              PARTITION BY user_id
+              ORDER BY datediff('day', DATE '1970-01-01', day)
+              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "time_weighted": f"""
+            WITH e AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                     ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                     {_MICRO_SQL.format(c='value')} AS vm
+              FROM events),
+            d AS (
+              SELECT user_id, bucket, vm,
+                     coalesce(lead(ep) OVER (
+                       PARTITION BY user_id, bucket ORDER BY ts) - ep,
+                       0) AS dt
+              FROM e)
+            SELECT user_id, bucket,
+                   CAST(sum(vm * dt) AS BIGINT) AS tw_sum,
+                   CAST(sum(dt) AS BIGINT) AS dt_total,
+                   CAST(sum(vm) AS BIGINT) AS v_sum_micro,
+                   count(*) AS n
+            FROM d GROUP BY 1, 2
+        """,
+        "counter_rate": f"""
+            WITH c AS (
+              SELECT user_id, ts,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                     CAST(sum({_MICRO_SQL.format(c='value')}) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       % 50000000 AS BIGINT) AS counter
+              FROM events),
+            d AS (
+              SELECT user_id, bucket,
+                     CASE WHEN lag(counter) OVER w IS NULL THEN 0
+                          WHEN counter >= lag(counter) OVER w
+                          THEN counter - lag(counter) OVER w
+                          ELSE counter END AS step
+              FROM c
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+            SELECT user_id, bucket,
+                   CAST(sum(step) AS BIGINT) AS increase_micro,
+                   count(*) AS n_samples
+            FROM d GROUP BY 1, 2
         """,
         # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary

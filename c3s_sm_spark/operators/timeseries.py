@@ -1,0 +1,316 @@
+"""Point-in-time operators: as-of join, sessionization, time-weighted
+mean, linear-interpolation gap fill, time-range windows, counter rates.
+
+Reference parity: the reference's time-series consumers align irregular
+observation series against regular product grids and against each other
+by *nearest prior observation* (``/root/reference/src/c3s_sm/interface.py``
+reads back per-GPI series whose timestamps are then matched downstream by
+pytesmo-style temporal matching — nearest-within-window semantics). These
+operators generalize that contract to the tokenized-sequence corpus: every
+one is a single hash shuffle on the series key followed by a sort-based
+window — no range/cross join anywhere, so the plans survive 10^12-row
+inputs as long as a single key's series fits a task (the same contract the
+reference's per-cell reshuffle already imposes).
+
+Skew note (100 TB): all six operators partition by the series key. A
+pathological hot key (one user with 10^9 events) serializes into one
+task; the mitigation is the same key-salting used by the writer path
+(``c3s_sm_spark.operators.salting``) *plus* re-merging per-salt partial
+states, which is only sound for the associative aggregates here
+(range-window sums, counter increase). The order-dependent ones (as-of,
+sessionize, interpolation) fundamentally need the full series ordered —
+exactly like the reference's per-cell series assembly — so the engine
+keeps them per-key and documents the bound instead of silently
+mis-labelling sessions across salt boundaries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    tolerance_s: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Attach, to every ``left`` row, the most recent ``right`` row
+    at-or-before its timestamp (per key) — the canonical point-in-time
+    join (pandas ``merge_asof``, kdb ``aj``, QuestDB ``ASOF JOIN``).
+
+    Implementation is the union-tag trick, NOT a range join: tag right
+    rows, union both sides, and take ``last(value, ignorenulls=True)``
+    over a per-key window ordered by ``(ts, is_right DESC, tiebreak)`` —
+    right rows at the exact probe timestamp sort before the probe, giving
+    at-or-before (``<=``) semantics. One shuffle on ``keys``, one sort;
+    a naive ``l.ts >= r.ts`` theta-join would be quadratic per key and
+    unusable at corpus scale.
+
+    ``tolerance_s`` nulls the attached values when the matched right row
+    is older than the probe by more than that many seconds (pandas
+    ``merge_asof(tolerance=...)``). ``tiebreak`` (a right-side column)
+    makes "last" deterministic when several right rows share a timestamp:
+    the one with the greatest tiebreak value wins.
+
+    Output: all ``left`` columns, plus each value column as
+    ``asof_<col>``, plus ``asof_age_s`` (probe ts minus matched ts,
+    seconds; null when nothing matched / out of tolerance).
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        F.unix_timestamp(right_ts).alias("__r_epoch"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    left_cols = left.columns
+    tagged_left = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast("long").alias("__r_epoch"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    # right-only columns are null on left rows and vice versa; unionByName
+    # with allowMissingColumns would also work but an explicit select keeps
+    # the schema (and the plan) symmetric.
+    unioned = tagged_left.unionByName(
+        tagged_right.select(
+            *keys,
+            *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols if c not in keys],
+            "__ts", "__is_right", "__tb", "__r_epoch",
+            *[f"__v_{c}" for c in value_cols],
+        ),
+        allowMissingColumns=False,
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *left_cols,
+        "__is_right",
+        F.unix_timestamp("__ts").alias("__l_epoch"),
+        F.last("__r_epoch", ignorenulls=True).over(w).alias("__m_epoch"),
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("__is_right") == 0)
+    age = F.col("__l_epoch") - F.col("__m_epoch")
+    in_tol = age <= F.lit(tolerance_s) if tolerance_s is not None else F.lit(True)
+    keep = F.col("__m_epoch").isNotNull() & in_tol
+    return out.select(
+        *left_cols,
+        *[F.when(keep, F.col(f"asof_{c}")).alias(f"asof_{c}") for c in value_cols],
+        F.when(keep, age).cast("long").alias("asof_age_s"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ordinals per key (web-analytics /
+    sensor-burst sessionization): a new session starts whenever the time
+    since the previous event for the same key exceeds ``gap_s`` seconds.
+
+    Pure window algebra — ``lag`` to flag boundaries, running ``sum`` of
+    the integer flags to number sessions — so both the flag and the
+    ordinal are exact integers on any engine. One shuffle on ``key``.
+    Adds ``session_seq`` (1-based per-key session ordinal).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    epoch = F.unix_timestamp(ts_col)
+    prev = F.lag(epoch).over(w)
+    is_new = F.when(prev.isNull() | ((epoch - prev) > gap_s), 1).otherwise(0)
+    run = Window.partitionBy(key).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_seq", F.sum(is_new).over(run).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """One row per (key, session): event count, start/end epoch seconds,
+    duration. Integer-only output, so the result is bit-stable across
+    engines and partitionings (the repo's cross-engine hash contract)."""
+    s = sessionize(df, key, ts_col, gap_s)
+    epoch = F.unix_timestamp(ts_col)
+    return s.groupBy(key, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(epoch).alias("start_epoch"),
+        F.max(epoch).alias("end_epoch"),
+        (F.max(epoch) - F.min(epoch)).alias("duration_s"),
+    )
+
+
+def time_weighted_sums(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_micro: Column,
+    bucket: Column,
+) -> DataFrame:
+    """Per ``(keys, bucket)``: the exact integer pieces of a
+    time-weighted average over irregularly sampled points.
+
+    Each observation is weighted by the seconds until the NEXT
+    observation in the same bucket (last-observation-carried-forward, the
+    standard step-function integral used by industrial historians and
+    kdb's ``twa``); the final observation carries to the bucket end,
+    approximated here by the bucket's max timestamp (so a single-point
+    bucket has weight 0 and falls back to the unweighted value).
+
+    Emits ``tw_sum`` = sum(value_micro * dt_s) and ``dt_total`` = sum(dt_s)
+    as BIGINTs plus plain ``v_sum_micro``/``n`` — division into a float
+    mean is left to the caller, keeping the hot path and the cross-engine
+    witness exact-integer. One shuffle on ``(keys, bucket)`` for the
+    window + the aggregation reuses the same partitioning.
+    """
+    keys = list(keys)
+    b = df.withColumn("__bucket", bucket).withColumn("__vm", value_micro)
+    w = Window.partitionBy(*keys, "__bucket").orderBy(F.col(ts_col).asc())
+    epoch = F.unix_timestamp(ts_col)
+    dt = (F.lead(epoch).over(w) - epoch).cast("long")
+    b = b.withColumn("__dt", F.coalesce(dt, F.lit(0)))
+    return (
+        b.groupBy(*keys, F.col("__bucket").alias("bucket"))
+        .agg(
+            F.sum(F.col("__vm") * F.col("__dt")).cast("long").alias("tw_sum"),
+            F.sum("__dt").cast("long").alias("dt_total"),
+            F.sum("__vm").cast("long").alias("v_sum_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def interp_linear_micro(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    micro_col: str,
+) -> DataFrame:
+    """Linear interpolation of interior nulls in 1e-6-unit integer space
+    (pandas ``Series.interpolate(limit_area='inside')``): for a null at
+    time t between the nearest non-null neighbors (t0,v0) and (t1,v1),
+    emit ``v0 + trunc((v1-v0)*(t-t0) / (t1-t0))`` — all-BIGINT arithmetic
+    (Spark ``div`` and DuckDB ``//`` both truncate toward zero, verified
+    on negatives: -7 div 2 == -7//2 == -3), so the filled value is
+    identical on any engine / any partitioning (the same reason the
+    rollup witnesses sum micro units). Leading / trailing nulls stay null
+    (no extrapolation), matching the reference's all-fill rows for
+    never-observed dates.
+
+    Two window passes over one per-key sort: last non-null (value, ts)
+    looking back, first non-null looking forward. Adds ``<micro_col>_filled``.
+    """
+    keys = list(keys)
+    order = F.col(ts_col).asc()
+    wb = Window.partitionBy(*keys).orderBy(order).rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.partitionBy(*keys).orderBy(order).rowsBetween(0, Window.unboundedFollowing)
+    epoch = F.unix_timestamp(ts_col).cast("long")
+    v = F.col(micro_col).cast("long")
+    t_at_v = F.when(v.isNotNull(), epoch)
+    v0c, t0c, v1c, t1c, tc = (f"__{micro_col}_{s}" for s in ("v0", "t0", "v1", "t1", "t"))
+    tmp = df.select(
+        "*",
+        F.last(v, ignorenulls=True).over(wb).alias(v0c),
+        F.last(t_at_v, ignorenulls=True).over(wb).alias(t0c),
+        F.first(v, ignorenulls=True).over(wf).alias(v1c),
+        F.first(t_at_v, ignorenulls=True).over(wf).alias(t1c),
+        epoch.alias(tc),
+    )
+    # truncating division of exact BIGINTs: bit-stable everywhere. t1 > t0
+    # is guaranteed on the null rows (both neighbors are strict).
+    interp = F.col(v0c) + F.expr(
+        f"(({v1c} - {v0c}) * ({tc} - {t0c})) div ({t1c} - {t0c})"
+    )
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(F.col(v0c).isNotNull() & F.col(v1c).isNotNull(), interp)
+    )
+    return tmp.withColumn(f"{micro_col}_filled", filled.cast("long")).drop(
+        v0c, t0c, v1c, t1c, tc
+    )
+
+
+def range_window_sums(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: Column,
+    value_micro: Column,
+    trailing_days: int,
+) -> DataFrame:
+    """Trailing N-day time-RANGE window per key — unlike a rows-frame
+    (``moving_mean``), the frame is defined by the time axis, so gaps in
+    the series shrink the window instead of reaching further back in
+    time. This is Spark's ``rangeBetween`` over an integer day ordinal
+    (``RANGE BETWEEN N PRECEDING AND CURRENT ROW`` in ANSI SQL).
+
+    Input is one row per (keys, day) — aggregate to daily first.
+    Emits ``w_sum`` / ``w_n`` as BIGINTs over the trailing window.
+    One shuffle on ``keys``; the range frame is evaluated in the same
+    per-key sort the rows-frame would use.
+    """
+    keys = list(keys)
+    b = df.withColumn("__day_ord", F.datediff(day_col, F.lit("1970-01-01")).cast("long"))
+    b = b.withColumn("__vm", value_micro)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__day_ord").asc())
+        .rangeBetween(-(trailing_days - 1), 0)
+    )
+    return (
+        b.withColumn("w_sum", F.sum("__vm").over(w).cast("long"))
+        .withColumn("w_n", F.count("__vm").over(w).cast("long"))
+        .drop("__day_ord", "__vm")
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    micro_col: str,
+    bucket: Column,
+) -> DataFrame:
+    """Monotone-counter increase per ``(keys, bucket)`` with reset
+    detection (Prometheus ``increase()`` semantics): the per-step delta
+    is ``v - lag(v)`` except when negative — a counter reset — where the
+    post-reset value itself is the increase. All-integer in micro units.
+
+    The first observation of each key contributes nothing (no baseline),
+    matching Prometheus. One shuffle on ``keys`` for the lag, then a
+    grouped integer sum that reuses the partitioning.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    v = F.col(micro_col).cast("long")
+    prev = F.lag(v).over(w)
+    step = (
+        F.when(prev.isNull(), F.lit(0))
+        .when(v >= prev, v - prev)
+        .otherwise(v)
+    )
+    b = df.withColumn("__bucket", bucket).withColumn("__step", step)
+    return b.groupBy(*keys, F.col("__bucket").alias("bucket")).agg(
+        F.sum("__step").cast("long").alias("increase_micro"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )

@@ -1,0 +1,205 @@
+"""Golden-value unit tests for the point-in-time / session operators
+(operators/timeseries.py, X34-X39): tiny hand-computed frames pinning the
+exact semantics the entry-contract mirror can't isolate — tolerance and
+tiebreak edges of the as-of join, session-gap boundary strictness, LOCF
+weights, interpolation edge rows and truncating division, RANGE- vs
+ROWS-frame divergence on gappy series, and counter-reset detection."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators.timeseries import (
+    asof_join,
+    counter_increase,
+    interp_linear_micro,
+    range_window_sums,
+    session_stats,
+    sessionize,
+    time_weighted_sums,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_matches_tolerance_and_tiebreak(spark):
+    left = spark.createDataFrame(
+        [
+            ("a", 1, _ts("2024-01-01 10:00:00")),  # exact-ts right match
+            ("a", 2, _ts("2024-01-01 10:30:00")),  # in-tolerance match
+            ("a", 3, _ts("2024-01-01 13:00:01")),  # out of tolerance (3601s)
+            ("b", 4, _ts("2024-01-01 09:00:00")),  # no right row at all
+            ("c", 5, _ts("2024-01-01 12:00:00")),  # tiebreak: two right rows, same ts
+        ],
+        "user_id string, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 10:00:00"), 100, 111),
+            ("a", _ts("2024-01-01 09:00:00"), 101, 222),
+            ("c", _ts("2024-01-01 11:00:00"), 102, 333),
+            ("c", _ts("2024-01-01 11:00:00"), 103, 444),  # greater tiebreak wins
+        ],
+        "user_id string, ts timestamp, event_id long, vm long",
+    )
+    out = asof_join(
+        left, right, ["user_id"], value_cols=["vm"],
+        tolerance_s=3600, tiebreak="event_id",
+    )
+    got = {r["event_id"]: (r["asof_vm"], r["asof_age_s"]) for r in out.collect()}
+    assert got[1] == (111, 0)          # right row AT the probe ts matches (<=)
+    assert got[2] == (111, 1800)       # most recent prior, not the older one
+    assert got[3] == (None, None)      # 3601s > tolerance -> nulled
+    assert got[4] == (None, None)      # no match
+    assert got[5] == (444, 3600)       # equal right ts: max tiebreak wins
+
+
+def test_asof_join_no_tolerance_keeps_all_ages(spark):
+    left = spark.createDataFrame(
+        [("a", 1, _ts("2024-01-02 10:00:00"))],
+        "user_id string, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("a", _ts("2024-01-01 10:00:00"), 7)],
+        "user_id string, ts timestamp, vm long",
+    )
+    out = asof_join(left, right, ["user_id"], value_cols=["vm"]).collect()
+    assert out[0]["asof_vm"] == 7 and out[0]["asof_age_s"] == 86400
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    # gap_s=1800: a delta of EXACTLY 1800s continues the session; 1801 starts
+    # a new one (the operator tests `> gap_s`).
+    rows = [
+        ("u", _ts("2024-01-01 00:00:00")),
+        ("u", _ts("2024-01-01 00:30:00")),  # +1800s -> same session
+        ("u", _ts("2024-01-01 01:00:01")),  # +1801s -> new session
+        ("v", _ts("2024-01-01 05:00:00")),  # other key: its own session 1
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", gap_s=1800).collect()
+    }
+    assert got[("u", rows[0][1])] == 1
+    assert got[("u", rows[1][1])] == 1
+    assert got[("u", rows[2][1])] == 2
+    assert got[("v", rows[3][1])] == 1
+
+
+def test_session_stats_counts_and_duration(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:00:00")),
+            ("u", _ts("2024-01-01 00:10:00")),
+            ("u", _ts("2024-01-01 02:00:00")),  # new session (gap 6600s)
+        ],
+        "user_id string, ts timestamp",
+    )
+    got = {
+        r["session_seq"]: (r["n_events"], r["duration_s"])
+        for r in session_stats(df, "user_id", "ts", gap_s=1800).collect()
+    }
+    assert got == {1: (2, 600), 2: (1, 0)}
+
+
+def test_time_weighted_sums_locf_weights(spark):
+    # bucket "b": points at t=0 (v=10) and t=100 (v=50). LOCF: v=10 carries
+    # 100s, the final point carries 0s -> tw_sum=1000, dt_total=100.
+    df = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:00:00"), 10),
+            ("u", _ts("2024-01-01 00:01:40"), 50),
+            ("w", _ts("2024-01-01 00:00:00"), 99),  # single-point bucket
+        ],
+        "user_id string, ts timestamp, vm long",
+    )
+    out = time_weighted_sums(
+        df, ["user_id"], "ts", F.col("vm"), F.lit("b")
+    ).collect()
+    got = {r["user_id"]: r for r in out}
+    assert got["u"]["tw_sum"] == 1000 and got["u"]["dt_total"] == 100
+    assert got["u"]["v_sum_micro"] == 60 and got["u"]["n"] == 2
+    # single observation: zero weight, falls back to the plain sum fields
+    assert got["w"]["tw_sum"] == 0 and got["w"]["dt_total"] == 0
+    assert got["w"]["v_sum_micro"] == 99 and got["w"]["n"] == 1
+
+
+def test_interp_linear_micro_interior_and_edges(spark):
+    # days 1..5: v = [100, null, null, 40, null]. Interior nulls interpolate
+    # on the 86400s day axis: day2 = 100 + trunc((40-100)*1/3) = 100-20 = 80,
+    # day3 = 100 + trunc(-60*2/3) = 60. Trailing null stays null.
+    rows = [
+        ("u", _ts("2024-01-01 00:00:00"), 100),
+        ("u", _ts("2024-01-02 00:00:00"), None),
+        ("u", _ts("2024-01-03 00:00:00"), None),
+        ("u", _ts("2024-01-04 00:00:00"), 40),
+        ("u", _ts("2024-01-05 00:00:00"), None),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, vm long")
+    out = interp_linear_micro(df, ["user_id"], "ts", "vm")
+    got = {r["ts"].day: r["vm_filled"] for r in out.collect()}
+    assert got == {1: 100, 2: 80, 3: 60, 4: 40, 5: None}
+
+
+def test_interp_linear_micro_truncates_toward_zero(spark):
+    # negative numerator: (v1-v0)*(t-t0) = (-7)*(86400) over 2*86400 ->
+    # -7/2 -> trunc = -3 (not floor -4); DuckDB `//` agrees (verified in
+    # the oracle): filled = 10 + (-3) = 7.
+    rows = [
+        ("u", _ts("2024-01-01 00:00:00"), 10),
+        ("u", _ts("2024-01-02 00:00:00"), None),
+        ("u", _ts("2024-01-03 00:00:00"), 3),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, vm long")
+    out = interp_linear_micro(df, ["user_id"], "ts", "vm")
+    got = {r["ts"].day: r["vm_filled"] for r in out.collect()}
+    assert got[2] == 7
+
+
+def test_range_window_shrinks_on_gaps_vs_rows_frame(spark):
+    # days 1, 2, 20: a 3-row ROWS frame would sum all three at day 20; the
+    # 7-day RANGE frame must only see day 20 itself.
+    rows = [
+        ("u", dt.date(2024, 1, 1), 1),
+        ("u", dt.date(2024, 1, 2), 2),
+        ("u", dt.date(2024, 1, 20), 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, day date, vm long")
+    out = range_window_sums(df, ["user_id"], F.col("day"), F.col("vm"), 7)
+    got = {r["day"].day: (r["w_sum"], r["w_n"]) for r in out.collect()}
+    assert got == {1: (1, 1), 2: (3, 2), 20: (4, 1)}
+
+
+def test_counter_increase_resets_and_first_sample(spark):
+    # counter per key: 10 -> 25 -> 5 (reset: contributes 5) -> 30.
+    # first sample contributes 0 (no baseline), total = 15 + 5 + 25 = 45.
+    rows = [
+        ("u", _ts("2024-01-01 00:00:00"), 10),
+        ("u", _ts("2024-01-01 00:01:00"), 25),
+        ("u", _ts("2024-01-01 00:02:00"), 5),
+        ("u", _ts("2024-01-01 00:03:00"), 30),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, c long")
+    out = counter_increase(df, ["user_id"], "ts", "c", F.lit("b")).collect()
+    assert out[0]["increase_micro"] == 45 and out[0]["n_samples"] == 4
+
+
+def test_counter_increase_bucket_boundary_carries_baseline(spark):
+    # the lag baseline crosses bucket boundaries (Prometheus increase over
+    # adjacent windows must not double-count the boundary step): day-1 end
+    # counter 20, day-2 first counter 30 -> day-2 gets the +10 step.
+    rows = [
+        ("u", _ts("2024-01-01 23:59:00"), 20),
+        ("u", _ts("2024-01-02 00:01:00"), 30),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, c long")
+    out = counter_increase(
+        df, ["user_id"], "ts", "c", F.date_trunc("day", "ts")
+    ).collect()
+    got = {r["bucket"].day: r["increase_micro"] for r in out}
+    assert got == {1: 0, 2: 10}
