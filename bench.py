@@ -51,6 +51,12 @@ HEADLINE = [
     "bbox_subset",
     "scale_fill",
     "moving_mean",
+    "asof_join",
+    "sessionize",
+    "interp_fill",
+    "range_window",
+    "time_weighted",
+    "counter_rate",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",
