@@ -1308,6 +1308,34 @@ def _q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40 candlestick rollup: open/high/low/close/n per (user, day) in
+    exact micro units — one partial-agg shuffle via min_by/max_by, no
+    window (operators/timeseries.py:ohlc). Deterministic because event
+    timestamps are microsecond-unique per user."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import ohlc
+
+    ev = _events(spark, sf_dir).withColumn("vm", _micro(F.col("value")))
+    return ohlc(ev, ["user_id"], "ts", "vm", bucket=F.date_trunc("day", "ts"))
+
+
+def _q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41 fixed-width value histogram per event_type (10 bins of 50
+    units over [0, 500)): exact integer bin arithmetic, one
+    map-side-combinable shuffle (operators/timeseries.py:value_histogram).
+    Values are micro-units < 2^53, so the floor(double-div) bin index is
+    exact on both engines."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import value_histogram
+
+    ev = _events(spark, sf_dir).withColumn("vm", _micro(F.col("value")))
+    return value_histogram(
+        ev, ["event_type"], "vm",
+        lo_micro=0, width_micro=50_000_000, n_bins=10,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1401,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50-row window — oracled, mirror-checked, pytest-pinned:
         "time_weighted": _q_time_weighted,
         "counter_rate": _q_counter_rate,
+        "ohlc": _q_ohlc,
+        "value_hist": _q_value_hist,
         # family duplicates (oracled — still verified by the local
         # mirror and the pytest contract, just no driver row):
         # rollup_dekadal (A1 keeps daily/monthly/cascade; W4 dekads
@@ -2324,6 +2354,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(step) AS BIGINT) AS increase_micro,
                    count(*) AS n_samples
             FROM d GROUP BY 1, 2
+        """,
+        "ohlc": f"""
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+                   CAST(arg_min({_MICRO_SQL.format(c='value')}, ts)
+                        AS BIGINT) AS open,
+                   CAST(max({_MICRO_SQL.format(c='value')}) AS BIGINT) AS high,
+                   CAST(min({_MICRO_SQL.format(c='value')}) AS BIGINT) AS low,
+                   CAST(arg_max({_MICRO_SQL.format(c='value')}, ts)
+                        AS BIGINT) AS close,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "value_hist": f"""
+            WITH v AS (
+              SELECT event_type,
+                     {_MICRO_SQL.format(c='value')} AS vm
+              FROM events),
+            b AS (
+              SELECT event_type, vm,
+                     least(greatest(CAST(floor(vm / 50000000) AS BIGINT),
+                                    0), 9) AS bin
+              FROM v)
+            SELECT event_type, bin,
+                   count(*) AS n,
+                   CAST(sum(vm) AS BIGINT) AS v_sum_micro,
+                   CAST(bin * 50000000 AS BIGINT) AS bin_lo_micro
+            FROM b GROUP BY 1, 2
         """,
         # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary

@@ -57,6 +57,8 @@ HEADLINE = [
     "range_window",
     "time_weighted",
     "counter_rate",
+    "ohlc",
+    "value_hist",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

@@ -314,3 +314,72 @@ def counter_increase(
         F.sum("__step").cast("long").alias("increase_micro"),
         F.count(F.lit(1)).alias("n_samples"),
     )
+
+
+def ohlc(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    micro_col: str,
+    bucket: Column,
+) -> DataFrame:
+    """Per ``(keys, bucket)`` candlestick rollup: open (value at the
+    earliest ts), high, low, close (value at the latest ts), count —
+    the A1/A4/A5 coverage aggregates generalized to the OHLC form every
+    time-series store ships (TimescaleDB ``candlestick_agg``, InfluxDB
+    first/last/min/max). ``min_by``/``max_by`` keep it one partial-agg
+    shuffle — no window, no self-join; deterministic when ``ts_col`` is
+    unique per key (the corpus guarantees microsecond timestamps).
+    All-integer in micro units, so hash-stable cross-engine (DuckDB twin:
+    ``arg_min``/``arg_max``).
+    """
+    keys = list(keys)
+    v = F.col(micro_col).cast("long")
+    return (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, F.col("__bucket").alias("bucket"))
+        .agg(
+            F.min_by(v, F.col(ts_col)).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, F.col(ts_col)).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    keys: Sequence[str],
+    micro_col: str,
+    lo_micro: int,
+    width_micro: int,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width value histogram per key group: bin index =
+    ``clamp(trunc((v - lo) / width), 0, n_bins-1)`` in exact integer
+    space, then a counting aggregate. One map-side-combinable shuffle on
+    ``(keys, bin)`` — the profiling companion to ``profile_table``
+    (distribution shape, not just min/max). Out-of-range values clamp
+    into the edge bins (ANSI ``width_bucket`` overflow semantics
+    collapsed onto the edges so bin count is fixed).
+
+    Emits ``bin`` (0-based BIGINT), ``bin_lo_micro`` (inclusive lower
+    edge), ``n`` and ``v_sum_micro`` — all exact integers.
+    """
+    keys = list(keys)
+    v = F.col(micro_col).cast("long")
+    raw = F.floor((v - F.lit(lo_micro)) / F.lit(width_micro)).cast("long")
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.withColumn("__bin", bin_)
+        .groupBy(*keys, F.col("__bin").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).cast("long").alias("v_sum_micro"),
+        )
+        .withColumn(
+            "bin_lo_micro",
+            (F.lit(lo_micro) + F.col("bin") * F.lit(width_micro)).cast("long"),
+        )
+    )

@@ -203,3 +203,53 @@ def test_counter_increase_bucket_boundary_carries_baseline(spark):
     ).collect()
     got = {r["bucket"].day: r["increase_micro"] for r in out}
     assert got == {1: 0, 2: 10}
+
+
+def test_ohlc_golden(spark):
+    rows = [
+        ("u", _ts("2024-01-01 00:00:00"), 30),  # open
+        ("u", _ts("2024-01-01 12:00:00"), 90),  # high
+        ("u", _ts("2024-01-01 18:00:00"), 10),  # low
+        ("u", _ts("2024-01-01 23:00:00"), 50),  # close
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, vm long")
+    from c3s_sm_spark.operators.timeseries import ohlc
+
+    out = ohlc(df, ["user_id"], "ts", "vm", F.date_trunc("day", "ts")).collect()
+    r = out[0]
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (30, 90, 10, 50, 4)
+
+
+def test_value_histogram_clamps_edges(spark):
+    from c3s_sm_spark.operators.timeseries import value_histogram
+
+    rows = [("a", -5), ("a", 0), ("a", 9), ("a", 10), ("a", 25), ("a", 999)]
+    df = spark.createDataFrame(rows, "k string, vm long")
+    out = value_histogram(df, ["k"], "vm", lo_micro=0, width_micro=10, n_bins=3)
+    got = {r["bin"]: (r["n"], r["v_sum_micro"], r["bin_lo_micro"]) for r in out.collect()}
+    # bin 0: -5 (clamped), 0, 9; bin 1: 10; bin 2: 25, 999 (clamped)
+    assert got == {0: (3, 4, 0), 1: (1, 10, 10), 2: (2, 1024, 20)}
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Parity against Spark's built-in session_window aggregation: the
+    lag-flag + running-sum plan must produce the same multiset of
+    (n_events) per gap-session as F.session_window. (Boundary caveat:
+    session_window treats a delta of EXACTLY gap as a NEW session —
+    half-open [start, start+gap) — while sessionize continues it, so the
+    fixture avoids exact-gap deltas, which the microsecond corpus never
+    produces anyway.)"""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    mine = sorted(
+        (r["n_events"])
+        for r in session_stats(ev, "user_id", "ts", gap_s=1800).collect()
+    )
+    native = sorted(
+        r["n"]
+        for r in ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert mine == native
