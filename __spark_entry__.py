@@ -1336,6 +1336,31 @@ def _q_value_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42 cross-source validation: temporally match clicks to the
+    nearest prior view (per user, <=2h) and emit the exact integer
+    pieces of bias/RMSD/Pearson per user — the station-vs-satellite
+    comparison that consumes the reference's reshuffled series
+    (operators/timeseries.py:paired_validation). 1e-4 scaling: the
+    2-decimal values are exact, and sums of squares stay far inside
+    int64 (micro units would overflow at ~40 rows)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import paired_validation
+
+    ev = _events(spark, sf_dir)
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", v4.alias("x")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", v4.alias("y")
+    )
+    return paired_validation(
+        clicks, views, ["user_id"],
+        x_col="x", y_col="y", tolerance_s=7200, tiebreak="event_id",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1431,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate": _q_counter_rate,
         "ohlc": _q_ohlc,
         "value_hist": _q_value_hist,
+        "validation": _q_validation,
         # family duplicates (oracled — still verified by the local
         # mirror and the pytest contract, just no driver row):
         # rollup_dekadal (A1 keeps daily/monthly/cascade; W4 dekads
@@ -2382,6 +2408,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vm) AS BIGINT) AS v_sum_micro,
                    CAST(bin * 50000000 AS BIGINT) AS bin_lo_micro
             FROM b GROUP BY 1, 2
+        """,
+        "validation": """
+            WITH clicks AS (
+              SELECT user_id, ts,
+                     CAST(round(value*10000) AS BIGINT) AS x
+              FROM events WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value*10000) AS BIGINT) AS y
+              FROM events WHERE event_type = 'view'),
+            m AS (
+              SELECT c.user_id, c.x, j.y
+              FROM clicks c JOIN LATERAL (
+                SELECT v.y,
+                       CAST(floor(epoch(c.ts)) AS BIGINT)
+                         - CAST(floor(epoch(v.ts)) AS BIGINT) AS age_s
+                FROM views v
+                WHERE v.user_id = c.user_id AND v.ts <= c.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+              ) j ON TRUE
+              WHERE j.age_s <= 7200)
+            SELECT user_id,
+                   count(*) AS n_matched,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*y) AS BIGINT) AS sxy,
+                   CAST(sum(x*x) AS BIGINT) AS sxx,
+                   CAST(sum(y*y) AS BIGINT) AS syy
+            FROM m GROUP BY 1
         """,
         # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary

@@ -59,6 +59,7 @@ HEADLINE = [
     "counter_rate",
     "ohlc",
     "value_hist",
+    "validation",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

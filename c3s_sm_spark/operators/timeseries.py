@@ -383,3 +383,82 @@ def value_histogram(
             (F.lit(lo_micro) + F.col("bin") * F.lit(width_micro)).cast("long"),
         )
     )
+
+
+def paired_validation(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    tolerance_s: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Cross-source series validation: temporally match each ``left``
+    observation to the nearest-at-or-before ``right`` observation per key
+    (the as-of join above), then aggregate the EXACT integer pieces of the
+    standard validation metrics — the downstream consumer of the
+    reference's reshuffled series is exactly this station-vs-satellite
+    comparison (nearest-within-window matching, then bias / RMSD /
+    correlation; the reference's read-back tests pin the per-location
+    series this operator consumes,
+    ``/root/reference/tests/test_reshuffle.py:76-84``).
+
+    ``x_col`` (left) and ``y_col`` (right) must already be integer-scaled
+    columns (e.g. 1e-4 units for 2-decimal inputs). Emits per key:
+    ``n_matched``, ``sx``, ``sy`` (BIGINT sums), ``sxy``, ``sxx``, ``syy``
+    (BIGINT sums of products — squared-unit scale). Derived floats are
+    left to :func:`validation_scores`; the witness never divides.
+
+    Overflow bound: sums of products stay inside int64 while
+    ``n * max(x)^2 < 2^63`` — at 1e-4 scaling of values |v| <= 2^31/1e4,
+    that is ~1e5 matched rows per key per 10^9 squared-unit magnitude;
+    the engine's micro-unit convention (1e-6) would overflow at ~40 rows,
+    hence the coarser scale here. One key shuffle for the match, and the
+    metric aggregation reuses the same partitioning (no second exchange).
+    """
+    keys = list(keys)
+    matched = asof_join(
+        left, right, keys, left_ts=left_ts, right_ts=right_ts,
+        value_cols=[y_col], tolerance_s=tolerance_s, tiebreak=tiebreak,
+    ).filter(F.col(f"asof_{y_col}").isNotNull())
+    x = F.col(x_col).cast("long")
+    y = F.col(f"asof_{y_col}").cast("long")
+    return matched.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+
+
+def validation_scores(pieces: DataFrame, scale: int = 10000) -> DataFrame:
+    """Turn :func:`paired_validation` integer pieces into the familiar
+    float metrics — bias, RMSD, Pearson r — as a plain projection
+    (no shuffle). Floats appear only HERE, outside any cross-engine
+    witness; groups with zero variance on either side get null r."""
+    n = F.col("n_matched").cast("double")
+    s = float(scale)
+    # everything below runs in double: products of the BIGINT pieces
+    # (sx*sx etc.) would overflow int64 long before the pieces do
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    bias = (sx - sy) / n / s
+    msd = (sxx - 2 * sxy + syy) / n / (s * s)
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    r = F.when(
+        (var_x > 0) & (var_y > 0), cov_n / F.sqrt(var_x * var_y)
+    )
+    return pieces.select(
+        "*",
+        bias.alias("bias"),
+        F.sqrt(msd).alias("rmsd"),
+        r.alias("pearson_r"),
+    )

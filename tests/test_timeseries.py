@@ -253,3 +253,54 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     )
     assert mine == native
+
+
+def test_paired_validation_pieces_and_scores(spark):
+    """Pieces: x=[10,20] matched to y=[8,24] (per-probe nearest prior);
+    scores: bias/rmsd/pearson cross-checked against numpy on the pieces."""
+    from c3s_sm_spark.operators.timeseries import (
+        paired_validation,
+        validation_scores,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 10:00:00"), 10),
+            ("u", _ts("2024-01-01 11:00:00"), 20),
+            ("u", _ts("2024-01-01 00:00:00"), 99),  # no prior right -> dropped
+        ],
+        "user_id string, ts timestamp, x long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 09:30:00"), 8),
+            ("u", _ts("2024-01-01 10:30:00"), 24),
+        ],
+        "user_id string, ts timestamp, y long",
+    )
+    pieces = paired_validation(
+        left, right, ["user_id"], x_col="x", y_col="y", tolerance_s=3600
+    )
+    r = pieces.collect()[0]
+    assert (r["n_matched"], r["sx"], r["sy"]) == (2, 30, 32)
+    assert (r["sxy"], r["sxx"], r["syy"]) == (10 * 8 + 20 * 24, 500, 640)
+
+    import numpy as np
+
+    s = validation_scores(pieces, scale=1).collect()[0]
+    x, y = np.array([10.0, 20.0]), np.array([8.0, 24.0])
+    assert abs(s["bias"] - (x - y).mean()) < 1e-12
+    assert abs(s["rmsd"] - np.sqrt(((x - y) ** 2).mean())) < 1e-12
+    assert abs(s["pearson_r"] - np.corrcoef(x, y)[0, 1]) < 1e-12
+
+
+def test_validation_scores_zero_variance_gives_null_r(spark):
+    from c3s_sm_spark.operators.timeseries import validation_scores
+
+    pieces = spark.createDataFrame(
+        [("u", 3, 30, 9, 90, 300, 27)],
+        "user_id string, n_matched long, sx long, sy long, sxy long, sxx long, syy long",
+    )
+    # sy=9, syy=27, n=3 -> var_y = 3*27 - 81 = 0 -> r is null
+    s = validation_scores(pieces, scale=1).collect()[0]
+    assert s["pearson_r"] is None
