@@ -131,3 +131,39 @@ def stream_dedup(
     return points_stream.withWatermark(
         ts_col, watermark
     ).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_sessionize(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "3 days",
+) -> DataFrame:
+    """Watermarked streaming sessionization via Spark's native
+    ``session_window`` (gap-based merging windows) — the streaming analog
+    of ``operators.timeseries.sessionize``. A session closes (and emits,
+    in append mode) once the watermark passes session_end + gap; state is
+    bounded by the watermark horizon, never all history.
+
+    Semantics note vs the batch operator: ``session_window`` uses a
+    half-open ``[start, start+gap)`` merge rule, so an event at EXACTLY
+    ``gap`` after its predecessor starts a NEW session, while the batch
+    ``sessionize`` (``delta > gap_s`` test) continues the old one — on
+    microsecond-timestamped corpora the exact-boundary case never occurs
+    (tests/test_timeseries.py pins the batch/native parity on real data).
+
+    Emits one row per closed session: key, session_start, session_end,
+    n_events.
+    """
+    return (
+        points_stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -116,3 +116,47 @@ def test_stream_dedup_suppresses_replayed_rows(spark, tmp_path):
     # every replayed (key, ts, version) row appears exactly once
     assert got and all(r["n"] == 1 for r in got)
     assert len(got) == raw.select("doc_id", "ts", "version").distinct().count()
+
+
+def test_stream_sessionize_matches_native_batch_sessions(spark, tmp_path):
+    """Streaming session_window (watermarked, append mode) must emit
+    exactly the sessions the same data produces under batch
+    session_window — and every emitted session must match one batch
+    session bit-for-bit (start/end/count)."""
+    from c3s_sm_spark.streaming.refresh import stream_sessionize
+
+    raw = gen_points_raw(spark, 8, start="2019-10-01", end="2019-10-10").drop(
+        "version"
+    )
+    in_dir = str(tmp_path / "sess_in")
+    raw.write.parquet(in_dir, mode="overwrite")
+    stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+    q = (
+        stream_sessionize(stream, gap="2 hours")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from sess_stream").collect()
+    exp = (
+        raw.groupBy("doc_id", F.session_window("ts", "2 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    exp_set = {
+        (r["doc_id"], str(r["w"]["start"]), str(r["w"]["end"]), r["n_events"])
+        for r in exp
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (
+            r["doc_id"],
+            str(r["session_start"]),
+            str(r["session_end"]),
+            r["n_events"],
+        )
+        assert key in exp_set
