@@ -1361,6 +1361,31 @@ def _q_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43 exponential smoothing per user (alpha=0.3): order-recursive,
+    so no SQL oracle — rows-only here; pinned bit-exact against pandas
+    ewm(adjust=False) and proven partition-invariant in
+    tests/test_timeseries.py (each key's series is complete and sorted
+    within one partition)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import ewma
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return ewma(ev, ["user_id"], "ts", "value", alpha=0.3)
+
+
+def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44 LTTB downsample to 24 points per user (Steinarsson 2013):
+    bucket-wise argmax selection is not ANSI-SQL-expressible — rows-only;
+    golden triangle choice, endpoint retention, count law and partition
+    invariance pinned in tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import lttb
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return lttb(ev, ["user_id"], "ts", "value", n_out=24)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1457,6 +1482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": _q_ohlc,
         "value_hist": _q_value_hist,
         "validation": _q_validation,
+        # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
+        # values pinned against pandas in tests):
+        "ewma": _q_ewma,
+        "lttb": _q_lttb,
         # family duplicates (oracled — still verified by the local
         # mirror and the pytest contract, just no driver row):
         # rollup_dekadal (A1 keeps daily/monthly/cascade; W4 dekads

@@ -60,6 +60,8 @@ HEADLINE = [
     "ohlc",
     "value_hist",
     "validation",
+    "ewma",
+    "lttb",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

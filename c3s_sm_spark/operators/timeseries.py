@@ -462,3 +462,123 @@ def validation_scores(pieces: DataFrame, scale: int = 10000) -> DataFrame:
         F.sqrt(msd).alias("rmsd"),
         r.alias("pearson_r"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average per key (pandas
+    ``ewm(alpha=..., adjust=False).mean()`` recurrence:
+    ``s_t = alpha*v_t + (1-alpha)*s_{t-1}``). Inherently order-recursive,
+    so no window expression exists; the physical strategy is the packed
+    codec's (codecs.py:pack_series): ``repartition(keys)`` +
+    ``sortWithinPartitions(keys, ts)`` + partition-level ``mapInPandas``
+    — one Arrow batch stream per PARTITION (a per-group applyInPandas
+    round-trips one batch per key, measured 4-7x slower at realistic key
+    counts), vectorized ``pandas.groupby.ewm`` inside, zero per-row
+    Python. Each key's series is complete and sorted within one
+    partition, so the float recurrence is deterministic under ANY
+    cluster partitioning — the north rule's bit-for-bit requirement
+    holds even though the values are floats.
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keys = list(keys)
+    cols = df.columns
+    # build a FRESH StructType: StructType.add() mutates the receiver,
+    # and df.schema hands back the live object — mutating it corrupts df
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def _ewma_partition(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        pdf[out_col] = (
+            pdf.groupby(keys, sort=False)[value_col]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        )
+        yield pdf
+
+    part = df.repartition(n_partitions, *keys) if n_partitions else df.repartition(*keys)
+    return (
+        part.sortWithinPartitions(*keys, ts_col)
+        .mapInPandas(_ewma_partition, schema=out_schema)
+        .select(*cols, out_col)
+    )
+
+
+def lttb(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n_out: int,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per key (Steinarsson
+    2013) — the standard visualization reducer: keep first and last
+    points, split the interior into ``n_out - 2`` buckets, and from each
+    bucket keep the point forming the largest triangle with the
+    previously kept point and the next bucket's centroid. Preserves
+    visual extremes that uniform striding destroys.
+
+    Same physical pattern as :func:`ewma` (repartition + sorted
+    partition-level mapInPandas); numpy inside, O(n) per key. Keys with
+    ``<= n_out`` points pass through untouched. Emits the kept rows only
+    (keys, ts, value).
+    """
+    keys = list(keys)
+    src = df.select(*keys, ts_col, value_col)
+    out_schema = src.schema
+
+    def _lttb_one(t, v, n):
+        import numpy as np
+
+        if len(t) <= n:
+            return np.arange(len(t))
+        keep = [0]
+        # bucket boundaries over the interior [1, len-1)
+        edges = np.linspace(1, len(t) - 1, n - 1).astype(np.int64)
+        for b in range(n - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (len(t) if b == n - 3 else edges[b + 2])
+            cx, cy = t[nlo:nhi].mean(), v[nlo:nhi].mean()
+            ax, ay = t[keep[-1]], v[keep[-1]]
+            # triangle area vs previous kept point and next-bucket centroid
+            area = np.abs(
+                (ax - cx) * (v[lo:hi] - ay) - (ax - t[lo:hi]) * (cy - ay)
+            )
+            keep.append(lo + int(np.argmax(area)))
+        keep.append(len(t) - 1)
+        return np.asarray(keep)
+
+    def _lttb_partition(batches):
+        import numpy as np  # noqa: F401
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        out = []
+        for _, g in pdf.groupby(keys, sort=False):
+            t = g[ts_col].to_numpy(dtype="datetime64[us]").view("int64").astype("float64")
+            v = g[value_col].to_numpy(dtype="float64")
+            out.append(g.iloc[_lttb_one(t, v, n_out)])
+        yield pd.concat(out, ignore_index=True)
+
+    part = src.repartition(n_partitions, *keys) if n_partitions else src.repartition(*keys)
+    return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
+        _lttb_partition, schema=out_schema
+    )

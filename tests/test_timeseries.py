@@ -304,3 +304,81 @@ def test_validation_scores_zero_variance_gives_null_r(spark):
     # sy=9, syy=27, n=3 -> var_y = 3*27 - 81 = 0 -> r is null
     s = validation_scores(pieces, scale=1).collect()[0]
     assert s["pearson_r"] is None
+
+
+def test_ewma_matches_pandas_and_partitioning(spark):
+    """Recursive EWMA per key: bit-equal to pandas ewm(adjust=False) and
+    invariant under input/output partitioning (each key's series is
+    complete + sorted inside one partition)."""
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import ewma
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    p1 = (
+        ewma(ev, ["user_id"], "ts", "value", alpha=0.3)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    p2 = (
+        ewma(ev.repartition(17), ["user_id"], "ts", "value", alpha=0.3, n_partitions=3)
+        .toPandas()
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(p1["ewma"].to_numpy(), p2["ewma"].to_numpy())
+    pdf = ev.toPandas().sort_values(["user_id", "ts"])
+    exp = (
+        pdf.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+        .to_numpy()
+    )
+    assert np.array_equal(p1["ewma"].to_numpy(), exp)
+
+
+def test_lttb_golden_and_invariants(spark):
+    from c3s_sm_spark.operators.timeseries import lttb
+
+    # golden: 5 points, n_out=3 -> keep first, last, and the interior
+    # point with the largest triangle area (the spike at day 3)
+    rows = [
+        ("u", _ts("2024-01-01 00:00:00"), 0.0),
+        ("u", _ts("2024-01-02 00:00:00"), 1.0),
+        ("u", _ts("2024-01-03 00:00:00"), 50.0),  # spike
+        ("u", _ts("2024-01-04 00:00:00"), 1.0),
+        ("u", _ts("2024-01-05 00:00:00"), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    got = sorted(r["ts"].day for r in lttb(df, ["user_id"], "ts", "value", 3).collect())
+    assert got == [1, 3, 5]
+
+    # invariants on real data: per-key count == min(n_out, n), endpoints
+    # kept, partition-invariant output
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    out = lttb(ev, ["user_id"], "ts", "value", n_out=10).toPandas()
+    src = ev.toPandas()
+    cnt = out.groupby("user_id").size()
+    n_per = src.groupby("user_id").size()
+    assert all(cnt[u] == min(10, n_per[u]) for u in cnt.index)
+    for u, g in out.groupby("user_id"):
+        s = src[src.user_id == u]
+        assert g.ts.min() == s.ts.min() and g.ts.max() == s.ts.max()
+    out2 = lttb(
+        ev.repartition(13), ["user_id"], "ts", "value", n_out=10, n_partitions=5
+    ).toPandas()
+    a = out.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    b = out2.sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_lttb_passthrough_when_short(spark):
+    from c3s_sm_spark.operators.timeseries import lttb
+
+    rows = [("u", _ts("2024-01-01 00:00:00"), 1.0), ("u", _ts("2024-01-02 00:00:00"), 2.0)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+    assert lttb(df, ["user_id"], "ts", "value", 10).count() == 2
