@@ -11,3 +11,18 @@ from c3s_sm_spark.operators.dedup import keep_latest  # noqa: F401
 from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
 from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: F401
 from c3s_sm_spark.operators.salting import salted_repartition  # noqa: F401
+from c3s_sm_spark.operators.timeseries import (  # noqa: F401
+    asof_join,
+    counter_increase,
+    ewma,
+    interp_linear_micro,
+    lttb,
+    ohlc,
+    paired_validation,
+    range_window_sums,
+    session_stats,
+    sessionize,
+    time_weighted_sums,
+    validation_scores,
+    value_histogram,
+)
