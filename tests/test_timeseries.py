@@ -382,3 +382,64 @@ def test_lttb_passthrough_when_short(spark):
     rows = [("u", _ts("2024-01-01 00:00:00"), 1.0), ("u", _ts("2024-01-02 00:00:00"), 2.0)]
     df = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
     assert lttb(df, ["user_id"], "ts", "value", 10).count() == 2
+
+
+def test_timeseries_ops_compose_with_tier_pipeline(spark, tmp_path):
+    """Engine integration: the point-in-time family runs over the TIER
+    tables the pipeline writes (not just raw frames). Daily tier ->
+    calendar gap-fill -> interp -> ewma; raw points as-of joined to the
+    daily tier must reproduce the tier's own mean for same-day probes."""
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.operators.timeseries import asof_join, ewma, interp_linear_micro
+    from c3s_sm_spark.plans.pipeline import TierPipeline
+    from c3s_sm_spark.synth import gen_points_raw
+
+    raw = gen_points_raw(spark, 6, start="2019-10-01", end="2019-10-25").cache()
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw)
+    p.refresh()
+    daily = p.read_tier("daily").select(
+        "doc_id", "ts", F.round(F.col("v_mean") * 10000).cast("long").alias("vm4")
+    )
+
+    # gap-fill each key onto the full daily grid, interpolate interiors
+    bounds = daily.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("ts")
+    )
+    grid = (
+        daily.select("doc_id").distinct()
+        .crossJoin(F.broadcast(cal))
+        .join(daily, ["doc_id", "ts"], "left")
+    )
+    filled = interp_linear_micro(grid, ["doc_id"], "ts", "vm4")
+    assert filled.filter(
+        F.col("vm4").isNotNull() & (F.col("vm4_filled") != F.col("vm4"))
+    ).count() == 0  # observed rows pass through untouched
+
+    smooth = ewma(
+        filled.filter(F.col("vm4_filled").isNotNull()),
+        ["doc_id"], "ts", "vm4_filled", alpha=0.5,
+    )
+    assert smooth.filter(F.col("ewma").isNull()).count() == 0
+
+    # as-of: probe each raw point against the daily tier; a probe inside
+    # day D matches day D's tier row only if the tier ts (midnight) is
+    # <= probe ts — true for every point, so asof_vm4 must equal the
+    # tier mean of the probe's own day when that day exists for the key
+    probes = raw.select("doc_id", "ts").limit(200)
+    aj = asof_join(probes, daily.withColumnRenamed("vm4", "tier_vm4"),
+                   ["doc_id"], value_cols=["tier_vm4"], tolerance_s=86400 - 1)
+    expect = daily.select(
+        F.col("doc_id").alias("e_doc"),
+        F.col("ts").alias("day_ts"),
+        F.col("vm4").alias("expect_vm4"),
+    )
+    joined = aj.withColumn("probe_day", F.date_trunc("day", "ts")).join(
+        expect,
+        (F.col("doc_id") == F.col("e_doc"))
+        & (F.col("probe_day") == F.col("day_ts")),
+    )
+    assert joined.filter(F.col("asof_tier_vm4") != F.col("expect_vm4")).count() == 0
+    raw.unpersist()
