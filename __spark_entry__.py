@@ -1386,6 +1386,36 @@ def _q_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lttb(ev, ["user_id"], "ts", "value", n_out=24)
 
 
+def _q_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 bidirectional nearest temporal match (pytesmo semantics):
+    every click matched to the CLOSEST view by |dt|, backward or
+    forward, within 2h; prior wins exact ties. Same union-tag plan as
+    the as-of join — one shuffle, one sort, two frames. -1 sentinels
+    for misses (near_dt_s is signed, so the miss sentinel is a separate
+    matched flag plus 0)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import nearest_match
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", _micro(F.col("value")).alias("vm")
+    )
+    out = nearest_match(
+        clicks, views, ["user_id"],
+        value_col="vm", window_s=7200, tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("near_vm").isNotNull().alias("matched"),
+        F.coalesce("near_vm", F.lit(-1)).cast("long").alias("near_vm"),
+        F.coalesce("near_dt_s", F.lit(0)).cast("long").alias("near_dt_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1482,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc": _q_ohlc,
         "value_hist": _q_value_hist,
         "validation": _q_validation,
+        "nearest_match": _q_nearest_match,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2466,6 +2497,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(x*x) AS BIGINT) AS sxx,
                    CAST(sum(y*y) AS BIGINT) AS syy
             FROM m GROUP BY 1
+        """,
+        "nearest_match": f"""
+            WITH clicks AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'click'),
+            views AS (
+              SELECT user_id, ts, event_id,
+                     {_MICRO_SQL.format(c='value')} AS vm
+              FROM events WHERE event_type = 'view'),
+            m AS (
+              SELECT c.user_id, c.event_id, j.vm, j.dt_s
+              FROM clicks c LEFT JOIN LATERAL (
+                SELECT v.vm,
+                       CAST(floor(epoch(c.ts)) AS BIGINT)
+                         - CAST(floor(epoch(v.ts)) AS BIGINT) AS dt_s
+                FROM views v
+                WHERE v.user_id = c.user_id
+                -- nearest by TRUNCATED-second distance (the engine's
+                -- unix_timestamp contract); prior side wins exact ties;
+                -- within a side, closest full-resolution ts, then the
+                -- engine's tiebreak direction (prior: max event_id,
+                -- next: min event_id)
+                ORDER BY abs(CAST(floor(epoch(c.ts)) AS BIGINT)
+                             - CAST(floor(epoch(v.ts)) AS BIGINT)) ASC,
+                         CASE WHEN v.ts <= c.ts THEN 0 ELSE 1 END ASC,
+                         CASE WHEN v.ts <= c.ts THEN -epoch_us(v.ts)
+                              ELSE epoch_us(v.ts) END ASC,
+                         CASE WHEN v.ts <= c.ts THEN -v.event_id
+                              ELSE v.event_id END ASC
+                LIMIT 1
+              ) j ON TRUE)
+            SELECT user_id, event_id,
+                   coalesce(abs(dt_s) <= 7200, FALSE) AS matched,
+                   CAST(coalesce(CASE WHEN abs(dt_s) <= 7200 THEN vm END,
+                                 -1) AS BIGINT) AS near_vm,
+                   CAST(coalesce(CASE WHEN abs(dt_s) <= 7200 THEN dt_s END,
+                                 0) AS BIGINT) AS near_dt_s
+            FROM m
         """,
         # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary

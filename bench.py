@@ -62,6 +62,7 @@ HEADLINE = [
     "validation",
     "ewma",
     "lttb",
+    "nearest_match",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

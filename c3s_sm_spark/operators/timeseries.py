@@ -582,3 +582,104 @@ def lttb(
     return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
         _lttb_partition, schema=out_schema
     )
+
+
+def nearest_match(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    window_s: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Bidirectional nearest-neighbor temporal match: attach to every
+    ``left`` row the ``right`` row (same key) with the smallest absolute
+    time distance, looking BOTH backward and forward — the pytesmo-style
+    nearest-within-window matching that validates the reference's
+    series downstream (``asof_join`` is the backward-only special case).
+
+    Same union-tag plan: one shuffle on ``keys``, ONE sort, two window
+    frames over it — ``last`` over the backward frame picks the most
+    recent prior right row, ``first`` over the forward frame picks the
+    earliest later one (rights at the probe's exact timestamp sort
+    before it, so they win via the backward side at distance 0), then a
+    null-aware comparison of the two truncated-second distances keeps
+    the closer (prior wins exact ties). ``window_s`` nulls matches
+    farther than that many seconds — sufficient to check only the two
+    candidates, because distance is monotone in recency on each side.
+
+    Determinism under duplicate right timestamps: the prior side keeps
+    the GREATEST ``tiebreak``, the next side the SMALLEST (each is
+    "closest in sort order to the probe"); the corpus guarantees unique
+    (key, ts) so this only matters for adversarial inputs.
+
+    Output: all ``left`` columns + ``near_<value_col>`` +
+    ``near_dt_s`` (probe epoch minus match epoch, signed: positive =
+    matched an earlier row; null when no match in window).
+    """
+    keys = list(keys)
+    v_t = right.schema[value_col].dataType
+    tagged_right = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tb"),
+        F.unix_timestamp(right_ts).alias("__r_epoch"),
+        F.col(value_col).alias("__v"),
+    )
+    left_cols = left.columns
+    tagged_left = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast("long").alias("__r_epoch"),
+        F.lit(None).cast(v_t).alias("__v"),
+    )
+    unioned = tagged_left.unionByName(
+        tagged_right.select(
+            *keys,
+            *[
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                for c in left_cols
+                if c not in keys
+            ],
+            "__ts", "__is_right", "__tb", "__r_epoch", "__v",
+        )
+    )
+    order = [F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc()]
+    wb = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    cand = unioned.select(
+        *left_cols,
+        "__is_right",
+        F.unix_timestamp("__ts").alias("__l_epoch"),
+        F.last("__r_epoch", ignorenulls=True).over(wb).alias("__p_epoch"),
+        F.last("__v", ignorenulls=True).over(wb).alias("__p_v"),
+        F.first("__r_epoch", ignorenulls=True).over(wf).alias("__n_epoch"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__n_v"),
+    ).filter(F.col("__is_right") == 0)
+    d_prev = F.col("__l_epoch") - F.col("__p_epoch")
+    d_next = F.col("__n_epoch") - F.col("__l_epoch")
+    # prior wins ties and missing-next; null distances lose
+    use_prev = F.col("__p_epoch").isNotNull() & (
+        F.col("__n_epoch").isNull() | (d_prev <= d_next)
+    )
+    best_v = F.when(use_prev, F.col("__p_v")).otherwise(F.col("__n_v"))
+    best_dt = F.when(use_prev, d_prev).otherwise(-d_next)
+    any_match = F.col("__p_epoch").isNotNull() | F.col("__n_epoch").isNotNull()
+    in_win = (
+        F.abs(best_dt) <= F.lit(window_s) if window_s is not None else F.lit(True)
+    )
+    keep = any_match & in_win
+    return cand.select(
+        *left_cols,
+        F.when(keep, best_v).alias(f"near_{value_col}"),
+        F.when(keep, best_dt).cast("long").alias("near_dt_s"),
+    )

@@ -443,3 +443,34 @@ def test_timeseries_ops_compose_with_tier_pipeline(spark, tmp_path):
     )
     assert joined.filter(F.col("asof_tier_vm4") != F.col("expect_vm4")).count() == 0
     raw.unpersist()
+
+
+def test_nearest_match_bidirectional_ties_and_window(spark):
+    from c3s_sm_spark.operators.timeseries import nearest_match
+
+    left = spark.createDataFrame(
+        [
+            ("a", 1, _ts("2024-01-01 10:00:00")),  # next (10:01) closer than prior (09:00)
+            ("a", 2, _ts("2024-01-01 10:31:00")),  # tie 30min/30min -> prior wins
+            ("b", 3, _ts("2024-01-01 10:00:00")),  # only match is out of window
+            ("c", 4, _ts("2024-01-01 10:00:00")),  # no right rows at all
+        ],
+        "user_id string, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 09:00:00"), 10),
+            ("a", _ts("2024-01-01 10:01:00"), 20),
+            ("a", _ts("2024-01-01 11:01:00"), 30),
+            ("b", _ts("2024-01-01 14:00:00"), 40),
+        ],
+        "user_id string, ts timestamp, vm long",
+    )
+    out = nearest_match(
+        left, right, ["user_id"], value_col="vm", window_s=3600
+    )
+    got = {r["event_id"]: (r["near_vm"], r["near_dt_s"]) for r in out.collect()}
+    assert got[1] == (20, -60)      # forward match, signed negative dt
+    assert got[2] == (20, 1800)     # exact tie -> prior side wins
+    assert got[3] == (None, None)   # 4h away > 1h window
+    assert got[4] == (None, None)   # nothing to match
