@@ -1,27 +1,32 @@
-"""Point-in-time operators: as-of join, sessionization, time-weighted
-mean, linear-interpolation gap fill, time-range windows, counter rates.
+"""Point-in-time / irregular-series operators: as-of join, bidirectional
+nearest match, sessionization, time-weighted mean, linear-interpolation
+gap fill, time-range windows, counter rates, OHLC, value histograms,
+cross-source validation metrics, EWMA, LTTB downsampling.
 
 Reference parity: the reference's time-series consumers align irregular
 observation series against regular product grids and against each other
-by *nearest prior observation* (``/root/reference/src/c3s_sm/interface.py``
-reads back per-GPI series whose timestamps are then matched downstream by
-pytesmo-style temporal matching — nearest-within-window semantics). These
-operators generalize that contract to the tokenized-sequence corpus: every
-one is a single hash shuffle on the series key followed by a sort-based
-window — no range/cross join anywhere, so the plans survive 10^12-row
-inputs as long as a single key's series fits a task (the same contract the
+by *nearest prior / nearest-within-window observation*
+(``/root/reference/src/c3s_sm/interface.py`` reads back per-GPI series
+that downstream station-vs-satellite validation temporally matches).
+These operators generalize that contract to the tokenized-sequence
+corpus: each is a single hash shuffle on the series key followed by a
+sort-based window or a sorted partition-level Arrow kernel — no
+range/cross join anywhere, so the plans survive 10^12-row inputs as
+long as a single key's series fits a task (the same contract the
 reference's per-cell reshuffle already imposes).
 
-Skew note (100 TB): all six operators partition by the series key. A
+Skew note (100 TB): these operators partition by the series key. A
 pathological hot key (one user with 10^9 events) serializes into one
 task; the mitigation is the same key-salting used by the writer path
 (``c3s_sm_spark.operators.salting``) *plus* re-merging per-salt partial
 states, which is only sound for the associative aggregates here
-(range-window sums, counter increase). The order-dependent ones (as-of,
-sessionize, interpolation) fundamentally need the full series ordered —
+(range-window sums, counter increase, OHLC, histograms, validation
+sums). The order-dependent ones (as-of/nearest match, sessionize,
+interpolation, EWMA, LTTB) fundamentally need the full series ordered —
 exactly like the reference's per-cell series assembly — so the engine
 keeps them per-key and documents the bound instead of silently
-mis-labelling sessions across salt boundaries.
+mis-labelling sessions across salt boundaries
+(tests/test_timeseries.py pins correctness under a hot-key fixture).
 """
 
 from __future__ import annotations

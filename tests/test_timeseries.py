@@ -474,3 +474,52 @@ def test_nearest_match_bidirectional_ties_and_window(spark):
     assert got[2] == (20, 1800)     # exact tie -> prior side wins
     assert got[3] == (None, None)   # 4h away > 1h window
     assert got[4] == (None, None)   # nothing to match
+
+
+def test_hot_key_skew_correctness(spark):
+    """Skew bound in practice: one key holds 96% of rows (50k events),
+    the rest spread over 200 keys. The order-dependent ops must still be
+    CORRECT (the hot key serializes into one task — the documented
+    bound); the associative ohlc aggregate must agree with an
+    independent groupBy."""
+    from c3s_sm_spark.operators.timeseries import ohlc, session_stats, sessionize
+
+    hot = spark.range(50_000).select(
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + F.col("id") * 907  # ~15min apart, no session breaks at 1h gap
+        ).alias("ts"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(1000)) + 1).alias("vm"),
+    )
+    cold = spark.range(2_000).select(
+        F.concat(F.lit("u"), (F.col("id") % 200)).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 7919).alias("ts"),
+        (F.col("id") % 97 + 1).alias("vm"),
+    )
+    df = hot.unionByName(cold).repartition(32)
+
+    # sessionize: hot key = one unbroken session of 50k (delta 907 < 3600);
+    # ordinals must be exactly 1..1 with n_events 50000
+    ss = session_stats(df, "user_id", "ts", gap_s=3600)
+    hot_row = ss.filter(F.col("user_id") == "hot").collect()
+    assert len(hot_row) == 1 and hot_row[0]["n_events"] == 50_000
+    # total event conservation across all sessions
+    assert ss.agg(F.sum("n_events")).first()[0] == 52_000
+
+    # associative op on the same skewed frame agrees with a plain groupBy
+    o = ohlc(df, ["user_id"], "ts", "vm", F.lit("all"))
+    exp = df.groupBy("user_id").agg(
+        F.min("vm").alias("low"), F.max("vm").alias("high"), F.count("*").alias("n")
+    )
+    j = o.join(exp.withColumnRenamed("user_id", "u2"), o["user_id"] == F.col("u2"))
+    bad = j.filter(
+        (o["low"] != exp["low"]) | (o["high"] != exp["high"]) | (o["n"] != exp["n"])
+    )
+    assert bad.count() == 0
+
+    # sessionize ordinals are dense per key even under skew
+    sz = sessionize(df, "user_id", "ts", gap_s=3600)
+    mx = sz.groupBy("user_id").agg(
+        F.max("session_seq").alias("mx"), F.countDistinct("session_seq").alias("d")
+    )
+    assert mx.filter(F.col("mx") != F.col("d")).count() == 0
