@@ -1416,6 +1416,27 @@ def _q_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35 hot-key-safe path under the hard signal: the two-phase
+    boundary-merge sessionizer (range-partition chunks + driver-bounded
+    merge walk) aggregated to the same per-session stats as `sessionize`
+    and checked against the SAME windowed-SQL oracle — a hash-green
+    proof that the distributed formulation equals the ANSI-SQL one."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import sessionize_scalable
+
+    s = sessionize_scalable(
+        _events(spark, sf_dir), "user_id", "ts", gap_s=1800, n_partitions=16
+    )
+    ep = F.unix_timestamp("ts")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ep).alias("start_epoch"),
+        F.max(ep).alias("end_epoch"),
+        (F.max(ep) - F.min(ep)).alias("duration_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1513,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_hist": _q_value_hist,
         "validation": _q_validation,
         "nearest_match": _q_nearest_match,
+        "sessionize_scalable": _q_sessionize_scalable,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -1598,7 +1620,7 @@ _NEARDUP_CLOSURE_CTE = r"""w AS (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         # date_trunc returns DATE in DuckDB at day/month precision but
         # TIMESTAMP in Spark — cast so the value-hash compare agrees.
         "rollup_daily": f"""
@@ -2539,5 +2561,10 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh, simhash, simhash_neardup, ann_lsh, ann_ivf, multimodal_features: intentionally
         # no oracle (engine-side hash permutations / hyperplanes / binary
         # featurization are not ANSI-SQL-expressible); driver records
-        # rows-only checks, exact values pinned in pytest.
+        # rows-only checks, exact values pinned in pytest. ewma/lttb:
+        # recursive/argmax kernels, pandas-oracled in pytest instead.
     }
+    # the distributed two-phase sessionizer is pinned against the SAME
+    # windowed-SQL oracle as the plain one — equality IS the claim
+    d["sessionize_scalable"] = d["sessionize"]
+    return d

@@ -63,6 +63,7 @@ HEADLINE = [
     "ewma",
     "lttb",
     "nearest_match",
+    "sessionize_scalable",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

@@ -20,8 +20,10 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     ohlc,
     paired_validation,
     range_window_sums,
+    nearest_match,
     session_stats,
     sessionize,
+    sessionize_scalable,
     time_weighted_sums,
     validation_scores,
     value_histogram,

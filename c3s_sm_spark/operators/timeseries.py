@@ -23,10 +23,14 @@ states, which is only sound for the associative aggregates here
 (range-window sums, counter increase, OHLC, histograms, validation
 sums). The order-dependent ones (as-of/nearest match, sessionize,
 interpolation, EWMA, LTTB) fundamentally need the full series ordered —
-exactly like the reference's per-cell series assembly — so the engine
-keeps them per-key and documents the bound instead of silently
-mis-labelling sessions across salt boundaries
+exactly like the reference's per-cell series assembly — so by default
+the engine keeps them per-key and documents the bound instead of
+silently mis-labelling sessions across salt boundaries
 (tests/test_timeseries.py pins correctness under a hot-key fixture).
+For the worst offender, :func:`sessionize_scalable` REMOVES the bound:
+range-partitioned time chunks sessionized locally, then a driver-bounded
+boundary-merge walk — exactly equal to the plain path at any partition
+count (pytest + the driver's hash oracle both pin it).
 """
 
 from __future__ import annotations
@@ -688,3 +692,120 @@ def nearest_match(
         F.when(keep, best_v).alias(f"near_{value_col}"),
         F.when(keep, best_dt).cast("long").alias("near_dt_s"),
     )
+
+
+def sessionize_scalable(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-safe sessionization: identical output to
+    :func:`sessionize`, but a key's series no longer serializes into one
+    task. This removes the module's documented skew bound for the one
+    order-dependent operator where it bites hardest (a 10^9-event user
+    is a real thing in clickstreams; a 10^9-point GPI is not).
+
+    Two-phase boundary merge (the distributed-scan pattern of
+    ``sampling.py:pack_sequences``):
+
+    1. ``repartitionByRange(key, ts)`` splits every key's timeline into
+       CONTIGUOUS time chunks across partitions; sessionize each chunk
+       locally (window keyed by ``(_pid, key)`` — parallel).
+    2. Per ``(_pid, key)`` chunk, aggregate ``(first_epoch, last_epoch,
+       n_local_sessions)``; only keys spanning >1 partition matter —
+       at most ``n_partitions - 1`` of them (range chunks are
+       contiguous), so the driver-side merge walk is bounded by the
+       partition count, never the key count. A chunk's first local
+       session continues the previous chunk's last session iff the
+       boundary gap <= ``gap_s``; global ordinal = local ordinal +
+       per-(pid, key) offset, shipped back as one broadcast-sized map
+       expression.
+
+    ``localCheckpoint`` pins the sampled range bounds exactly as in
+    ``pack_sequences`` — the offsets are computed against THIS
+    materialization, and a lazy recompute would re-sample different
+    bounds. At 10^12 rows the materialization is a written intermediate
+    table instead; the merge walk stays partition-count-sized.
+    """
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
+    epoch = F.unix_timestamp(ts_col)
+    d = (
+        df.repartitionByRange(n, F.col(key), F.col(ts_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_e", epoch)
+    )
+    w = Window.partitionBy("_pid", key).orderBy(F.col(ts_col).asc())
+    run = Window.partitionBy("_pid", key).orderBy(F.col(ts_col).asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    prev = F.lag(F.col("_e")).over(w)
+    is_new = F.when(prev.isNull() | ((F.col("_e") - prev) > gap_s), 1).otherwise(0)
+    part = d.withColumn(
+        "_local_seq", F.sum(is_new).over(run).cast("long")
+    ).localCheckpoint()
+
+    summaries = (
+        part.groupBy("_pid", key)
+        .agg(
+            F.min("_e").alias("first_e"),
+            F.max("_e").alias("last_e"),
+            F.max("_local_seq").alias("n_loc"),
+        )
+        .collect()
+        if n <= 64
+        else None
+    )
+    if summaries is None:
+        # bounded collect even at huge partition counts: only keys
+        # spanning >1 partition (<= n-1 of them) reach the driver
+        s = part.groupBy("_pid", key).agg(
+            F.min("_e").alias("first_e"),
+            F.max("_e").alias("last_e"),
+            F.max("_local_seq").alias("n_loc"),
+        )
+        spanning = (
+            s.groupBy(key).count().filter(F.col("count") > 1).select(key)
+        )
+        summaries = s.join(F.broadcast(spanning), key).collect()
+
+    by_key: dict = {}
+    for r in summaries:
+        by_key.setdefault(r[key], []).append(r)
+    offsets: dict[tuple, int] = {}
+    for k, chunks in by_key.items():
+        chunks.sort(key=lambda r: r["_pid"])
+        cum, prev_last = 0, None
+        for r in chunks:
+            merged = 1 if (
+                prev_last is not None and (r["first_e"] - prev_last) <= gap_s
+            ) else 0
+            off = cum - merged
+            if off != 0:
+                offsets[(r["_pid"], k)] = off
+            cum = cum - merged + r["n_loc"]
+            prev_last = r["last_e"]
+
+    if offsets:
+        off_map = F.create_map(
+            *[
+                x
+                for (pid, k), off in offsets.items()
+                for x in (
+                    F.concat_ws("|", F.lit(str(pid)), F.lit(str(k))),
+                    F.lit(off),
+                )
+            ]
+        )
+        lookup = F.coalesce(
+            off_map[
+                F.concat_ws("|", F.col("_pid").cast("string"), F.col(key).cast("string"))
+            ],
+            F.lit(0),
+        )
+    else:
+        lookup = F.lit(0)
+    return part.withColumn(
+        "session_seq", (F.col("_local_seq") + lookup).cast("long")
+    ).drop("_pid", "_e", "_local_seq")

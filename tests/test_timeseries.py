@@ -523,3 +523,49 @@ def test_hot_key_skew_correctness(spark):
         F.max("session_seq").alias("mx"), F.countDistinct("session_seq").alias("d")
     )
     assert mx.filter(F.col("mx") != F.col("d")).count() == 0
+
+
+def test_sessionize_scalable_equals_plain_at_any_parallelism(spark):
+    """The two-phase boundary-merge sessionizer must reproduce the
+    single-task-per-key plain sessionize EXACTLY at any partition count,
+    including sessions that span range-partition boundaries and a hot
+    key whose one giant session crosses 40 partitions."""
+    from c3s_sm_spark.operators.timeseries import sessionize_scalable
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], str(r["ts"]), r["session_seq"])
+            for r in df.select("user_id", "ts", "session_seq").collect()
+        )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts"
+    )
+    exp = canon(sessionize(ev, "user_id", "ts", gap_s=1800))
+    for n in (2, 7, 32):
+        got = canon(sessionize_scalable(ev, "user_id", "ts", gap_s=1800, n_partitions=n))
+        assert got == exp, f"mismatch at n_partitions={n}"
+
+    # hot key, one unbroken session over 40 partitions
+    hot = spark.range(50_000).select(
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 900).alias("ts"),
+    )
+    g = sessionize_scalable(hot, "user_id", "ts", gap_s=1800, n_partitions=40)
+    assert g.select("session_seq").distinct().count() == 1
+    assert g.count() == 50_000
+
+    # hot key with a break every 1000 events: chained boundary merges
+    broken = spark.range(10_000).select(
+        F.lit("h2").alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.col("id") * 900
+            + (F.col("id") / 1000).cast("long") * 7200
+        ).alias("ts"),
+    )
+    e2 = canon(sessionize(broken, "user_id", "ts", gap_s=1800))
+    g2 = canon(
+        sessionize_scalable(broken, "user_id", "ts", gap_s=1800, n_partitions=23)
+    )
+    assert g2 == e2
