@@ -1437,6 +1437,35 @@ def _q_sessionize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_join_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34 hot-key-safe path under the hard signal: the fully
+    distributed two-phase as-of join (range-partition chunks +
+    associative per-chunk carry-ins, no driver collect) on the SAME
+    probe/observation relations and checked against the SAME LATERAL
+    oracle as `asof_join` — a hash-green proof that the distributed
+    formulation equals the single-task-per-key one."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import asof_join_scalable
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", _micro(F.col("value")).alias("vm")
+    )
+    out = asof_join_scalable(
+        clicks, views, ["user_id"], value_cols=["vm"],
+        tolerance_s=3600, tiebreak="event_id", n_partitions=16,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.coalesce("asof_vm", F.lit(-1)).cast("long").alias("asof_vm"),
+        F.coalesce("asof_age_s", F.lit(-1)).cast("long").alias("asof_age_s"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1535,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation": _q_validation,
         "nearest_match": _q_nearest_match,
         "sessionize_scalable": _q_sessionize_scalable,
+        "asof_join_scalable": _q_asof_join_scalable,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2564,7 +2594,8 @@ def oracle_sql() -> dict[str, str]:
         # rows-only checks, exact values pinned in pytest. ewma/lttb:
         # recursive/argmax kernels, pandas-oracled in pytest instead.
     }
-    # the distributed two-phase sessionizer is pinned against the SAME
-    # windowed-SQL oracle as the plain one — equality IS the claim
+    # the distributed two-phase sessionizer / as-of join are pinned
+    # against the SAME oracles as the plain paths — equality IS the claim
     d["sessionize_scalable"] = d["sessionize"]
+    d["asof_join_scalable"] = d["asof_join"]
     return d

@@ -64,6 +64,7 @@ HEADLINE = [
     "lttb",
     "nearest_match",
     "sessionize_scalable",
+    "asof_join_scalable",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

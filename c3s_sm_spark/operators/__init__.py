@@ -13,6 +13,7 @@ from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: F401
 from c3s_sm_spark.operators.salting import salted_repartition  # noqa: F401
 from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     asof_join,
+    asof_join_scalable,
     counter_increase,
     ewma,
     interp_linear_micro,

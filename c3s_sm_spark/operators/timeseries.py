@@ -27,10 +27,13 @@ exactly like the reference's per-cell series assembly — so by default
 the engine keeps them per-key and documents the bound instead of
 silently mis-labelling sessions across salt boundaries
 (tests/test_timeseries.py pins correctness under a hot-key fixture).
-For the worst offender, :func:`sessionize_scalable` REMOVES the bound:
-range-partitioned time chunks sessionized locally, then a driver-bounded
-boundary-merge walk — exactly equal to the plain path at any partition
-count (pytest + the driver's hash oracle both pin it).
+For the two where it bites hardest, the bound is REMOVED by two-phase
+range-partition variants exactly equal to the plain paths at any
+partition count (pytest + the driver's hash oracle both pin each):
+:func:`sessionize_scalable` (local sessionize per time chunk + a
+driver-bounded boundary-merge walk — ordinals chain sequentially) and
+:func:`asof_join_scalable` (local window per chunk + ASSOCIATIVE
+per-chunk carry-ins, fully distributed, no driver collect).
 """
 
 from __future__ import annotations
@@ -75,6 +78,37 @@ def asof_join(
     """
     keys = list(keys)
     value_cols = list(value_cols)
+    unioned, left_cols = _asof_union(
+        left, right, keys, left_ts, right_ts, value_cols, tiebreak
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *left_cols,
+        "__is_right",
+        F.unix_timestamp("__ts").alias("__l_epoch"),
+        F.last("__r_epoch", ignorenulls=True).over(w).alias("__m_epoch"),
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("__is_right") == 0)
+    return _asof_finalize(out, left_cols, value_cols, tolerance_s)
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None,
+) -> tuple[DataFrame, list[str]]:
+    """Shared union-tag relation for the as-of join family: left probes
+    and right observations stacked with ``__ts / __is_right / __tb /
+    __r_epoch / __v_<col>`` bookkeeping columns."""
     tagged_right = right.select(
         *keys,
         F.col(right_ts).alias("__ts"),
@@ -104,19 +138,17 @@ def asof_join(
         ),
         allowMissingColumns=False,
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    filled = unioned.select(
-        *left_cols,
-        "__is_right",
-        F.unix_timestamp("__ts").alias("__l_epoch"),
-        F.last("__r_epoch", ignorenulls=True).over(w).alias("__m_epoch"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols],
-    )
-    out = filled.filter(F.col("__is_right") == 0)
+    return unioned, left_cols
+
+
+def _asof_finalize(
+    out: DataFrame,
+    left_cols: list[str],
+    value_cols: list[str],
+    tolerance_s: int | None,
+) -> DataFrame:
+    """Shared tolerance gate + output projection: expects ``asof_<col>``
+    fill columns plus ``__l_epoch`` / ``__m_epoch`` on ``out``."""
     age = F.col("__l_epoch") - F.col("__m_epoch")
     in_tol = age <= F.lit(tolerance_s) if tolerance_s is not None else F.lit(True)
     keep = F.col("__m_epoch").isNotNull() & in_tol
@@ -809,3 +841,120 @@ def sessionize_scalable(
     return part.withColumn(
         "session_seq", (F.col("_local_seq") + lookup).cast("long")
     ).drop("_pid", "_e", "_local_seq")
+
+
+def asof_join_scalable(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: Sequence[str] = ("value",),
+    tolerance_s: int | None = None,
+    tiebreak: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-safe as-of join: identical output to :func:`asof_join`,
+    but a key's series no longer serializes into one task.
+
+    Where :func:`sessionize_scalable` needs a (driver-bounded) sequential
+    boundary walk — session ordinals chain through every merge decision —
+    the as-of carry state is just "latest right row at-or-before the
+    chunk start", which is ASSOCIATIVE. So this variant is fully
+    distributed, no driver collect at all:
+
+    1. ``repartitionByRange`` over the exact window sort key
+       ``(keys, __ts, __is_right DESC, __tb)`` splits every key's
+       timeline into contiguous chunks (equal sort keys never straddle a
+       boundary); run the plain last-non-null window per
+       ``(_pid, keys)`` chunk — parallel.
+    2. Per-chunk summaries: for ``__r_epoch`` and each value column, the
+       chunk's last *non-null* right observation as a
+       ``max(struct(__ts, __tb, x))`` — per COLUMN, because the plain
+       window's ``last(x, ignorenulls)`` skips right rows where that
+       one column is null. A key-partitioned window over the summaries
+       (``O(n_keys + n_partitions)`` rows, still distributed) turns them
+       into per-chunk carry-ins; a join on ``(_pid, keys)`` (AQE
+       broadcasts it when small) patches rows the local window left
+       unfilled via ``coalesce(local, carry)``.
+
+    ``localCheckpoint`` pins the sampled range bounds so the window pass
+    and the summary pass see the SAME ``_pid`` labels (two lazy
+    recomputes may re-sample different boundaries); at 10^12 rows this
+    materialization is a written intermediate table, exactly as in
+    :func:`sessionize_scalable`.
+    """
+    keys = list(keys)
+    value_cols = list(value_cols)
+    n = n_partitions or left.sparkSession.sparkContext.defaultParallelism * 4
+    unioned, left_cols = _asof_union(
+        left, right, keys, left_ts, right_ts, value_cols, tiebreak
+    )
+    d = (
+        unioned.repartitionByRange(
+            n,
+            *[F.col(k) for k in keys],
+            F.col("__ts").asc(),
+            F.col("__is_right").desc(),
+            F.col("__tb").asc(),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    w = (
+        Window.partitionBy("_pid", *keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = d.select(
+        *left_cols,
+        "_pid",
+        "__is_right",
+        F.unix_timestamp("__ts").alias("__l_epoch"),
+        F.last("__r_epoch", ignorenulls=True).over(w).alias("__loc_epoch"),
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__loc_{c}")
+            for c in value_cols
+        ],
+    ).filter(F.col("__is_right") == 0)
+
+    is_r = F.col("__is_right") == 1
+    summ = d.groupBy("_pid", *keys).agg(
+        F.max(
+            F.when(is_r, F.struct(F.col("__ts"), F.col("__tb"), F.col("__r_epoch")))
+        ).alias("__s_epoch"),
+        *[
+            F.max(
+                F.when(
+                    is_r & F.col(f"__v_{c}").isNotNull(),
+                    F.struct(F.col("__ts"), F.col("__tb"), F.col(f"__v_{c}")),
+                )
+            ).alias(f"__s_{c}")
+            for c in value_cols
+        ],
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.select(
+        "_pid",
+        *keys,
+        F.last("__s_epoch", ignorenulls=True).over(w_prev)["__r_epoch"].alias("__c_epoch"),
+        *[
+            F.last(f"__s_{c}", ignorenulls=True).over(w_prev)[f"__v_{c}"].alias(f"__c_{c}")
+            for c in value_cols
+        ],
+    )
+    joined = local.join(carry, ["_pid", *keys], "left")
+    out = joined.select(
+        *left_cols,
+        "__l_epoch",
+        F.coalesce("__loc_epoch", "__c_epoch").alias("__m_epoch"),
+        *[
+            F.coalesce(f"__loc_{c}", f"__c_{c}").alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return _asof_finalize(out, left_cols, value_cols, tolerance_s)

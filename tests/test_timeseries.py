@@ -569,3 +569,89 @@ def test_sessionize_scalable_equals_plain_at_any_parallelism(spark):
         sessionize_scalable(broken, "user_id", "ts", gap_s=1800, n_partitions=23)
     )
     assert g2 == e2
+
+
+def test_asof_scalable_equals_plain_at_any_parallelism(spark):
+    """The two-phase as-of join must reproduce the single-task-per-key
+    plain asof_join EXACTLY at any partition count — including carries
+    that span many chunks (a value column that is null in 95% of right
+    rows), tolerance gating, and tiebreak determinism."""
+    from c3s_sm_spark.operators.timeseries import asof_join, asof_join_scalable
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_id") % 3 == 0).select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_id") % 3 != 0).select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v2"),
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["user_id"],
+                str(r["ts"]),
+                r["event_id"],
+                None if r["asof_value"] is None else round(r["asof_value"], 9),
+                None if r["asof_v2"] is None else round(r["asof_v2"], 9),
+                r["asof_age_s"],
+            )
+            for r in df.collect()
+        )
+
+    for tol, tb in [(None, None), (3600, "event_id")]:
+        exp = canon(
+            asof_join(
+                left, right, ["user_id"], value_cols=["value", "v2"],
+                tolerance_s=tol, tiebreak=tb,
+            )
+        )
+        for n in (2, 7, 32):
+            got = canon(
+                asof_join_scalable(
+                    left, right, ["user_id"], value_cols=["value", "v2"],
+                    tolerance_s=tol, tiebreak=tb, n_partitions=n,
+                )
+            )
+            assert got == exp, f"mismatch tol={tol} tb={tb} n_partitions={n}"
+
+
+def test_asof_scalable_hot_key_sparse_carry(spark):
+    """Hot key: 60k interleaved probe/observation rows for ONE key over
+    40 range chunks; the sparse column's latest non-null observation is
+    often many chunks back, so the carry window must chain through
+    chunks that themselves have no non-null value."""
+    from c3s_sm_spark.operators.timeseries import asof_join, asof_join_scalable
+
+    hot_l = spark.range(30_000).select(
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 20 + 7).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    hot_r = spark.range(30_000).select(
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 20).alias("ts"),
+        (F.col("id") * 1.5).alias("value"),
+        F.when(F.col("id") % 100 < 95, None)
+        .otherwise(F.col("id") * 2.0)
+        .alias("v2"),
+        F.col("id").alias("event_id"),
+    )
+
+    def canon(df):
+        return sorted(
+            (r["event_id"], r["asof_value"], r["asof_v2"], r["asof_age_s"])
+            for r in df.collect()
+        )
+
+    exp = canon(asof_join(hot_l, hot_r, ["user_id"], value_cols=["value", "v2"]))
+    got = canon(
+        asof_join_scalable(
+            hot_l, hot_r, ["user_id"], value_cols=["value", "v2"], n_partitions=40
+        )
+    )
+    assert got == exp
