@@ -1416,6 +1416,35 @@ def _q_nearest_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nearest_match_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45 hot-key-safe path under the hard signal: the fully
+    distributed two-phase nearest match (range-partition chunks +
+    associative backward AND forward per-chunk carry-ins, no driver
+    collect) on the SAME relations and checked against the SAME LATERAL
+    oracle as `nearest_match`."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import nearest_match_scalable
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", _micro(F.col("value")).alias("vm")
+    )
+    out = nearest_match_scalable(
+        clicks, views, ["user_id"],
+        value_col="vm", window_s=7200, tiebreak="event_id", n_partitions=16,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("near_vm").isNotNull().alias("matched"),
+        F.coalesce("near_vm", F.lit(-1)).cast("long").alias("near_vm"),
+        F.coalesce("near_dt_s", F.lit(0)).cast("long").alias("near_dt_s"),
+    )
+
+
 def _q_sessionize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X35 hot-key-safe path under the hard signal: the two-phase
     boundary-merge sessionizer (range-partition chunks + driver-bounded
@@ -1565,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_match": _q_nearest_match,
         "sessionize_scalable": _q_sessionize_scalable,
         "asof_join_scalable": _q_asof_join_scalable,
+        "nearest_match_scalable": _q_nearest_match_scalable,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2598,4 +2628,5 @@ def oracle_sql() -> dict[str, str]:
     # against the SAME oracles as the plain paths — equality IS the claim
     d["sessionize_scalable"] = d["sessionize"]
     d["asof_join_scalable"] = d["asof_join"]
+    d["nearest_match_scalable"] = d["nearest_match"]
     return d

@@ -65,6 +65,7 @@ HEADLINE = [
     "nearest_match",
     "sessionize_scalable",
     "asof_join_scalable",
+    "nearest_match_scalable",
     "anomaly_zscore",
     "rollup_quantiles",
     "rollup_quantiles_approx",

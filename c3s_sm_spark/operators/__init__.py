@@ -22,6 +22,7 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     paired_validation,
     range_window_sums,
     nearest_match,
+    nearest_match_scalable,
     session_stats,
     sessionize,
     sessionize_scalable,

@@ -27,13 +27,15 @@ exactly like the reference's per-cell series assembly — so by default
 the engine keeps them per-key and documents the bound instead of
 silently mis-labelling sessions across salt boundaries
 (tests/test_timeseries.py pins correctness under a hot-key fixture).
-For the two where it bites hardest, the bound is REMOVED by two-phase
+For the three where it bites hardest, the bound is REMOVED by two-phase
 range-partition variants exactly equal to the plain paths at any
 partition count (pytest + the driver's hash oracle both pin each):
 :func:`sessionize_scalable` (local sessionize per time chunk + a
-driver-bounded boundary-merge walk — ordinals chain sequentially) and
+driver-bounded boundary-merge walk — ordinals chain sequentially),
 :func:`asof_join_scalable` (local window per chunk + ASSOCIATIVE
-per-chunk carry-ins, fully distributed, no driver collect).
+per-chunk carry-ins, fully distributed, no driver collect), and
+:func:`nearest_match_scalable` (the same carries mirrored to both the
+backward and forward sides).
 """
 
 from __future__ import annotations
@@ -661,6 +663,38 @@ def nearest_match(
     matched an earlier row; null when no match in window).
     """
     keys = list(keys)
+    unioned, left_cols = _nearest_union(
+        left, right, keys, left_ts, right_ts, value_col, tiebreak
+    )
+    order = [F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc()]
+    wb = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    cand = unioned.select(
+        *left_cols,
+        "__is_right",
+        F.unix_timestamp("__ts").alias("__l_epoch"),
+        F.last("__r_epoch", ignorenulls=True).over(wb).alias("__p_epoch"),
+        F.last("__v", ignorenulls=True).over(wb).alias("__p_v"),
+        F.first("__r_epoch", ignorenulls=True).over(wf).alias("__n_epoch"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__n_v"),
+    ).filter(F.col("__is_right") == 0)
+    return _nearest_finalize(cand, left_cols, value_col, window_s)
+
+
+def _nearest_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    tiebreak: str | None,
+) -> tuple[DataFrame, list[str]]:
+    """Shared union-tag relation for the bidirectional nearest match."""
     v_t = right.schema[value_col].dataType
     tagged_right = right.select(
         *keys,
@@ -690,22 +724,17 @@ def nearest_match(
             "__ts", "__is_right", "__tb", "__r_epoch", "__v",
         )
     )
-    order = [F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc()]
-    wb = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wf = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
-        0, Window.unboundedFollowing
-    )
-    cand = unioned.select(
-        *left_cols,
-        "__is_right",
-        F.unix_timestamp("__ts").alias("__l_epoch"),
-        F.last("__r_epoch", ignorenulls=True).over(wb).alias("__p_epoch"),
-        F.last("__v", ignorenulls=True).over(wb).alias("__p_v"),
-        F.first("__r_epoch", ignorenulls=True).over(wf).alias("__n_epoch"),
-        F.first("__v", ignorenulls=True).over(wf).alias("__n_v"),
-    ).filter(F.col("__is_right") == 0)
+    return unioned, left_cols
+
+
+def _nearest_finalize(
+    cand: DataFrame,
+    left_cols: list[str],
+    value_col: str,
+    window_s: int | None,
+) -> DataFrame:
+    """Shared closer-of-two-candidates pick + window gate: expects
+    ``__l_epoch / __p_epoch / __p_v / __n_epoch / __n_v`` on ``cand``."""
     d_prev = F.col("__l_epoch") - F.col("__p_epoch")
     d_next = F.col("__n_epoch") - F.col("__l_epoch")
     # prior wins ties and missing-next; null distances lose
@@ -724,6 +753,101 @@ def nearest_match(
         F.when(keep, best_v).alias(f"near_{value_col}"),
         F.when(keep, best_dt).cast("long").alias("near_dt_s"),
     )
+
+
+def nearest_match_scalable(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_col: str = "value",
+    window_s: int | None = None,
+    tiebreak: str | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Hot-key-safe bidirectional nearest match: identical output to
+    :func:`nearest_match` at any partition count, no single-task-per-key
+    bound. Same fully distributed two-phase shape as
+    :func:`asof_join_scalable`, with the carry mirrored to BOTH sides:
+    the backward candidate falls back to the latest non-null right
+    observation in any EARLIER chunk (``max(struct)`` summaries + a
+    preceding-frame window over them), the forward candidate to the
+    earliest in any LATER chunk (``min(struct)`` + a following-frame
+    window). Both carries are associative, so there is no driver collect
+    at all; ``localCheckpoint`` pins the sampled range bounds as in the
+    sibling variants.
+    """
+    keys = list(keys)
+    n = n_partitions or left.sparkSession.sparkContext.defaultParallelism * 4
+    unioned, left_cols = _nearest_union(
+        left, right, keys, left_ts, right_ts, value_col, tiebreak
+    )
+    d = (
+        unioned.repartitionByRange(
+            n,
+            *[F.col(k) for k in keys],
+            F.col("__ts").asc(),
+            F.col("__is_right").desc(),
+            F.col("__tb").asc(),
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    order = [F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc()]
+    wb = Window.partitionBy("_pid", *keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("_pid", *keys).orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    local = d.select(
+        *left_cols,
+        "_pid",
+        "__is_right",
+        F.unix_timestamp("__ts").alias("__l_epoch"),
+        F.last("__r_epoch", ignorenulls=True).over(wb).alias("__lp_epoch"),
+        F.last("__v", ignorenulls=True).over(wb).alias("__lp_v"),
+        F.first("__r_epoch", ignorenulls=True).over(wf).alias("__ln_epoch"),
+        F.first("__v", ignorenulls=True).over(wf).alias("__ln_v"),
+    ).filter(F.col("__is_right") == 0)
+
+    is_r = F.col("__is_right") == 1
+    has_v = is_r & F.col("__v").isNotNull()
+    sort_key = [F.col("__ts"), F.col("__tb")]
+    summ = d.groupBy("_pid", *keys).agg(
+        F.max(F.when(is_r, F.struct(*sort_key, F.col("__r_epoch")))).alias("__be"),
+        F.max(F.when(has_v, F.struct(*sort_key, F.col("__v")))).alias("__bv"),
+        F.min(F.when(is_r, F.struct(*sort_key, F.col("__r_epoch")))).alias("__fe"),
+        F.min(F.when(has_v, F.struct(*sort_key, F.col("__v")))).alias("__fv"),
+    )
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy("_pid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = summ.select(
+        "_pid",
+        *keys,
+        F.last("__be", ignorenulls=True).over(w_prev)["__r_epoch"].alias("__cp_epoch"),
+        F.last("__bv", ignorenulls=True).over(w_prev)["__v"].alias("__cp_v"),
+        F.first("__fe", ignorenulls=True).over(w_next)["__r_epoch"].alias("__cn_epoch"),
+        F.first("__fv", ignorenulls=True).over(w_next)["__v"].alias("__cn_v"),
+    )
+    cand = local.join(carry, ["_pid", *keys], "left").select(
+        *left_cols,
+        "__l_epoch",
+        F.coalesce("__lp_epoch", "__cp_epoch").alias("__p_epoch"),
+        F.coalesce("__lp_v", "__cp_v").alias("__p_v"),
+        F.coalesce("__ln_epoch", "__cn_epoch").alias("__n_epoch"),
+        F.coalesce("__ln_v", "__cn_v").alias("__n_v"),
+    )
+    return _nearest_finalize(cand, left_cols, value_col, window_s)
 
 
 def sessionize_scalable(

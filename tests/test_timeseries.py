@@ -655,3 +655,89 @@ def test_asof_scalable_hot_key_sparse_carry(spark):
         )
     )
     assert got == exp
+
+
+def test_nearest_scalable_equals_plain_at_any_parallelism(spark):
+    """The two-phase bidirectional nearest match must reproduce the
+    plain single-task-per-key path EXACTLY at any partition count —
+    forward matches crossing chunk boundaries, null-valued right rows
+    (per-column carry desync), window gating, and tiebreaks."""
+    from c3s_sm_spark.operators.timeseries import (
+        nearest_match,
+        nearest_match_scalable,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    left = ev.filter(F.col("event_id") % 3 == 0).select("user_id", "ts", "event_id")
+    right = ev.filter(F.col("event_id") % 3 != 0).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+
+    def canon(df):
+        return sorted(
+            (
+                r["user_id"],
+                str(r["ts"]),
+                r["event_id"],
+                None if r["near_v"] is None else round(r["near_v"], 9),
+                r["near_dt_s"],
+            )
+            for r in df.collect()
+        )
+
+    for win, tb in [(None, None), (7200, "event_id")]:
+        exp = canon(
+            nearest_match(
+                left, right, ["user_id"], value_col="v", window_s=win, tiebreak=tb
+            )
+        )
+        for n in (2, 7, 32):
+            got = canon(
+                nearest_match_scalable(
+                    left, right, ["user_id"], value_col="v",
+                    window_s=win, tiebreak=tb, n_partitions=n,
+                )
+            )
+            assert got == exp, f"mismatch window_s={win} tb={tb} n_partitions={n}"
+
+
+def test_nearest_scalable_hot_key(spark):
+    """Hot key over 40 chunks: forward candidates at chunk starts come
+    from the PREVIOUS row's chunk and vice versa; a 95%-null value
+    column forces carries that skip whole chunks in both directions."""
+    from c3s_sm_spark.operators.timeseries import (
+        nearest_match,
+        nearest_match_scalable,
+    )
+
+    hot_l = spark.range(30_000).select(
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 20 + 11).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    hot_r = spark.range(30_000).select(
+        F.lit("hot").alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") * 20).alias("ts"),
+        F.when(F.col("id") % 100 < 95, None)
+        .otherwise(F.col("id") * 2.0)
+        .alias("v"),
+        F.col("id").alias("event_id"),
+    )
+
+    def canon(df):
+        return sorted(
+            (r["event_id"], r["near_v"], r["near_dt_s"]) for r in df.collect()
+        )
+
+    exp = canon(nearest_match(hot_l, hot_r, ["user_id"], value_col="v"))
+    got = canon(
+        nearest_match_scalable(
+            hot_l, hot_r, ["user_id"], value_col="v", n_partitions=40
+        )
+    )
+    assert got == exp
