@@ -902,29 +902,20 @@ def sessionize_scalable(
         "_local_seq", F.sum(is_new).over(run).cast("long")
     ).localCheckpoint()
 
-    summaries = (
-        part.groupBy("_pid", key)
-        .agg(
-            F.min("_e").alias("first_e"),
-            F.max("_e").alias("last_e"),
-            F.max("_local_seq").alias("n_loc"),
-        )
-        .collect()
-        if n <= 64
-        else None
+    # bounded collect at ANY key cardinality: the summary relation has
+    # ~one row per key (not per partition), so collecting it whole would
+    # scale with n_keys and OOM the driver at corpus scale. Only keys
+    # spanning >1 partition need a merge decision, and range chunks are
+    # contiguous, so each of the n-1 partition boundaries splits at most
+    # one key: the filtered collect is <= 2*(n-1) rows no matter how
+    # many keys exist. Non-spanning keys keep offset 0 implicitly.
+    s = part.groupBy("_pid", key).agg(
+        F.min("_e").alias("first_e"),
+        F.max("_e").alias("last_e"),
+        F.max("_local_seq").alias("n_loc"),
     )
-    if summaries is None:
-        # bounded collect even at huge partition counts: only keys
-        # spanning >1 partition (<= n-1 of them) reach the driver
-        s = part.groupBy("_pid", key).agg(
-            F.min("_e").alias("first_e"),
-            F.max("_e").alias("last_e"),
-            F.max("_local_seq").alias("n_loc"),
-        )
-        spanning = (
-            s.groupBy(key).count().filter(F.col("count") > 1).select(key)
-        )
-        summaries = s.join(F.broadcast(spanning), key).collect()
+    spanning = s.groupBy(key).count().filter(F.col("count") > 1).select(key)
+    summaries = s.join(F.broadcast(spanning), key).collect()
 
     by_key: dict = {}
     for r in summaries:
