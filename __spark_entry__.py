@@ -1495,6 +1495,24 @@ def _q_asof_join_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_drought_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46 empirical percentile drought index (SPI/SMI-style): rank of
+    each observation within its key x month-of-year climatology slot —
+    the non-parametric sibling of `anomaly_zscore`, matching how
+    operational drought products rank the current aggregate against the
+    same calendar slot's history (the consumers of the reference's
+    dekadal/monthly averages). Exact integer rank pieces (rank-1, n-1)
+    keep the hash gate float-free; pct_rank = pr_num/pr_den."""
+    _prep(spark)
+    from c3s_sm_spark.operators.anomaly import percentile_index
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    out = percentile_index(
+        ev, ["user_id"], ts_col="ts", value_col="value", cycle="month"
+    )
+    return out.select("user_id", "event_id", "cyc", "pr_num", "pr_den")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1595,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_scalable": _q_sessionize_scalable,
         "asof_join_scalable": _q_asof_join_scalable,
         "nearest_match_scalable": _q_nearest_match_scalable,
+        "drought_pct": _q_drought_pct,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2629,4 +2648,15 @@ def oracle_sql() -> dict[str, str]:
     d["sessionize_scalable"] = d["sessionize"]
     d["asof_join_scalable"] = d["asof_join"]
     d["nearest_match_scalable"] = d["nearest_match"]
+    d["drought_pct"] = """
+        SELECT user_id,
+               event_id,
+               CAST(month(ts) AS INT) AS cyc,
+               CAST(rank() OVER (PARTITION BY user_id, month(ts)
+                                 ORDER BY value) - 1 AS BIGINT) AS pr_num,
+               CAST(count(*) OVER (PARTITION BY user_id, month(ts)) - 1
+                    AS BIGINT) AS pr_den
+        FROM events
+        WHERE value IS NOT NULL
+    """
     return d

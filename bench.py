@@ -67,6 +67,7 @@ HEADLINE = [
     "asof_join_scalable",
     "nearest_match_scalable",
     "anomaly_zscore",
+    "drought_pct",
     "rollup_quantiles",
     "rollup_quantiles_approx",
     "cell_pivot",

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: cycle name -> column expression extracting the climatology slot
@@ -90,3 +90,38 @@ def anomaly(
         F.col("clim_std"), F.lit(0.0)
     )
     return out.withColumn("z", z)
+
+
+def percentile_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "v",
+    cycle: str = "month",
+) -> DataFrame:
+    """Empirical percentile (SPI/SMI-style drought index) of every
+    observation within its key x cycle-slot climatology distribution —
+    the non-parametric sibling of :func:`anomaly`'s z-score (operational
+    drought products rank the current aggregate against the same
+    calendar slot's history instead of assuming normality).
+
+    One window per ``(keys, cyc)`` group ordered by value:
+    ``pr_num = rank - 1`` and ``pr_den = n - 1`` are exact integers on
+    any engine (ties share a rank, SQL-standard), and
+    ``pct_rank = pr_num / pr_den`` is the familiar ``percent_rank``
+    float (0 when the slot has a single observation). NULL values sort
+    engine-dependently — filter them out upstream.
+
+    Scale shape: one hash shuffle on ``(keys, cyc)`` and a per-slot
+    sort; slots are calendar-bounded (<= 12 months / 7 days / 24 hours
+    per key), so slot size ~ history length per key — the same per-key
+    series bound as the plain window operators.
+    """
+    out = df.withColumn("cyc", cycle_col(F.col(ts_col), cycle))
+    w = Window.partitionBy(*keys, "cyc").orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*keys, "cyc")
+    return (
+        out.withColumn("pr_num", (F.rank().over(w) - F.lit(1)).cast("long"))
+        .withColumn("pr_den", (F.count(value_col).over(wn) - F.lit(1)).cast("long"))
+        .withColumn("pct_rank", F.percent_rank().over(w))
+    )

@@ -297,3 +297,43 @@ def test_quantiles_approx_close(spark, sf_dir):
             hi = min(n - 1, math.ceil(q * n))
             window = [round(v, 4) for v in vs[lo : hi + 1]]
             assert a in window, (uid, q, a, window)
+
+
+def test_percentile_index_golden_and_ties(spark):
+    """X46 empirical percentile index: exact rank pieces with ties
+    sharing a rank (SQL-standard), a single-observation slot yielding
+    pct_rank 0 with pr_den 0, and cross-slot independence."""
+    from c3s_sm_spark.operators.anomaly import percentile_index
+
+    rows = [
+        # key A, January slot: values 1.0, 2.0, 2.0, 5.0
+        ("A", "2024-01-05 00:00:00", 1.0),
+        ("A", "2024-01-10 00:00:00", 2.0),
+        ("A", "2024-01-15 00:00:00", 2.0),
+        ("A", "2024-01-20 00:00:00", 5.0),
+        # key A, February slot: single observation
+        ("A", "2024-02-01 00:00:00", 9.0),
+        # key B, January slot: must not mix with A
+        ("B", "2024-01-07 00:00:00", 100.0),
+        ("B", "2024-01-08 00:00:00", 50.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts_s", "v"]).select(
+        "k", F.to_timestamp("ts_s").alias("ts"), "v"
+    )
+    out = percentile_index(df, ["k"], ts_col="ts", value_col="v", cycle="month")
+    got = {
+        (r["k"], r["cyc"], r["v"]): (r["pr_num"], r["pr_den"], r["pct_rank"])
+        for r in out.collect()
+    }
+    assert got[("A", 1, 1.0)] == (0, 3, 0.0)
+    assert got[("A", 1, 2.0)] == (1, 3, 1 / 3)  # both ties share rank 2
+    assert got[("A", 1, 5.0)] == (3, 3, 1.0)
+    assert got[("A", 2, 9.0)] == (0, 0, 0.0)  # single-row slot
+    assert got[("B", 1, 50.0)] == (0, 1, 0.0)
+    assert got[("B", 1, 100.0)] == (1, 1, 1.0)
+    # pct_rank == pr_num / pr_den wherever the slot has >1 row
+    bad = out.filter(
+        (F.col("pr_den") > 0)
+        & (F.abs(F.col("pct_rank") - F.col("pr_num") / F.col("pr_den")) > 1e-12)
+    )
+    assert bad.count() == 0
