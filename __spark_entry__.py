@@ -1452,18 +1452,15 @@ def _q_sessionize_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     and checked against the SAME windowed-SQL oracle — a hash-green
     proof that the distributed formulation equals the ANSI-SQL one."""
     _prep(spark)
-    from c3s_sm_spark.operators.timeseries import sessionize_scalable
+    from c3s_sm_spark.operators.timeseries import session_agg, sessionize_scalable
 
     s = sessionize_scalable(
         _events(spark, sf_dir), "user_id", "ts", gap_s=1800, n_partitions=16
     )
-    ep = F.unix_timestamp("ts")
-    return s.groupBy("user_id", "session_seq").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min(ep).alias("start_epoch"),
-        F.max(ep).alias("end_epoch"),
-        (F.max(ep) - F.min(ep)).alias("duration_s"),
-    )
+    # the SAME aggregation body session_stats uses over plain sessionize
+    # — the two driver queries share one oracle, so they must share the
+    # Spark-side agg too (drift here would flip the gate asymmetrically)
+    return session_agg(s, "user_id", "ts")
 
 
 def _q_asof_join_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,7 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     range_window_sums,
     nearest_match,
     nearest_match_scalable,
+    session_agg,
     session_stats,
     sessionize,
     sessionize_scalable,

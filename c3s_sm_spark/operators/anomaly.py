@@ -109,15 +109,18 @@ def percentile_index(
     ``pr_num = rank - 1`` and ``pr_den = n - 1`` are exact integers on
     any engine (ties share a rank, SQL-standard), and
     ``pct_rank = pr_num / pr_den`` is the familiar ``percent_rank``
-    float (0 when the slot has a single observation). NULL values sort
-    engine-dependently — filter them out upstream.
+    float (0 when the slot has a single observation). NULL values are
+    dropped (a NULL can't hold a rank, and leaving it in would skew
+    rank() against count(value) inconsistently).
 
     Scale shape: one hash shuffle on ``(keys, cyc)`` and a per-slot
     sort; slots are calendar-bounded (<= 12 months / 7 days / 24 hours
     per key), so slot size ~ history length per key — the same per-key
     series bound as the plain window operators.
     """
-    out = df.withColumn("cyc", cycle_col(F.col(ts_col), cycle))
+    out = df.filter(F.col(value_col).isNotNull()).withColumn(
+        "cyc", cycle_col(F.col(ts_col), cycle)
+    )
     w = Window.partitionBy(*keys, "cyc").orderBy(F.col(value_col).asc())
     wn = Window.partitionBy(*keys, "cyc")
     return (

@@ -195,9 +195,16 @@ def session_stats(
     """One row per (key, session): event count, start/end epoch seconds,
     duration. Integer-only output, so the result is bit-stable across
     engines and partitionings (the repo's cross-engine hash contract)."""
-    s = sessionize(df, key, ts_col, gap_s)
+    return session_agg(sessionize(df, key, ts_col, gap_s), key, ts_col)
+
+
+def session_agg(sessionized: DataFrame, key: str, ts_col: str = "ts") -> DataFrame:
+    """Per-(key, session) stats over an already-sessionized frame — the
+    shared aggregation body of :func:`session_stats`, usable with either
+    :func:`sessionize` or :func:`sessionize_scalable` output (keeping
+    both paths provably identical under the same oracle)."""
     epoch = F.unix_timestamp(ts_col)
-    return s.groupBy(key, "session_seq").agg(
+    return sessionized.groupBy(key, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(epoch).alias("start_epoch"),
         F.max(epoch).alias("end_epoch"),
@@ -791,19 +798,19 @@ def nearest_match_scalable(
             F.col("__is_right").desc(),
             F.col("__tb").asc(),
         )
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
     order = [F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc()]
-    wb = Window.partitionBy("_pid", *keys).orderBy(*order).rowsBetween(
+    wb = Window.partitionBy("__pid", *keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    wf = Window.partitionBy("_pid", *keys).orderBy(*order).rowsBetween(
+    wf = Window.partitionBy("__pid", *keys).orderBy(*order).rowsBetween(
         0, Window.unboundedFollowing
     )
     local = d.select(
         *left_cols,
-        "_pid",
+        "__pid",
         "__is_right",
         F.unix_timestamp("__ts").alias("__l_epoch"),
         F.last("__r_epoch", ignorenulls=True).over(wb).alias("__lp_epoch"),
@@ -815,7 +822,7 @@ def nearest_match_scalable(
     is_r = F.col("__is_right") == 1
     has_v = is_r & F.col("__v").isNotNull()
     sort_key = [F.col("__ts"), F.col("__tb")]
-    summ = d.groupBy("_pid", *keys).agg(
+    summ = d.groupBy("__pid", *keys).agg(
         F.max(F.when(is_r, F.struct(*sort_key, F.col("__r_epoch")))).alias("__be"),
         F.max(F.when(has_v, F.struct(*sort_key, F.col("__v")))).alias("__bv"),
         F.min(F.when(is_r, F.struct(*sort_key, F.col("__r_epoch")))).alias("__fe"),
@@ -823,23 +830,23 @@ def nearest_match_scalable(
     )
     w_prev = (
         Window.partitionBy(*keys)
-        .orderBy("_pid")
+        .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     w_next = (
         Window.partitionBy(*keys)
-        .orderBy("_pid")
+        .orderBy("__pid")
         .rowsBetween(1, Window.unboundedFollowing)
     )
     carry = summ.select(
-        "_pid",
-        *keys,
+        F.col("__pid").alias("__c_pid"),
+        *[F.col(k).alias(f"__ck{i}") for i, k in enumerate(keys)],
         F.last("__be", ignorenulls=True).over(w_prev)["__r_epoch"].alias("__cp_epoch"),
         F.last("__bv", ignorenulls=True).over(w_prev)["__v"].alias("__cp_v"),
         F.first("__fe", ignorenulls=True).over(w_next)["__r_epoch"].alias("__cn_epoch"),
         F.first("__fv", ignorenulls=True).over(w_next)["__v"].alias("__cn_v"),
     )
-    cand = local.join(carry, ["_pid", *keys], "left").select(
+    cand = local.join(carry, _carry_cond(keys), "left").select(
         *left_cols,
         "__l_epoch",
         F.coalesce("__lp_epoch", "__cp_epoch").alias("__p_epoch"),
@@ -868,16 +875,17 @@ def sessionize_scalable(
 
     1. ``repartitionByRange(key, ts)`` splits every key's timeline into
        CONTIGUOUS time chunks across partitions; sessionize each chunk
-       locally (window keyed by ``(_pid, key)`` — parallel).
-    2. Per ``(_pid, key)`` chunk, aggregate ``(first_epoch, last_epoch,
+       locally (window keyed by ``(__pid, key)`` — parallel).
+    2. Per ``(__pid, key)`` chunk, aggregate ``(first_epoch, last_epoch,
        n_local_sessions)``; only keys spanning >1 partition matter —
        at most ``n_partitions - 1`` of them (range chunks are
        contiguous), so the driver-side merge walk is bounded by the
        partition count, never the key count. A chunk's first local
        session continues the previous chunk's last session iff the
        boundary gap <= ``gap_s``; global ordinal = local ordinal +
-       per-(pid, key) offset, shipped back as one broadcast-sized map
-       expression.
+       per-(pid, key) offset, shipped back as a typed broadcast
+       relation joined null-safely on the key (NULL and float/bool
+       keys round-trip exactly).
 
     ``localCheckpoint`` pins the sampled range bounds exactly as in
     ``pack_sequences`` — the offsets are computed against THIS
@@ -889,17 +897,17 @@ def sessionize_scalable(
     epoch = F.unix_timestamp(ts_col)
     d = (
         df.repartitionByRange(n, F.col(key), F.col(ts_col))
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_e", epoch)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__e", epoch)
     )
-    w = Window.partitionBy("_pid", key).orderBy(F.col(ts_col).asc())
-    run = Window.partitionBy("_pid", key).orderBy(F.col(ts_col).asc()).rowsBetween(
+    w = Window.partitionBy("__pid", key).orderBy(F.col(ts_col).asc())
+    run = Window.partitionBy("__pid", key).orderBy(F.col(ts_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    prev = F.lag(F.col("_e")).over(w)
-    is_new = F.when(prev.isNull() | ((F.col("_e") - prev) > gap_s), 1).otherwise(0)
+    prev = F.lag(F.col("__e")).over(w)
+    is_new = F.when(prev.isNull() | ((F.col("__e") - prev) > gap_s), 1).otherwise(0)
     part = d.withColumn(
-        "_local_seq", F.sum(is_new).over(run).cast("long")
+        "__local_seq", F.sum(is_new).over(run).cast("long")
     ).localCheckpoint()
 
     # bounded collect at ANY key cardinality: the summary relation has
@@ -909,20 +917,24 @@ def sessionize_scalable(
     # contiguous, so each of the n-1 partition boundaries splits at most
     # one key: the filtered collect is <= 2*(n-1) rows no matter how
     # many keys exist. Non-spanning keys keep offset 0 implicitly.
-    s = part.groupBy("_pid", key).agg(
-        F.min("_e").alias("first_e"),
-        F.max("_e").alias("last_e"),
-        F.max("_local_seq").alias("n_loc"),
+    # Spanning detection is a window count, not a self-join — a NULL key
+    # groups like any other value (a join on the key would miss it).
+    s = part.groupBy("__pid", key).agg(
+        F.min("__e").alias("first_e"),
+        F.max("__e").alias("last_e"),
+        F.max("__local_seq").alias("n_loc"),
     )
-    spanning = s.groupBy(key).count().filter(F.col("count") > 1).select(key)
-    summaries = s.join(F.broadcast(spanning), key).collect()
+    n_chunks = F.count(F.lit(1)).over(Window.partitionBy(key))
+    summaries = (
+        s.withColumn("__nc", n_chunks).filter(F.col("__nc") > 1).collect()
+    )
 
     by_key: dict = {}
     for r in summaries:
         by_key.setdefault(r[key], []).append(r)
-    offsets: dict[tuple, int] = {}
+    offsets: list[tuple] = []  # (pid, key_value, offset)
     for k, chunks in by_key.items():
-        chunks.sort(key=lambda r: r["_pid"])
+        chunks.sort(key=lambda r: r["__pid"])
         cum, prev_last = 0, None
         for r in chunks:
             merged = 1 if (
@@ -930,32 +942,49 @@ def sessionize_scalable(
             ) else 0
             off = cum - merged
             if off != 0:
-                offsets[(r["_pid"], k)] = off
+                offsets.append((r["__pid"], k, off))
             cum = cum - merged + r["n_loc"]
             prev_last = r["last_e"]
 
     if offsets:
-        off_map = F.create_map(
-            *[
-                x
-                for (pid, k), off in offsets.items()
-                for x in (
-                    F.concat_ws("|", F.lit(str(pid)), F.lit(str(k))),
-                    F.lit(off),
-                )
+        # ship the offsets back as a TYPED broadcast relation joined
+        # null-safely on the real key column — a string-rendered map
+        # lookup diverges for float/bool keys (str(1e-4) != Spark's
+        # CAST) and can never match a NULL key
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        off_schema = StructType(
+            [
+                StructField("__o_pid", IntegerType(), False),
+                StructField("__o_key", df.schema[key].dataType, True),
+                StructField("__off", LongType(), False),
             ]
         )
-        lookup = F.coalesce(
-            off_map[
-                F.concat_ws("|", F.col("_pid").cast("string"), F.col(key).cast("string"))
-            ],
-            F.lit(0),
+        offdf = df.sparkSession.createDataFrame(offsets, off_schema)
+        out = part.join(
+            F.broadcast(offdf),
+            (F.col("__pid") == F.col("__o_pid"))
+            & F.col(key).eqNullSafe(F.col("__o_key")),
+            "left",
         )
-    else:
-        lookup = F.lit(0)
+        seq = F.col("__local_seq") + F.coalesce(F.col("__off"), F.lit(0))
+        return out.withColumn("session_seq", seq.cast("long")).drop(
+            "__pid", "__e", "__local_seq", "__o_pid", "__o_key", "__off"
+        )
     return part.withColumn(
-        "session_seq", (F.col("_local_seq") + lookup).cast("long")
-    ).drop("_pid", "_e", "_local_seq")
+        "session_seq", F.col("__local_seq").cast("long")
+    ).drop("__pid", "__e", "__local_seq")
+
+
+def _carry_cond(keys: list[str]) -> Column:
+    """Null-safe carry-join condition for the scalable variants: a plain
+    equi-join on the key columns would never match NULL keys, silently
+    dropping their cross-chunk carries (the plain paths handle NULL keys
+    via window partitioning, which groups NULLs together)."""
+    cond = F.col("__pid") == F.col("__c_pid")
+    for i, k in enumerate(keys):
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__ck{i}"))
+    return cond
 
 
 def asof_join_scalable(
@@ -1013,17 +1042,17 @@ def asof_join_scalable(
             F.col("__is_right").desc(),
             F.col("__tb").asc(),
         )
-        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint()
     )
     w = (
-        Window.partitionBy("_pid", *keys)
+        Window.partitionBy("__pid", *keys)
         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = d.select(
         *left_cols,
-        "_pid",
+        "__pid",
         "__is_right",
         F.unix_timestamp("__ts").alias("__l_epoch"),
         F.last("__r_epoch", ignorenulls=True).over(w).alias("__loc_epoch"),
@@ -1034,7 +1063,7 @@ def asof_join_scalable(
     ).filter(F.col("__is_right") == 0)
 
     is_r = F.col("__is_right") == 1
-    summ = d.groupBy("_pid", *keys).agg(
+    summ = d.groupBy("__pid", *keys).agg(
         F.max(
             F.when(is_r, F.struct(F.col("__ts"), F.col("__tb"), F.col("__r_epoch")))
         ).alias("__s_epoch"),
@@ -1050,19 +1079,19 @@ def asof_join_scalable(
     )
     w_prev = (
         Window.partitionBy(*keys)
-        .orderBy("_pid")
+        .orderBy("__pid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = summ.select(
-        "_pid",
-        *keys,
+        F.col("__pid").alias("__c_pid"),
+        *[F.col(k).alias(f"__ck{i}") for i, k in enumerate(keys)],
         F.last("__s_epoch", ignorenulls=True).over(w_prev)["__r_epoch"].alias("__c_epoch"),
         *[
             F.last(f"__s_{c}", ignorenulls=True).over(w_prev)[f"__v_{c}"].alias(f"__c_{c}")
             for c in value_cols
         ],
     )
-    joined = local.join(carry, ["_pid", *keys], "left")
+    joined = local.join(carry, _carry_cond(keys), "left")
     out = joined.select(
         *left_cols,
         "__l_epoch",

@@ -741,3 +741,71 @@ def test_nearest_scalable_hot_key(spark):
         )
     )
     assert got == exp
+
+
+def test_scalable_variants_null_and_typed_keys(spark):
+    """Regression: NULL keys must carry across chunks (the carry join is
+    null-safe; a plain equi-join never matches NULL=NULL), and non-string
+    key types must round-trip exactly (the sessionizer's offsets ship as
+    a typed relation, not a string-rendered map: str(1e-4) != Spark's
+    CAST(double AS STRING))."""
+    from c3s_sm_spark.operators.timeseries import (
+        asof_join,
+        asof_join_scalable,
+        nearest_match,
+        nearest_match_scalable,
+        sessionize,
+        sessionize_scalable,
+    )
+
+    # NULL-key series mixed with real keys, breaks every 10 events
+    base = spark.range(200).select(
+        F.when(F.col("id") % 3 == 0, None).otherwise(
+            (F.col("id") % 3).cast("string")
+        ).alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200)
+            + F.col("id") * 600
+            + (F.col("id") / 10).cast("long") * 7200
+        ).alias("ts"),
+        (F.col("id") * 1.0).alias("value"),
+        F.col("id").alias("event_id"),
+    )
+
+    def canon_s(df):
+        return {
+            (r["user_id"], str(r["ts"]), r["session_seq"])
+            for r in df.select("user_id", "ts", "session_seq").collect()
+        }
+
+    exp = canon_s(sessionize(base, "user_id", "ts", gap_s=1800))
+    got = canon_s(sessionize_scalable(base, "user_id", "ts", gap_s=1800, n_partitions=8))
+    assert got == exp
+
+    # double-typed key whose str() rendering differs from Spark's CAST
+    dbl = base.withColumn(
+        "user_id",
+        F.when(F.col("user_id").isNull(), 1e-4).otherwise(2.5e-5),
+    )
+    exp = canon_s(sessionize(dbl, "user_id", "ts", gap_s=1800))
+    got = canon_s(sessionize_scalable(dbl, "user_id", "ts", gap_s=1800, n_partitions=8))
+    assert got == exp
+
+    # as-of + nearest: NULL-key probes must reach right rows in other chunks
+    left = base.filter(F.col("event_id") % 2 == 0).select("user_id", "ts", "event_id")
+    right = base.filter(F.col("event_id") % 2 == 1).select("user_id", "ts", "value")
+
+    def canon_a(df, cols):
+        return {tuple(r[c] for c in cols) for r in df.collect()}
+
+    a_cols = ["user_id", "event_id", "asof_value", "asof_age_s"]
+    exp = canon_a(asof_join(left, right, ["user_id"]), a_cols)
+    got = canon_a(asof_join_scalable(left, right, ["user_id"], n_partitions=8), a_cols)
+    assert got == exp
+
+    n_cols = ["user_id", "event_id", "near_value", "near_dt_s"]
+    exp = canon_a(nearest_match(left, right, ["user_id"]), n_cols)
+    got = canon_a(
+        nearest_match_scalable(left, right, ["user_id"], n_partitions=8), n_cols
+    )
+    assert got == exp
