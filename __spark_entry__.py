@@ -1510,6 +1510,26 @@ def _q_drought_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "cyc", "pr_num", "pr_den")
 
 
+def _q_resample_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 fixed-width resample (TimescaleDB time_bucket analog): events
+    rolled to exact 5-minute buckets per event_type via pure BIGINT
+    epoch arithmetic (operators/calendar.py:time_bucket) — the regular
+    companion to the reference's non-uniform calendar tiers. Bucket
+    emitted as its epoch (not a timestamp) so the hash gate never
+    depends on timestamp rendering."""
+    _prep(spark)
+    from c3s_sm_spark.operators.calendar import time_bucket
+
+    ev = _events(spark, sf_dir)
+    b = F.unix_timestamp(time_bucket("ts", 300)).alias("bucket_epoch")
+    return ev.groupBy("event_type", b).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(_micro(F.col("value"))), F.lit(0))
+        .cast("long")
+        .alias("v_sum_micro"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1611,6 +1631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_scalable": _q_asof_join_scalable,
         "nearest_match_scalable": _q_nearest_match_scalable,
         "drought_pct": _q_drought_pct,
+        "resample_5m": _q_resample_5m,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2645,6 +2666,18 @@ def oracle_sql() -> dict[str, str]:
     d["sessionize_scalable"] = d["sessionize"]
     d["asof_join_scalable"] = d["asof_join"]
     d["nearest_match_scalable"] = d["nearest_match"]
+    d["resample_5m"] = f"""
+        SELECT event_type,
+               e - ((e % 300) + 300) % 300 AS bucket_epoch,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(coalesce(sum({_MICRO_SQL.format(c='value')}), 0)
+                    AS BIGINT) AS v_sum_micro
+        FROM (SELECT event_type,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS e,
+                     value
+              FROM events)
+        GROUP BY 1, 2
+    """
     d["drought_pct"] = """
         SELECT user_id,
                event_id,

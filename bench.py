@@ -68,6 +68,7 @@ HEADLINE = [
     "nearest_match_scalable",
     "anomaly_zscore",
     "drought_pct",
+    "resample_5m",
     "rollup_quantiles",
     "rollup_quantiles_approx",
     "cell_pivot",

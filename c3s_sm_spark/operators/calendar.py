@@ -49,15 +49,44 @@ def month_start(ts: Column | str) -> Column:
     return F.date_trunc("month", ts)
 
 
+def time_bucket(ts: Column | str, width_s: int, origin_epoch: int = 0) -> Column:
+    """Fixed-width bucket start (TimescaleDB ``time_bucket`` analog):
+    the largest ``origin_epoch + k * width_s`` at-or-before ``ts``.
+
+    Exact BIGINT arithmetic end to end — ``pmod`` gives floor semantics
+    for timestamps before the origin too (an epoch of -7 with width 10
+    buckets to -10, not 0), so the bucketing is engine-reproducible.
+    Complements the calendar tiers: those follow the reference's
+    non-uniform product calendar (dekads are 8-11 days), this covers the
+    regular resampling the tokenized corpus needs (5-minute counters,
+    6-hourly rollups) where Spark's ``window()`` would emit a struct and
+    a fresh origin convention per call site.
+    """
+    if width_s <= 0:
+        raise ValueError(f"width_s must be positive, got {width_s}")
+    e = F.unix_timestamp(F.col(ts) if isinstance(ts, str) else ts)
+    b = e - F.pmod(e - F.lit(origin_epoch), F.lit(width_s))
+    return F.timestamp_seconds(b)
+
+
 def window_start(ts: Column | str, freq: str) -> Column:
-    """Window-start bucketing column for a tier frequency."""
+    """Window-start bucketing column for a tier frequency.
+
+    ``freq`` is a calendar tier (``daily`` / ``dekadal`` / ``monthly``)
+    or a fixed width ``"<N>s"`` (e.g. ``"300s"``) routed through
+    :func:`time_bucket` — so :func:`~c3s_sm_spark.operators.rollup.rollup`
+    and ``cascade`` accept arbitrary regular widths (cascading requires
+    the coarser width to be a multiple of the finer one, as with the
+    calendar tiers)."""
     if freq == "daily":
         return day_start(ts)
     if freq == "dekadal":
         return dekad_start(ts)
     if freq == "monthly":
         return month_start(ts)
-    raise ValueError(f"freq must be one of {FREQS}, got {freq!r}")
+    if freq.endswith("s") and freq[:-1].isdigit():
+        return time_bucket(ts, int(freq[:-1]))
+    raise ValueError(f"freq must be one of {FREQS} or '<N>s', got {freq!r}")
 
 
 def next_period_start(ts: Column | str, freq: str) -> Column:

@@ -174,3 +174,76 @@ def test_monthly_daily_grids_match_reference_stepping(spark):
             for r in temporal_grid(spark, freq, start, end).orderBy("ts").collect()
         ]
         assert [d.date() for d in ref] == [t.date() for t in got], freq
+
+
+def test_time_bucket_exact_floor_and_origin(spark):
+    """X47 fixed-width bucketing: exact floor semantics including
+    pre-origin (negative-epoch) timestamps, origin shifting, and the
+    window_start '<N>s' routing that lets rollup() take regular widths."""
+    from c3s_sm_spark.operators.calendar import time_bucket, window_start
+
+    rows = [(-7,), (0,), (1,), (299,), (300,), (601,), (-300,), (-301,)]
+    df = spark.createDataFrame(rows, ["e"]).select(
+        F.timestamp_seconds(F.col("e")).alias("ts"), "e"
+    )
+    got = {
+        r["e"]: r["b"]
+        for r in df.select(
+            "e", F.unix_timestamp(time_bucket("ts", 300)).alias("b")
+        ).collect()
+    }
+    assert got == {-7: -300, 0: 0, 1: 0, 299: 0, 300: 300, 601: 600,
+                   -300: -300, -301: -600}
+
+    # origin shifts the lattice
+    got_o = {
+        r["e"]: r["b"]
+        for r in df.select(
+            "e", F.unix_timestamp(time_bucket("ts", 300, origin_epoch=100)).alias("b")
+        ).collect()
+    }
+    assert got_o[0] == -200 and got_o[299] == 100 and got_o[601] == 400
+
+    # window_start routes "<N>s" to time_bucket; bad widths rejected
+    assert (
+        df.select(F.unix_timestamp(window_start("ts", "300s")).alias("b")).collect()
+        == df.select(F.unix_timestamp(time_bucket("ts", 300)).alias("b")).collect()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        window_start("ts", "weekly")
+    with _pytest.raises(ValueError):
+        time_bucket("ts", 0)
+
+
+def test_rollup_accepts_fixed_width_freq(spark):
+    """rollup() with a '<N>s' freq equals a manual groupBy on the same
+    bucket — and cascade() re-aggregates 300s into 900s exactly."""
+    from c3s_sm_spark.operators.calendar import time_bucket
+    from c3s_sm_spark.operators.rollup import cascade, rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = rollup(ev, ["user_id"], "ts", "300s", value_col="value", flag_col=None)
+    manual = (
+        ev.groupBy("user_id", time_bucket("ts", 300).alias("ts"))
+        .agg(
+            F.sum(F.col("value").cast("double")).alias("v_sum"),
+            F.count("value").alias("nobs"),
+        )
+    )
+    j = r.join(manual.withColumnRenamed("v_sum", "m_sum").withColumnRenamed("nobs", "m_n"),
+               ["user_id", "ts"], "full")
+    bad = j.filter(
+        F.col("m_n").isNull() | F.col("nobs").isNull()
+        | (F.col("nobs") != F.col("m_n"))
+        | (F.abs(F.col("v_sum") - F.col("m_sum")) > 1e-9)
+    )
+    assert bad.count() == 0
+
+    c = cascade(r, ["user_id"], "900s")
+    direct = rollup(ev, ["user_id"], "ts", "900s", value_col="value", flag_col=None)
+    jj = c.select("user_id", "ts", "nobs").join(
+        direct.select("user_id", "ts", F.col("nobs").alias("d_n")), ["user_id", "ts"], "full"
+    )
+    assert jj.filter(F.col("nobs") != F.col("d_n")).count() == 0
