@@ -809,3 +809,98 @@ def test_scalable_variants_null_and_typed_keys(spark):
         nearest_match_scalable(left, right, ["user_id"], n_partitions=8), n_cols
     )
     assert got == exp
+
+
+# ---------------------------------------------------------------- property
+
+
+def test_scalable_property_equivalence(spark):
+    """Hypothesis sweep: random series (NULL keys, NULL values, duplicate
+    timestamps) x random partition counts — the scalable variants must
+    equal their plain paths on every draw. Driven as one test with an
+    inner @given so the session-scoped fixture composes cleanly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from c3s_sm_spark.operators.timeseries import (
+        asof_join,
+        asof_join_scalable,
+        nearest_match,
+        nearest_match_scalable,
+        sessionize,
+        sessionize_scalable,
+    )
+
+    ev_st = st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", None]),
+            st.integers(min_value=0, max_value=20_000),
+            st.one_of(st.none(), st.integers(-5, 5).map(float)),
+        ),
+        min_size=2,
+        max_size=50,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(rows=ev_st, n=st.integers(2, 11), gap=st.sampled_from([60, 600, 3000]))
+    def check(rows, n, gap):
+        data = [
+            (k, e, v, i) for i, (k, e, v) in enumerate(rows)
+        ]
+        df = spark.createDataFrame(
+            data, "k string, e long, v double, rid long"
+        ).select(
+            "k", F.timestamp_seconds("e").alias("ts"), "v", "rid"
+        )
+        # sessionize
+        a = sorted(
+            (str(r["k"]), r["rid"], r["session_seq"])
+            for r in sessionize(df, "k", "ts", gap_s=gap).collect()
+        )
+        b = sorted(
+            (str(r["k"]), r["rid"], r["session_seq"])
+            for r in sessionize_scalable(
+                df, "k", "ts", gap_s=gap, n_partitions=n
+            ).collect()
+        )
+        assert a == b
+        # as-of + nearest (probes = even epochs, observations = odd)
+        left = df.filter(F.col("e") % 2 == 0).select("k", "ts", "rid")
+        right = df.filter(F.col("e") % 2 == 1).select("k", "ts", "v", "rid")
+        if left.count() and right.count():
+            pa = {
+                (str(r["k"]), r["rid"], r["asof_v"], r["asof_age_s"])
+                for r in asof_join(
+                    left, right, ["k"], value_cols=["v"],
+                    tolerance_s=gap, tiebreak="rid",
+                ).collect()
+            }
+            pb = {
+                (str(r["k"]), r["rid"], r["asof_v"], r["asof_age_s"])
+                for r in asof_join_scalable(
+                    left, right, ["k"], value_cols=["v"],
+                    tolerance_s=gap, tiebreak="rid", n_partitions=n,
+                ).collect()
+            }
+            assert pa == pb
+            na = {
+                (str(r["k"]), r["rid"], r["near_v"], r["near_dt_s"])
+                for r in nearest_match(
+                    left, right, ["k"], value_col="v",
+                    window_s=gap, tiebreak="rid",
+                ).collect()
+            }
+            nb = {
+                (str(r["k"]), r["rid"], r["near_v"], r["near_dt_s"])
+                for r in nearest_match_scalable(
+                    left, right, ["k"], value_col="v",
+                    window_s=gap, tiebreak="rid", n_partitions=n,
+                ).collect()
+            }
+            assert na == nb
+
+    check()
