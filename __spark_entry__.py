@@ -1530,6 +1530,29 @@ def _q_resample_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48 grouped top-k: the 3 highest-value events per (user, type) —
+    keep_latest (J5/W2) generalized from k=1. event_id makes the order
+    total, so the survivor SET is deterministic on any engine; the
+    rank-filter plan map-side-prunes to local top-k before the shuffle
+    (WindowGroupLimit, same property as keep_latest in PLANS.md)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup import keep_top_k
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    out = keep_top_k(
+        ev, ["user_id", "event_type"], ["value", "event_id"], k=3,
+        mode="sort_last",
+    )
+    return out.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("topk_rn").cast("long").alias("topk_rn"),
+        _micro(F.col("value")).alias("vm"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1632,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_match_scalable": _q_nearest_match_scalable,
         "drought_pct": _q_drought_pct,
         "resample_5m": _q_resample_5m,
+        "topk_per_key": _q_topk_per_key,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2666,6 +2690,18 @@ def oracle_sql() -> dict[str, str]:
     d["sessionize_scalable"] = d["sessionize"]
     d["asof_join_scalable"] = d["asof_join"]
     d["nearest_match_scalable"] = d["nearest_match"]
+    d["topk_per_key"] = f"""
+        SELECT user_id, event_type, event_id, topk_rn, vm
+        FROM (SELECT user_id, event_type, event_id,
+                     CAST(row_number() OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY value DESC, event_id DESC
+                     ) AS BIGINT) AS topk_rn,
+                     {_MICRO_SQL.format(c='value')} AS vm
+              FROM events
+              WHERE value IS NOT NULL)
+        WHERE topk_rn <= 3
+    """
     d["resample_5m"] = f"""
         SELECT event_type,
                e - ((e % 300) + 300) % 300 AS bucket_epoch,

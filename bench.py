@@ -69,6 +69,7 @@ HEADLINE = [
     "anomaly_zscore",
     "drought_pct",
     "resample_5m",
+    "topk_per_key",
     "rollup_quantiles",
     "rollup_quantiles_approx",
     "cell_pivot",

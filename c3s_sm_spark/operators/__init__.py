@@ -7,7 +7,7 @@ from c3s_sm_spark.operators.calendar import (  # noqa: F401
     temporal_grid,
     window_start,
 )
-from c3s_sm_spark.operators.dedup import keep_latest  # noqa: F401
+from c3s_sm_spark.operators.dedup import keep_latest, keep_top_k  # noqa: F401
 from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
 from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: F401
 from c3s_sm_spark.operators.salting import salted_repartition  # noqa: F401

@@ -49,3 +49,42 @@ def keep_latest(
 def ambiguity_count(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Groups with >1 row — the validation query behind mode='error'."""
     return df.groupBy(*keys).count().where(F.col("count") > 1)
+
+
+def keep_top_k(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    k: int,
+    mode: str = "sort_last",
+    keep_ties: bool = False,
+) -> DataFrame:
+    """The k best rows per ``keys`` group — :func:`keep_latest`
+    generalized from k=1 (top-k most recent versions, k best-quality
+    docs per source, k nearest candidates per probe).
+
+    ``keep_ties=True`` uses ``rank()`` (all rows tied at the k-th place
+    survive, group size may exceed k); default ``row_number()`` returns
+    exactly k. Adds ``topk_rn`` (1-based position) to the output — the
+    caller often needs it, and dropping it is free.
+
+    Scale shape: one shuffle on ``keys``; Spark >= 3.5 rewrites the
+    rank-filter into WindowGroupLimit, pruning each map partition to its
+    local top-k BEFORE the exchange — the shuffle moves at most
+    ``k x keys`` rows per input partition, so a 10^12-row scan with k=5
+    shuffles like a small aggregate (same property PLANS.md documents
+    for keep_latest).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if mode == "sort_last":
+        cols = [c.desc() for c in cols]
+    elif mode != "sort_first":
+        raise ValueError(f"mode must be sort_last|sort_first, got {mode!r}")
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    fn = F.rank() if keep_ties else F.row_number()
+    return (
+        df.withColumn("topk_rn", fn.over(w))
+        .where(F.col("topk_rn") <= k)
+    )

@@ -337,3 +337,38 @@ def test_percentile_index_golden_and_ties(spark):
         & (F.abs(F.col("pct_rank") - F.col("pr_num") / F.col("pr_den")) > 1e-12)
     )
     assert bad.count() == 0
+
+
+def test_keep_top_k_golden_ties_and_plan(spark):
+    """X48 grouped top-k: exact k survivors with a total order, rank()
+    tie expansion with keep_ties, k=1 equivalence to keep_latest, and
+    the WindowGroupLimit map-side pruning in the physical plan."""
+    from c3s_sm_spark.operators.dedup import keep_latest, keep_top_k
+
+    rows = [
+        ("a", 10.0, 1), ("a", 30.0, 2), ("a", 20.0, 3), ("a", 30.0, 4),
+        ("b", 5.0, 5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "v", "rid"])
+    got = {
+        (r["k"], r["rid"], r["topk_rn"])
+        for r in keep_top_k(df, ["k"], ["v", "rid"], k=2).collect()
+    }
+    # ties on v broken by rid desc: (a,4) rank1, (a,2) rank2
+    assert got == {("a", 4, 1), ("a", 2, 2), ("b", 5, 1)}
+
+    # keep_ties via rank(): both v=30 rows share rank 1, k=1 keeps both
+    tied = {
+        (r["k"], r["rid"])
+        for r in keep_top_k(df, ["k"], ["v"], k=1, keep_ties=True).collect()
+    }
+    assert tied == {("a", 2), ("a", 4), ("b", 5)}
+
+    # k=1 row_number == keep_latest survivor set
+    a = {(r["k"], r["rid"]) for r in keep_top_k(df, ["k"], ["v", "rid"], k=1).drop("topk_rn").collect()}
+    b = {(r["k"], r["rid"]) for r in keep_latest(df, ["k"], ["v", "rid"]).collect()}
+    assert a == b
+
+    # plan: rank-limit pushdown prunes map-side before the exchange
+    plan = keep_top_k(df, ["k"], ["v", "rid"], k=2)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
