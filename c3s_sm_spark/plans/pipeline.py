@@ -43,7 +43,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c3s_sm_spark.functions.codecs import pack_series, unpack_series
-from c3s_sm_spark.operators.calendar import window_start
 from c3s_sm_spark.operators.dedup import keep_latest
 from c3s_sm_spark.operators.rollup import cascade, rollup
 from c3s_sm_spark.sources.tableio import SnapshotTable
@@ -77,6 +76,20 @@ class TierPipeline:
         n_buckets: int = 32,
         n_salts: int = 8,
     ):
+        # pmonth (the partition/recompute unit) is derived with
+        # date_format(ts), which renders in the SESSION timezone: a
+        # refresh run under a different tz than the ingest would compute
+        # different affected months for edge-of-month rows and silently
+        # skip them forever. The engine pins UTC (session.py); fail loud
+        # on a foreign session instead of corrupting partitions.
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"TierPipeline requires an UTC session (pmonth derivation "
+                f"is timezone-dependent); got spark.sql.session.timeZone="
+                f"{tz!r} — build the session with c3s_sm_spark.session."
+                f"get_spark or set the conf to 'UTC'"
+            )
         self.spark = spark
         self.base = base_dir
         self.key = key
@@ -134,7 +147,20 @@ class TierPipeline:
         reprocessed rows appended later still win (reference
         ``sort_last``, ``/root/reference/src/c3s_sm/interface.py:347-356``).
         """
-        df = points.withColumn("pmonth", F.date_format("ts", "yyyy-MM"))
+        # a null key would hash to kb=null (__HIVE_DEFAULT_PARTITION__)
+        # and crash every later incremental pack; a null ts has no month.
+        # raise_error costs no extra pass — it fires inside the write job.
+        bad = F.col(self.key).isNull() | F.col("ts").isNull()
+        pmonth = F.when(
+            bad,
+            F.raise_error(
+                F.lit(
+                    f"ingest: null {self.key}/ts rows are not allowed "
+                    "(partition values would be undefined)"
+                )
+            ),
+        ).otherwise(F.date_format("ts", "yyyy-MM"))
+        df = points.withColumn("pmonth", pmonth)
         salt = F.pmod(F.xxhash64(self.key, F.lit(17)), F.lit(self.n_salts))
         df = df.repartition(F.col("pmonth"), salt)
         return self.raw.append(df, {"op": "ingest"})
@@ -370,7 +396,9 @@ class TierPipeline:
         tbl = self.tiers[tier]
         ptbl = self.packed[tier]
         head = tbl.head()
-        if head is None:
+        if head is None or not tbl._files(head):
+            # empty tier (never refreshed, or every month retained away):
+            # nothing to pack — and tbl.read would raise
             return None
         # pack_series output always names the key column 'doc_id'
         bucket_of = self._kb("doc_id")
@@ -535,7 +563,12 @@ class TierPipeline:
                     (F.col("kb") == self._kb(key_lit))
                     & (F.col(self.key) == key_value)
                 )
-                .drop("kb")
+                # SAME schema as the packed branch (unpack_series emits
+                # (doc_id, ts, v_mean)): the caller must not see a
+                # different shape depending on packed-table freshness
+                .select(
+                    F.col(self.key).alias("doc_id"), "ts", "v_mean"
+                )
             )
         if start is not None:
             out = out.where(F.col("ts") >= F.lit(start))
@@ -642,17 +675,61 @@ class TierPipeline:
             }
         return report
 
+    #: who consumes each table's incremental snapshot stream
+    _CONSUMER = {"raw": "daily", "daily": "dekadal", "dekadal": "monthly"}
+
     def maintain(
         self, target_rows_per_file: int = 4_000_000, keep_snapshots: int = 3
     ) -> dict[str, dict]:
-        """Table maintenance across all tier tables: small-file compaction
-        (incremental refreshes leave one file set per run) then snapshot
-        expiry + orphan-file removal. The storage-side half of
-        resumability: snapshots accumulate per refresh, and without expiry
-        a 10^12-point table's manifest chain would grow unboundedly.
+        """Table maintenance across all pipeline tables: small-file
+        compaction (incremental refreshes leave one file set per run)
+        then snapshot expiry + orphan-file removal. The storage-side half
+        of resumability: snapshots accumulate per refresh, and without
+        expiry a 10^12-point table's manifest chain would grow
+        unboundedly.
+
+        Expiry PROTECTS every downstream high-water mark: the consuming
+        tier's lineage HWM and the packed table's recorded source
+        snapshot. Expiring below a HWM doesn't corrupt anything, but it
+        silently degrades the consumer's next run from incremental to a
+        full rebuild — and a raw full-rebuild can resurrect months that
+        retention already dropped from the tier (raw may still hold
+        them). read_incremental's contract says callers must not expire
+        below consumers' HWMs; maintain is that caller.
+
+        The unpartitioned bookkeeping tables (lineage, metrics) and the
+        packed tiers are maintained too — lineage/metrics append one
+        single-file snapshot per refresh, and their manifest-driven read
+        unions one scan branch per append, so an unmaintained pipeline's
+        _hwm() plan would grow O(#runs) for its lifetime.
         """
         report: dict[str, dict] = {}
         for name, tbl in {"raw": self.raw, **self.tiers}.items():
+            protect = []
+            consumer = self._CONSUMER.get(name)
+            if consumer is not None:
+                hwm = self._hwm(consumer)
+                if hwm is not None:
+                    protect.append(hwm)
+            if name in self.packed and self.packed[name].head() is not None:
+                src = self.packed[name]._manifest(self.packed[name].head())[
+                    "summary"
+                ].get("src_snapshot")
+                if src is not None:
+                    protect.append(src)
+            compacted = tbl.compact(self.spark, target_rows_per_file)
+            expired = tbl.expire_snapshots(
+                keep_last=keep_snapshots, protect=protect
+            )
+            report[name] = {"compacted": bool(compacted), **expired}
+        bookkeeping = {
+            "lineage": self.lineage,
+            "metrics": self.metrics,
+            **{f"{t}_packed": p for t, p in self.packed.items()},
+        }
+        for name, tbl in bookkeeping.items():
+            if tbl.head() is None:
+                continue
             compacted = tbl.compact(self.spark, target_rows_per_file)
             expired = tbl.expire_snapshots(keep_last=keep_snapshots)
             report[name] = {"compacted": bool(compacted), **expired}

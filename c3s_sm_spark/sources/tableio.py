@@ -43,6 +43,21 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: sentinel: "caller did not capture a base snapshot" (None is a real
+#: parent value — the first commit's)
+_UNCHECKED = object()
+
+#: _read_cache entries kept per table (plans are cheap but not free, and
+#: entries for expired snapshots would otherwise accumulate forever)
+_READ_CACHE_MAX = 32
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer advanced HEAD between a mutator's base-state read
+    and its commit — the optimistic-concurrency failure Iceberg surfaces
+    as CommitFailedException. The losing writer must recompute from the
+    new HEAD and retry (``append`` does so itself)."""
+
 
 class SnapshotTable:
     """A partitioned Parquet table with atomic snapshot commits."""
@@ -135,26 +150,73 @@ class SnapshotTable:
         sid = snapshot_id or self.head()
         return self._manifest(sid)["files"] if sid else []
 
-    def _commit(self, files: list[str], operation: str, summary: dict) -> str:
-        sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
-        manifest = {
-            "snapshot_id": sid,
-            "parent": self.head(),
-            "operation": operation,
-            "committed_at": time.time(),
-            "files": sorted(files),
-            "summary": summary,
-        }
-        man_path = os.path.join(self.man_dir, f"snap-{sid}.json")
-        tmp = man_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, man_path)
-        head_tmp = os.path.join(self.man_dir, f"HEAD.tmp{uuid.uuid4().hex}")
-        with open(head_tmp, "w") as f:
-            f.write(sid)
-        os.replace(head_tmp, os.path.join(self.man_dir, "HEAD"))
-        return sid
+    def _lock(self):
+        """Acquire the table's commit lock (O_CREAT|O_EXCL lockfile).
+        Returns the lock path; stale locks (holder died) are broken
+        after 60 s."""
+        path = os.path.join(self.man_dir, "COMMIT.lock")
+        deadline = time.time() + 60
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return path
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > 60:
+                        os.remove(path)  # stale: holder died mid-commit
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(f"commit lock busy: {path}")
+                time.sleep(0.05)
+
+    def _commit(
+        self,
+        files: list[str],
+        operation: str,
+        summary: dict,
+        expected_parent: object = _UNCHECKED,
+    ) -> str:
+        """Atomic commit with optimistic concurrency: when the caller
+        passes the HEAD it computed ``files`` against, a concurrent
+        commit in between raises :class:`CommitConflictError` instead of
+        silently orphaning the other writer's snapshot (the last-writer-
+        wins hazard Iceberg closes with CAS on the metadata pointer).
+        Every public mutator passes its base; ``append`` retries."""
+        lock = self._lock()
+        try:
+            parent = self.head()
+            if expected_parent is not _UNCHECKED and parent != expected_parent:
+                raise CommitConflictError(
+                    f"{self.root}: HEAD moved {expected_parent!r} -> "
+                    f"{parent!r} during commit"
+                )
+            sid = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+            manifest = {
+                "snapshot_id": sid,
+                "parent": parent,
+                "operation": operation,
+                "committed_at": time.time(),
+                "files": sorted(files),
+                "summary": summary,
+            }
+            man_path = os.path.join(self.man_dir, f"snap-{sid}.json")
+            tmp = man_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, man_path)
+            head_tmp = os.path.join(self.man_dir, f"HEAD.tmp{uuid.uuid4().hex}")
+            with open(head_tmp, "w") as f:
+                f.write(sid)
+            os.replace(head_tmp, os.path.join(self.man_dir, "HEAD"))
+            return sid
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     # ---------------------------------------------------------------- writes
 
@@ -177,11 +239,23 @@ class SnapshotTable:
         return sub, files
 
     def append(self, df: DataFrame, summary: dict | None = None) -> str:
-        """Atomically add ``df``'s rows; returns the new snapshot id."""
+        """Atomically add ``df``'s rows; returns the new snapshot id.
+        Retries on commit conflict — an append composes with ANY
+        concurrent commit by recomputing its base file list (the data
+        files are already written and stay valid)."""
         _sub, new_files = self._write_files(df)
-        return self._commit(
-            self._files() + new_files, "append", summary or {}
-        )
+        for _attempt in range(5):
+            base = self.head()
+            try:
+                return self._commit(
+                    self._files(base) + new_files,
+                    "append",
+                    summary or {},
+                    expected_parent=base,
+                )
+            except CommitConflictError:
+                continue
+        raise CommitConflictError(f"{self.root}: append lost 5 races")
 
     @staticmethod
     def _partition_of(relpath: str, partition_by: list[str]) -> tuple:
@@ -219,8 +293,12 @@ class SnapshotTable:
         overwrite that dynamic mode cannot express.
         """
         if not self.partition_by:
+            base = self.head()
             _sub, new_files = self._write_files(df)
-            return self._commit(new_files, "overwrite", summary or {})
+            return self._commit(
+                new_files, "overwrite", summary or {}, expected_parent=base
+            )
+        base = self.head()
         g = len(self.partition_by) if replace_grain is None else replace_grain
         _sub, new_files = self._write_files(df)
         replaced = {
@@ -231,7 +309,7 @@ class SnapshotTable:
         lens = {len(v) for v in replaced}
         kept = [
             f
-            for f in self._files()
+            for f in self._files(base)
             if not any(
                 self._partition_of(f, self.partition_by)[:n] in replaced
                 for n in lens
@@ -241,6 +319,7 @@ class SnapshotTable:
             kept + new_files,
             "overwrite_partitions",
             {**(summary or {}), "replaced_partitions": len(replaced)},
+            expected_parent=base,
         )
 
     # ----------------------------------------------------------------- reads
@@ -283,6 +362,10 @@ class SnapshotTable:
             raise FileNotFoundError(f"table {self.root} is empty")
         df = self._read_files(spark, files)
         if sid is not None:
+            # bounded FIFO: entries for superseded/expired snapshots must
+            # not accumulate for the driver's lifetime
+            while len(self._read_cache) >= _READ_CACHE_MAX:
+                self._read_cache.pop(next(iter(self._read_cache)))
             self._read_cache[(id(spark), sid)] = df
         return df
 
@@ -330,8 +413,10 @@ class SnapshotTable:
         chain = self.snapshots()
         ids = [m["snapshot_id"] for m in chain]
         if since is not None and since not in ids:
-            # since expired: full rebuild fallback
-            return self._read_files(spark, self._files(until))
+            # since expired: full rebuild fallback (None when the current
+            # file set is itself empty — e.g. every month retained away)
+            files = self._files(until)
+            return self._read_files(spark, files) if files else None
         lo = ids.index(since) + 1 if since is not None else 0
         hi = ids.index(until) + 1
         delta: list[str] = []
@@ -384,7 +469,8 @@ class SnapshotTable:
         # sub-partition under it (month drop on a (pmonth, kb) table)
         drop = {tuple(str(x) for x in v) for v in values}
         lens = {len(v) for v in drop}
-        cur = self._files()
+        base = self.head()
+        cur = self._files(base)
         kept = [
             f
             for f in cur
@@ -399,6 +485,7 @@ class SnapshotTable:
             kept,
             "delete_partitions",
             {**(summary or {}), "dropped_files": len(cur) - len(kept)},
+            expected_parent=base,
         )
 
     def compact(
@@ -418,9 +505,29 @@ class SnapshotTable:
         """
         from collections import Counter
 
+        base = self.head()
+        cur = self._files(base)
         if not self.partition_by:
-            return None
-        cur = self._files()
+            # unpartitioned squash (lineage/metrics bookkeeping tables):
+            # one append per refresh leaves one file subtree per run, and
+            # the manifest-driven read unions one scan branch per subtree
+            # — O(#runs) plan growth unless periodically rewritten
+            if len(cur) < min_files:
+                return None
+            df = self._read_files(spark, cur)
+            n_rows = df.count()
+            n_out = max(1, -(-n_rows // target_rows_per_file))
+            _sub, new_files = self._write_files(df.repartition(n_out))
+            return self._commit(
+                new_files,
+                "compact",
+                {
+                    **(summary or {}),
+                    "rewritten_files": len(cur),
+                    "new_files": len(new_files),
+                },
+                expected_parent=base,
+            )
         counts = Counter(self._partition_of(f, self.partition_by) for f in cur)
         todo = {p for p, n in counts.items() if n >= min_files}
         if not todo:
@@ -443,28 +550,44 @@ class SnapshotTable:
                 "rewritten_files": len(victims),
                 "new_files": len(new_files),
             },
+            expected_parent=base,
         )
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, protect: list[str] | tuple[str, ...] = ()
+    ) -> dict:
         """Expire all but the newest ``keep_last`` snapshots and delete
         data files no retained snapshot references (Iceberg
         ``expireSnapshots`` + orphan-file removal). This is what makes
         :meth:`delete_partitions` and :meth:`overwrite_partitions`
         eventually reclaim space; until it runs, every historical
         snapshot stays time-travelable.
+
+        ``protect`` names snapshot ids that must STAY in the retained
+        chain (plus everything after them) — downstream consumers'
+        incremental high-water marks. Expiring below a consumer's HWM
+        silently degrades its next refresh to a full rebuild (and can
+        resurrect retention-dropped months from a fuller source), so
+        the pipeline's ``maintain`` passes every known HWM here.
+
+        Crash ordering: the kept-root manifest is rewritten FIRST, then
+        dropped manifests are removed, and data files are deleted LAST —
+        a crash at any point leaves at worst orphan data files (space,
+        reclaimed by re-running), never a retained manifest chain that
+        references deleted parquet.
         """
         chain = self.snapshots()
-        if len(chain) <= keep_last:
+        ids = [m["snapshot_id"] for m in chain]
+        cut = len(chain) - keep_last
+        for pid in protect:
+            if pid in ids:
+                cut = min(cut, ids.index(pid))
+        if cut <= 0:
             return {"expired": 0, "files_deleted": 0}
-        keep, drop = chain[-keep_last:], chain[:-keep_last]
+        keep, drop = chain[cut:], chain[:cut]
         live = {f for m in keep for f in m["files"]}
         dead = {f for m in drop for f in m["files"]} - live
-        for rel in dead:
-            try:
-                os.remove(os.path.join(self.root, rel))
-            except FileNotFoundError:
-                pass
-        # earliest kept snapshot becomes the chain root
+        # 1) earliest kept snapshot becomes the chain root
         first_kept = dict(self._manifest(keep[0]["snapshot_id"]))
         first_kept["parent"] = None
         path = os.path.join(self.man_dir, f"snap-{first_kept['snapshot_id']}.json")
@@ -472,11 +595,18 @@ class SnapshotTable:
         with open(tmp, "w") as f:
             json.dump(first_kept, f)
         os.replace(tmp, path)
+        # 2) drop expired manifests (chain no longer references them)
         for m in drop:
             try:
                 os.remove(
                     os.path.join(self.man_dir, f"snap-{m['snapshot_id']}.json")
                 )
+            except FileNotFoundError:
+                pass
+        # 3) only now is no retained manifest referencing the dead files
+        for rel in dead:
+            try:
+                os.remove(os.path.join(self.root, rel))
             except FileNotFoundError:
                 pass
         return {"expired": len(drop), "files_deleted": len(dead)}

@@ -368,7 +368,21 @@ def test_maintain_compacts_and_expires(spark, tmp_path, raw_points):
     rep = p.maintain(keep_snapshots=1)
     assert rep["raw"]["compacted"]
     assert _tier_rows(p.read_tier("daily")) == before
-    assert len(p.raw.snapshots()) == 1
+    # keep_snapshots=1 would cut raw to [compact], but maintain PROTECTS
+    # the daily tier's HWM snapshot — expiring it would degrade the next
+    # refresh to a full rebuild (and can resurrect retention-dropped
+    # months). The chain keeps [hwm, compact]; the HWM stays resolvable.
+    chain = [m["snapshot_id"] for m in p.raw.snapshots()]
+    assert len(chain) == 2
+    assert p._hwm("daily") in chain
+    # with the HWM protected, a no-new-data refresh stays a cheap skip
+    rep2 = p.refresh(["daily"])
+    assert rep2["daily"].get("skipped") is True
+    # bookkeeping tables are maintained too: lineage appends (2 refresh
+    # runs) squash to a single-snapshot single-file-set table
+    assert rep["lineage"]["compacted"]
+    assert len(p.lineage.snapshots()) == 1
+    assert p._hwm("daily") is not None  # lineage content survived
 
 
 def test_refresh_survives_expired_hwm_snapshot(spark, tmp_path, raw_points):
@@ -687,3 +701,124 @@ def test_point_read_falls_back_when_packed_stale(spark, tmp_path, raw_points):
     assert len(got) == exp > n_before  # fresh rows visible, not stale pack
     p.pack_tier("daily")  # re-pack: packed path serves current data again
     assert len(p.point_read(key, "daily").collect()) == exp
+
+
+# --------------------------------------------------- hardening (r4 review)
+
+
+def test_commit_conflict_detection_and_append_retry(spark, tmp_path):
+    """Optimistic concurrency: a commit whose base HEAD moved must raise
+    (never silently orphan the other writer's snapshot); append retries
+    and composes with the interleaved commit."""
+    from c3s_sm_spark.sources.tableio import CommitConflictError, SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"), ["pmonth"])
+    df1 = spark.createDataFrame([("a", "2024-01")], ["k", "pmonth"])
+    s1 = t.append(df1)
+    # writer B computed its file list against s1, but writer A commits
+    # in between: B's commit must fail loudly
+    t.append(spark.createDataFrame([("b", "2024-01")], ["k", "pmonth"]))
+    import pytest as _pytest
+
+    with _pytest.raises(CommitConflictError):
+        t._commit(t._files(), "overwrite_partitions", {}, expected_parent=s1)
+    # append's own retry path: both rows of a racing append survive
+    assert t.read(spark).count() == 2
+
+
+def test_expire_protect_and_crash_safe_ordering(spark, tmp_path):
+    """expire_snapshots(protect=[hwm]) keeps the HWM's retained suffix;
+    manifests of expired snapshots are gone, the kept root has no
+    parent, and dead data files are removed only after the manifest
+    rewrite (no retained manifest ever references deleted parquet)."""
+    import os
+
+    from c3s_sm_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"), ["pmonth"])
+    snaps = []
+    for i in range(4):
+        snaps.append(
+            t.append(spark.createDataFrame([(f"k{i}", "2024-01")], ["k", "pmonth"]))
+        )
+    hwm = snaps[1]
+    rep = t.expire_snapshots(keep_last=1, protect=[hwm])
+    chain = [m["snapshot_id"] for m in t.snapshots()]
+    assert chain == snaps[1:]  # protected suffix kept
+    assert rep["expired"] == 1
+    assert t.snapshots()[0]["parent"] is None
+    assert not os.path.exists(
+        os.path.join(t.man_dir, f"snap-{snaps[0]}.json")
+    )
+    # every retained manifest's files still exist on disk
+    for m in t.snapshots():
+        for f in m["files"]:
+            assert os.path.exists(os.path.join(t.root, f))
+    # incremental read from the protected HWM still works
+    assert t.read_incremental(spark, hwm).count() == 2
+
+
+def test_read_incremental_expired_since_empty_table_returns_none(spark, tmp_path):
+    """The expired-since full-read fallback must return None (not crash)
+    when the current file set is empty — e.g. every month retained away."""
+    from c3s_sm_spark.sources.tableio import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"), ["pmonth"])
+    s1 = t.append(spark.createDataFrame([("a", "2024-01")], ["k", "pmonth"]))
+    t.delete_partitions([("2024-01",)])
+    t.expire_snapshots(keep_last=1)  # s1's manifest is gone
+    assert t.read_incremental(spark, s1) is None
+
+
+def test_pack_tier_empty_tier_returns_none(spark, tmp_path, raw_points):
+    """pack_tier on a tier whose months were all retained away must
+    return None, not crash on the empty read."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    months = sorted(
+        r["pmonth"]
+        for r in p.tiers["daily"].read(spark).select("pmonth").distinct().collect()
+    )
+    p.tiers["daily"].delete_partitions([(m,) for m in months])
+    assert p.pack_tier("daily") is None
+
+
+def test_ingest_rejects_null_key_and_ts(spark, tmp_path, raw_points):
+    """Null keys would land in kb=__HIVE_DEFAULT_PARTITION__ and crash
+    every later incremental pack; ingest fails loud instead."""
+    import pytest as _pytest
+
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    bad = raw_points.withColumn(
+        "doc_id", F.when(F.col("doc_id") == "doc0000000003", None).otherwise(F.col("doc_id"))
+    )
+    with _pytest.raises(Exception, match="null"):
+        p.ingest(bad)
+
+
+def test_point_read_schema_same_packed_and_fallback(spark, tmp_path, raw_points):
+    """point_read's result shape must not depend on packed-table
+    freshness: fallback (tier rows) and packed path project the same
+    (doc_id, ts, v_mean) columns."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    fallback_cols = p.point_read("doc0000000003", "daily").columns
+    p.pack_tier("daily")
+    packed_cols = p.point_read("doc0000000003", "daily").columns
+    assert fallback_cols == packed_cols == ["doc_id", "ts", "v_mean"]
+
+
+def test_pipeline_requires_utc_session(spark, tmp_path):
+    """pmonth derivation is session-timezone-dependent; a non-UTC session
+    must be rejected at construction instead of silently partitioning
+    edge-of-month rows differently between ingest and refresh."""
+    import pytest as _pytest
+
+    spark.conf.set("spark.sql.session.timeZone", "Europe/Berlin")
+    try:
+        with _pytest.raises(ValueError, match="UTC"):
+            TierPipeline(spark, str(tmp_path / "tp"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
