@@ -58,7 +58,9 @@ def test_cli_matches_api(spark, tmp_path):
     assert set(status["tiers"]) == {"daily", "dekadal", "monthly"}
     # last two lines: retention report then maintain report
     maintain = json.loads(cli_lines[-1])
-    assert set(maintain) == {"raw", "daily", "dekadal", "monthly"}
+    # maintain also reports the bookkeeping tables it maintains
+    # (lineage/metrics squash, packed expiry) when they exist
+    assert {"raw", "daily", "dekadal", "monthly"} <= set(maintain)
     retention = json.loads(cli_lines[-2])
     assert retention["raw"]["dropped_months"] >= 1  # 2019-10/11 aged out
     read_rows = [json.loads(l) for l in cli_lines[3:-2]]
