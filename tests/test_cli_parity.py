@@ -77,10 +77,12 @@ def test_cli_matches_api(spark, tmp_path):
         .collect()
     )
     assert len(api_rows) == len(read_rows)
+    # point_read projects the packed-path schema (doc_id, ts, v_mean)
+    # on BOTH paths — nobs/flags live on read_tier, not the point read
     for cli_r, api_r in zip(read_rows, api_rows):
         assert cli_r["ts"] == str(api_r["ts"])
         assert float(cli_r["v_mean"]) == api_r["v_mean"]
-        assert int(cli_r["nobs"]) == api_r["nobs"]
+        assert set(cli_r) == {"doc_id", "ts", "v_mean"}
 
 
 def test_spark_submit_py_files_launch(tmp_path):
