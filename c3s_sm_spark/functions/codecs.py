@@ -207,8 +207,12 @@ def encode_ts(ts: np.ndarray) -> bytes:
 def decode_ts(blob: bytes) -> np.ndarray:
     """Inverse of :func:`encode_ts` — vectorized (no per-point Python)."""
     r = _Reader(blob)
-    assert r.u8() == _TS_MAGIC, "not a ts blob"
-    assert r.u8() == 1, "unknown ts codec version"
+    # explicit raises (not assert): data-dependent validation must
+    # survive python -O / PYTHONOPTIMIZE on executors
+    if r.u8() != _TS_MAGIC:
+        raise ValueError("not a ts blob")
+    if r.u8() != 1:
+        raise ValueError("unknown ts codec version")
     n = r.u32()
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -276,8 +280,10 @@ def encode_vals(v: np.ndarray) -> bytes:
 def decode_vals(blob: bytes) -> np.ndarray:
     """Inverse of :func:`encode_vals` — prefix-XOR via ufunc accumulate."""
     r = _Reader(blob)
-    assert r.u8() == _VAL_MAGIC, "not a value blob"
-    assert r.u8() == 1, "unknown value codec version"
+    if r.u8() != _VAL_MAGIC:
+        raise ValueError("not a value blob")
+    if r.u8() != 1:
+        raise ValueError("unknown value codec version")
     n = r.u32()
     if n == 0:
         return np.empty(0, dtype=np.float64)
@@ -353,6 +359,10 @@ def pack_series(
         if not parts:
             return
         pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        if pdf[key].isna().any():
+            # pandas groupby(dropna=True) would silently VANISH a
+            # null-key series from the packed table; fail like ingest
+            raise ValueError(f"pack_series: null {key} rows are not packable")
         rows = []
         for key_val, g in pdf.groupby(key, sort=False):
             ts = g[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)

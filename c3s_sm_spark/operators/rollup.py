@@ -32,6 +32,29 @@ from c3s_sm_spark.operators.calendar import window_start
 TIER_COLS = ("v_mean", "v_sum", "nobs", "flags")
 
 
+def tier_aggs(value_col: str, flag_col: str | None) -> list:
+    """The tier aggregate list — ONE definition shared by the batch
+    :func:`rollup` and the streaming twin
+    (``streaming.refresh.stream_daily_rollup``), so the two paths cannot
+    drift apart column by column."""
+    aggs = [
+        F.sum(F.col(value_col).cast("double")).alias("v_sum"),
+        F.count(value_col).alias("nobs"),
+    ]
+    if flag_col is not None:
+        aggs.append(F.bit_or(F.col(flag_col).cast("int")).alias("flags"))
+    return aggs
+
+
+def finish_tier(out: DataFrame, flag_col: str | None) -> DataFrame:
+    """Shared tier finisher: derive ``v_mean`` and normalize the flags
+    column when no flag source exists."""
+    out = out.withColumn("v_mean", F.col("v_sum") / F.col("nobs"))
+    if flag_col is None:
+        out = out.withColumn("flags", F.lit(None).cast("int"))
+    return out
+
+
 def rollup(
     df: DataFrame,
     keys: Sequence[str],
@@ -46,19 +69,10 @@ def rollup(
     values, float64), ``v_sum``, ``nobs`` (count of valid), ``flags``
     (bit_or over the window; 0 when ``flag_col`` is None/absent).
     """
-    aggs = [
-        F.sum(F.col(value_col).cast("double")).alias("v_sum"),
-        F.count(value_col).alias("nobs"),
-    ]
-    if flag_col is not None:
-        aggs.append(F.bit_or(F.col(flag_col).cast("int")).alias("flags"))
-    out = (
-        df.groupBy(*keys, window_start(ts_col, freq).alias("ts"))
-        .agg(*aggs)
-        .withColumn("v_mean", F.col("v_sum") / F.col("nobs"))
+    out = df.groupBy(*keys, window_start(ts_col, freq).alias("ts")).agg(
+        *tier_aggs(value_col, flag_col)
     )
-    if flag_col is None:
-        out = out.withColumn("flags", F.lit(None).cast("int"))
+    out = finish_tier(out, flag_col)
     return out.select(*keys, "ts", *TIER_COLS)
 
 

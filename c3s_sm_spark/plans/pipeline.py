@@ -136,7 +136,7 @@ class TierPipeline:
 
     # ---------------------------------------------------------------- ingest
 
-    def ingest(self, points: DataFrame) -> str:
+    def ingest(self, points: DataFrame, summary: dict | None = None) -> str:
         """Append raw observation points.
 
         Expected columns: ``key, ts, v`` (+ optional ``flag``, ``version``,
@@ -163,7 +163,7 @@ class TierPipeline:
         df = points.withColumn("pmonth", pmonth)
         salt = F.pmod(F.xxhash64(self.key, F.lit(17)), F.lit(self.n_salts))
         df = df.repartition(F.col("pmonth"), salt)
-        return self.raw.append(df, {"op": "ingest"})
+        return self.raw.append(df, {"op": "ingest", **(summary or {})})
 
     # ----------------------------------------------------------------- state
 
@@ -565,9 +565,16 @@ class TierPipeline:
                 )
                 # SAME schema as the packed branch (unpack_series emits
                 # (doc_id, ts, v_mean)): the caller must not see a
-                # different shape depending on packed-table freshness
+                # different shape depending on packed-table freshness.
+                # NULL v_mean (a window whose values were all null)
+                # becomes NaN too — pandas float64 coercion stores NaN in
+                # the packed form, so the fallback must agree
                 .select(
-                    F.col(self.key).alias("doc_id"), "ts", "v_mean"
+                    F.col(self.key).alias("doc_id"),
+                    "ts",
+                    F.coalesce(F.col("v_mean"), F.lit(float("nan"))).alias(
+                        "v_mean"
+                    ),
                 )
             )
         if start is not None:

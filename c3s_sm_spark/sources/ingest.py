@@ -20,10 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: regex equivalent of the reference's parse template (const.py:53)
+#: regex equivalent of the reference's parse template (const.py:53).
+#: Anchored: the reference's template match is a FULL basename match, so
+#: a merely-containing name (an in-flight '....nc.part' download) must
+#: not pass the conforming-files filter.
 FILENAME_RE = (
-    r"C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-"
-    r"(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc"
+    r"^C3S-SOILMOISTURE-L3S-SSM([A-Z]+)-([A-Z]+)-(DAILY|DEKADAL|MONTHLY)-"
+    r"(\d{14})-(TCDR|ICDR)-v(\d+\.\d+)\.(\d+)\.nc$"
 )
 
 _FIELDS = (
@@ -51,9 +54,13 @@ def parse_filename(name: Column | str) -> list[Column]:
         for field, idx, _t in _FIELDS
     ]
     cols.append(
-        F.to_timestamp(
+        # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4
+        # default) a regex-conforming name with an invalid datetime
+        # (month 13) must yield null ts — the documented filter contract
+        # — instead of throwing and killing the whole listing job
+        F.try_to_timestamp(
             F.nullif(F.regexp_extract(base, FILENAME_RE, 4), F.lit("")),
-            "yyyyMMddHHmmss",
+            F.lit("yyyyMMddHHmmss"),
         ).alias("ts")
     )
     return cols

@@ -60,6 +60,14 @@ def track_frontier_gaps(
     are detected the same way (the reference's IOError-per-missing-date,
     ``/root/reference/src/c3s_sm/interface.py:439-444``, surfaced as data
     instead of an exception).
+
+    State bound (by design): only the frontier is stored, so days at or
+    before it are indistinguishable replays vs late first arrivals and
+    are dropped — a reported gap is never retracted here. The
+    authoritative heal is the batch pipeline (refresh recomputes any
+    month a late row lands in); this stream is the operational ALERT
+    surface, not the ledger. Null timestamps are ignored (NaT has no
+    day).
     """
     import numpy as np
     import pandas as pd
@@ -68,7 +76,9 @@ def track_frontier_gaps(
         days = []
         for pdf in pdf_iter:
             ts = pd.to_datetime(pdf[ts_col]).to_numpy().astype("datetime64[D]")
-            days.append(np.unique(ts))
+            ts = ts[~np.isnat(ts)]  # a null ts would poison hi/arange
+            if ts.size:
+                days.append(np.unique(ts))
         if not days:
             return
         new_days = np.unique(np.concatenate(days)).astype("datetime64[D]")

@@ -60,7 +60,20 @@ def stream_pipeline_refresh(
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        pipeline.ingest(batch)
+        # foreachBatch is at-least-once: a crash after the raw append but
+        # before the checkpoint offset commit replays this batch_id, and
+        # a second blind append would permanently duplicate raw rows
+        # (tiers self-heal via keep-latest; raw would not). The batch id
+        # rides in the append's commit summary, so the replay check is a
+        # manifest walk — no data scan.
+        done = {
+            m["summary"].get("stream_batch_id")
+            for m in pipeline.raw.snapshots()
+            if m["operation"] == "append"
+        }
+        if batch_id not in done:
+            pipeline.ingest(batch, summary={"stream_batch_id": batch_id})
+        # refresh is idempotent partition overwrite — always safe to rerun
         pipeline.refresh()
 
     writer = (
@@ -89,23 +102,17 @@ def stream_daily_rollup(
     reprocesses the whole affected period; the batch pipeline keeps that
     restatement path via partition overwrite).
     """
-    aggs = [
-        F.sum(F.col(value_col).cast("double")).alias("v_sum"),
-        F.count(value_col).alias("nobs"),
-    ]
-    if flag_col is not None:
-        aggs.append(F.bit_or(F.col(flag_col).cast("int")).alias("flags"))
+    from c3s_sm_spark.operators.rollup import TIER_COLS, finish_tier, tier_aggs
+
     out = (
         points_stream.withWatermark(ts_col, watermark)
         .groupBy(key, F.window(ts_col, "1 day").alias("w"))
-        .agg(*aggs)
-        .withColumn("v_mean", F.col("v_sum") / F.col("nobs"))
+        .agg(*tier_aggs(value_col, flag_col))
         .withColumn("ts", F.col("w.start"))
         .drop("w")
     )
-    if flag_col is None:
-        out = out.withColumn("flags", F.lit(None).cast("int"))
-    return out.select(key, "ts", "v_mean", "v_sum", "nobs", "flags")
+    out = finish_tier(out, flag_col)
+    return out.select(key, "ts", *TIER_COLS)
 
 
 def stream_dedup(

@@ -59,3 +59,41 @@ def test_gap_across_batches_and_replay_idempotent(spark, tmp_path):
     assert str(g["gap_start"]).startswith("2024-01-03")
     assert str(g["gap_end"]).startswith("2024-01-05")
     assert g["n_missing_days"] == 3
+
+
+def test_frontier_ignores_null_timestamps(spark, tmp_path):
+    """A null ts in a batch must not poison the frontier (NaT used to
+    reach np.arange and kill the query; an all-null fresh-key batch
+    used to IndexError)."""
+    import pandas as pd
+
+    from c3s_sm_spark.streaming.frontier import track_frontier_gaps
+
+    src = tmp_path / "src"
+    chk = str(tmp_path / "chk")
+    rows = pd.DataFrame(
+        {
+            "doc_id": ["a", "a", "a", "b"],
+            "ts": pd.to_datetime(
+                ["2024-01-01", None, "2024-01-04", pd.NaT]
+            ),
+        }
+    )
+    spark.createDataFrame(rows).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id string, ts timestamp").parquet(
+        str(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        track_frontier_gaps(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    # key a: gap (Jan 2 - Jan 3); key b (all-null): silently ignored
+    assert len(got) == 1
+    assert got[0]["doc_id"] == "a" and got[0]["n_missing_days"] == 2

@@ -180,3 +180,23 @@ def test_bitflag_tables_match_reference_metadata(spark):
     assert got[256] == (["ASCATA"], "ASCATA")
     assert got[0] == ([], "")
     assert got[64] == (["SMOS"], "SMOS")
+
+
+def test_parse_listing_invalid_datetime_and_partial_files(spark):
+    """Hardening: a regex-shaped name with an impossible datetime (month
+    13) must yield null ts and be FILTERED, not throw under ANSI mode;
+    an in-flight '.nc.part' download must not pass the template filter
+    (the reference's template match is a full-basename match)."""
+    from c3s_sm_spark.sources.ingest import parse_listing
+
+    names = [
+        "C3S-SOILMOISTURE-L3S-SSMV-COMBINED-DAILY-20200101000000-TCDR-v201912.0.0.nc",
+        # month 13: regex-conforming, datetime-invalid
+        "C3S-SOILMOISTURE-L3S-SSMV-COMBINED-DAILY-20201399000000-TCDR-v201912.0.0.nc",
+        # partial download: contains a conforming substring
+        "C3S-SOILMOISTURE-L3S-SSMV-COMBINED-DAILY-20200102000000-TCDR-v201912.0.0.nc.part",
+        "unrelated.txt",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["path"])
+    got = [r["path"] for r in parse_listing(df).collect()]
+    assert got == [names[0]]
