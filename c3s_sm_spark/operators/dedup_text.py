@@ -67,13 +67,19 @@ def shingles(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     interpreted lambda per shingle: measured 6.5 s vs 0.2 s for this on
     1M shingles; higher-order functions are not codegen'd.)
     """
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    pat = r"(?:^|(?<= ))(?=(\S+" + r" \S+" * (k - 1) + r"))"
-    sh = F.regexp_extract_all(norm, F.lit(pat), 1)
     return (
-        docs.select("doc_id", F.explode(sh).alias("sh"))
+        docs.select("doc_id", F.explode(_shingle_expr(text_col, k)).alias("sh"))
         .distinct()
     )
+
+
+def _shingle_expr(text_col: str, k: int):
+    """The k-gram extraction expression — ONE definition shared by
+    :func:`shingles` and :func:`shingle_hashes` so the two relations can
+    never disagree on what a shingle is."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    pat = r"(?:^|(?<= ))(?=(\S+" + r" \S+" * (k - 1) + r"))"
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
 
 
 def shingle_hashes(
@@ -87,11 +93,8 @@ def shingle_hashes(
     pass; at 100 TB the difference is the corpus text through a shuffle
     vs fixed-width keys). Distinct-of-hashes == hashes-of-distinct as
     sets, so every consumer is unchanged."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
-    pat = r"(?:^|(?<= ))(?=(\S+" + r" \S+" * (k - 1) + r"))"
-    sh = F.regexp_extract_all(norm, F.lit(pat), 1)
     return (
-        docs.select("doc_id", F.explode(sh).alias("sh"))
+        docs.select("doc_id", F.explode(_shingle_expr(text_col, k)).alias("sh"))
         .select("doc_id", F.xxhash64("sh").alias("shh"))
         .distinct()
     )
@@ -180,9 +183,15 @@ def ngram_jaccard_pairs(
     sh = shingle_hashes(docs, text_col, k).cache()
     # ^ one shingling pass serves the size probe AND either strategy
     if strategy != "join":
-        out = _ngram_jaccard_matmul(
-            docs, sh, threshold, max_broadcast_cells, strict=strategy == "matmul"
-        )
+        try:
+            out = _ngram_jaccard_matmul(
+                docs, sh, threshold, max_broadcast_cells, strict=strategy == "matmul"
+            )
+        except Exception:
+            # the strict over-budget raise (and any collect failure) must
+            # not leak the corpus-sized cache for the session lifetime
+            sh.unpersist()
+            raise
         if out is not None:
             # the matmul plan carries everything in its broadcast — the
             # shingle cache has no further reader (ADVICE r2 cache leak)
@@ -526,7 +535,9 @@ def simhash(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
         shingle_hashes(docs, text_col, k)
         .withColumnRenamed("shh", "h")
         .repartition(width, F.col("doc_id"))
-        .sortWithinPartitions("doc_id")
+        # no sortWithinPartitions: _fp_partition concatenates the whole
+        # partition before groupby, which needs no ordering — the sort
+        # was an O(n log n) pass per task on the hot path for nothing
     )
 
     def _fp_partition(batches):
@@ -540,10 +551,12 @@ def simhash(docs: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
             h = g["h"].to_numpy(dtype=np.int64).view(np.uint64)
             bits = (h[:, None] >> shifts) & np.uint64(1)
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            fp = np.uint64(0)
             fp = ((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
             out_ids.append(doc_id)
-            out_fps.append(np.int64(fp))
+            # reinterpret-cast, not value conversion: np.int64(fp) relies
+            # on numpy 1.x wraparound and raises OverflowError on numpy 2
+            # whenever bit 63 is set (~half of all fingerprints)
+            out_fps.append(fp.astype(np.int64))
         yield pd.DataFrame({"doc_id": out_ids, "simhash64": out_fps})
 
     id_type = docs.schema["doc_id"].dataType.simpleString()

@@ -189,15 +189,20 @@ def nearest_join_bucketed(
     lci, lcj = _cell_ij(F.col(lon_col), F.col(lat_col), cell_deg)
     lf = left.withColumn("_cell", (lcj * n_ci + lci).cast("int"))
     rci, rcj = _cell_ij(F.col(lon_col), F.col(lat_col), cell_deg)
+    # ring membership clamps at BOTH grid edges — no antimeridian wrap:
+    # the distance metric is planar (the same metric nearest_join and
+    # the oracle use), so a candidate replicated across the ±180 seam
+    # could never win anyway; wrapping only multiplied candidate rows.
+    # A geodesic variant would need a wrap-aware metric AND wrap here.
     ring_cells = F.array_compact(
         F.array(
             *[
                 F.when(
-                    (rcj + dj >= 0) & (rcj + dj <= n_cj - 1),
-                    (
-                        (rcj + dj) * n_ci
-                        + F.pmod(rci + di + n_ci, F.lit(n_ci))
-                    ).cast("int"),
+                    (rcj + dj >= 0)
+                    & (rcj + dj <= n_cj - 1)
+                    & (rci + di >= 0)
+                    & (rci + di <= n_ci - 1),
+                    ((rcj + dj) * n_ci + (rci + di)).cast("int"),
                 )
                 for dj in (-1, 0, 1)
                 for di in (-1, 0, 1)

@@ -42,7 +42,14 @@ def _cut(fraction: float) -> str:
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    v = int(fraction * (16**_HEX_W))
+    return _hexcut(int(fraction * (16**_HEX_W)))
+
+
+def _hexcut(v: int) -> str:
+    """Saturating int -> hex-cut encoding: ONE definition shared by
+    :func:`_cut` and ``temperature_mix``'s exact-integer cut chain, so
+    the 'g' full-keep sentinel and zero-padded width can never diverge
+    between the samplers."""
     return "g" if v >= 16**_HEX_W else format(v, f"0{_HEX_W}x")
 
 
@@ -74,6 +81,8 @@ def _mix_with_cuts(
     mapping stratum -> pre-quantized hex cut, compared against the
     content hash. A row's fate depends only on (salt, key, its
     stratum's cut)."""
+    if None in cuts:
+        raise ValueError(f"null {stratum_col} stratum is not supported")
     cut = None
     for value, hexcut in sorted(cuts.items()):
         branch = F.when(F.col(stratum_col) == value, F.lit(hexcut))
@@ -150,6 +159,11 @@ def temperature_mix(
     }
     if not counts:
         raise ValueError("input has no rows")
+    if None in counts:
+        raise ValueError(
+            f"temperature_mix: null {stratum_col} values are not a stratum "
+            "— filter or fill them upstream"
+        )
     w = {
         s: int((math.sqrt(n) if alpha == 0.5 else n**alpha) * 1_000_000)
         for s, n in counts.items()
@@ -160,7 +174,7 @@ def temperature_mix(
     cuts = {}
     for s, n in counts.items():
         cv = min(16**_HEX_W, (bq * big_n * w[s]) // (big_w * n))
-        cuts[s] = "g" if cv >= 16**_HEX_W else format(cv, f"0{_HEX_W}x")
+        cuts[s] = _hexcut(cv)
     return _mix_with_cuts(df, stratum_col, cuts, key_col, salt)
 
 
@@ -187,6 +201,11 @@ def quality_top_fraction(
     """
     from pyspark.sql import Window
 
+    if fraction >= 1.0:
+        # percent_rank of a stratum's worst row is exactly 1.0, so the
+        # strict < would silently delete one row per stratum at "keep
+        # everything" — and diverge from the sketch path's >= threshold
+        return df
     w = Window.partitionBy(by).orderBy(F.col(score_col).desc(), F.col(id_col))
     return (
         df.withColumn("_pr", F.percent_rank().over(w))

@@ -369,7 +369,9 @@ def _assign_col(vec: Column, centroids: np.ndarray) -> Column:
     (numpy argmax) for determinism."""
     from pyspark.sql.functions import pandas_udf
 
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0  # a zero centroid must not NaN every sim column
+    cn = centroids / cnorm
 
     @pandas_udf("int")
     def _assign(vs: pd.Series) -> pd.Series:
@@ -516,7 +518,9 @@ def ivf_ann_topk(
         centroids = ivf_train_centroids(
             corpus, n_lists, n_iters, id_col, vec_col, seed=seed
         )
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(centroids, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0  # same zero-centroid guard as _assign_col
+    cn = centroids / cnorm
     c = ivf_index(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("cv"),

@@ -784,3 +784,52 @@ def test_profile_table_exact_and_sketch(spark):
     sk = {r["col_name"]: r for r in profile_table(df, exact_distinct=False).collect()}
     for c in prof:
         assert abs(sk[c]["n_distinct"] - prof[c]["n_distinct"]) <= 1
+
+
+def test_quality_top_fraction_one_keeps_everything(spark):
+    """fraction=1.0 must keep ALL rows: the worst row's percent_rank is
+    exactly 1.0 and the strict < used to delete one row per stratum."""
+    from c3s_sm_spark.operators.sampling import (
+        quality_top_fraction,
+        quality_top_fraction_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"d{i}", float(i)) for i in range(5)]
+        + [("b", f"e{i}", float(i)) for i in range(3)],
+        ["source", "doc_id", "quality"],
+    )
+    assert quality_top_fraction(df, 1.0).count() == 8
+    assert quality_top_fraction_sketch(df, 1.0).count() == 8
+
+
+def test_temperature_mix_rejects_null_stratum(spark):
+    """A NULL source is not a stratum: it used to TypeError inside the
+    driver-side cut walk (and would otherwise silently drop rows while
+    inflating the budget denominator)."""
+    import pytest as _pytest
+
+    from c3s_sm_spark.operators.sampling import temperature_mix
+
+    df = spark.createDataFrame(
+        [("s1", "d1", 10), (None, "d2", 10)], ["source", "doc_id", "n_tok"]
+    )
+    with _pytest.raises(ValueError, match="null"):
+        temperature_mix(df, alpha=0.5, budget_frac=0.5)
+
+
+def test_ivf_zero_embedding_does_not_poison_assignment(spark):
+    """A zero vector (empty doc) in the corpus must not NaN a centroid
+    column and route EVERY vector to one list via argmax-over-NaN."""
+    import numpy as np
+
+    from c3s_sm_spark.operators.similarity import ivf_index
+
+    rows = [("z", [0.0, 0.0, 0.0])] + [
+        (f"d{i}", [float(i == j) for j in range(3)]) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "embedding"])
+    cents = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    got = {r["doc_id"]: r["list_id"] for r in ivf_index(df, cents).collect()}
+    # the unit vectors must NOT all collapse onto one list
+    assert len({got["d0"], got["d1"]}) == 2
