@@ -1725,7 +1725,7 @@ _NEARDUP_CLOSURE_CTE = r"""w AS (
                      length(text)::BIGINT AS n_chars,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
                      (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces,
-                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+                     CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END::BIGINT AS n_tokens
               FROM documents),
             qual AS (
               SELECT doc_id,
@@ -1832,10 +1832,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_stats": """
             SELECT doc_id,
-                   len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars,
                    round(length(regexp_replace(text, '\\s+', '', 'g'))
-                         / len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')), 4) AS avg_tok_len
+                         / CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END, 4) AS avg_tok_len
             FROM documents
         """,
         "text_quality": """
@@ -1844,7 +1844,7 @@ def oracle_sql() -> dict[str, str]:
                      length(text)::BIGINT AS n_chars,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
                      (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces,
-                     len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+                     CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) END::BIGINT AS n_tokens
               FROM documents)
             SELECT doc_id,
                    round(alpha / n_chars, 4) AS alpha_ratio,
@@ -1998,7 +1998,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      unnest(string_split(
                         regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
-              FROM documents),
+              FROM documents
+              WHERE length(trim(text)) > 0),
             counts AS (
               SELECT tok, count(*) AS occurrences,
                      count(DISTINCT doc_id) AS doc_freq
@@ -2262,7 +2263,7 @@ def oracle_sql() -> dict[str, str]:
                      length(text)::BIGINT AS n_chars,
                      length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT AS alpha,
                      (length(text) - length(replace(text, ' ', '')))::BIGINT AS spaces,
-                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tokens
+                     CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END::BIGINT AS n_tokens
               FROM documents),
             q AS (
               SELECT doc_id, source,
@@ -2329,7 +2330,7 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": r"""
             WITH t AS (
               SELECT doc_id,
-                     len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))::BIGINT AS n_tok
+                     CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) END::BIGINT AS n_tok
               FROM documents),
             c AS (
               SELECT doc_id, n_tok,

@@ -354,37 +354,82 @@ def pack_series(
     """
     import pandas as pd  # local import keeps module import light on executors
 
+    _COLS = ["doc_id", "chunk", "ts_min", "ts_max", "n", "ts_blob", "v_blob"]
+
     def _pack_partition(batches):
-        parts = [pdf for pdf in batches if len(pdf)]
-        if not parts:
-            return
-        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
-        if pdf[key].isna().any():
-            # pandas groupby(dropna=True) would silently VANISH a
-            # null-key series from the packed table; fail like ingest
-            raise ValueError(f"pack_series: null {key} rows are not packable")
-        rows = []
-        for key_val, g in pdf.groupby(key, sort=False):
-            ts = g[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
-            vals = g[val_col].to_numpy(dtype=np.float64)
-            for ci, lo in enumerate(range(0, len(ts), CHUNK)):
-                t = ts[lo : lo + CHUNK]
-                v = vals[lo : lo + CHUNK]
-                rows.append(
-                    (
-                        key_val,
-                        ci,
-                        pd.Timestamp(t[0], unit="us"),
-                        pd.Timestamp(t[-1], unit="us"),
-                        len(t),
-                        encode_ts(t),
-                        encode_vals(v),
-                    )
+        # STREAMING encode: the partition arrives sorted by (key, ts), so
+        # a key's rows are contiguous across the Arrow batch stream and a
+        # small per-key carry (< CHUNK rows) is all the state needed.
+        # Concatenating every batch first (the old shape) materialized
+        # the WHOLE partition as one pandas frame — at the skewed-key
+        # scale this path exists for, that is exactly the memory spike
+        # the chunked format is supposed to avoid; peak is now one Arrow
+        # batch + the carry.
+        cur_key = None
+        have_key = False
+        buf_ts = np.empty(0, dtype=np.int64)
+        buf_v = np.empty(0, dtype=np.float64)
+        ci = 0
+
+        def _emit(rows, t, v, chunk_idx):
+            rows.append(
+                (
+                    cur_key,
+                    chunk_idx,
+                    pd.Timestamp(t[0], unit="us"),
+                    pd.Timestamp(t[-1], unit="us"),
+                    len(t),
+                    encode_ts(t),
+                    encode_vals(v),
                 )
-        yield pd.DataFrame(
-            rows,
-            columns=["doc_id", "chunk", "ts_min", "ts_max", "n", "ts_blob", "v_blob"],
-        )
+            )
+
+        def _drain(rows, final):
+            nonlocal buf_ts, buf_v, ci
+            lo = 0
+            while len(buf_ts) - lo >= CHUNK:
+                _emit(rows, buf_ts[lo : lo + CHUNK], buf_v[lo : lo + CHUNK], ci)
+                ci += 1
+                lo += CHUNK
+            if final and len(buf_ts) > lo:
+                _emit(rows, buf_ts[lo:], buf_v[lo:], ci)
+                ci += 1
+                lo = len(buf_ts)
+            buf_ts = buf_ts[lo:]
+            buf_v = buf_v[lo:]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pdf[key].isna().any():
+                # pandas groupby(dropna=True) would silently VANISH a
+                # null-key series from the packed table; fail like ingest
+                raise ValueError(f"pack_series: null {key} rows are not packable")
+            rows: list[tuple] = []
+            k_arr = pdf[key].to_numpy()
+            ts_arr = pdf[ts_col].to_numpy(dtype="datetime64[us]").view(np.int64)
+            v_arr = pdf[val_col].to_numpy(dtype=np.float64)
+            change = np.flatnonzero(k_arr[1:] != k_arr[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(k_arr)]))
+            for i in range(len(bounds) - 1):
+                lo, hi = int(bounds[i]), int(bounds[i + 1])
+                k = k_arr[lo]
+                if not have_key or k != cur_key:
+                    if have_key:
+                        _drain(rows, final=True)  # previous key ends here
+                    cur_key, have_key, ci = k, True, 0
+                    buf_ts = ts_arr[lo:hi].copy()
+                    buf_v = v_arr[lo:hi].copy()
+                else:
+                    buf_ts = np.concatenate((buf_ts, ts_arr[lo:hi]))
+                    buf_v = np.concatenate((buf_v, v_arr[lo:hi]))
+                _drain(rows, final=False)
+            if rows:
+                yield pd.DataFrame(rows, columns=_COLS)
+        if have_key and len(buf_ts):
+            rows = []
+            _drain(rows, final=True)
+            yield pd.DataFrame(rows, columns=_COLS)
 
     # explicit partition count: a bare repartition(col) lets AQE coalesce
     # a small shuffle down to ONE partition, serializing the whole pack

@@ -72,6 +72,7 @@ def anomaly(
     value_col: str = "v",
     cycle: str = "month",
     clim: DataFrame | None = None,
+    broadcast_clim: bool = True,
 ) -> DataFrame:
     """Z-score anomaly of every row vs its key's climatology slot.
 
@@ -80,11 +81,19 @@ def anomaly(
     baseline spans decades but anomalies are computed for the current
     window only. Adds ``cyc, clim_mean, clim_std, z`` columns; ``z`` is
     NULL where the slot's std is NULL or zero.
+
+    ``broadcast_clim=False`` drops the broadcast hint for
+    HIGH-CARDINALITY keys: the climatology is ``|keys| x cycle`` rows,
+    and force-broadcasting 10^8+ keys would OOM the driver — a shuffle
+    join (AQE still broadcasts when it measures small) is the scale
+    path there.
     """
     if clim is None:
         clim = climatology(df, keys, ts_col, value_col, cycle)
+    if broadcast_clim:
+        clim = F.broadcast(clim)
     out = df.withColumn("cyc", cycle_col(F.col(ts_col), cycle)).join(
-        F.broadcast(clim), [*keys, "cyc"], "left"
+        clim, [*keys, "cyc"], "left"
     )
     z = (F.col(value_col) - F.col("clim_mean")) / F.nullif(
         F.col("clim_std"), F.lit(0.0)

@@ -30,20 +30,29 @@ def keep_latest(
     """One row per ``keys`` group: last (or first) in ``order_by`` order.
 
     ``mode='sort_last'`` keeps the row that sorts LAST (reference default,
-    ``interface.py:352-356``); ``'sort_first'`` keeps the first;
-    ``'error'`` raises downstream via a count check the caller performs.
+    ``interface.py:352-356``); ``'sort_first'`` keeps the first. The
+    reference's third mode ('error') is not a mode here: run
+    :func:`ambiguity_count` and fail when it returns rows.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    if mode == "sort_last":
-        cols = [c.desc() for c in cols]
-    elif mode != "sort_first":
-        raise ValueError(f"mode must be sort_last|sort_first, got {mode!r}")
-    w = Window.partitionBy(*keys).orderBy(*cols)
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by, mode))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _order_cols(
+    order_by: Sequence[Column | str], mode: str
+) -> list[Column]:
+    """Shared sort normalization for :func:`keep_latest` /
+    :func:`keep_top_k` — one place owns the sort_last/sort_first flip."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if mode == "sort_last":
+        return [c.desc() for c in cols]
+    if mode != "sort_first":
+        raise ValueError(f"mode must be sort_last|sort_first, got {mode!r}")
+    return cols
 
 
 def ambiguity_count(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -77,12 +86,7 @@ def keep_top_k(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
-    if mode == "sort_last":
-        cols = [c.desc() for c in cols]
-    elif mode != "sort_first":
-        raise ValueError(f"mode must be sort_last|sort_first, got {mode!r}")
-    w = Window.partitionBy(*keys).orderBy(*cols)
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by, mode))
     fn = F.rank() if keep_ties else F.row_number()
     return (
         df.withColumn("topk_rn", fn.over(w))

@@ -26,7 +26,6 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from c3s_sm_spark.operators.textstats import words_col
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -58,15 +58,21 @@ def gap_fill(
     # calendar so the cross join never shuffles the key dimension.
     frame = keys_df.crossJoin(F.broadcast(grid))
     out = frame.join(df, on=[*keys, ts_col], how="left")
-    if fill:
-        out = out.select(
-            *[*keys, ts_col],
-            *[
-                F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
-                if c in fill
-                else F.col(c)
-                for c in df.columns
-                if c not in (*keys, ts_col)
-            ],
-        )
-    return out
+    # ONE projection for both the fill and no-fill paths: keys + ts, any
+    # extra key-universe columns (e.g. lat/lon riding on keys_df), then
+    # df's data columns — a fill dict used to reorder the schema and
+    # silently drop the keys_df extras
+    extra = [
+        c for c in keys_df.columns if c not in keys and c not in df.columns
+    ]
+    data_cols = [c for c in df.columns if c not in (*keys, ts_col)]
+    fill = fill or {}
+    return out.select(
+        *[*keys, ts_col, *extra],
+        *[
+            F.coalesce(F.col(c), F.lit(fill[c])).alias(c)
+            if c in fill
+            else F.col(c)
+            for c in data_cols
+        ],
+    )

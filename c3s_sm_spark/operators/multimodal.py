@@ -49,7 +49,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
             "in this environment; pass fake=True for the deterministic stub"
         )
     h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64)
+    # explicit little-endian: native-endian frombuffer would decode
+    # different floats on a big-endian executor (contract: stable
+    # across runs, partitions AND platforms)
+    raw = np.frombuffer(h[: FEATURE_DIM * 2], dtype='<u2').astype(np.float64)
     return raw / 65535.0
 
 
@@ -66,12 +69,19 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [decode_image(p, fake=fake).tolist() for p in pdf["payload"]]
+            # NULL payloads (failed fetch) surface as null features, not
+            # a TypeError that kills the whole stage
+            feats = [
+                None if p is None else decode_image(p, fake=fake).tolist()
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(len),
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: 0 if p is None else len(p)
+                    ),
                     "features": feats,
                 }
             )
@@ -144,6 +154,10 @@ def sample_frames(
                         "frame extraction requires a video library not "
                         "available here; pass fake=True for the stub"
                     )
+                if payload is None or len(payload) == 0:
+                    # a null/zero-byte payload has no frames — skip it
+                    # rather than IndexError the whole stage
+                    continue
                 n_total = (payload[0] % 100) + 1  # deterministic "video length"
                 sampled = list(range(0, n_total, every_n))[:max_frames]
                 for i in sampled:

@@ -67,7 +67,10 @@ def rollup(
 
     Output: keys + ``ts`` (window start) + ``v_mean`` (mean of valid
     values, float64), ``v_sum``, ``nobs`` (count of valid), ``flags``
-    (bit_or over the window; 0 when ``flag_col`` is None/absent).
+    (bit_or over the window; NULL when ``flag_col=None`` — "no flag
+    source" is not the same fact as "all flag bits clear", so 0 would
+    lie to a downstream ``flags == 0`` filter). ``flag_col`` must name
+    an existing column or be None.
     """
     out = df.groupBy(*keys, window_start(ts_col, freq).alias("ts")).agg(
         *tier_aggs(value_col, flag_col)

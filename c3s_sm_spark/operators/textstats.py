@@ -18,9 +18,15 @@ _EN_MARKERS = (" the ", " and ", " of ", " to ", " is ")
 
 
 def words_col(text: Column | str) -> Column:
-    """Whitespace-collapsed word array (regex-free split for portability)."""
+    """Whitespace-collapsed word array (regex-free split for portability).
+
+    Empty / whitespace-only text yields an EMPTY array: a bare split
+    returns [""] (size 1), which silently let blank boilerplate pass
+    token-count and quality filters with n_tokens=1."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " ")
+    return F.when(
+        F.length(F.trim(c)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.regexp_replace(F.trim(c), r"\s+", " "), " "))
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -45,15 +45,23 @@ def ship_package(spark: SparkSession) -> None:
     """
     if getattr(spark, "_c3s_pkg_shipped", False):
         return
-    # zip name keyed on the newest source mtime: a fixed name kept
-    # shipping STALE code to executors after any edit (pandas-UDF
+    # zip name keyed on a CONTENT hash of the sources: a fixed name kept
+    # shipping STALE code to executors after any edit, and an mtime key
+    # missed same-second edits and mtime-preserving checkouts (pandas-UDF
     # closures then ran the old module version worker-side)
-    newest = 0.0
+    import hashlib
+
+    digest = hashlib.sha256()
     for dirpath, _dirnames, filenames in os.walk(_PKG_DIR):
-        for fn in filenames:
+        for fn in sorted(filenames):
             if fn.endswith(".py"):
-                newest = max(newest, os.path.getmtime(os.path.join(dirpath, fn)))
-    zpath = os.path.join("/tmp", f"c3s_sm_spark_pyfiles_{int(newest)}.zip")
+                full = os.path.join(dirpath, fn)
+                digest.update(os.path.relpath(full, _PKG_DIR).encode())
+                with open(full, "rb") as fh:
+                    digest.update(fh.read())
+    zpath = os.path.join(
+        "/tmp", f"c3s_sm_spark_pyfiles_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w") as z:
