@@ -1225,20 +1225,7 @@ def _q_interp_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from c3s_sm_spark.operators.timeseries import interp_linear_micro
 
-    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    daily = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(F.sum(_micro(F.col("value"))).alias("vm"))
-    bounds = ev.select(F.date_trunc("day", "ts").alias("d")).agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    cal = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
-    )
-    users = ev.select("user_id").distinct()
-    grid = users.crossJoin(F.broadcast(cal)).join(
-        daily, ["user_id", "day"], "left"
-    )
+    grid = _purchase_daily_grid(spark, sf_dir)
     out = interp_linear_micro(grid, ["user_id"], "day", "vm")
     return out.select(
         "user_id",
@@ -1553,6 +1540,76 @@ def _q_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _purchase_daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared prep for the fill-family queries: per-user daily purchase
+    micro-sums LEFT-joined onto the full (user x day) calendar — same
+    relation interp_fill's oracle names ``g`` (nullable ``vm``)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_micro(F.col("value"))).alias("vm"))
+    bounds = ev.select(F.date_trunc("day", "ts").alias("d")).agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    return users.crossJoin(F.broadcast(cal)).join(
+        daily, ["user_id", "day"], "left"
+    )
+
+
+def _q_ffill_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 forward fill with staleness limit: per-user daily purchase
+    sums on the full calendar, last observation carried at most 3 days
+    forward (pandas ffill(limit=3)) — nulls beyond the bound stay the
+    -1 sentinel. All-BIGINT carry, hash-exact on any engine."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import forward_fill
+
+    grid = _purchase_daily_grid(spark, sf_dir)
+    out = forward_fill(grid, ["user_id"], "day", "vm", limit=3)
+    return out.select(
+        "user_id",
+        "day",
+        F.coalesce("vm", F.lit(-1)).cast("long").alias("vm"),
+        F.coalesce("vm_ffill", F.lit(-1)).cast("long").alias("vm_ffill"),
+    )
+
+
+def _q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 exact rolling median over a trailing 7-row frame, per-user
+    daily purchase micro-sums; emitted doubled (med2 = a + b for the
+    even-count midpoint) so the hash never sees an engine-formatted
+    .5 float. Frame-bounded memory — the scale-safe exact sibling of
+    X12's whole-group percentile."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import rolling_median2
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_micro(F.col("value"))).alias("vm"))
+    out = rolling_median2(daily, ["user_id"], "day", "vm", window_rows=7)
+    return out.select("user_id", "day", "vm", "med2")
+
+
+def _q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 CUSUM changepoint score: per-user max cumulative deviation
+    of the daily purchase series from its own mean (division cleared:
+    D_k = n*prefix_k - k*total, exact BIGINT), plus the earliest day
+    attaining it as the estimated change location (epoch seconds)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.anomaly import cusum_scores
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(_micro(F.col("value"))).alias("vm"))
+    return cusum_scores(daily, ["user_id"], ts_col="day", micro_col="vm")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1582,7 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # token_freq (top-k token counting; not a SURVEY §2 operator row —
     # its TakeOrderedAndProject plan stays audited in PLANS.md).
     # time_weighted (X38) and counter_rate (X39) sit at tail-top,
-    # oracled and mirror-checked.
+    # oracled and mirror-checked, as do the late-r4 fill/drift family
+    # ffill_limit (X49), rolling_median (X50) and cusum_change (X51).
     # Tail rows stay fully checked by tools/oracle_check.py and
     # tests/test_entry_contract.py — only the driver row is forgone.
     return {
@@ -1656,6 +1714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drought_pct": _q_drought_pct,
         "resample_5m": _q_resample_5m,
         "topk_per_key": _q_topk_per_key,
+        "ffill_limit": _q_ffill_limit,
+        "rolling_median": _q_rolling_median,
+        "cusum_change": _q_cusum_change,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2541,6 +2602,85 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY user_id
               ORDER BY datediff('day', DATE '1970-01-01', day)
               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "ffill_limit": f"""
+            WITH p AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(sum({_MICRO_SQL.format(c='value')}) AS BIGINT) AS vm
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM p),
+            cal AS (
+              SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+              FROM b),
+            u AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase'),
+            g AS (
+              SELECT u.user_id, cal.day, p.vm
+              FROM u CROSS JOIN cal
+              LEFT JOIN p ON p.user_id = u.user_id AND p.day = cal.day),
+            r AS (
+              SELECT user_id, day, vm,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS rn
+              FROM g),
+            f AS (
+              SELECT user_id, day, vm, rn,
+                     max(CASE WHEN vm IS NOT NULL THEN rn END) OVER wb
+                       AS lastnn,
+                     last_value(vm IGNORE NULLS) OVER wb AS carried
+              FROM r
+              WINDOW wb AS (PARTITION BY user_id ORDER BY rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            SELECT user_id, day,
+                   CAST(coalesce(vm, -1) AS BIGINT) AS vm,
+                   CAST(coalesce(
+                     CASE WHEN vm IS NOT NULL THEN vm
+                          WHEN rn - lastnn <= 3 THEN carried
+                     END, -1) AS BIGINT) AS vm_ffill
+            FROM f
+        """,
+        "rolling_median": f"""
+            WITH p AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(sum({_MICRO_SQL.format(c='value')}) AS BIGINT) AS vm
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+            SELECT user_id, day, vm,
+                   CAST(2 * quantile_cont(vm, 0.5) OVER w AS BIGINT) AS med2
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "cusum_change": f"""
+            WITH p AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(sum({_MICRO_SQL.format(c='value')}) AS BIGINT) AS vm
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            r AS (
+              SELECT user_id,
+                     CAST(floor(epoch(day)) AS BIGINT) AS ep,
+                     sum(vm) OVER (PARTITION BY user_id ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS pre,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY day) AS k,
+                     sum(vm) OVER (PARTITION BY user_id) AS tot,
+                     count(*) OVER (PARTITION BY user_id) AS n
+              FROM p),
+            d AS (
+              SELECT user_id, ep, n, abs(n * pre - k * tot) AS absd
+              FROM r),
+            m AS (
+              SELECT user_id, max(absd) AS peak, max(n) AS n
+              FROM d GROUP BY 1)
+            SELECT d.user_id,
+                   CAST(m.peak AS BIGINT) AS peak,
+                   CAST(min(d.ep) AS BIGINT) AS peak_epoch,
+                   CAST(m.n AS BIGINT) AS n
+            FROM d JOIN m ON d.user_id = m.user_id AND d.absd = m.peak
+            GROUP BY d.user_id, m.peak, m.n
         """,
         "time_weighted": f"""
             WITH e AS (

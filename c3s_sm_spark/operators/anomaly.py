@@ -137,3 +137,70 @@ def percentile_index(
         .withColumn("pr_den", (F.count(value_col).over(wn) - F.lit(1)).cast("long"))
         .withColumn("pct_rank", F.percent_rank().over(w))
     )
+
+
+def cusum_scores(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    micro_col: str = "vm",
+) -> DataFrame:
+    """Integer-exact CUSUM changepoint score per key: where, and how
+    strongly, a series' mean most likely shifted — the drift detector a
+    training-data pipeline points at per-source token/quality series to
+    catch a scraper or dedup-policy change (the classic
+    maximum-of-cumulative-deviations statistic behind change-of-mean
+    tests; same family as the reference's climatology-departure
+    consumers, but for a single break instead of a seasonal cycle).
+
+    For the k-th of n values (``ts``-ordered): ``D_k = n * prefix_k -
+    k * total`` is ``n *`` the cumulative deviation ``prefix_k - k *
+    mean`` with the division cleared, so it stays in exact BIGINT
+    arithmetic — identical on every engine and partitioning. Output one
+    row per key: ``peak = max|D_k|``, ``peak_epoch`` = earliest ts
+    attaining it (epoch seconds; the estimated change location), ``n``.
+
+    Overflow bound: ``|D_k| <= n * |total| ~ n^2 * mean_micro``; at
+    mean 1e10 micro-units the int64 range holds to n ~ 3e4 rows per key
+    — pre-aggregate longer series to a coarser grid first (the engine's
+    tier cascade exists for exactly that), or drop the micro scaling a
+    decimal. Requires non-null values and unique ``ts`` per key.
+
+    Plan: one hash shuffle on ``keys``; the running sum, row number and
+    whole-partition total all evaluate in one per-key sort, then a
+    map-side-combinable groupBy collapses each key to one row (struct
+    max = argmax without a second shuffle or self-join).
+    """
+    keys = list(keys)
+    order = F.col(ts_col).asc()
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(*keys)
+    v = F.col(micro_col).cast("long")
+    rows = df.select(
+        *keys,
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("__ep"),
+        F.sum(v).over(wcum).alias("__pre"),
+        F.row_number().over(Window.partitionBy(*keys).orderBy(order)).alias("__k"),
+        F.sum(v).over(wall).alias("__tot"),
+        F.count(v).over(wall).alias("__n"),
+    ).withColumn(
+        "__absd",
+        F.abs(F.col("__n") * F.col("__pre") - F.col("__k") * F.col("__tot")),
+    )
+    # lexicographic struct max == (max |D|, then min epoch): the argmax
+    # rides the same aggregation as the max — no join-back on the peak
+    peak = F.max(F.struct(F.col("__absd").alias("a"), (-F.col("__ep")).alias("b")))
+    return (
+        rows.groupBy(*keys)
+        .agg(peak.alias("__s"), F.max("__n").alias("__nn"))
+        .select(
+            *keys,
+            F.col("__s.a").cast("long").alias("peak"),
+            (-F.col("__s.b")).cast("long").alias("peak_epoch"),
+            F.col("__nn").cast("long").alias("n"),
+        )
+    )

@@ -1102,3 +1102,89 @@ def asof_join_scalable(
         ],
     )
     return _asof_finalize(out, left_cols, value_cols, tolerance_s)
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    limit: int | None = None,
+) -> DataFrame:
+    """Carry the last non-null observation forward, optionally at most
+    ``limit`` rows past it (pandas ``ffill(limit=...)``): the staleness
+    bound sensor pipelines use so a dead source stops reporting its
+    last reading after N grid steps. The reference's read-back path
+    exposes the same shape via its fill-value handling over the regular
+    temporal grid (``/root/reference/src/c3s_sm/interface.py`` read
+    methods return the mask-filled series downstream code forward-fills).
+
+    Adds ``<value_col>_ffill``. Leading nulls stay null (nothing to
+    carry); with ``limit=None`` every interior/trailing null is filled.
+
+    Plan: one hash shuffle on ``keys``, one per-key sort shared by both
+    window passes (row_number + the running last/max run in the same
+    sort order) — the same single-shuffle contract as every window
+    operator in this module. Requires a total order: ``ts_col`` must be
+    unique per key (pre-aggregate to the grid first), else the carry is
+    partition-order-dependent.
+    """
+    keys = list(keys)
+    if limit is not None and limit < 1:
+        raise ValueError(f"limit must be >= 1 or None, got {limit}")
+    v = F.col(value_col)
+    tmp = df.withColumn(
+        "__rn",
+        F.row_number().over(Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())),
+    )
+    # the carry window orders by ts (the SAME order __rn encodes) so
+    # Catalyst collapses both windows onto one per-key sort; ordering by
+    # the derived __rn would force a second sort of the same data
+    wb = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = F.last(v, ignorenulls=True).over(wb)
+    if limit is None:
+        filled = F.coalesce(v, carried)
+    else:
+        last_nn = F.max(F.when(v.isNotNull(), F.col("__rn"))).over(wb)
+        filled = F.when(v.isNotNull(), v).otherwise(
+            F.when(F.col("__rn") - last_nn <= F.lit(limit), carried)
+        )
+    return tmp.withColumn(f"{value_col}_ffill", filled).drop("__rn")
+
+
+def rolling_median2(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window_rows: int,
+    out_col: str = "med2",
+) -> DataFrame:
+    """Exact rolling median over a trailing ``window_rows``-row frame,
+    emitted DOUBLED (``med2 = 2 * median``) so integer (micro-unit)
+    inputs stay exactly integral: an even-count median is the midpoint
+    of two BIGINTs, and ``2 * midpoint = a + b`` is exact in float64 up
+    to 2^53 — the doubled value hashes bit-stably on every engine while
+    a ``x.5`` double would be at the mercy of each engine's formatting.
+
+    Exactness at scale: unlike a whole-group exact percentile (X12,
+    which buffers every group value), the frame bounds the working set
+    at ``window_rows`` values per row — memory is O(window), not
+    O(series), at any series length. Cost is O(n * window log window)
+    per key; for large windows switch to the mergeable sketch path
+    (X24) and accept the approximation.
+    """
+    keys = list(keys)
+    if window_rows < 1:
+        raise ValueError(f"window_rows must be >= 1, got {window_rows}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    med = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
+    return df.withColumn(out_col, (med * 2).cast("long"))

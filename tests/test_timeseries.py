@@ -904,3 +904,122 @@ def test_scalable_property_equivalence(spark):
             assert na == nb
 
     check()
+
+
+def test_forward_fill_limit_and_edges(spark):
+    rows = [
+        ("a", _ts("2024-01-01"), None),   # leading null: never filled
+        ("a", _ts("2024-01-02"), 10),
+        ("a", _ts("2024-01-03"), None),   # age 1 -> carried
+        ("a", _ts("2024-01-04"), None),   # age 2 -> carried
+        ("a", _ts("2024-01-05"), None),   # age 3 > limit=2 -> null
+        ("a", _ts("2024-01-06"), 20),
+        ("a", _ts("2024-01-07"), None),   # age 1 from the NEW obs
+        ("b", _ts("2024-01-01"), 7),
+        ("b", _ts("2024-01-02"), None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    from c3s_sm_spark.operators.timeseries import forward_fill
+
+    got = {
+        (r["k"], r["ts"].day): r["v_ffill"]
+        for r in forward_fill(df, ["k"], "ts", "v", limit=2).collect()
+    }
+    assert got == {
+        ("a", 1): None, ("a", 2): 10, ("a", 3): 10, ("a", 4): 10,
+        ("a", 5): None, ("a", 6): 20, ("a", 7): 20,
+        ("b", 1): 7, ("b", 2): 7,
+    }
+    # limit=None fills every null after the first observation
+    unbounded = {
+        (r["k"], r["ts"].day): r["v_ffill"]
+        for r in forward_fill(df, ["k"], "ts", "v", limit=None).collect()
+    }
+    assert unbounded[("a", 5)] == 10 and unbounded[("a", 1)] is None
+    # matches pandas ffill(limit=) on a random series
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = [int(x) if rng.random() > 0.4 else None for x in rng.integers(0, 100, 60)]
+    pdf = pd.DataFrame(
+        {
+            "k": ["r"] * 60,
+            "ts": pd.date_range("2024-01-01", periods=60, freq="D"),
+            "v": pd.array(vals, dtype="Int64"),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        forward_fill(sdf, ["k"], "ts", "v", limit=3)
+        .orderBy("ts")
+        .toPandas()["v_ffill"]
+        .astype("Int64")
+    )
+    expect = pdf["v"].ffill(limit=3)
+    assert out.isna().equals(expect.isna())
+    assert (out.dropna().to_numpy() == expect.dropna().to_numpy()).all()
+
+
+def test_rolling_median2_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 40 + ["b"] * 25,
+            "ts": list(pd.date_range("2024-01-01", periods=40, freq="D"))
+            + list(pd.date_range("2024-03-01", periods=25, freq="D")),
+            "v": rng.integers(-1000, 1000, 65),
+        }
+    )
+    from c3s_sm_spark.operators.timeseries import rolling_median2
+
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        rolling_median2(sdf, ["k"], "ts", "v", window_rows=7)
+        .orderBy("k", "ts")
+        .toPandas()
+    )
+    expect = (
+        pdf.sort_values(["k", "ts"])
+        .groupby("k")["v"]
+        .rolling(7, min_periods=1)
+        .median()
+        .reset_index(drop=True)
+        * 2
+    )
+    assert (got["med2"].to_numpy() == expect.to_numpy().astype("int64")).all()
+
+
+def test_cusum_scores_locates_mean_shift(spark):
+    # 20 days at 100 then 20 days at 200: |D_k| peaks exactly at the
+    # last pre-shift day; verify peak/argmax vs direct numpy
+    import numpy as np
+
+    vals = [100] * 20 + [200] * 20
+    rows = [
+        ("s", _ts("2024-01-01") + dt.timedelta(days=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, vm long")
+    from c3s_sm_spark.operators.anomaly import cusum_scores
+
+    [r] = cusum_scores(df, ["k"], ts_col="ts", micro_col="vm").collect()
+    v = np.array(vals, dtype=np.int64)
+    n, tot = len(v), v.sum()
+    d = np.abs(n * np.cumsum(v) - np.arange(1, n + 1) * tot)
+    assert r["peak"] == int(d.max()) and r["n"] == n
+    assert r["peak_epoch"] == int(
+        (_ts("2024-01-01") + dt.timedelta(days=int(d.argmax()))).timestamp()
+    )
+    assert int(d.argmax()) == 19  # the true break location
+    # flat series: peak 0, earliest ts wins the argmax tiebreak
+    flat = spark.createDataFrame(
+        [("f", _ts("2024-02-01") + dt.timedelta(days=i), 5) for i in range(4)],
+        "k string, ts timestamp, vm long",
+    )
+    [fr] = cusum_scores(flat, ["k"], ts_col="ts", micro_col="vm").collect()
+    assert fr["peak"] == 0
+    assert fr["peak_epoch"] == int(_ts("2024-02-01").timestamp())
