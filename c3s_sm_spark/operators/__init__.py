@@ -9,6 +9,10 @@ from c3s_sm_spark.operators.calendar import (  # noqa: F401
 )
 from c3s_sm_spark.operators.dedup import keep_latest, keep_top_k  # noqa: F401
 from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
+from c3s_sm_spark.operators.intervals import (  # noqa: F401
+    interval_join,
+    interval_overlap_join,
+)
 from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: F401
 from c3s_sm_spark.operators.salting import salted_repartition  # noqa: F401
 from c3s_sm_spark.operators.timeseries import (  # noqa: F401
@@ -17,6 +21,7 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     counter_increase,
     ewma,
     interp_linear_micro,
+    lag_corr_pieces,
     lttb,
     ohlc,
     paired_validation,
@@ -31,3 +36,4 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     validation_scores,
     value_histogram,
 )
+from c3s_sm_spark.operators.textstats import vocab_growth  # noqa: F401

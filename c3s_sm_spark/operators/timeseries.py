@@ -1156,6 +1156,50 @@ def forward_fill(
     return tmp.withColumn(f"{value_col}_ffill", filled).drop("__rn")
 
 
+def lag_corr_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    lag: int = 1,
+) -> DataFrame:
+    """Exact integer pieces of the lag-k autocorrelation per key — the
+    first ACF coefficient, the standard "is this series momentum or
+    noise" probe (and the health check a training pipeline runs on
+    per-source volume/quality series: white-noise daily token counts and
+    strongly autocorrelated ones need different drift thresholds).
+
+    Pairs ``x = v_t`` with ``y = v_{t-lag}`` (rows whose lag falls off
+    the series start drop out, pandas ``autocorr`` semantics) and emits
+    the same BIGINT sum pieces as :func:`paired_validation` — ``n_matched
+    sx sy sxy sxx syy`` — so :func:`validation_scores` turns them into
+    the float r with zero new float surface. ``value_col`` must already
+    be integer-scaled; the overflow bound is paired_validation's
+    (``n * max|v|^2 < 2^63``) — feed centi/1e-4 units, not micro.
+
+    Plan: one hash shuffle on ``keys``, the lag and the sums in one
+    per-key sort, then a map-side-combinable groupBy that reuses the
+    window's partitioning. Requires unique ``ts_col`` per key.
+    """
+    keys = list(keys)
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    x = F.col(value_col).cast("long")
+    pl = df.withColumn("__y", F.lag(x, lag).over(w)).filter(
+        F.col("__y").isNotNull() & x.isNotNull()
+    )
+    y = F.col("__y")
+    return pl.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+    )
+
+
 def rolling_median2(
     df: DataFrame,
     keys: Sequence[str],

@@ -1,0 +1,150 @@
+"""Interval-join pins: the bucketized equi-join plans must produce
+exactly the naive theta-join's rows (pair-for-pair, no duplicates from
+multi-bucket co-occurrence), the span guard must fail loudly on
+sentinel intervals, and NULL keys must group like the window-family
+operators do (eqNullSafe convention shared with timeseries carries).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from c3s_sm_spark.operators.intervals import interval_join, interval_overlap_join
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rows = [
+        Row(k="a", pid=1, ts=_ts("2024-01-01 00:00:05")),
+        Row(k="a", pid=2, ts=_ts("2024-01-01 01:30:00")),
+        Row(k="a", pid=3, ts=_ts("2024-01-01 23:59:59.750000")),
+        Row(k="b", pid=4, ts=_ts("2024-01-01 00:00:05")),
+        Row(k="b", pid=5, ts=_ts("2024-01-03 12:00:00")),
+        Row(k=None, pid=6, ts=_ts("2024-01-01 00:10:00")),
+        Row(k="c", pid=7, ts=_ts("2024-01-01 05:00:00")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def intervals(spark):
+    rows = [
+        # two overlapping intervals on "a": pid 1 hits both, pid 2 one
+        Row(k="a", iid=10, start=_ts("2024-01-01 00:00:00"),
+            end=_ts("2024-01-01 02:00:00")),
+        Row(k="a", iid=11, start=_ts("2024-01-01 00:00:05"),
+            end=_ts("2024-01-01 00:00:05")),  # degenerate point interval
+        # closed-end containment exactly at a fractional-second boundary
+        Row(k="a", iid=12, start=_ts("2024-01-01 23:00:00"),
+            end=_ts("2024-01-01 23:59:59.750000")),
+        Row(k="b", iid=13, start=_ts("2024-01-01 00:00:00"),
+            end=_ts("2024-01-02 00:00:00")),
+        # empty interval (end < start) must match nothing
+        Row(k="b", iid=14, start=_ts("2024-01-03 13:00:00"),
+            end=_ts("2024-01-03 11:00:00")),
+        # NULL key interval: groups with NULL-key points
+        Row(k=None, iid=15, start=_ts("2024-01-01 00:00:00"),
+            end=_ts("2024-01-01 01:00:00")),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _naive_contain(points, intervals):
+    """Reference semantics: eqNullSafe key + closed BETWEEN, via a
+    renamed cross-join filter (the quadratic plan the operator avoids)."""
+    iv = intervals.select(
+        F.col("k").alias("ik"),
+        F.col("iid").alias("iv_iid"),
+        F.col("start").alias("iv_start"),
+        F.col("end").alias("iv_end"),
+    )
+    return (
+        points.join(
+            iv,
+            F.col("k").eqNullSafe(F.col("ik"))
+            & (F.col("ts") >= F.col("iv_start"))
+            & (F.col("ts") <= F.col("iv_end")),
+            "inner",
+        )
+        .select("pid", "iv_iid")
+    )
+
+
+@pytest.mark.parametrize("bucket_s", [7, 3600, 86400])
+def test_interval_join_matches_naive(spark, points, intervals, bucket_s):
+    got = interval_join(
+        points, intervals, ["k"], ts_col="ts",
+        bucket_s=bucket_s, interval_cols=["iid", "start", "end"],
+    )
+    got_pairs = {(r["pid"], r["iv_iid"]) for r in got.collect()}
+    want_pairs = {
+        (r["pid"], r["iv_iid"]) for r in _naive_contain(points, intervals).collect()
+    }
+    assert got_pairs == want_pairs
+    # exactly-once: no bucket-induced duplicates
+    assert got.count() == len(got_pairs)
+    # spot semantics: pid 1 inside both "a" intervals, empty iid 14 gone,
+    # NULL key grouped, point 7 (key with no intervals) dropped
+    assert {(1, 10), (1, 11), (6, 15)} <= got_pairs
+    assert all(i != 14 for _, i in got_pairs)
+    assert all(p != 7 for p, _ in got_pairs)
+
+
+def test_interval_join_output_shape(points, intervals):
+    out = interval_join(points, intervals, ["k"], ts_col="ts")
+    assert out.columns == points.columns + ["iv_start", "iv_end"]
+
+
+def test_interval_join_span_guard(spark, points):
+    sentinel = spark.createDataFrame(
+        [Row(k="a", start=_ts("2024-01-01 00:00:00"),
+             end=_ts("9999-12-31 00:00:00"))]
+    )
+    out = interval_join(
+        points, sentinel, ["k"], ts_col="ts", bucket_s=3600,
+        max_span_buckets=1000,
+    )
+    with pytest.raises(Exception, match="buckets"):
+        out.collect()
+
+
+def _naive_overlap(left, right):
+    r = right.select(
+        F.col("k").alias("rk"),
+        F.col("iid").alias("iv_iid"),
+        F.col("start").alias("iv_start"),
+        F.col("end").alias("iv_end"),
+    )
+    return (
+        left.join(
+            r,
+            F.col("k").eqNullSafe(F.col("rk"))
+            & (F.col("start") <= F.col("iv_end"))
+            & (F.col("iv_start") <= F.col("end")),
+            "inner",
+        )
+        .filter(F.col("iid") != F.col("iv_iid"))
+        .select(F.col("iid").alias("a"), F.col("iv_iid").alias("b"))
+    )
+
+
+@pytest.mark.parametrize("bucket_s", [60, 3600, 86400])
+def test_overlap_join_matches_naive(spark, intervals, bucket_s):
+    iv = intervals.filter(F.col("end") >= F.col("start"))
+    got = interval_overlap_join(
+        iv, iv, ["k"], bucket_s=bucket_s, right_cols=["iid", "start", "end"]
+    ).filter(F.col("iid") != F.col("iv_iid"))
+    got_pairs = [(r["iid"], r["iv_iid"]) for r in got.collect()]
+    want_pairs = {(r["a"], r["b"]) for r in _naive_overlap(iv, iv).collect()}
+    assert set(got_pairs) == want_pairs
+    # canonical-bucket dedup: each pair exactly once even when the
+    # overlap spans many shared buckets
+    assert len(got_pairs) == len(set(got_pairs))

@@ -833,3 +833,71 @@ def test_ivf_zero_embedding_does_not_poison_assignment(spark):
     got = {r["doc_id"]: r["list_id"] for r in ivf_index(df, cents).collect()}
     # the unit vectors must NOT all collapse onto one list
     assert len({got["d0"], got["d1"]}) == 2
+
+
+def test_vocab_growth_hand_corpus(spark):
+    """First-sighting credit, empty-doc handling and the running Heaps
+    pairs, pinned on a corpus small enough to verify by eye."""
+    from c3s_sm_spark.operators.textstats import vocab_growth
+
+    rows = [
+        (0, "the cat sat"),
+        (1, "the   dog"),          # "the" already seen; collapse spaces
+        (2, "   "),                # whitespace-only: contributes nothing
+        (3, "cat and dog and cat"),
+        (5, "new words here"),
+        (9, ""),                   # empty bucket 4 must not appear
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["bucket"]: r
+        for r in vocab_growth(df, bucket_size=2).collect()
+    }
+    # bucket 0: docs 0,1 -> tokens the,cat,sat,dog (4 new, 5 occurrences)
+    # bucket 1: docs 2,3 -> new "and" (2 occurrences of it; 5 tokens)
+    # bucket 2: doc 5 -> 3 new; bucket 4 (doc 9) empty -> absent
+    assert set(got) == {0, 1, 2}
+    assert (got[0]["n_new_tokens"], got[0]["n_tokens"]) == (4, 5)
+    assert (got[1]["n_new_tokens"], got[1]["n_tokens"]) == (1, 5)
+    assert (got[2]["n_new_tokens"], got[2]["n_tokens"]) == (3, 3)
+    assert [got[b]["vocab_size"] for b in (0, 1, 2)] == [4, 5, 8]
+    assert [got[b]["cum_tokens"] for b in (0, 1, 2)] == [5, 10, 13]
+
+
+def test_vocab_growth_matches_bruteforce(spark, docs):
+    """On real sf documents: running vocab equals the brute-force
+    cumulative distinct, and the final vocab_size equals the corpus-wide
+    distinct token count (bucketing must not change the total)."""
+    from c3s_sm_spark.operators.textstats import vocab_growth, words_col
+
+    got = sorted(
+        vocab_growth(docs, bucket_size=25).collect(),
+        key=lambda r: r["bucket"],
+    )
+    pdf = docs.select("doc_id", words_col("text").alias("ws")).toPandas()
+    seen: set[str] = set()
+    expect = {}
+    for b in sorted({d // 25 for d in pdf["doc_id"]}):
+        chunk = pdf[pdf["doc_id"] // 25 == b]
+        toks = [t for ws in chunk["ws"] for t in ws]
+        if not toks:
+            continue
+        before = len(seen)
+        seen.update(toks)
+        expect[b] = (len(seen) - before, len(seen), len(toks))
+    assert [(r["bucket"], r["n_new_tokens"], r["vocab_size"], r["n_tokens"])
+            for r in got] == [
+        (b, e[0], e[1], e[2]) for b, e in sorted(expect.items())
+    ]
+    n_distinct = docs.select(
+        F.explode(words_col("text")).alias("t")
+    ).distinct().count()
+    assert got[-1]["vocab_size"] == n_distinct
+
+
+def test_vocab_growth_rejects_bad_bucket(spark):
+    from c3s_sm_spark.operators.textstats import vocab_growth
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="bucket_size"):
+        vocab_growth(df, bucket_size=0)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from c3s_sm_spark.operators.timeseries import (
@@ -1023,3 +1024,45 @@ def test_cusum_scores_locates_mean_shift(spark):
     [fr] = cusum_scores(flat, ["k"], ts_col="ts", micro_col="vm").collect()
     assert fr["peak"] == 0
     assert fr["peak_epoch"] == int(_ts("2024-02-01").timestamp())
+
+
+def test_lag_corr_pieces_matches_pandas_autocorr(spark):
+    """Lag-1 and lag-2 sum pieces must reproduce pandas Series.autocorr
+    exactly when fed through validation_scores, and rows whose lag falls
+    off the series start must drop out (n_matched = n - lag)."""
+    import pandas as pd
+
+    from c3s_sm_spark.operators.timeseries import (
+        lag_corr_pieces,
+        validation_scores,
+    )
+
+    vals = {
+        "a": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5],
+        "b": [10, 20, 15, 25, 30, 5],
+    }
+    rows = [
+        (k, float(i), int(v))
+        for k, series in vals.items()
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v long")
+    for lag in (1, 2):
+        got = {
+            r["k"]: r
+            for r in validation_scores(
+                lag_corr_pieces(df, ["k"], "ts", "v", lag=lag)
+            ).collect()
+        }
+        for k, series in vals.items():
+            expected = pd.Series(series, dtype="float64").autocorr(lag=lag)
+            assert got[k]["n_matched"] == len(series) - lag
+            assert got[k]["pearson_r"] == pytest.approx(expected, abs=1e-12)
+
+
+def test_lag_corr_pieces_rejects_bad_lag(spark):
+    from c3s_sm_spark.operators.timeseries import lag_corr_pieces
+
+    df = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, v long")
+    with pytest.raises(ValueError, match="lag"):
+        lag_corr_pieces(df, ["k"], "ts", "v", lag=0)
