@@ -1610,6 +1610,68 @@ def _q_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_scores(daily, ["user_id"], ts_col="day", micro_col="vm")
 
 
+def _q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 point-in-interval join: purchases landing inside per-(user,
+    day) error-activity windows [min ts, max ts]. The operator plans a
+    (key, time-bucket) equi-join — never the quadratic theta-join the
+    naive BETWEEN formulation degrades to on hot keys; the DuckDB oracle
+    IS that naive formulation, pinning exact containment semantics.
+    Timestamps emitted as epoch microseconds (exact BIGINT both engines).
+    """
+    _prep(spark)
+    from c3s_sm_spark.operators.intervals import interval_join
+
+    ev = _events(spark, sf_dir)
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .drop("d")
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out = interval_join(pts, iv, ["user_id"], ts_col="ts", bucket_s=3600)
+    return out.select(
+        "user_id",
+        "event_id",
+        # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the
+        # cast is the identity and unix_micros stays exact
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("iv_start").cast("timestamp")).alias("start_us"),
+        F.unix_micros(F.col("iv_end").cast("timestamp")).alias("end_us"),
+    )
+
+
+def _q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 lag-1 autocorrelation pieces of per-user daily purchase sums
+    (1e-4 scaling like X42 validation: squares of daily sums stay far
+    inside int64 where micro units would overflow). All-BIGINT output;
+    validation_scores derives the float ACF outside the witness."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import lag_corr_pieces
+
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(v4).alias("v4"))
+    )
+    return lag_corr_pieces(daily, ["user_id"], "day", "v4", lag=1)
+
+
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 vocabulary-growth (Heaps' law) curve: new distinct tokens per
+    doc_id bucket of 50 with running vocabulary and token totals —
+    first-sighting via one token-string groupBy, per-bucket totals via
+    sum(size(words)) with no token shuffle at all."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), bucket_size=50)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1717,6 +1779,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_limit": _q_ffill_limit,
         "rolling_median": _q_rolling_median,
         "cusum_change": _q_cusum_change,
+        # late-r4 additions: interval joins (X52), lag-k autocorrelation
+        # pieces (X53) and the Heaps-law vocabulary curve (X54) —
+        # oracled + mirror-checked, pytest-pinned in test_intervals.py /
+        # test_timeseries.py / test_textops.py:
+        "interval_join": _q_interval_join,
+        "lag_corr": _q_lag_corr,
+        "vocab_growth": _q_vocab_growth,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2681,6 +2750,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(m.n AS BIGINT) AS n
             FROM d JOIN m ON d.user_id = m.user_id AND d.absd = m.peak
             GROUP BY d.user_id, m.peak, m.n
+        """,
+        # X52: the naive BETWEEN formulation — correct (and fine at
+        # oracle scale) but quadratic on hot keys, which is exactly what
+        # the bucketized operator avoids. epoch_us is exact (events ts
+        # carry microseconds).
+        "interval_join": """
+            WITH iv AS (
+              SELECT user_id, min(ts) AS s, max(ts) AS e
+              FROM events WHERE event_type = 'error'
+              GROUP BY user_id, date_trunc('day', ts)),
+            p AS (
+              SELECT user_id, event_id, ts FROM events
+              WHERE event_type = 'purchase')
+            SELECT p.user_id, p.event_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                   CAST(epoch_us(iv.s) AS BIGINT) AS start_us,
+                   CAST(epoch_us(iv.e) AS BIGINT) AS end_us
+            FROM p JOIN iv
+              ON p.user_id = iv.user_id AND p.ts BETWEEN iv.s AND iv.e
+        """,
+        "lag_corr": """
+            WITH p AS (
+              SELECT user_id,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                     CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                       AS v4
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+            l AS (
+              SELECT user_id, v4 AS x,
+                     lag(v4) OVER (PARTITION BY user_id ORDER BY day) AS y
+              FROM p)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_matched,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x*y) AS BIGINT) AS sxy,
+                   CAST(sum(x*x) AS BIGINT) AS sxx,
+                   CAST(sum(y*y) AS BIGINT) AS syy
+            FROM l WHERE y IS NOT NULL GROUP BY user_id
+        """,
+        # X54: same whitespace-collapse token convention as token_stats;
+        # empty docs contribute 0 tokens and all-empty buckets drop.
+        "vocab_growth": r"""
+            WITH w AS (
+              SELECT doc_id // 50 AS bucket,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                  ' ') AS ws,
+                     length(trim(text)) AS lt
+              FROM documents),
+            toks AS (SELECT bucket, unnest(ws) AS tok FROM w WHERE lt > 0),
+            firsts AS (SELECT tok, min(bucket) AS fb FROM toks GROUP BY 1),
+            news AS (SELECT fb AS bucket, count(*) AS n_new
+                     FROM firsts GROUP BY 1),
+            occ AS (
+              SELECT bucket,
+                     sum(CASE WHEN lt = 0 THEN 0 ELSE len(ws) END) AS n_tok
+              FROM w GROUP BY 1
+              HAVING sum(CASE WHEN lt = 0 THEN 0 ELSE len(ws) END) > 0)
+            SELECT CAST(occ.bucket AS BIGINT) AS bucket,
+                   CAST(coalesce(news.n_new, 0) AS BIGINT) AS n_new_tokens,
+                   CAST(sum(coalesce(news.n_new, 0))
+                        OVER (ORDER BY occ.bucket) AS BIGINT) AS vocab_size,
+                   CAST(occ.n_tok AS BIGINT) AS n_tokens,
+                   CAST(sum(occ.n_tok)
+                        OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_tokens
+            FROM occ LEFT JOIN news ON news.bucket = occ.bucket
         """,
         "time_weighted": f"""
             WITH e AS (
