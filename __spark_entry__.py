@@ -1672,6 +1672,39 @@ def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth(_docs(spark, sf_dir), bucket_size=50)
 
 
+def _q_vocab_growth_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 sketch path of the vocabulary curve: fixed-size HLL per
+    bucket + triangular sketch-union cumulative — shuffle payload
+    independent of vocabulary size. Rows-only (sketch internals are
+    engine-specific); pinned within 5% of the exact curve, with exact
+    token totals, in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import vocab_growth_approx
+
+    return vocab_growth_approx(_docs(spark, sf_dir), bucket_size=50)
+
+
+def _q_char_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 characteristic terms: per-doc top-3 tokens by the exact
+    integer tf-idf surrogate tf * (N intdiv df) — the ranking is
+    bit-stable across engines, unlike a float tf*log(N/df) whose top-k
+    boundary depends on transcendental rounding."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import characteristic_terms
+
+    return characteristic_terms(_docs(spark, sf_dir), k=3)
+
+
+def _q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 token-distribution drift between two sources: top-20 tokens
+    by the exact cross term |c_a*n_b - c_b*n_a| (rate difference cleared
+    of division). Global top-n plans as TakeOrderedAndProject."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import source_divergence
+
+    return source_divergence(_docs(spark, sf_dir), "src0", "src1", top_n=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1786,6 +1819,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "lag_corr": _q_lag_corr,
         "vocab_growth": _q_vocab_growth,
+        # X55 exact-integer tf-idf terms and X57 source drift (oracled);
+        # X56 is the HLL sketch path of X54 (rows-only, pytest-pinned
+        # within sketch error of the exact curve):
+        "char_terms": _q_char_terms,
+        "source_drift": _q_source_drift,
+        "vocab_growth_hll": _q_vocab_growth_hll,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2816,6 +2855,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(occ.n_tok)
                         OVER (ORDER BY occ.bucket) AS BIGINT) AS cum_tokens
             FROM occ LEFT JOIN news ON news.bucket = occ.bucket
+        """,
+        # X55: N // df is DuckDB integer division — the twin of Spark's
+        # floor(N/df) on positive ints (< 2^53, exact in double).
+        "char_terms": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                  ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+            tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS nd FROM w),
+            s AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, dfq.df,
+                     tf.tf * (n.nd // dfq.df) AS weight
+              FROM tf JOIN dfq ON tf.tok = dfq.tok CROSS JOIN n),
+            r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY weight DESC, tok ASC) AS rn
+              FROM s)
+            SELECT doc_id, tok, CAST(tf AS BIGINT) AS tf,
+                   CAST(df AS BIGINT) AS df,
+                   CAST(weight AS BIGINT) AS weight,
+                   CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 3
+        """,
+        "source_drift": r"""
+            WITH t AS (
+              SELECT source = 'src0' AS is_a,
+                     unnest(string_split(
+                       regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS tok
+              FROM documents
+              WHERE source IN ('src0', 'src1') AND length(trim(text)) > 0),
+            c AS (
+              SELECT tok,
+                     count(*) FILTER (is_a) AS c_a,
+                     count(*) FILTER (NOT is_a) AS c_b
+              FROM t GROUP BY 1),
+            n AS (SELECT sum(c_a) AS na, sum(c_b) AS nb FROM c),
+            s AS (
+              SELECT tok, c_a, c_b, abs(c_a * n.nb - c_b * n.na) AS score
+              FROM c CROSS JOIN n),
+            r AS (
+              SELECT tok, c_a, c_b, score,
+                     row_number() OVER (ORDER BY score DESC, tok ASC) AS rn
+              FROM s)
+            SELECT tok, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+                   CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 20
         """,
         "time_weighted": f"""
             WITH e AS (

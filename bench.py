@@ -70,6 +70,11 @@ HEADLINE = [
     "drought_pct",
     "resample_5m",
     "topk_per_key",
+    "ffill_limit",
+    "rolling_median",
+    "cusum_change",
+    "interval_join",
+    "lag_corr",
     "rollup_quantiles",
     "rollup_quantiles_approx",
     "cell_pivot",
@@ -87,6 +92,10 @@ HEADLINE = [
     "dedup_exact",
     "doc_fingerprint",
     "token_stats",
+    "vocab_growth",
+    "vocab_growth_hll",
+    "char_terms",
+    "source_drift",
     "text_quality",
     "lang_id",
     "quality_select",

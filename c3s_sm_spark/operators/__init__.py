@@ -36,4 +36,9 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     validation_scores,
     value_histogram,
 )
-from c3s_sm_spark.operators.textstats import vocab_growth  # noqa: F401
+from c3s_sm_spark.operators.textstats import (  # noqa: F401
+    characteristic_terms,
+    source_divergence,
+    vocab_growth,
+    vocab_growth_approx,
+)

@@ -220,3 +220,199 @@ def vocab_growth(
             F.sum("n_tokens").over(cum).cast("long").alias("cum_tokens"),
         )
     )
+
+
+def characteristic_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document characteristic terms: the k tokens that best
+    distinguish each document, ranked tf-idf-style but with an EXACT
+    integer weight — ``tf * (N intdiv df)`` (term frequency times the
+    integer rarity ``corpus_docs // doc_frequency``) — so the ranking,
+    and therefore the survivor set, is bit-identical on any engine (a
+    float ``tf*log(N/df)`` score would make the top-k boundary depend on
+    engine-specific transcendental rounding). Ties break on token text
+    ascending; ``rn`` is the 1-based rank.
+
+    Output: ``(doc_id, tok, tf, df, weight, rn)``, all counts BIGINT.
+
+    Plan, scale-first: one explode feeding a (doc, token) count whose
+    partial aggregation collapses repeats map-side; doc frequency is a
+    second small agg OVER the first (never a count-distinct over raw
+    occurrences); the corpus size N joins in as a broadcast single-row
+    relation; the final per-doc top-k is a rank filter that
+    WindowGroupLimit prunes to local top-k before the shuffle (same
+    property as keep_top_k / keep_latest). No token ever crosses the
+    wire more than once per containing doc.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("doc_id", F.explode(words_col(text_col)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.filter(F.size(words_col(text_col)) > 0).select(
+        F.count(F.lit(1)).cast("long").alias("__nd")
+    )
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            # ints < 2^53 are exact in double, and positive truncation
+            # equals intdiv — the oracle twin is DuckDB's `//`
+            (F.col("tf") * F.floor(F.col("__nd") / F.col("df")).cast("long"))
+            .cast("long")
+            .alias("weight"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("weight").desc(), F.col("tok").asc()
+    )
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("long")
+    ).filter(F.col("rn") <= k)
+
+
+def vocab_growth_approx(
+    docs: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    bucket_size: int = 1000,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Sketch-based vocabulary-growth curve — the 100 TB escape hatch
+    for :func:`vocab_growth`, mirroring the X12 exact / X24 sketch
+    pairing. The exact path's token groupBy shuffles one record per
+    distinct token, which at a true web vocabulary (1e9+ types) is a
+    heavyweight shuffle run for every curve refresh; this variant
+    aggregates each bucket into ONE fixed-size (2^lg_k registers)
+    Apache DataSketches HLL, so the shuffle payload is
+    ``n_buckets * ~4 KB`` regardless of vocabulary size, and the
+    cumulative union composes per-bucket sketches instead of
+    re-scanning prior buckets.
+
+    Output: ``(bucket, n_tokens, cum_tokens, vocab_est)`` where
+    ``vocab_est`` is the estimated DISTINCT tokens seen in buckets
+    ``<= bucket`` (standard HLL error ~1.04/sqrt(2^lg_k), ~1.6% at the
+    default). Exact-token totals stay exact (no sketch needed — they
+    are plain sums).
+
+    Plan: one explode + per-bucket sketch agg (mergeable, map-side
+    partial); the cumulative union is a bucket x bucket triangular
+    self-join over the SKETCH rows only — n_buckets^2 sketch merges,
+    thousands at most, never touching token data again. No SQL oracle
+    (sketch internals are engine-specific); pinned against the exact
+    curve in tests.
+    """
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    w = words_col(text_col)
+    b = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
+    sk = (
+        docs.select(b.alias("bucket"), F.explode(w).alias("tok"))
+        .groupBy("bucket")
+        .agg(F.hll_sketch_agg("tok", F.lit(lg_k)).alias("sk"))
+    )
+    occ = (
+        docs.select(b.alias("bucket"), F.size(w).cast("long").alias("__n"))
+        .groupBy("bucket")
+        .agg(F.sum("__n").cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    cum = (
+        sk.alias("a")
+        .join(
+            F.broadcast(sk.select(F.col("bucket").alias("b2"), F.col("sk").alias("sk2"))),
+            F.col("a.bucket") >= F.col("b2"),
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk2"))
+            .cast("long")
+            .alias("vocab_est")
+        )
+    )
+    from pyspark.sql import Window
+
+    run = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        occ.select(
+            "bucket",
+            "n_tokens",
+            F.sum("n_tokens").over(run).cast("long").alias("cum_tokens"),
+        )
+        .join(cum, "bucket", "left")
+    )
+
+
+def source_divergence(
+    docs: DataFrame,
+    src_a: str,
+    src_b: str,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_n: int = 20,
+) -> DataFrame:
+    """Token-distribution drift between two corpus sources: the top_n
+    tokens whose usage RATE differs most between ``src_a`` and ``src_b``
+    — the first diagnostic when a crawl source shifts domain, language
+    mix, or boilerplate (and the contamination probe when one "source"
+    is an eval set). Scored by the exact cross term
+    ``|c_a * n_b - c_b * n_a|`` (count in one source times the OTHER
+    source's total), which is ``n_a * n_b * |rate_a - rate_b|`` cleared
+    of division — all-BIGINT, so ranking and survivors are bit-stable
+    across engines. Exactness bound: ``max(c) * max(n) < 2^63`` holds
+    through ~3e9 tokens per side; beyond that compute double rates
+    (the ordering no longer needs exactness once counts dwarf any
+    plausible tie).
+
+    Output: ``(tok, c_a, c_b, score, rn)``, rn 1-based by
+    (score desc, tok asc).
+
+    Plan: one explode into a single conditional-count groupBy on the
+    token (both sources counted in one pass, partial-agg map-side);
+    totals broadcast as a one-row relation; the global top-n is an
+    ``orderBy().limit()`` the optimizer plans as TakeOrderedAndProject —
+    distributed per-partition top-n + driver merge of n-row heads, never
+    a single-task global sort. The rank column is added AFTER the limit,
+    over top_n rows.
+    """
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    from pyspark.sql import Window
+
+    is_a = F.col(source_col) == src_a
+    toks = docs.filter(is_a | (F.col(source_col) == src_b)).select(
+        is_a.alias("__a"), F.explode(words_col(text_col)).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count_if(F.col("__a")).cast("long").alias("c_a"),
+        F.count_if(~F.col("__a")).cast("long").alias("c_b"),
+    )
+    totals = counts.select(
+        F.sum("c_a").cast("long").alias("__na"),
+        F.sum("c_b").cast("long").alias("__nb"),
+    )
+    scored = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "c_a",
+        "c_b",
+        F.abs(F.col("c_a") * F.col("__nb") - F.col("c_b") * F.col("__na"))
+        .cast("long")
+        .alias("score"),
+    )
+    top = scored.orderBy(F.col("score").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("score").desc(), F.col("tok").asc())
+    return top.withColumn("rn", F.row_number().over(w).cast("long"))

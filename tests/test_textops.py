@@ -901,3 +901,100 @@ def test_vocab_growth_rejects_bad_bucket(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="bucket_size"):
         vocab_growth(df, bucket_size=0)
+
+
+def test_characteristic_terms_hand_corpus(spark):
+    """Exact integer tf*(N//df) ranking with token-text tiebreak,
+    verified against a corpus computed by hand."""
+    from c3s_sm_spark.operators.textstats import characteristic_terms
+
+    rows = [
+        (0, "apple apple banana common"),
+        (1, "banana cherry common"),
+        (2, "common cherry"),
+        (3, "   "),  # empty doc: excluded from N and emits no terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["rn"]): (r["tok"], r["tf"], r["df"], r["weight"])
+        for r in characteristic_terms(df, k=2).collect()
+    }
+    # N=3. df: apple 1, banana 2, cherry 2, common 3.
+    # doc 0: apple tf2*(3//1=3)=6 > banana 1*(3//2=1)=1 = common 1*1=1
+    #        -> banana beats common on token text
+    assert got[(0, 1)] == ("apple", 2, 1, 6)
+    assert got[(0, 2)] == ("banana", 1, 2, 1)
+    # doc 2: cherry 1*1=1, common 1*1=1 -> cherry first alphabetically
+    assert got[(2, 1)] == ("cherry", 1, 2, 1)
+    assert got[(2, 2)] == ("common", 1, 3, 1)
+    assert not any(d == 3 for d, _ in got)
+
+
+def test_vocab_growth_approx_tracks_exact(spark, docs):
+    """The HLL curve must be within sketch error of the exact curve,
+    share its exact token totals, and be monotone non-decreasing."""
+    from c3s_sm_spark.operators.textstats import (
+        vocab_growth,
+        vocab_growth_approx,
+    )
+
+    exact = {
+        r["bucket"]: r for r in vocab_growth(docs, bucket_size=50).collect()
+    }
+    approx = sorted(
+        vocab_growth_approx(docs, bucket_size=50, lg_k=12).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in approx] == sorted(exact)
+    prev = 0
+    for r in approx:
+        e = exact[r["bucket"]]
+        assert r["n_tokens"] == e["n_tokens"]
+        assert r["cum_tokens"] == e["cum_tokens"]
+        assert r["vocab_est"] == pytest.approx(e["vocab_size"], rel=0.05)
+        assert r["vocab_est"] >= prev  # union over a superset of buckets
+        prev = r["vocab_est"]
+
+
+def test_source_divergence_hand_corpus(spark):
+    """Cross-term scoring |c_a*n_b - c_b*n_a|, one-source tokens at the
+    top, tie order by token text."""
+    from c3s_sm_spark.operators.textstats import source_divergence
+
+    rows = [
+        (0, "x x x shared", "a"),
+        (1, "shared shared", "a"),
+        (2, "y shared", "b"),
+        (3, "shared z", "b"),
+        (4, "noise", "c"),  # other sources excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [
+        (r["tok"], r["c_a"], r["c_b"], r["score"], r["rn"])
+        for r in source_divergence(df, "a", "b", top_n=10).collect()
+    ]
+    # n_a=6, n_b=4. x: |3*4-0|=12; y,z: |0-1*6|=6;
+    # shared: c_a=3 (doc1 has it twice), c_b=2 -> |3*4-2*6|=0
+    assert got[0] == ("x", 3, 0, 12, 1)
+    assert [g[0] for g in got[1:]] == ["y", "z", "shared"]
+    assert [g[3] for g in got[1:]] == [6, 6, 0]
+    assert [g[4] for g in got] == [1, 2, 3, 4]
+    assert all(g[0] != "noise" for g in got)
+
+
+def test_source_divergence_top_n_cut_is_deterministic(spark, docs):
+    """The top_n boundary must be stable: re-running with a larger n and
+    truncating gives the same head."""
+    from c3s_sm_spark.operators.textstats import source_divergence
+
+    srcs = [r["source"] for r in docs.select("source").distinct().collect()]
+    a, b = sorted(srcs)[:2]
+    small = [
+        (r["tok"], r["score"], r["rn"])
+        for r in source_divergence(docs, a, b, top_n=10).collect()
+    ]
+    big = [
+        (r["tok"], r["score"], r["rn"])
+        for r in source_divergence(docs, a, b, top_n=40).collect()
+    ]
+    assert small == big[:10]
