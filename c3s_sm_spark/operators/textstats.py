@@ -238,14 +238,17 @@ def characteristic_terms(
 
     Output: ``(doc_id, tok, tf, df, weight, rn)``, all counts BIGINT.
 
-    Plan, scale-first: one explode feeding a (doc, token) count whose
+    Plan, scale-first: ONE explode feeding a (doc, token) count whose
     partial aggregation collapses repeats map-side; doc frequency is a
-    second small agg OVER the first (never a count-distinct over raw
-    occurrences); the corpus size N joins in as a broadcast single-row
-    relation; the final per-doc top-k is a rank filter that
-    WindowGroupLimit prunes to local top-k before the shuffle (same
-    property as keep_top_k / keep_latest). No token ever crosses the
-    wire more than once per containing doc.
+    ``count over (partition by tok)`` window on that SAME relation —
+    deliberately not a ``tf.groupBy(tok)`` + join back, which (a) makes
+    Spark recompute the whole explode+agg a second time (no declarative
+    subplan reuse) and (b) ends in a vocabulary-sized join that is NOT
+    broadcastable at web scale. The corpus size N is the only extra
+    input, a count-only single-row broadcast. The final per-doc top-k
+    is a rank filter that WindowGroupLimit prunes to local top-k before
+    the shuffle (same property as keep_top_k / keep_latest). Total: one
+    corpus explode, shuffles on (doc,tok) -> tok -> doc, no token join.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -256,12 +259,12 @@ def characteristic_terms(
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = docs.filter(F.size(words_col(text_col)) > 0).select(
         F.count(F.lit(1)).cast("long").alias("__nd")
     )
+    wdf = Window.partitionBy("tok")
     scored = (
-        tf.join(dfreq, "tok")
+        tf.withColumn("df", F.count(F.lit(1)).over(wdf).cast("long"))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -383,7 +386,10 @@ def source_divergence(
 
     Plan: one explode into a single conditional-count groupBy on the
     token (both sources counted in one pass, partial-agg map-side);
-    totals broadcast as a one-row relation; the global top-n is an
+    per-source token TOTALS come from an explode-free ``sum(size(
+    words))`` scan — summing totals from the per-token counts would
+    force Spark to recompute the whole explode + vocabulary aggregation
+    a second time (no declarative subplan reuse). The global top-n is an
     ``orderBy().limit()`` the optimizer plans as TakeOrderedAndProject —
     distributed per-partition top-n + driver merge of n-row heads, never
     a single-task global sort. The rank column is added AFTER the limit,
@@ -394,16 +400,18 @@ def source_divergence(
     from pyspark.sql import Window
 
     is_a = F.col(source_col) == src_a
-    toks = docs.filter(is_a | (F.col(source_col) == src_b)).select(
+    both = docs.filter(is_a | (F.col(source_col) == src_b))
+    toks = both.select(
         is_a.alias("__a"), F.explode(words_col(text_col)).alias("tok")
     )
     counts = toks.groupBy("tok").agg(
         F.count_if(F.col("__a")).cast("long").alias("c_a"),
         F.count_if(~F.col("__a")).cast("long").alias("c_b"),
     )
-    totals = counts.select(
-        F.sum("c_a").cast("long").alias("__na"),
-        F.sum("c_b").cast("long").alias("__nb"),
+    n_tok = F.size(words_col(text_col)).cast("long")
+    totals = both.select(
+        F.sum(F.when(is_a, n_tok).otherwise(F.lit(0))).cast("long").alias("__na"),
+        F.sum(F.when(~is_a, n_tok).otherwise(F.lit(0))).cast("long").alias("__nb"),
     )
     scored = counts.crossJoin(F.broadcast(totals)).select(
         "tok",
