@@ -79,6 +79,45 @@ def _expand(
     )
 
 
+def _carry_list(want: list[str], start_col: str, end_col: str) -> list[str]:
+    """Requested output columns plus the bounds the predicate needs."""
+    carry = list(want)
+    for c in (start_col, end_col):
+        if c not in carry:
+            carry.append(c)
+    return carry
+
+
+def _expand_side(
+    intervals: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+    max_span_buckets: int,
+    carry: list[str],
+):
+    """Expanded interval side with keys renamed ``__ik{i}`` and carried
+    columns prefixed ``iv_``, plus the (bucket, null-safe keys) join
+    condition builder — the scaffolding both joins share, factored so a
+    fix to either applies to both."""
+    exp = _expand(
+        intervals, keys, start_col, end_col, bucket_s, max_span_buckets, carry
+    ).select(
+        *[F.col(k).alias(f"__ik{i}") for i, k in enumerate(keys)],
+        *[F.col(c).alias(f"iv_{c}") for c in carry if c not in keys],
+        "__ib",
+    )
+
+    def cond(bucket_col: str) -> Column:
+        c = F.col(bucket_col) == F.col("__ib")
+        for i, k in enumerate(keys):
+            c = c & F.col(k).eqNullSafe(F.col(f"__ik{i}"))
+        return c
+
+    return exp, cond
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -97,7 +136,10 @@ def interval_join(
 
     A point matching k intervals emits k rows; a point matching none is
     dropped (inner semantics — left-semi/anti variants are one filter away
-    on the caller side). Each (point, interval) pair meets EXACTLY once:
+    on the caller side). Reversed intervals (``end < start``) denote the
+    EMPTY SET under the closed-interval reading and match nothing (here
+    that also follows from the predicate itself). Each (point, interval)
+    pair meets EXACTLY once:
     the point lives in one bucket, and the interval covers that bucket
     once, so no post-join dedup is needed (the overlap join below does
     need one).
@@ -110,22 +152,12 @@ def interval_join(
     """
     keys = list(keys)
     want = list(interval_cols) if interval_cols is not None else [start_col, end_col]
-    carry = list(want)
-    for c in (start_col, end_col):
-        if c not in carry:
-            carry.append(c)
-    exp = _expand(
+    carry = _carry_list(want, start_col, end_col)
+    exp, cond = _expand_side(
         intervals, keys, start_col, end_col, bucket_s, max_span_buckets, carry
-    ).select(
-        *[F.col(k).alias(f"__ik{i}") for i, k in enumerate(keys)],
-        *[F.col(c).alias(f"iv_{c}") for c in carry if c not in keys],
-        "__ib",
     )
     pts = points.withColumn("__b", _bucket(F.col(ts_col), bucket_s))
-    cond = F.col("__b") == F.col("__ib")
-    for i, k in enumerate(keys):
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__ik{i}"))
-    joined = pts.join(exp, cond, "inner").filter(
+    joined = pts.join(exp, cond("__b"), "inner").filter(
         (F.col(ts_col) >= F.col(f"iv_{start_col}"))
         & (F.col(ts_col) <= F.col(f"iv_{end_col}"))
     )
@@ -158,30 +190,29 @@ def interval_overlap_join(
     Output: all ``left`` columns + requested right columns as
     ``iv_<col>`` (default: right start/end). Same bucket-width and
     ``max_span_buckets`` contract as :func:`interval_join`.
+
+    Reversed intervals (``end < start``) are the EMPTY SET under the
+    closed-interval reading and are dropped from BOTH sides before
+    joining. NOTE this deliberately differs from the raw predicate
+    ``l.start <= r.end AND r.start <= l.end``, which a naive theta-join
+    would satisfy for some reversed rows (e.g. [13:00, 11:00] against
+    [10:00, 14:00]) — an empty set overlaps nothing, so those matches
+    are semantic noise. Pre-normalize (swap the bounds) if reversed
+    rows are meant as valid intervals.
     """
     keys = list(keys)
     want = list(right_cols) if right_cols is not None else [right_start, right_end]
-    carry = list(want)
-    for c in (right_start, right_end):
-        if c not in carry:
-            carry.append(c)
-    exp_r = _expand(
+    carry = _carry_list(want, right_start, right_end)
+    exp_r, cond = _expand_side(
         right, keys, right_start, right_end, bucket_s, max_span_buckets, carry
-    ).select(
-        *[F.col(k).alias(f"__ik{i}") for i, k in enumerate(keys)],
-        *[F.col(c).alias(f"iv_{c}") for c in carry if c not in keys],
-        "__ib",
     )
     exp_l = _expand(
         left, keys, left_start, left_end, bucket_s, max_span_buckets, list(left.columns)
     ).withColumnRenamed("__ib", "__b")
-    cond = F.col("__b") == F.col("__ib")
-    for i, k in enumerate(keys):
-        cond = cond & F.col(k).eqNullSafe(F.col(f"__ik{i}"))
     lb = _bucket(F.col(left_start), bucket_s)
     rb = _bucket(F.col(f"iv_{right_start}"), bucket_s)
     joined = (
-        exp_l.join(exp_r, cond, "inner")
+        exp_l.join(exp_r, cond("__b"), "inner")
         .filter(
             (F.col(left_start) <= F.col(f"iv_{right_end}"))
             & (F.col(f"iv_{right_start}") <= F.col(left_end))

@@ -180,11 +180,16 @@ def vocab_growth(
 
     Negative ``order_col`` values bucket by floor division (Spark
     semantics); the DuckDB oracle twin pins non-negative ids only.
+    Rows with NULL ``order_col`` are EXCLUDED up front: a NULL bucket
+    would silently swallow first-sightings (min over only-NULL buckets
+    yields a NULL news row that a null-rejecting equi-join drops), so
+    the curve would undercount without this filter.
     """
     if bucket_size < 1:
         raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
     from pyspark.sql import Window
 
+    docs = docs.filter(F.col(order_col).isNotNull())
     w = words_col(text_col)
     b = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
     toks = docs.select(b.alias("bucket"), F.explode(w).alias("tok"))
@@ -311,20 +316,31 @@ def vocab_growth_approx(
     are plain sums).
 
     Plan: one explode + per-bucket sketch agg (mergeable, map-side
-    partial); the cumulative union is a bucket x bucket triangular
-    self-join over the SKETCH rows only — n_buckets^2 sketch merges,
-    thousands at most, never touching token data again. No SQL oracle
+    partial); the sketch relation is then eagerly localCheckpoint-ed —
+    it appears on BOTH sides of the cumulative self-join, and without
+    the materialization Spark recomputes the whole corpus explode +
+    sketch aggregation a second time (no declarative subplan reuse —
+    the same double-explode flaw the char_terms/source_drift audit
+    caught; verified on the executed plan). The cumulative union is a
+    bucket x bucket triangular self-join over the checkpointed SKETCH
+    rows only — n_buckets^2 sketch merges, thousands at most, never
+    touching token data again. Rows with NULL ``order_col`` are
+    excluded (same contract as :func:`vocab_growth`). No SQL oracle
     (sketch internals are engine-specific); pinned against the exact
     curve in tests.
     """
     if bucket_size < 1:
         raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    docs = docs.filter(F.col(order_col).isNotNull())
     w = words_col(text_col)
     b = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
     sk = (
         docs.select(b.alias("bucket"), F.explode(w).alias("tok"))
         .groupBy("bucket")
         .agg(F.hll_sketch_agg("tok", F.lit(lg_k)).alias("sk"))
+        # bucket-count-sized (fixed ~4 KB sketches); pays the corpus
+        # explode exactly once for both sides of the self-join below
+        .localCheckpoint(eager=True)
     )
     occ = (
         docs.select(b.alias("bucket"), F.size(w).cast("long").alias("__n"))

@@ -148,3 +148,26 @@ def test_overlap_join_matches_naive(spark, intervals, bucket_s):
     # canonical-bucket dedup: each pair exactly once even when the
     # overlap spans many shared buckets
     assert len(got_pairs) == len(set(got_pairs))
+
+
+def test_overlap_join_drops_reversed_intervals_both_sides(spark):
+    """end < start = the empty set: dropped from BOTH sides, even where
+    the raw two-sided predicate would match a naive theta-join."""
+    rows = [
+        Row(k="a", iid=1, start=_ts("2024-01-01 13:00:00"),
+            end=_ts("2024-01-01 11:00:00")),  # reversed
+        Row(k="a", iid=2, start=_ts("2024-01-01 10:00:00"),
+            end=_ts("2024-01-01 14:00:00")),
+        Row(k="a", iid=3, start=_ts("2024-01-01 12:00:00"),
+            end=_ts("2024-01-01 15:00:00")),
+    ]
+    iv = spark.createDataFrame(rows)
+    got = {
+        (r["iid"], r["iv_iid"])
+        for r in interval_overlap_join(
+            iv, iv, ["k"], right_cols=["iid"]
+        ).collect()
+    }
+    # the raw predicate holds for (1,2)/(2,1), but 1 is empty -> only
+    # the 2<->3 genuine overlap (and self-pairs of valid rows) survive
+    assert got == {(2, 2), (3, 3), (2, 3), (3, 2)}

@@ -998,3 +998,27 @@ def test_source_divergence_top_n_cut_is_deterministic(spark, docs):
         for r in source_divergence(docs, a, b, top_n=40).collect()
     ]
     assert small == big[:10]
+
+
+def test_vocab_growth_excludes_null_order_rows(spark):
+    """NULL order_col rows are excluded up front — otherwise a token
+    seen only in a NULL-bucket doc is credited to no bucket and the
+    running vocab_size silently undercounts."""
+    from c3s_sm_spark.operators.textstats import (
+        vocab_growth,
+        vocab_growth_approx,
+    )
+
+    rows = [(0, "alpha beta"), (None, "alpha ghost"), (2, "alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["bucket"]: r for r in vocab_growth(df, bucket_size=2).collect()}
+    assert set(got) == {0, 1}
+    # 'ghost' lives only in the NULL row: contributes nowhere
+    assert got[1]["vocab_size"] == 2
+    assert got[0]["n_tokens"] == 2  # NULL row's tokens not counted either
+    approx = {
+        r["bucket"]: r
+        for r in vocab_growth_approx(df, bucket_size=2).collect()
+    }
+    assert set(approx) == {0, 1}
+    assert all(r["vocab_est"] is not None for r in approx.values())
