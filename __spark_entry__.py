@@ -1695,6 +1695,17 @@ def _q_char_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return characteristic_terms(_docs(spark, sf_dir), k=3)
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 context-window chunking: 64-token windows at stride 48 (25%
+    overlap) — pure column expressions (sequence explode + slice +
+    array_join), whole-stage codegen, ZERO shuffles at any corpus
+    size."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+
+
 def _q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X57 token-distribution drift between two sources: top-20 tokens
     by the exact cross term |c_a*n_b - c_b*n_a| (rate difference cleared
@@ -1825,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_terms": _q_char_terms,
         "source_drift": _q_source_drift,
         "vocab_growth_hll": _q_vocab_growth_hll,
+        # X58 context-window chunking (oracled):
+        "doc_chunks": _q_doc_chunks,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2905,6 +2918,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
                    CAST(score AS BIGINT) AS score, CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 20
+        """,
+        # X58: DuckDB list slicing is 1-based inclusive and clamps at
+        # the list end — the exact twin of Spark slice(arr, start, len).
+        "doc_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                  ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            s AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws), 48)) AS start_tok
+              FROM w)
+            SELECT doc_id,
+                   CAST((start_tok - 1) // 48 AS BIGINT) AS chunk_id,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(len(ws[start_tok:start_tok + 63]) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(ws[start_tok:start_tok + 63], ' ')
+                     AS chunk_text
+            FROM s
         """,
         "time_weighted": f"""
             WITH e AS (

@@ -96,6 +96,7 @@ HEADLINE = [
     "vocab_growth_hll",
     "char_terms",
     "source_drift",
+    "doc_chunks",
     "text_quality",
     "lang_id",
     "quality_select",

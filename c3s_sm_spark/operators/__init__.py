@@ -38,6 +38,7 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
 )
 from c3s_sm_spark.operators.textstats import (  # noqa: F401
     characteristic_terms,
+    chunk_documents,
     source_divergence,
     vocab_growth,
     vocab_growth_approx,

@@ -10,6 +10,8 @@ oracle uses the identical pipeline).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -440,3 +442,63 @@ def source_divergence(
     top = scored.orderBy(F.col("score").desc(), F.col("tok").asc()).limit(top_n)
     w = Window.orderBy(F.col("score").desc(), F.col("tok").asc())
     return top.withColumn("rn", F.row_number().over(w).cast("long"))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    stride: int | None = None,
+    carry_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size token windows — the
+    context-window chunking step that turns raw documents into
+    training-sequence candidates (e.g. 512-token chunks with a 384
+    stride for 25% overlap). The final partial chunk is kept (standard
+    practice; filter ``n_tokens`` on the caller side to drop tails).
+
+    ``stride`` defaults to ``chunk_tokens`` (non-overlapping);
+    ``stride < chunk_tokens`` overlaps, ``stride > chunk_tokens``
+    subsamples with gaps. Empty docs produce no chunks. Output:
+    ``doc_id`` (+ any ``carry_cols``), ``chunk_id`` (0-based),
+    ``start_tok`` (1-based first token ordinal), ``n_tokens`` (BIGINT,
+    <= chunk_tokens), ``chunk_text`` (the window re-joined with single
+    spaces — tokenization is the shared whitespace-collapse convention,
+    so re-chunking the chunk is the identity).
+
+    Plan: pure column expressions end to end — words array, a
+    ``sequence(1, n, stride)`` explode, ``slice`` + ``array_join`` —
+    whole-stage codegen, ZERO shuffles at any corpus size; output rows
+    stream straight to the consumer (typically seq_pack, X30, which
+    does the packing shuffle). Each input row fans out to
+    ceil(n/stride) rows, so partition output size scales with document
+    length — pair with a pre-repartition if the corpus mixes books and
+    tweets and downstream is width-sensitive.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    stride = chunk_tokens if stride is None else stride
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    w = words_col(text_col)
+    carry = list(carry_cols) if carry_cols is not None else []
+    base = docs.select(
+        "doc_id", *carry, w.alias("__ws"), F.size(w).alias("__n")
+    ).filter(F.col("__n") > 0)
+    exploded = base.select(
+        "doc_id",
+        *carry,
+        "__ws",
+        F.explode(
+            F.sequence(F.lit(1), F.col("__n"), F.lit(stride))
+        ).alias("start_tok"),
+    )
+    piece = F.slice(F.col("__ws"), F.col("start_tok"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        *carry,
+        ((F.col("start_tok") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -1022,3 +1022,67 @@ def test_vocab_growth_excludes_null_order_rows(spark):
     }
     assert set(approx) == {0, 1}
     assert all(r["vocab_est"] is not None for r in approx.values())
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    """Hand-checked 3-token windows with stride 2: overlap, partial
+    tail, single-token doc, empty doc."""
+    from c3s_sm_spark.operators.textstats import chunk_documents
+
+    rows = [(0, "a b c d e f g"), (1, "x"), (2, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(df, chunk_tokens=3, stride=2).collect()
+    }
+    texts = {k: v["chunk_text"] for k, v in got.items()}
+    assert texts == {
+        (0, 0): "a b c",
+        (0, 1): "c d e",
+        (0, 2): "e f g",
+        (0, 3): "g",
+        (1, 0): "x",
+    }
+    assert got[(0, 3)]["n_tokens"] == 1
+    assert got[(0, 2)]["start_tok"] == 5
+    assert not any(d == 2 for d, _ in got)
+
+
+def test_chunk_documents_nonoverlapping_reconstructs(spark, docs):
+    """stride == chunk_tokens: chunks partition the token stream — the
+    in-order concatenation equals the normalized text and token counts
+    add back up."""
+    from c3s_sm_spark.operators.textstats import chunk_documents, words_col
+
+    sub = docs.limit(40)
+    out = chunk_documents(sub, chunk_tokens=64).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    norm = {
+        r["doc_id"]: (r["joined"], r["n"])
+        for r in sub.select(
+            "doc_id",
+            F.array_join(words_col("text"), " ").alias("joined"),
+            F.size(words_col("text")).alias("n"),
+        ).collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_id"])
+        assert " ".join(c["chunk_text"] for c in chunks) == norm[doc_id][0]
+        assert sum(c["n_tokens"] for c in chunks) == norm[doc_id][1]
+        assert [c["start_tok"] for c in chunks] == [
+            1 + 64 * i for i in range(len(chunks))
+        ]
+    # every non-empty doc chunked
+    assert set(by_doc) == {d for d, (_, n) in norm.items() if n > 0}
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from c3s_sm_spark.operators.textstats import chunk_documents
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, chunk_tokens=4, stride=0)
