@@ -174,3 +174,49 @@ def stream_sessionize(
             "n_events",
         )
     )
+
+
+def stream_interval_tag(
+    points_stream: DataFrame,
+    intervals: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_s: int = 3600,
+    interval_cols: list[str] | None = None,
+    max_span_buckets: int = 100_000,
+) -> DataFrame:
+    """Streaming point-in-interval enrichment: tag each arriving event
+    with every same-key STATIC interval containing its timestamp — the
+    live version of "which maintenance window / campaign / outage is
+    this event inside" (``operators.intervals.interval_join`` is the
+    batch twin and supplies the entire implementation).
+
+    A stream-static INNER equi-join is stateless in Structured
+    Streaming — each micro-batch joins against the static side with no
+    streaming state, no watermark requirement, and the static relation
+    re-evaluated per batch (so an interval table backed by a snapshot
+    store picks up newly registered windows on the next trigger). The
+    bucketized formulation matters doubly here: Structured Streaming
+    REJECTS the naive ``BETWEEN``-only formulation outright unless it
+    can find an equality predicate, and the (key, bucket) equi-join is
+    exactly that predicate, with the same exactly-once pair semantics
+    as the batch operator.
+
+    Unmatched events are dropped (inner semantics); run a second
+    pass-through sink if the unmatched stream is also needed.
+    """
+    from c3s_sm_spark.operators.intervals import interval_join
+
+    return interval_join(
+        points_stream,
+        intervals,
+        keys,
+        ts_col=ts_col,
+        start_col=start_col,
+        end_col=end_col,
+        bucket_s=bucket_s,
+        interval_cols=interval_cols,
+        max_span_buckets=max_span_buckets,
+    )

@@ -160,3 +160,48 @@ def test_stream_sessionize_matches_native_batch_sessions(spark, tmp_path):
             r["n_events"],
         )
         assert key in exp_set
+
+
+def test_stream_interval_tag_matches_batch(spark, tmp_path):
+    """Stream-static interval tagging over >1 micro-batch equals the
+    batch interval_join on the same data (stateless per-batch join)."""
+    from c3s_sm_spark.operators.intervals import interval_join
+    from c3s_sm_spark.streaming.refresh import stream_interval_tag
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.min("ts").alias("start"), F.max("ts").alias("end"))
+        .drop("d")
+    )
+    pts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    in_dir = str(tmp_path / "in")
+    pts.repartition(4).write.parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(pts.schema)
+        .option("maxFilesPerTrigger", 1)  # force several micro-batches
+        .parquet(in_dir)
+    )
+    tagged = stream_interval_tag(stream, iv, ["user_id"], bucket_s=3600)
+    q = (
+        tagged.writeStream.format("memory")
+        .queryName("iv_tag")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["iv_start"], r["iv_end"])
+        for r in spark.table("iv_tag").collect()
+    }
+    want = {
+        (r["event_id"], r["iv_start"], r["iv_end"])
+        for r in interval_join(pts, iv, ["user_id"], bucket_s=3600).collect()
+    }
+    assert got == want and len(want) > 0
