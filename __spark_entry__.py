@@ -1706,6 +1706,34 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
 
 
+def _q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 gaps-and-islands interval merge: 30-minute activity windows
+    around each click, merged per user into maximal islands — the
+    union-length view that coverage/SLA math needs (summing raw
+    durations double-counts overlap). One key shuffle; running-max-end
+    island detection reuses the window sort."""
+    _prep(spark)
+    from c3s_sm_spark.operators.intervals import merge_intervals
+
+    iv = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("interval 30 minutes")).alias("end"),
+        )
+    )
+    out = merge_intervals(iv, ["user_id"])
+    return out.select(
+        "user_id",
+        "island_id",
+        F.unix_timestamp(F.col("start").cast("timestamp")).alias("start_ep"),
+        F.unix_timestamp(F.col("end").cast("timestamp")).alias("end_ep"),
+        "n_intervals",
+    )
+
+
 def _q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X57 token-distribution drift between two sources: top-20 tokens
     by the exact cross term |c_a*n_b - c_b*n_a| (rate difference cleared
@@ -1836,8 +1864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_terms": _q_char_terms,
         "source_drift": _q_source_drift,
         "vocab_growth_hll": _q_vocab_growth_hll,
-        # X58 context-window chunking (oracled):
+        # X58 context-window chunking and X59 interval merge (oracled):
         "doc_chunks": _q_doc_chunks,
+        "merge_intervals": _q_merge_intervals,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2939,6 +2968,34 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ws[start_tok:start_tok + 63], ' ')
                      AS chunk_text
             FROM s
+        """,
+        # X59: identical running-max-end island construction; equal
+        # (start, end) ties cannot change island membership or the
+        # per-island aggregates, so the window order is effectively
+        # deterministic.
+        "merge_intervals": """
+            WITH iv AS (
+              SELECT user_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+              FROM events WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS pme
+              FROM iv),
+            g AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - 1 AS island
+              FROM r)
+            SELECT user_id,
+                   CAST(island AS BIGINT) AS island_id,
+                   CAST(floor(epoch(min(s))) AS BIGINT) AS start_ep,
+                   CAST(floor(epoch(max(e))) AS BIGINT) AS end_ep,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM g GROUP BY user_id, island
         """,
         "time_weighted": f"""
             WITH e AS (

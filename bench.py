@@ -74,6 +74,7 @@ HEADLINE = [
     "rolling_median",
     "cusum_change",
     "interval_join",
+    "merge_intervals",
     "lag_corr",
     "rollup_quantiles",
     "rollup_quantiles_approx",

@@ -12,6 +12,7 @@ from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
 from c3s_sm_spark.operators.intervals import (  # noqa: F401
     interval_join,
     interval_overlap_join,
+    merge_intervals,
 )
 from c3s_sm_spark.operators.rollup import cascade, rollup  # noqa: F401
 from c3s_sm_spark.operators.salting import salted_repartition  # noqa: F401

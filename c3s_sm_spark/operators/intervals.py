@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -220,3 +220,59 @@ def interval_overlap_join(
         .filter(F.col("__b") == F.greatest(lb, rb))
     )
     return joined.select(*left.columns, *[f"iv_{c}" for c in want if c not in keys])
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    keys: Sequence[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping or touching same-key intervals into maximal
+    islands (the classic gaps-and-islands aggregation): the union of
+    [09:00,10:00], [09:30,11:00], [11:00,11:15] is one island
+    [09:00,11:15]. Closed-interval reading — touching endpoints merge;
+    reversed intervals (end < start) are empty sets and are dropped, the
+    same contract as the joins above. The island set is what coverage /
+    total-outage-time / SLA math needs (summing raw durations
+    double-counts overlap).
+
+    Output: keys + ``island_id`` (0-based per key, in time order),
+    ``start_col`` (island min start), ``end_col`` (island max end),
+    ``n_intervals`` (BIGINT members merged).
+
+    Plan: ONE hash shuffle on ``keys``; island detection is a running
+    ``max(end)`` window over the per-key start-sorted stream (an
+    interval starts a new island iff its start exceeds every earlier
+    end), then a cumulative-sum island ordinal and a groupBy that
+    reuses the window's partitioning — no join, no second shuffle. A
+    single hot key serializes into one task (the standard window
+    caveat); the two-phase range-chunk pattern
+    (``timeseries.sessionize_scalable``) applies if one key owns
+    billions of intervals.
+    """
+    keys = list(keys)
+    base = intervals.filter(F.col(end_col) >= F.col(start_col))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(start_col).asc(), F.col(end_col).asc()
+    )
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    tagged = base.withColumn(
+        "__island",
+        (
+            F.sum(is_new).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).cast("long"),
+    )
+    return tagged.groupBy(*keys, "__island").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    ).withColumnRenamed("__island", "island_id")

@@ -171,3 +171,35 @@ def test_overlap_join_drops_reversed_intervals_both_sides(spark):
     # the raw predicate holds for (1,2)/(2,1), but 1 is empty -> only
     # the 2<->3 genuine overlap (and self-pairs of valid rows) survive
     assert got == {(2, 2), (3, 3), (2, 3), (3, 2)}
+
+
+def test_merge_intervals_islands(spark):
+    """Gaps-and-islands: overlap and touch merge, gaps split, reversed
+    rows drop, NULL keys group, island ids are time-ordered per key."""
+    from c3s_sm_spark.operators.intervals import merge_intervals
+
+    rows = [
+        Row(k="a", start=_ts("2024-01-01 09:00:00"), end=_ts("2024-01-01 10:00:00")),
+        Row(k="a", start=_ts("2024-01-01 09:30:00"), end=_ts("2024-01-01 11:00:00")),
+        Row(k="a", start=_ts("2024-01-01 11:00:00"), end=_ts("2024-01-01 11:15:00")),  # touches
+        Row(k="a", start=_ts("2024-01-01 12:00:00"), end=_ts("2024-01-01 12:30:00")),  # gap -> new island
+        # containment: a short interval inside a long earlier one must
+        # NOT split the island even though its end < running max end
+        Row(k="b", start=_ts("2024-01-01 00:00:00"), end=_ts("2024-01-01 08:00:00")),
+        Row(k="b", start=_ts("2024-01-01 01:00:00"), end=_ts("2024-01-01 02:00:00")),
+        Row(k="b", start=_ts("2024-01-01 03:00:00"), end=_ts("2024-01-01 09:00:00")),
+        Row(k="b", start=_ts("2024-01-01 10:00:00"), end=_ts("2024-01-01 09:00:00")),  # reversed: dropped
+        Row(k=None, start=_ts("2024-01-01 00:00:00"), end=_ts("2024-01-01 01:00:00")),
+    ]
+    got = {
+        (r["k"], r["island_id"]): (r["start"], r["end"], r["n_intervals"])
+        for r in merge_intervals(spark.createDataFrame(rows), ["k"]).collect()
+    }
+    assert got[("a", 0)] == (
+        _ts("2024-01-01 09:00:00"), _ts("2024-01-01 11:15:00"), 3)
+    assert got[("a", 1)] == (
+        _ts("2024-01-01 12:00:00"), _ts("2024-01-01 12:30:00"), 1)
+    assert got[("b", 0)] == (
+        _ts("2024-01-01 00:00:00"), _ts("2024-01-01 09:00:00"), 3)
+    assert got[(None, 0)][2] == 1
+    assert len(got) == 4
