@@ -1,0 +1,266 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the training-corpus preparation pipeline.
+
+The token-side sibling of ``jobs/rollup_job.py``: where that job runs the
+reference-shaped tier cascade, this one runs the corpus stages a
+training-data pipeline performs on a raw documents table —
+
+    stats    per-doc token/quality/lang/pattern profile -> parquet + JSON
+    filter   quality gate (min quality / token bounds / lang) -> parquet
+    dedup    near-dup removal (MinHash-LSH default, --exact for
+             n-gram-Jaccard pairs) -> surviving docs parquet
+    chunk    context-window chunking (fixed tokens + stride) -> parquet
+    pack     two-phase-scan sequence packing of chunks into fixed
+             token-budget bins -> parquet
+    curve    vocabulary-growth curve (exact, or --hll sketch) -> JSON rows
+    drift    token-distribution drift between two sources -> JSON rows
+    pipeline stats -> filter -> dedup -> chunk -> pack in one run
+
+Every stage reads/writes plain parquet directories under ``--out`` so
+stages compose across separate spark-submit invocations (each stage is
+idempotent: pure overwrite of its own output directory). Cluster launch::
+
+    spark-submit --py-files dist/c3s_sm_spark.zip jobs/corpus_job.py \
+        --input /data/documents --out /data/corpus pipeline
+
+Local (this sandbox)::
+
+    python jobs/corpus_job.py --input /root/testdata/sf0.001/documents.parquet \
+        --out /tmp/corpus pipeline --chunk-tokens 64 --budget 512
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from c3s_sm_spark.session import get_spark, ship_package  # noqa: E402
+
+
+def _spark(args) -> SparkSession:
+    s = get_spark(app_name=f"corpus_job:{args.cmd}", master=args.master)
+    ship_package(s)
+    return s
+
+
+def _docs(spark: SparkSession, args) -> DataFrame:
+    return spark.read.parquet(args.input)
+
+
+def _emit(payload: dict) -> None:
+    print(json.dumps(payload, sort_keys=True))
+
+
+def _write(df: DataFrame, out: str, name: str) -> str:
+    path = os.path.join(out, name)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def cmd_stats(spark: SparkSession, args) -> str:
+    from c3s_sm_spark.operators.textstats import (
+        lang_id,
+        pattern_counts,
+        quality_score,
+        token_stats,
+    )
+
+    docs = _docs(spark, args)
+    prof = (
+        token_stats(docs)
+        .join(quality_score(docs).select("doc_id", "quality"), "doc_id")
+        .join(lang_id(docs).select("doc_id", "lang_pred"), "doc_id")
+        .join(pattern_counts(docs).select("doc_id", "n_urls", "digit_ratio"),
+              "doc_id")
+    )
+    path = _write(prof, args.out, "stats")
+    agg = prof.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("mean_quality"),
+    ).head()
+    _emit({"stage": "stats", "path": path, "n_docs": agg["n_docs"],
+           "total_tokens": agg["total_tokens"],
+           "mean_quality": agg["mean_quality"]})
+    return path
+
+
+def cmd_filter(spark: SparkSession, args) -> str:
+    from c3s_sm_spark.operators.textstats import quality_score
+
+    docs = _docs(spark, args)
+    q = quality_score(docs).select("doc_id", "quality", "n_tokens")
+    kept = (
+        docs.join(q, "doc_id")
+        .filter(
+            (F.col("quality") >= args.min_quality)
+            & (F.col("n_tokens") >= args.min_tokens)
+            & (F.col("n_tokens") <= args.max_tokens)
+        )
+        .drop("quality", "n_tokens")
+    )
+    path = _write(kept, args.out, "filtered")
+    _emit({"stage": "filter", "path": path,
+           "n_in": docs.count(), "n_kept": kept.count()})
+    return path
+
+
+def cmd_dedup(spark: SparkSession, args) -> str:
+    from c3s_sm_spark.operators.dedup_text import (
+        dedup_corpus,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, args)
+    pairs = None
+    if args.exact:
+        pairs = ngram_jaccard_pairs(
+            docs, k=args.shingle_k, threshold=args.threshold
+        ).select("a", "b")
+    kept = dedup_corpus(
+        docs, k=args.shingle_k, verify_threshold=args.threshold, pairs=pairs
+    )
+    path = _write(kept, args.out, "deduped")
+    _emit({"stage": "dedup", "path": path, "exact": bool(args.exact),
+           "n_in": docs.count(), "n_kept": kept.count()})
+    return path
+
+
+def cmd_chunk(spark: SparkSession, args) -> str:
+    from c3s_sm_spark.operators.textstats import chunk_documents
+
+    docs = _docs(spark, args)
+    chunks = chunk_documents(
+        docs,
+        chunk_tokens=args.chunk_tokens,
+        stride=args.stride,
+        carry_cols=[c for c in ("source",) if c in docs.columns],
+    )
+    path = _write(chunks, args.out, "chunks")
+    agg = chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).head()
+    _emit({"stage": "chunk", "path": path, "n_chunks": agg["n_chunks"],
+           "total_tokens": agg["total_tokens"]})
+    return path
+
+
+def cmd_pack(spark: SparkSession, args) -> str:
+    from c3s_sm_spark.operators.sampling import pack_sequences
+
+    chunks = spark.read.parquet(args.input)
+    # pack needs one sortable id per row; chunks carry (doc_id, chunk_id)
+    keyed = chunks.withColumn(
+        "chunk_uid",
+        F.concat_ws(
+            "#", F.col("doc_id").cast("string"),
+            F.lpad(F.col("chunk_id").cast("string"), 6, "0"),
+        ),
+    )
+    packed = pack_sequences(
+        keyed, budget=args.budget, token_col="n_tokens", id_col="chunk_uid"
+    )
+    path = _write(packed, args.out, "packed")
+    nb = packed.agg(F.countDistinct("bin_id").alias("b")).head()["b"]
+    _emit({"stage": "pack", "path": path, "budget": args.budget,
+           "n_rows": packed.count(), "n_bins": nb})
+    return path
+
+
+def cmd_curve(spark: SparkSession, args) -> None:
+    from c3s_sm_spark.operators.textstats import (
+        vocab_growth,
+        vocab_growth_approx,
+    )
+
+    docs = _docs(spark, args)
+    fn = vocab_growth_approx if args.hll else vocab_growth
+    rows = [
+        r.asDict() for r in fn(docs, bucket_size=args.bucket_size)
+        .orderBy("bucket").collect()
+    ]
+    _emit({"stage": "curve", "hll": bool(args.hll), "rows": rows})
+
+
+def cmd_drift(spark: SparkSession, args) -> None:
+    from c3s_sm_spark.operators.textstats import source_divergence
+
+    rows = [
+        r.asDict()
+        for r in source_divergence(
+            _docs(spark, args), args.src_a, args.src_b, top_n=args.top_n
+        ).collect()
+    ]
+    _emit({"stage": "drift", "a": args.src_a, "b": args.src_b, "rows": rows})
+
+
+def cmd_pipeline(spark: SparkSession, args) -> None:
+    cmd_stats(spark, args)
+    args.input = cmd_filter(spark, args)
+    args.input = cmd_dedup(spark, args)
+    args.input = cmd_chunk(spark, args)
+    cmd_pack(spark, args)
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="input parquet path")
+    p.add_argument("--out", required=True, help="output base directory")
+    p.add_argument("--master", default="local[8]")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("stats")
+    f = sub.add_parser("filter")
+    d = sub.add_parser("dedup")
+    c = sub.add_parser("chunk")
+    k = sub.add_parser("pack")
+    v = sub.add_parser("curve")
+    g = sub.add_parser("drift")
+    pl = sub.add_parser("pipeline")
+
+    for sp in (f, pl):
+        sp.add_argument("--min-quality", type=float, default=0.0)
+        sp.add_argument("--min-tokens", type=int, default=1)
+        sp.add_argument("--max-tokens", type=int, default=1_000_000)
+    for sp in (d, pl):
+        sp.add_argument("--exact", action="store_true",
+                        help="exact n-gram Jaccard pairs instead of LSH")
+        sp.add_argument("--shingle-k", type=int, default=2)
+        sp.add_argument("--threshold", type=float, default=0.5)
+    for sp in (c, pl):
+        sp.add_argument("--chunk-tokens", type=int, default=512)
+        sp.add_argument("--stride", type=int, default=None)
+    for sp in (k, pl):
+        sp.add_argument("--budget", type=int, default=4096)
+    v.add_argument("--bucket-size", type=int, default=1000)
+    v.add_argument("--hll", action="store_true")
+    g.add_argument("--src-a", required=True)
+    g.add_argument("--src-b", required=True)
+    g.add_argument("--top-n", type=int, default=20)
+
+    args = p.parse_args(argv)
+    spark = _spark(args)
+    {
+        "stats": cmd_stats,
+        "filter": cmd_filter,
+        "dedup": cmd_dedup,
+        "chunk": cmd_chunk,
+        "pack": cmd_pack,
+        "curve": cmd_curve,
+        "drift": cmd_drift,
+        "pipeline": cmd_pipeline,
+    }[args.cmd](spark, args)
+
+
+if __name__ == "__main__":
+    main()

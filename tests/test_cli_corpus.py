@@ -1,0 +1,96 @@
+"""CLI-vs-API parity for the corpus-preparation job (same pattern as
+test_cli_parity.py: the subprocess CLI must reproduce the in-process
+API stage-for-stage on identical input)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _run_cli(out: str) -> dict:
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "pipeline", "--chunk-tokens", "64", "--budget", "512",
+      "--min-tokens", "2"])
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    stages = {}
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            d = json.loads(line)
+            stages[d["stage"]] = d
+    return stages
+
+
+def test_corpus_cli_pipeline_parity(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    stages = _run_cli(out)
+    assert set(stages) == {"stats", "filter", "dedup", "chunk", "pack"}
+
+    from c3s_sm_spark.operators.dedup_text import dedup_corpus
+    from c3s_sm_spark.operators.textstats import (
+        chunk_documents,
+        quality_score,
+        words_col,
+    )
+
+    docs = spark.read.parquet(DOCS)
+    # filter stage: same predicate in-process
+    q = quality_score(docs).select("doc_id", "n_tokens")
+    kept_api = docs.join(q, "doc_id").filter(F.col("n_tokens") >= 2)
+    assert stages["filter"]["n_kept"] == kept_api.count()
+
+    # dedup stage: survivor COUNT matches the in-process composition on
+    # the filtered corpus (the survivor set itself is deterministic)
+    deduped_cli = spark.read.parquet(stages["dedup"]["path"])
+    api_survivors = dedup_corpus(
+        kept_api.drop("n_tokens"), k=2, verify_threshold=0.5
+    )
+    assert {r["doc_id"] for r in deduped_cli.select("doc_id").collect()} == {
+        r["doc_id"] for r in api_survivors.select("doc_id").collect()
+    }
+
+    # chunk stage: parquet rows == in-process chunking of the deduped set
+    chunks_cli = spark.read.parquet(stages["chunk"]["path"])
+    chunks_api = chunk_documents(deduped_cli, chunk_tokens=64)
+    assert chunks_cli.count() == stages["chunk"]["n_chunks"]
+    assert (
+        chunks_cli.select("doc_id", "chunk_id", "chunk_text")
+        .exceptAll(chunks_api.select("doc_id", "chunk_id", "chunk_text"))
+        .isEmpty()
+    )
+    # token conservation: chunk totals equal the deduped corpus totals
+    total_api = deduped_cli.select(
+        F.sum(F.size(words_col("text"))).alias("t")
+    ).head()["t"]
+    assert stages["chunk"]["total_tokens"] == total_api
+
+    # pack stage: bin_id = floor(stream_prefix / budget), so a chunk
+    # straddling a boundary may push its bin past the budget by at most
+    # chunk_tokens - 1; the exclusive offset itself always sits inside
+    packed = spark.read.parquet(stages["pack"]["path"])
+    assert packed.filter(
+        (F.col("pos_in_bin") < 0) | (F.col("pos_in_bin") >= 512)
+    ).isEmpty()
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_bin.filter(F.col("t") > 512 + 63).isEmpty()
+    assert stages["pack"]["n_bins"] == per_bin.count()
+    assert stages["pack"]["n_rows"] == stages["chunk"]["n_chunks"]
