@@ -153,6 +153,7 @@ def vocab_growth(
     text_col: str = "text",
     order_col: str = "doc_id",
     bucket_size: int = 1000,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """Vocabulary-growth (Heaps' law) curve over corpus position: how
     many NEW distinct tokens each ``order_col``-range bucket of documents
@@ -174,11 +175,12 @@ def vocab_growth(
     The final cumulative window runs over one row per bucket (corpus
     span / bucket_size rows — thousands, not billions), which is the
     only single-task stage and is bounded by construction. At 100 TB the
-    token-string shuffle is the cost center; if the vocabulary is
-    genuinely web-scale (1e9+ types), swap the groupBy key to the X1
-    two-lane-xxhash 128-bit content key — the curve is then exact up to
-    ~7e-22 collision odds, but loses the DuckDB-oracle twin, which is
-    why the default stays exact strings.
+    token-string shuffle is the cost center: ``hash_tokens=True`` swaps
+    the groupBy key for the X1 two-lane-xxhash 128-bit content key (16
+    fixed bytes per distinct token through the shuffle instead of the
+    string) — the curve is then exact up to ~7e-22 collision odds at
+    10^12 types, but loses the DuckDB-oracle twin, which is why the
+    default stays exact strings (equality pinned in tests).
 
     Negative ``order_col`` values bucket by floor division (Spark
     semantics); the DuckDB oracle twin pins non-negative ids only.
@@ -195,8 +197,19 @@ def vocab_growth(
     w = words_col(text_col)
     b = F.floor(F.col(order_col) / F.lit(bucket_size)).cast("long")
     toks = docs.select(b.alias("bucket"), F.explode(w).alias("tok"))
+    if hash_tokens:
+        # X1's birthday-safe 128-bit content key: 16 fixed bytes per
+        # distinct token through the first-sighting shuffle
+        toks = toks.select(
+            "bucket",
+            F.xxhash64(F.lit(0), "tok").alias("__t0"),
+            F.xxhash64(F.lit(1), "tok").alias("__t1"),
+        )
+        first_key = ["__t0", "__t1"]
+    else:
+        first_key = ["tok"]
     news = (
-        toks.groupBy("tok")
+        toks.groupBy(*first_key)
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))

@@ -203,3 +203,17 @@ def test_merge_intervals_islands(spark):
         _ts("2024-01-01 00:00:00"), _ts("2024-01-01 09:00:00"), 3)
     assert got[(None, 0)][2] == 1
     assert len(got) == 4
+
+
+def test_interval_joins_plan_as_equi_joins(spark, points, intervals):
+    """The whole point of bucketization: the physical plan must be an
+    equi-join (hash/sort-merge/broadcast-HASH), never the
+    BroadcastNestedLoopJoin / CartesianProduct a BETWEEN-only predicate
+    degrades to."""
+    for df in (
+        interval_join(points, intervals, ["k"], ts_col="ts"),
+        interval_overlap_join(intervals, intervals, ["k"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan

@@ -1086,3 +1086,21 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, chunk_tokens=4, stride=0)
+
+
+def test_vocab_growth_hashed_keys_match_exact(spark, docs):
+    """The 128-bit-hash shuffle key (hash_tokens=True) must reproduce
+    the exact-string curve bit-for-bit on a collision-free corpus."""
+    from c3s_sm_spark.operators.textstats import vocab_growth
+
+    plain = sorted(
+        (r["bucket"], r["n_new_tokens"], r["vocab_size"], r["n_tokens"],
+         r["cum_tokens"])
+        for r in vocab_growth(docs, bucket_size=50).collect()
+    )
+    hashed = sorted(
+        (r["bucket"], r["n_new_tokens"], r["vocab_size"], r["n_tokens"],
+         r["cum_tokens"])
+        for r in vocab_growth(docs, bucket_size=50, hash_tokens=True).collect()
+    )
+    assert plain == hashed
