@@ -1706,6 +1706,20 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60 deterministic weighted sampling (Efraimidis-Spirakis A-ES):
+    top-50 docs by u^(1/n_chars) with the md5-content-hash u — inclusion
+    odds proportional to length, winner set a pure function of
+    (salt, doc_id, weight). Rows-only: the float pow score's last ulp
+    could flip a rank boundary between engines; determinism,
+    proportionality and partition invariance are pytest-pinned."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import weighted_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_sample(docs, n=50, weight_col="n_chars", salt="r4")
+
+
 def _q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X59 gaps-and-islands interval merge: 30-minute activity windows
     around each click, merged per user into maximal islands — the
@@ -1864,9 +1878,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_terms": _q_char_terms,
         "source_drift": _q_source_drift,
         "vocab_growth_hll": _q_vocab_growth_hll,
-        # X58 context-window chunking and X59 interval merge (oracled):
+        # X58 context-window chunking and X59 interval merge (oracled);
+        # X60 weighted sampling (rows-only, float-pow rank boundary):
         "doc_chunks": _q_doc_chunks,
         "merge_intervals": _q_merge_intervals,
+        "weighted_sample": _q_weighted_sample,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,

@@ -98,6 +98,7 @@ HEADLINE = [
     "char_terms",
     "source_drift",
     "doc_chunks",
+    "weighted_sample",
     "text_quality",
     "lang_id",
     "quality_select",

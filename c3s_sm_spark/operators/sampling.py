@@ -304,3 +304,59 @@ def pack_sequences(
         F.floor(cum_excl / budget).cast("long").alias("bin_id"),
         (cum_excl % budget).cast("long").alias("pos_in_bin"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): each row draws ``u`` from the same engine-portable
+    md5 content hash the other samplers cut on, scores
+    ``u ** (1 / weight)``, and the n largest scores win — inclusion
+    probability proportional to weight, no replacement, and the winner
+    set is a pure function of (salt, key, weight): identical at any
+    parallelism and across reruns, so a training mix is reproducible
+    from its config alone. Different salts give independent draws.
+
+    Rows with NULL or non-positive weight are EXCLUDED (weight 0 means
+    "never sample"; a silent 0^inf would NaN-poison the ordering).
+    Output: the selected input rows + ``sample_rank`` (1-based, best
+    first).
+
+    Plan: per-row hash/pow projection in codegen, then a global top-n —
+    ``orderBy().limit()`` plans as TakeOrderedAndProject (per-partition
+    heads + driver merge of n rows), never a full sort; the rank window
+    runs over the n survivors only. No SQL oracle: the score is a float
+    ``pow`` whose last-ulp could flip a rank boundary between engines —
+    determinism, exactness-at-n>=rows, proportionality and partition
+    invariance are pytest-pinned instead.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    # 15 hex chars = 60 uniform bits; +1 keeps u in (0, 1] so pow never
+    # sees 0 (u=1 exactly is fine: score 1 is a legal maximum)
+    hex15 = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
+    )
+    u = (F.conv(hex15, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16**15)
+    )
+    score = F.pow(u, F.lit(1.0) / w)
+    top = (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es", score)
+        .orderBy(F.col("__es").desc(), F.col(key_col).asc())
+        .limit(n)
+    )
+    rk = Window.orderBy(F.col("__es").desc(), F.col(key_col).asc())
+    return (
+        top.withColumn("sample_rank", F.row_number().over(rk).cast("long"))
+        .drop("__es")
+    )

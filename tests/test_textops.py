@@ -1104,3 +1104,36 @@ def test_vocab_growth_hashed_keys_match_exact(spark, docs):
         for r in vocab_growth(docs, bucket_size=50, hash_tokens=True).collect()
     )
     assert plain == hashed
+
+
+def test_weighted_sample_invariants(spark):
+    """A-ES weighted sampling: deterministic, partition-invariant,
+    exact at n >= rows, zero/null weights excluded, and inclusion
+    frequency tracks weight across (fixed, reproducible) salts."""
+    from c3s_sm_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i:02d}", 10 if i == 0 else 1) for i in range(10)]
+    rows += [("dnull", None), ("dzero", 0)]
+    df = spark.createDataFrame(rows, "doc_id string, wgt int")
+
+    # exactness + exclusion: n >= eligible rows keeps all positive-weight
+    full = weighted_sample(df, n=100, weight_col="wgt")
+    got_ids = {r["doc_id"] for r in full.collect()}
+    assert got_ids == {f"d{i:02d}" for i in range(10)}
+    assert {r["sample_rank"] for r in full.collect()} == set(range(1, 11))
+
+    # determinism + partition invariance
+    a = [(r["doc_id"], r["sample_rank"])
+         for r in weighted_sample(df, 3, "wgt", salt="s").collect()]
+    b = [(r["doc_id"], r["sample_rank"])
+         for r in weighted_sample(df.repartition(7), 3, "wgt", salt="s").collect()]
+    assert sorted(a) == sorted(b) and len(a) == 3
+
+    # proportionality: d00 carries 10/19 of the mass; over 40 fixed
+    # salts its top-1 frequency must sit far above a uniform 1/10 and
+    # below certainty (fully deterministic band — never flakes)
+    wins = 0
+    for s in range(40):
+        [r] = weighted_sample(df, 1, "wgt", salt=f"p{s}").collect()
+        wins += r["doc_id"] == "d00"
+    assert 0.30 <= wins / 40 <= 0.80, wins
