@@ -1706,6 +1706,27 @@ def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
 
 
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61a BPE-granularity token counting next to the whitespace count
+    (corpus budgets are set in tokenizer tokens, quality heuristics in
+    words): one regexp_count in codegen, zero shuffle."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61 winnowing (MOSS) partial-overlap pairs: shared window-min
+    shingle fingerprints witness shared >= w+k-1 token runs. Rows-only
+    (xxhash64 fingerprints have no DuckDB twin); the winnowing
+    guarantee, subset selection and boilerplate guard are pytest-pinned."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import winnow_overlap
+
+    return winnow_overlap(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 deterministic weighted sampling (Efraimidis-Spirakis A-ES):
     top-50 docs by u^(1/n_chars) with the md5-content-hash u — inclusion
@@ -1883,6 +1904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _q_doc_chunks,
         "merge_intervals": _q_merge_intervals,
         "weighted_sample": _q_weighted_sample,
+        # X61 BPE-ish token counting (oracled) + winnowing overlap
+        # pairs (rows-only, xxhash64 fingerprints):
+        "bpe_tokens": _q_bpe_tokens,
+        "winnow_pairs": _q_winnow_pairs,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2984,6 +3009,25 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ws[start_tok:start_tok + 63], ' ')
                      AS chunk_text
             FROM s
+        """,
+        # X61a: same BPE-ish pattern; RE2 (DuckDB) and Java (Spark)
+        # agree on this alternation-of-classes subset.
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_bpe_tokens,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(
+                          regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+                   END::BIGINT AS n_ws_tokens,
+                   round(len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+                     / nullif(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split(
+                          regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
+                     END, 0), 4) AS fertility
+            FROM documents
         """,
         # X59: identical running-max-end island construction; equal
         # (start, end) ties cannot change island membership or the

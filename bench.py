@@ -99,6 +99,8 @@ HEADLINE = [
     "source_drift",
     "doc_chunks",
     "weighted_sample",
+    "bpe_tokens",
+    "winnow_pairs",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1137,3 +1137,63 @@ def test_weighted_sample_invariants(spark):
         [r] = weighted_sample(df, 1, "wgt", salt=f"p{s}").collect()
         wins += r["doc_id"] == "d00"
     assert 0.30 <= wins / 40 <= 0.80, wins
+
+
+def test_bpe_token_stats_golden_and_empty(spark):
+    from c3s_sm_spark.operators.textstats import bpe_token_stats
+
+    rows = [(0, "Hello, world42 a-b  c"), (1, ""), (2, "   "), (3, "2024!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    # Hello , world 4 2 a - b c  -> 9 bpe over 4 words
+    assert (got[0]["n_bpe_tokens"], got[0]["n_ws_tokens"]) == (9, 4)
+    assert got[0]["fertility"] == 2.25
+    assert (got[1]["n_bpe_tokens"], got[1]["fertility"]) == (0, None)
+    assert got[2]["n_bpe_tokens"] == 0
+    # 2 0 2 4 !  -> digits split individually
+    assert got[3]["n_bpe_tokens"] == 5
+
+
+def test_winnow_guarantee_and_robustness(spark):
+    """The winnowing guarantee: any shared run of >= w+k-1 tokens
+    shares a fingerprint; edits OUTSIDE the run don't break it; docs
+    shorter than k emit nothing; selection is a small subset."""
+    from c3s_sm_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_overlap,
+    )
+
+    shared = "one two three four five six seven eight"  # 8 tokens >= w+k-1=6
+    rows = [
+        (0, "intro text then " + shared + " and a closing remark"),
+        (1, "totally different head " + shared + " unrelated tail words"),
+        (2, "no overlap here at all just noise tokens everywhere"),
+        (3, "xy"),  # 1 token < k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=3, w=4)
+    by_doc: dict = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 3 not in by_doc  # too short
+    assert by_doc[0] & by_doc[1]  # guarantee: shared run -> shared fp
+    # winnowing keeps a strict subset of shingles (~2/(w+1))
+    n_shingles_0 = len(rows[0][1].split()) - 2
+    assert 0 < len(by_doc[0]) < n_shingles_0
+    pairs = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in winnow_overlap(df, k=3, w=4, min_shared=1).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_winnow_short_doc_single_window(spark):
+    """k <= tokens < k+w-1: exactly one fingerprint (the global min)."""
+    from c3s_sm_spark.operators.textstats import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    # 4 tokens, k=3 -> 2 shingles < w=4 -> single window min
+    assert winnow_fingerprints(df, k=3, w=4).count() == 1
