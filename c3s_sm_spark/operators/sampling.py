@@ -53,10 +53,12 @@ def _hexcut(v: int) -> str:
     return "g" if v >= 16**_HEX_W else format(v, f"0{_HEX_W}x")
 
 
-def hash_bucket(key: Column, salt: str = "") -> Column:
-    """First ``_HEX_W`` hex chars of ``md5(salt || key)`` — the
-    engine-portable uniform hash both operators cut on."""
-    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, _HEX_W)
+def hash_bucket(key: Column, salt: str = "", width: int = _HEX_W) -> Column:
+    """First ``width`` hex chars of ``md5(salt || key)`` — the ONE
+    engine-portable uniform hash every sampler here cuts or scores on
+    (cut samplers at the default 4-char grid; :func:`weighted_sample`
+    at 15 chars = 60 uniform bits)."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, width)
 
 
 def deterministic_sample(
@@ -342,15 +344,16 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     # 15 hex chars = 60 uniform bits; +1 keeps u in (0, 1] so pow never
     # sees 0 (u=1 exactly is fine: score 1 is a legal maximum)
-    hex15 = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 15
-    )
+    hex15 = hash_bucket(F.col(key_col), salt, width=15)
     u = (F.conv(hex15, 16, 10).cast("double") + F.lit(1.0)) / F.lit(
         float(16**15)
     )
     score = F.pow(u, F.lit(1.0) / w)
     top = (
-        df.filter(w.isNotNull() & (w > 0))
+        # ~isnan is load-bearing: Spark orders NaN ABOVE every double,
+        # so a NaN weight passes `> 0` AND its NaN score sorts first,
+        # hijacking the top slots on every run
+        df.filter(w.isNotNull() & ~F.isnan(w) & (w > 0))
         .withColumn("__es", score)
         .orderBy(F.col("__es").desc(), F.col(key_col).asc())
         .limit(n)

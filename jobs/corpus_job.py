@@ -61,6 +61,11 @@ def _emit(payload: dict) -> None:
 
 
 def _write(df: DataFrame, out: str, name: str) -> str:
+    """Overwrite-write a stage output. Post-write summaries below read
+    the WRITTEN parquet back rather than re-aggregating the input frame
+    — counting the original plan would re-execute the whole stage (the
+    dedup stage would run its LSH pipeline twice), while a count on the
+    written files is parquet-footer metadata, near-free."""
     path = os.path.join(out, name)
     df.write.mode("overwrite").parquet(path)
     return path
@@ -83,7 +88,7 @@ def cmd_stats(spark: SparkSession, args) -> str:
               "doc_id")
     )
     path = _write(prof, args.out, "stats")
-    agg = prof.agg(
+    agg = spark.read.parquet(path).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("mean_quality"),
@@ -109,8 +114,8 @@ def cmd_filter(spark: SparkSession, args) -> str:
         .drop("quality", "n_tokens")
     )
     path = _write(kept, args.out, "filtered")
-    _emit({"stage": "filter", "path": path,
-           "n_in": docs.count(), "n_kept": kept.count()})
+    _emit({"stage": "filter", "path": path, "n_in": docs.count(),
+           "n_kept": spark.read.parquet(path).count()})
     return path
 
 
@@ -131,7 +136,8 @@ def cmd_dedup(spark: SparkSession, args) -> str:
     )
     path = _write(kept, args.out, "deduped")
     _emit({"stage": "dedup", "path": path, "exact": bool(args.exact),
-           "n_in": docs.count(), "n_kept": kept.count()})
+           "n_in": docs.count(),
+           "n_kept": spark.read.parquet(path).count()})
     return path
 
 
@@ -146,7 +152,7 @@ def cmd_chunk(spark: SparkSession, args) -> str:
         carry_cols=[c for c in ("source",) if c in docs.columns],
     )
     path = _write(chunks, args.out, "chunks")
-    agg = chunks.agg(
+    agg = spark.read.parquet(path).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_tokens").alias("total_tokens"),
     ).head()
@@ -171,9 +177,10 @@ def cmd_pack(spark: SparkSession, args) -> str:
         keyed, budget=args.budget, token_col="n_tokens", id_col="chunk_uid"
     )
     path = _write(packed, args.out, "packed")
-    nb = packed.agg(F.countDistinct("bin_id").alias("b")).head()["b"]
+    written = spark.read.parquet(path)
+    nb = written.agg(F.countDistinct("bin_id").alias("b")).head()["b"]
     _emit({"stage": "pack", "path": path, "budget": args.budget,
-           "n_rows": packed.count(), "n_bins": nb})
+           "n_rows": written.count(), "n_bins": nb})
     return path
 
 

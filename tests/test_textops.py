@@ -1112,9 +1112,11 @@ def test_weighted_sample_invariants(spark):
     frequency tracks weight across (fixed, reproducible) salts."""
     from c3s_sm_spark.operators.sampling import weighted_sample
 
-    rows = [(f"d{i:02d}", 10 if i == 0 else 1) for i in range(10)]
-    rows += [("dnull", None), ("dzero", 0)]
-    df = spark.createDataFrame(rows, "doc_id string, wgt int")
+    rows = [(f"d{i:02d}", 10.0 if i == 0 else 1.0) for i in range(10)]
+    # NaN would pass `> 0` and sort ABOVE every real score without the
+    # explicit isnan guard — it must be excluded like null/zero
+    rows += [("dnull", None), ("dzero", 0.0), ("dnan", float("nan"))]
+    df = spark.createDataFrame(rows, "doc_id string, wgt double")
 
     # exactness + exclusion: n >= eligible rows keeps all positive-weight
     full = weighted_sample(df, n=100, weight_col="wgt")
