@@ -32,14 +32,22 @@ def words_col(text: Column | str) -> Column:
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc token counting: whitespace tokens + char/density stats."""
-    w = words_col(text_col)
-    n_tok = F.size(w).cast("long")
-    n_nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("long")
-    return docs.select(
+    """Per-doc token counting: whitespace tokens + char/density stats.
+
+    The words array is staged once (``__ws``) so the two n_tokens
+    consumers don't each re-split the text — this is THE hot counting
+    path at corpus scale, so one parse per row matters."""
+    staged = docs.select(
+        "doc_id",
+        F.col(text_col).alias("__t"),
+        words_col(text_col).alias("__ws"),
+    )
+    n_tok = F.size("__ws").cast("long")
+    n_nonspace = F.length(F.regexp_replace(F.col("__t"), r"\s+", "")).cast("long")
+    return staged.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.length(text_col).cast("long").alias("n_chars"),
+        F.length("__t").cast("long").alias("n_chars"),
         # nullif: empty text must yield NULL like SQL engines, not 0/0=NaN
         F.round(n_nonspace / F.nullif(n_tok, F.lit(0)), 4).alias("avg_tok_len"),
     )
@@ -275,7 +283,13 @@ def characteristic_terms(
     from pyspark.sql import Window
 
     tf = (
-        docs.select("doc_id", F.explode(words_col(text_col)).alias("tok"))
+        # staged __ws + explode_outer + null filter: one parse per row
+        # (a plain explode makes the optimizer synthesize size(ws) > 0
+        # and push it below the projection with the split inlined —
+        # PLANS.md "InferFiltersFromGenerate trap")
+        docs.select("doc_id", words_col(text_col).alias("__ws"))
+        .select("doc_id", F.explode_outer("__ws").alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
@@ -432,8 +446,12 @@ def source_divergence(
 
     is_a = F.col(source_col) == src_a
     both = docs.filter(is_a | (F.col(source_col) == src_b))
-    toks = both.select(
-        is_a.alias("__a"), F.explode(words_col(text_col)).alias("tok")
+    toks = (
+        # staged + explode_outer for the same one-parse-per-row reason
+        # as characteristic_terms (InferFiltersFromGenerate trap)
+        both.select(is_a.alias("__a"), words_col(text_col).alias("__ws"))
+        .select("__a", F.explode_outer("__ws").alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     counts = toks.groupBy("tok").agg(
         F.count_if(F.col("__a")).cast("long").alias("c_a"),
@@ -481,40 +499,54 @@ def chunk_documents(
 
     Plan: pure column expressions end to end — words array, a
     ``sequence(1, n, stride)`` explode, ``slice`` + ``array_join`` —
-    whole-stage codegen, ZERO shuffles at any corpus size; output rows
-    stream straight to the consumer (typically seq_pack, X30, which
-    does the packing shuffle). Each input row fans out to
-    ceil(n/stride) rows, so partition output size scales with document
-    length — pair with a pre-repartition if the corpus mixes books and
-    tweets and downstream is width-sensitive.
+    ZERO shuffles at any corpus size; output rows stream straight to
+    the consumer (typically seq_pack, X30, which does the packing
+    shuffle). Each input row fans out to ceil(n/stride) rows, so
+    partition output size scales with document length — pair with a
+    pre-repartition if the corpus mixes books and tweets and downstream
+    is width-sensitive. The text is PARSED EXACTLY ONCE per row: the
+    words array is staged as its own projection column, empty docs are
+    dropped by a post-Generate filter instead of a pre-filter (predicate
+    pushdown substitutes aliases, so any pre-Generate filter re-runs
+    the split per row — the InferFiltersFromGenerate trap, PLANS.md),
+    and explode_outer keeps the optimizer from synthesizing one.
     """
     if chunk_tokens < 1:
         raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
     stride = chunk_tokens if stride is None else stride
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
-    w = words_col(text_col)
     carry = list(carry_cols) if carry_cols is not None else []
-    base = docs.select(
-        "doc_id", *carry, w.alias("__ws"), F.size(w).alias("__n")
-    ).filter(F.col("__n") > 0)
+    base = docs.select("doc_id", *carry, words_col(text_col).alias("__ws"))
+    # greatest(n, 1): sequence errors on start > stop with an explicit
+    # step, so empty docs get a single start=1 whose empty slice is
+    # dropped by the n_tokens filter below (cheap attribute slice, no
+    # re-parse)
     exploded = base.select(
         "doc_id",
         *carry,
         "__ws",
-        F.explode(
-            F.sequence(F.lit(1), F.col("__n"), F.lit(stride))
+        F.explode_outer(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("__ws"), F.lit(1)), F.lit(stride)
+            )
         ).alias("start_tok"),
     )
     piece = F.slice(F.col("__ws"), F.col("start_tok"), chunk_tokens)
-    return exploded.select(
+    staged = exploded.select(
+        "doc_id",
+        *carry,
+        F.col("start_tok").cast("long").alias("start_tok"),
+        piece.alias("__piece"),
+    )
+    return staged.select(
         "doc_id",
         *carry,
         ((F.col("start_tok") - 1) / F.lit(stride)).cast("long").alias("chunk_id"),
-        F.col("start_tok").cast("long").alias("start_tok"),
-        F.size(piece).cast("long").alias("n_tokens"),
-        F.array_join(piece, " ").alias("chunk_text"),
-    )
+        "start_tok",
+        F.size("__piece").cast("long").alias("n_tokens"),
+        F.array_join("__piece", " ").alias("chunk_text"),
+    ).filter(F.col("n_tokens") > 0)
 
 
 #: BPE-granularity token pattern: letter runs stay whole (word pieces),
