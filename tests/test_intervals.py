@@ -217,3 +217,58 @@ def test_interval_joins_plan_as_equi_joins(spark, points, intervals):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_interval_join_property_vs_naive(spark):
+    """Hypothesis sweep: random points and intervals (NULL keys,
+    degenerate, reversed, boundary-touching) x random bucket widths —
+    the bucketized join must equal the naive eqNullSafe theta-join on
+    every draw, with exactly-once pair multiplicity."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    pt_st = st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.integers(min_value=0, max_value=5000)),
+        min_size=1, max_size=25,
+    )
+    iv_st = st.lists(
+        st.tuples(st.sampled_from(["a", "b", None]),
+                  st.integers(min_value=0, max_value=5000),
+                  st.integers(min_value=-200, max_value=2000)),
+        min_size=1, max_size=15,
+    )
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(pts=pt_st, ivs=iv_st, bucket_s=st.sampled_from([7, 60, 1000]))
+    def check(pts, ivs, bucket_s):
+        p = spark.createDataFrame(
+            [(k, i, e) for i, (k, e) in enumerate(pts)],
+            "k string, pid long, e long",
+        ).select("k", "pid", F.timestamp_seconds("e").alias("ts"))
+        iv = spark.createDataFrame(
+            [(k, i, s, s + d) for i, (k, s, d) in enumerate(ivs)],
+            "k string, iid long, s long, e long",
+        ).select(
+            "k", "iid",
+            F.timestamp_seconds("s").alias("start"),
+            F.timestamp_seconds("e").alias("end"),
+        )
+        got = [
+            (r["pid"], r["iv_iid"])
+            for r in interval_join(
+                p, iv, ["k"], ts_col="ts", bucket_s=bucket_s,
+                interval_cols=["iid"],
+            ).collect()
+        ]
+        want = {
+            (r["pid"], r["iv_iid"])
+            for r in _naive_contain(
+                p, iv.select("k", "iid", "start", "end")
+            ).collect()
+        }
+        assert set(got) == want
+        assert len(got) == len(set(got))  # exactly-once
+
+    check()
