@@ -1727,6 +1727,17 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
+def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 span-level exact-substring dedup (Lee et al. 2022): 3-token
+    shingles occurring >= 2 times corpus-wide mark their positions in
+    every occurrence; survivors re-joined in order. Relational end to
+    end — no per-doc work quadratic in length."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import strip_duplicate_spans
+
+    return strip_duplicate_spans(_docs(spark, sf_dir), k=3, min_count=2)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X60 deterministic weighted sampling (Efraimidis-Spirakis A-ES):
     top-50 docs by u^(1/n_chars) with the md5-content-hash u — inclusion
@@ -1905,9 +1916,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": _q_merge_intervals,
         "weighted_sample": _q_weighted_sample,
         # X61 BPE-ish token counting (oracled) + winnowing overlap
-        # pairs (rows-only, xxhash64 fingerprints):
+        # pairs (rows-only, xxhash64 fingerprints); X62 span-level
+        # exact-substring dedup (oracled):
         "bpe_tokens": _q_bpe_tokens,
         "winnow_pairs": _q_winnow_pairs,
+        "strip_spans": _q_strip_spans,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -3028,6 +3041,45 @@ def oracle_sql() -> dict[str, str]:
                           regexp_replace(trim(text), '\s+', ' ', 'g'), ' '))
                      END, 0), 4) AS fertility
             FROM documents
+        """,
+        # X62: same span-removal relation; positions are 1-based here
+        # (internal only — outputs carry no positions).
+        "strip_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                  ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            s0 AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 2)) AS pos
+              FROM w WHERE len(ws) >= 3),
+            sh AS (
+              SELECT doc_id, pos,
+                     array_to_string(ws[pos:pos + 2], ' ') AS s
+              FROM s0),
+            freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+            cov0 AS (
+              SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS cpos
+              FROM sh JOIN freq USING (s)),
+            cov AS (SELECT DISTINCT doc_id, cpos FROM cov0),
+            t0 AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws))) AS i
+              FROM w),
+            tok AS (SELECT doc_id, i, ws[i] AS tokn FROM t0),
+            mk AS (
+              SELECT tok.doc_id, tok.i, tok.tokn,
+                     cov.cpos IS NOT NULL AS dup
+              FROM tok LEFT JOIN cov
+                ON tok.doc_id = cov.doc_id AND tok.i = cov.cpos)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(*) FILTER (dup) AS BIGINT) AS n_removed,
+                   coalesce(array_to_string(
+                     list(tokn ORDER BY i) FILTER (WHERE NOT dup), ' '), '')
+                     AS clean_text
+            FROM mk GROUP BY doc_id
         """,
         # X59: identical running-max-end island construction; equal
         # (start, end) ties cannot change island membership or the

@@ -101,6 +101,7 @@ HEADLINE = [
     "weighted_sample",
     "bpe_tokens",
     "winnow_pairs",
+    "strip_spans",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -897,3 +897,99 @@ def ngram_containment(
     if threshold is not None:
         out = out.where(F.col("containment") >= threshold)
     return out
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_count: int = 2,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Span-level exact-substring dedup (Lee et al. 2022, ExactSubstr:
+    duplicated substrings are removed from the corpus rather than
+    dropping whole documents — X29's dup_profile MEASURES this signal,
+    this operator ACTS on it). A k-token shingle whose total occurrence
+    count across the corpus reaches ``min_count`` marks all k of its
+    token positions as duplicated, in every occurrence; surviving
+    tokens are re-joined in order. Whole-doc near-dup (X28) catches
+    globally similar documents — this catches the shared boilerplate
+    paragraph pasted into thousands of otherwise-unique pages.
+
+    Output, one row per doc with >= 1 token: ``(doc_id, n_tokens,
+    n_removed, clean_text)``. Docs shorter than k tokens are passed
+    through untouched (no shingle can mark them).
+
+    Plan: the corpus is parsed twice (a shingle-occurrence pass and a
+    token pass — two independent aggregations of the same relation, so
+    declarative reuse is impossible without materializing the words
+    array corpus-wide); everything after is relational — a
+    count-filtered shingle frequency agg, a join-back of duplicated
+    occurrences, a position explode of the covered spans, and ONE
+    left join marking covered token positions, so no per-doc work is
+    ever quadratic in document length. ``hash_shingles=True`` moves
+    8-byte xxhash64 keys through the frequency shuffle instead of
+    shingle strings (the 100 TB form, X1's trade: loses the DuckDB
+    twin; collision odds are the single-lane ~n^2/2^65 per BUCKET
+    which only ever merges two counts, never loses a doc).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    from c3s_sm_spark.operators.textstats import words_col
+
+    d1 = docs.select("doc_id", words_col(text_col).alias("__ws"))
+    m = F.size("__ws") - F.lit(k - 1)
+    sh_arr = F.when(m < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.array_join(F.slice(F.col("__ws"), i, k), " "),
+        )
+    )
+    occ = (
+        d1.select("doc_id", F.posexplode_outer(sh_arr).alias("pos0", "sh"))
+        .filter(F.col("sh").isNotNull())
+    )
+    if hash_shingles:
+        occ = occ.select("doc_id", "pos0", F.xxhash64("sh").alias("sh"))
+    freq = (
+        occ.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_count)
+        .select("sh")
+    )
+    covered = (
+        occ.join(freq, "sh")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos0"), F.col("pos0") + F.lit(k - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    toks = (
+        d1.select("doc_id", F.posexplode_outer("__ws").alias("i", "tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    marked = toks.join(
+        covered,
+        (toks["doc_id"] == covered["doc_id"]) & (toks["i"] == covered["cpos"]),
+        "left",
+    ).select(toks["doc_id"], "i", "tok", covered["cpos"].isNotNull().alias("__dup"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.count_if(F.col("__dup")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("__dup"), F.struct("i", "tok"))
+                    )
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1199,3 +1199,49 @@ def test_winnow_short_doc_single_window(spark):
     )
     # 4 tokens, k=3 -> 2 shingles < w=4 -> single window min
     assert winnow_fingerprints(df, k=3, w=4).count() == 1
+
+
+def test_strip_duplicate_spans_hand_corpus(spark):
+    """Lee-et-al-style span removal: corpus-repeated k-shingles mark
+    their positions in EVERY occurrence; unique text survives; short
+    and fully-boilerplate docs behave."""
+    from c3s_sm_spark.operators.dedup_text import strip_duplicate_spans
+
+    boiler = "click here to subscribe"
+    rows = [
+        (0, f"real content one {boiler} more real text"),
+        (1, f"{boiler} totally different body"),
+        (2, "unique document nothing shared"),
+        (3, boiler),              # fully boilerplate -> everything removed
+        (4, "xy"),                # shorter than k: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in strip_duplicate_spans(df, k=4).collect()}
+    # the 4-token boilerplate occurs 3x >= min_count=2: removed everywhere
+    assert got[0]["clean_text"] == "real content one more real text"
+    assert got[0]["n_removed"] == 4
+    assert got[1]["clean_text"] == "totally different body"
+    assert got[2]["clean_text"] == "unique document nothing shared"
+    assert got[2]["n_removed"] == 0
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 4
+    assert got[4]["clean_text"] == "xy" and got[4]["n_removed"] == 0
+    # token conservation
+    for r in got.values():
+        kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert kept + r["n_removed"] == r["n_tokens"]
+
+
+def test_strip_duplicate_spans_hashed_matches_plain(spark, docs):
+    """The 8-byte-hash shuffle key reproduces the string-key result."""
+    from c3s_sm_spark.operators.dedup_text import strip_duplicate_spans
+
+    plain = sorted(
+        (r["doc_id"], r["n_removed"], r["clean_text"])
+        for r in strip_duplicate_spans(docs, k=3).collect()
+    )
+    hashed = sorted(
+        (r["doc_id"], r["n_removed"], r["clean_text"])
+        for r in strip_duplicate_spans(docs, k=3, hash_shingles=True).collect()
+    )
+    assert plain == hashed
+    assert len(plain) > 0
