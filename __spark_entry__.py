@@ -1823,9 +1823,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ffill_limit (X49), rolling_median (X50) and cusum_change (X51).
     # Tail rows stay fully checked by tools/oracle_check.py and
     # tests/test_entry_contract.py — only the driver row is forgone.
+    # Final r4 rotation (window policy: every family keeps one
+    # in-window row): interval_join (X52 family, new this round) and
+    # vocab_growth (X54) enter the window; demoted to make room are
+    # rollup_daily (A1 — rollup_cascade's first stage IS the daily
+    # arithmetic, so the cascade hash pins it, same reasoning that
+    # demoted rollup_dekadal/monthly in r4) and dedup_corpus_lsh
+    # (X28's default path, the same codepath signal as minhash_lsh +
+    # dedup_corpus which both stay in-window).
     return {
         # ---- oracled (rows + schema + value-hash) ----
-        "rollup_daily": _q_rollup_daily,
+        "interval_join": _q_interval_join,
         "profile_events": _q_profile_events,
         "rollup_cascade": _q_rollup_cascade,
         "gap_fill_daily": _q_gap_fill_daily,
@@ -1878,7 +1886,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "ann_lsh": _q_ann_lsh,
         "rollup_quantiles_approx": _q_rollup_quantiles_approx,
-        "dedup_corpus_lsh": _q_dedup_corpus_lsh,
+        # (oracled, not rows-only — sits here so it lands at window
+        # position 50, the slot dedup_corpus_lsh vacated)
+        "vocab_growth": _q_vocab_growth,
         # ---- beyond the ~50-row gate window ----
         # tail-top: the two r4 point-in-time ops that did not fit the
         # 50-row window — oracled, mirror-checked, pytest-pinned:
@@ -1897,13 +1907,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ffill_limit": _q_ffill_limit,
         "rolling_median": _q_rolling_median,
         "cusum_change": _q_cusum_change,
-        # late-r4 additions: interval joins (X52), lag-k autocorrelation
-        # pieces (X53) and the Heaps-law vocabulary curve (X54) —
-        # oracled + mirror-checked, pytest-pinned in test_intervals.py /
-        # test_timeseries.py / test_textops.py:
-        "interval_join": _q_interval_join,
+        # late-r4 additions (interval_join X52 and vocab_growth X54
+        # rotated INTO the window above; their families' remaining rows
+        # and the demoted duplicates live here) — oracled +
+        # mirror-checked, pytest-pinned:
+        "rollup_daily": _q_rollup_daily,
+        "dedup_corpus_lsh": _q_dedup_corpus_lsh,
         "lag_corr": _q_lag_corr,
-        "vocab_growth": _q_vocab_growth,
         # X55 exact-integer tf-idf terms and X57 source drift (oracled);
         # X56 is the HLL sketch path of X54 (rows-only, pytest-pinned
         # within sketch error of the exact curve):
