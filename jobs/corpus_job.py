@@ -18,7 +18,12 @@ training-data pipeline performs on a raw documents table —
 
 Every stage reads/writes plain parquet directories under ``--out`` so
 stages compose across separate spark-submit invocations (each stage is
-idempotent: pure overwrite of its own output directory). Cluster launch::
+idempotent: pure overwrite of its own output directory). ``pipeline
+--skip-existing`` resumes a crashed run: a stage whose output directory
+already holds a parquet `_SUCCESS` marker is skipped and its output fed
+to the next stage — rerunning after a mid-pipeline failure redoes only
+the unfinished stages (the reference's extend-from-high-water-mark
+pattern, at stage granularity). Cluster launch::
 
     spark-submit --py-files dist/c3s_sm_spark.zip jobs/corpus_job.py \
         --input /data/documents --out /data/corpus pipeline
@@ -211,12 +216,27 @@ def cmd_drift(spark: SparkSession, args) -> None:
     _emit({"stage": "drift", "a": args.src_a, "b": args.src_b, "rows": rows})
 
 
+def _done(out: str, name: str) -> str | None:
+    """Path of a completed stage output (parquet _SUCCESS present)."""
+    path = os.path.join(out, name)
+    return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+
+
 def cmd_pipeline(spark: SparkSession, args) -> None:
-    cmd_stats(spark, args)
-    args.input = cmd_filter(spark, args)
-    args.input = cmd_dedup(spark, args)
-    args.input = cmd_chunk(spark, args)
-    cmd_pack(spark, args)
+    skip = getattr(args, "skip_existing", False)
+
+    def stage(name: str, outdir: str, fn) -> str:
+        done = _done(args.out, outdir) if skip else None
+        if done:
+            _emit({"stage": name, "path": done, "skipped": True})
+            return done
+        return fn(spark, args)
+
+    stage("stats", "stats", cmd_stats)
+    args.input = stage("filter", "filtered", cmd_filter)
+    args.input = stage("dedup", "deduped", cmd_dedup)
+    args.input = stage("chunk", "chunks", cmd_chunk)
+    stage("pack", "packed", cmd_pack)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -249,6 +269,8 @@ def main(argv: list[str] | None = None) -> None:
         sp.add_argument("--stride", type=int, default=None)
     for sp in (k, pl):
         sp.add_argument("--budget", type=int, default=4096)
+    pl.add_argument("--skip-existing", action="store_true",
+                    help="resume: skip stages whose output has _SUCCESS")
     v.add_argument("--bucket-size", type=int, default=1000)
     v.add_argument("--hll", action="store_true")
     g.add_argument("--src-a", required=True)

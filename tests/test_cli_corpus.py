@@ -94,3 +94,42 @@ def test_corpus_cli_pipeline_parity(spark, tmp_path):
     assert per_bin.filter(F.col("t") > 512 + 63).isEmpty()
     assert stages["pack"]["n_bins"] == per_bin.count()
     assert stages["pack"]["n_rows"] == stages["chunk"]["n_chunks"]
+
+
+def test_corpus_cli_resume_skips_completed_stages(spark, tmp_path):
+    """pipeline --skip-existing: a resumed run skips stages whose
+    _SUCCESS marker exists and still chains outputs correctly."""
+    out = str(tmp_path / "resume")
+    code_tpl = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "pipeline", "--chunk-tokens", "64", "--budget", "512",
+      "--skip-existing"])
+"""
+    first = subprocess.run(
+        [sys.executable, "-c", code_tpl],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert first.returncode == 0, first.stderr[-3000:]
+    # simulate a crash after dedup: remove the chunk + pack outputs
+    import shutil
+    shutil.rmtree(os.path.join(out, "chunks"))
+    shutil.rmtree(os.path.join(out, "packed"))
+    second = subprocess.run(
+        [sys.executable, "-c", code_tpl],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert second.returncode == 0, second.stderr[-3000:]
+    lines = [json.loads(ln) for ln in second.stdout.splitlines()
+             if ln.strip().startswith("{")]
+    by = {d["stage"]: d for d in lines}
+    assert by["stats"].get("skipped") and by["filter"].get("skipped")
+    assert by["dedup"].get("skipped")
+    assert "skipped" not in by["chunk"] and "skipped" not in by["pack"]
+    # the rebuilt chunk stage consumed the SKIPPED dedup output
+    n_dedup = spark.read.parquet(os.path.join(out, "deduped")).count()
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    assert chunks.select("doc_id").distinct().count() <= n_dedup
+    assert chunks.count() == by["chunk"]["n_chunks"]
