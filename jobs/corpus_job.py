@@ -9,6 +9,8 @@ training-data pipeline performs on a raw documents table —
     filter   quality gate (min quality / token bounds / lang) -> parquet
     dedup    near-dup removal (MinHash-LSH default, --exact for
              n-gram-Jaccard pairs) -> surviving docs parquet
+    clean    span-level exact-substring dedup (Lee et al. ExactSubstr:
+             corpus-repeated spans removed in place) -> parquet
     chunk    context-window chunking (fixed tokens + stride) -> parquet
     pack     two-phase-scan sequence packing of chunks into fixed
              token-budget bins -> parquet
@@ -146,6 +148,33 @@ def cmd_dedup(spark: SparkSession, args) -> str:
     return path
 
 
+def cmd_clean(spark: SparkSession, args) -> str:
+    """Span-level exact-substring dedup (Lee et al. order: AFTER
+    whole-doc dedup, BEFORE chunking — boilerplate spans survive doc
+    dedup and would otherwise replicate into many chunks)."""
+    from c3s_sm_spark.operators.dedup_text import strip_duplicate_spans
+
+    docs = _docs(spark, args)
+    carry = [c for c in ("source",) if c in docs.columns]
+    cleaned = strip_duplicate_spans(
+        docs, k=args.span_k, min_count=args.span_min_count,
+        hash_shingles=True,
+    )
+    if carry:
+        cleaned = cleaned.join(docs.select("doc_id", *carry), "doc_id")
+    out_df = cleaned.select(
+        "doc_id", F.col("clean_text").alias("text"), *carry, "n_removed"
+    )
+    path = _write(out_df, args.out, "cleaned")
+    agg = spark.read.parquet(path).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed").alias("tokens_removed"),
+    ).head()
+    _emit({"stage": "clean", "path": path, "n_docs": agg["n_docs"],
+           "tokens_removed": agg["tokens_removed"]})
+    return path
+
+
 def cmd_chunk(spark: SparkSession, args) -> str:
     from c3s_sm_spark.operators.textstats import chunk_documents
 
@@ -235,6 +264,8 @@ def cmd_pipeline(spark: SparkSession, args) -> None:
     stage("stats", "stats", cmd_stats)
     args.input = stage("filter", "filtered", cmd_filter)
     args.input = stage("dedup", "deduped", cmd_dedup)
+    if getattr(args, "strip_spans", False):
+        args.input = stage("clean", "cleaned", cmd_clean)
     args.input = stage("chunk", "chunks", cmd_chunk)
     stage("pack", "packed", cmd_pack)
 
@@ -249,6 +280,7 @@ def main(argv: list[str] | None = None) -> None:
     sub.add_parser("stats")
     f = sub.add_parser("filter")
     d = sub.add_parser("dedup")
+    cl = sub.add_parser("clean")
     c = sub.add_parser("chunk")
     k = sub.add_parser("pack")
     v = sub.add_parser("curve")
@@ -271,6 +303,12 @@ def main(argv: list[str] | None = None) -> None:
         sp.add_argument("--budget", type=int, default=4096)
     pl.add_argument("--skip-existing", action="store_true",
                     help="resume: skip stages whose output has _SUCCESS")
+    pl.add_argument("--strip-spans", action="store_true",
+                    help="insert the span-level exact-substring dedup "
+                         "stage between dedup and chunk")
+    for sp in (cl, pl):
+        sp.add_argument("--span-k", type=int, default=20)
+        sp.add_argument("--span-min-count", type=int, default=2)
     v.add_argument("--bucket-size", type=int, default=1000)
     v.add_argument("--hll", action="store_true")
     g.add_argument("--src-a", required=True)
@@ -283,6 +321,7 @@ def main(argv: list[str] | None = None) -> None:
         "stats": cmd_stats,
         "filter": cmd_filter,
         "dedup": cmd_dedup,
+        "clean": cmd_clean,
         "chunk": cmd_chunk,
         "pack": cmd_pack,
         "curve": cmd_curve,

@@ -133,3 +133,39 @@ main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
     chunks = spark.read.parquet(os.path.join(out, "chunks"))
     assert chunks.select("doc_id").distinct().count() <= n_dedup
     assert chunks.count() == by["chunk"]["n_chunks"]
+
+
+def test_corpus_cli_clean_stage_composes(spark, tmp_path):
+    """--strip-spans inserts the span-dedup stage between dedup and
+    chunk; chunk totals must equal the CLEANED corpus (kept tokens =
+    deduped tokens - tokens_removed)."""
+    out = str(tmp_path / "clean")
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "pipeline", "--chunk-tokens", "64", "--budget", "512",
+      "--strip-spans", "--span-k", "4"])
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    by = {
+        json.loads(ln)["stage"]: json.loads(ln)
+        for ln in res.stdout.splitlines() if ln.strip().startswith("{")
+    }
+    assert set(by) == {"stats", "filter", "dedup", "clean", "chunk", "pack"}
+    from c3s_sm_spark.operators.textstats import words_col
+
+    deduped_tokens = (
+        spark.read.parquet(by["dedup"]["path"])
+        .select(F.sum(F.size(words_col("text"))).alias("t")).head()["t"]
+    )
+    assert (
+        by["chunk"]["total_tokens"]
+        == deduped_tokens - by["clean"]["tokens_removed"]
+    )
+    assert by["clean"]["tokens_removed"] > 0
