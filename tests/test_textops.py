@@ -1245,3 +1245,56 @@ def test_strip_duplicate_spans_hashed_matches_plain(spark, docs):
     )
     assert plain == hashed
     assert len(plain) > 0
+
+
+def test_strip_duplicate_spans_property_vs_bruteforce(spark):
+    """Hypothesis sweep: random tiny corpora vs a brute-force Python
+    reimplementation of the span-removal contract."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from c3s_sm_spark.operators.dedup_text import strip_duplicate_spans
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    corpus_st = st.lists(
+        st.lists(word, min_size=0, max_size=8).map(" ".join),
+        min_size=1, max_size=8,
+    )
+
+    def brute(texts, k, min_count):
+        toks = [t.split() if t.strip() else [] for t in texts]
+        from collections import Counter
+        c = Counter()
+        for ws in toks:
+            for i in range(len(ws) - k + 1):
+                c[" ".join(ws[i:i + k])] += 1
+        out = {}
+        for d, ws in enumerate(toks):
+            if not ws:
+                continue
+            dup = [False] * len(ws)
+            for i in range(len(ws) - k + 1):
+                if c[" ".join(ws[i:i + k])] >= min_count:
+                    for j in range(i, i + k):
+                        dup[j] = True
+            out[d] = (
+                len(ws),
+                sum(dup),
+                " ".join(w for w, m in zip(ws, dup) if not m),
+            )
+        return out
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(texts=corpus_st, k=st.integers(1, 3).map(lambda x: x + 1))
+    def check(texts, k):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+            for r in strip_duplicate_spans(df, k=k, min_count=2).collect()
+        }
+        assert got == brute(texts, k, 2)
+
+    check()
