@@ -22,6 +22,8 @@ Scale design:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -905,6 +907,7 @@ def strip_duplicate_spans(
     k: int = 3,
     min_count: int = 2,
     hash_shingles: bool = False,
+    carry_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Span-level exact-substring dedup (Lee et al. 2022, ExactSubstr:
     duplicated substrings are removed from the corpus rather than
@@ -916,22 +919,27 @@ def strip_duplicate_spans(
     globally similar documents — this catches the shared boilerplate
     paragraph pasted into thousands of otherwise-unique pages.
 
-    Output, one row per doc with >= 1 token: ``(doc_id, n_tokens,
-    n_removed, clean_text)``. Docs shorter than k tokens are passed
-    through untouched (no shingle can mark them).
+    Output, one row per doc with >= 1 token: ``(doc_id`` [+ any
+    ``carry_cols``, taken as first() per doc]``, n_tokens, n_removed,
+    clean_text)``. Docs shorter than k tokens are passed through
+    untouched (no shingle can mark them).
 
     Plan: the corpus is parsed twice (a shingle-occurrence pass and a
     token pass — two independent aggregations of the same relation, so
     declarative reuse is impossible without materializing the words
-    array corpus-wide); everything after is relational — a
-    count-filtered shingle frequency agg, a join-back of duplicated
-    occurrences, a position explode of the covered spans, and ONE
-    left join marking covered token positions, so no per-doc work is
-    ever quadratic in document length. ``hash_shingles=True`` moves
-    8-byte xxhash64 keys through the frequency shuffle instead of
-    shingle strings (the 100 TB form, X1's trade: loses the DuckDB
-    twin; collision odds are the single-lane ~n^2/2^65 per BUCKET
-    which only ever merges two counts, never loses a doc).
+    array corpus-wide); both passes are whole-stage-codegen'd — the
+    shingle pass is :func:`shingles`' one-regexp ``_shingle_expr``
+    (~30x the interpreted transform/slice lambda form, measured at the
+    top of this module) and the token pass is a posexplode of the
+    split. Everything after is relational — a count-filtered shingle
+    frequency agg, a join-back of duplicated occurrences, a position
+    explode of the covered spans, and ONE left join marking covered
+    token positions, so no per-doc work is ever quadratic in document
+    length. ``hash_shingles=True`` moves 8-byte xxhash64 keys through
+    the frequency shuffle instead of shingle strings (the 100 TB form,
+    X1's trade: loses the DuckDB twin; collision odds are the
+    single-lane ~n^2/2^65 per BUCKET which only ever merges two
+    counts, never loses a doc).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -939,16 +947,16 @@ def strip_duplicate_spans(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     from c3s_sm_spark.operators.textstats import words_col
 
-    d1 = docs.select("doc_id", words_col(text_col).alias("__ws"))
-    m = F.size("__ws") - F.lit(k - 1)
-    sh_arr = F.when(m < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
-            lambda i: F.array_join(F.slice(F.col("__ws"), i, k), " "),
-        )
-    )
+    carry = list(carry_cols) if carry_cols is not None else []
+    # shingle pass: _shingle_expr's array order IS token order, so the
+    # 0-based posexplode index is the shingle's 0-based start token —
+    # identical positions to a slice-of-words formulation, one codegen
+    # regexp pass instead of an interpreted per-shingle lambda
     occ = (
-        d1.select("doc_id", F.posexplode_outer(sh_arr).alias("pos0", "sh"))
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(_shingle_expr(text_col, k)).alias("pos0", "sh"),
+        )
         .filter(F.col("sh").isNotNull())
     )
     if hash_shingles:
@@ -970,15 +978,22 @@ def strip_duplicate_spans(
         .distinct()
     )
     toks = (
-        d1.select("doc_id", F.posexplode_outer("__ws").alias("i", "tok"))
+        docs.select(
+            "doc_id", *carry,
+            F.posexplode_outer(words_col(text_col)).alias("i", "tok"),
+        )
         .filter(F.col("tok").isNotNull())
     )
     marked = toks.join(
         covered,
         (toks["doc_id"] == covered["doc_id"]) & (toks["i"] == covered["cpos"]),
         "left",
-    ).select(toks["doc_id"], "i", "tok", covered["cpos"].isNotNull().alias("__dup"))
+    ).select(
+        toks["doc_id"], *carry, "i", "tok",
+        covered["cpos"].isNotNull().alias("__dup"),
+    )
     return marked.groupBy("doc_id").agg(
+        *[F.first(c).alias(c) for c in carry],
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.count_if(F.col("__dup")).cast("long").alias("n_removed"),
         F.array_join(

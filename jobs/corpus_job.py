@@ -151,21 +151,26 @@ def cmd_dedup(spark: SparkSession, args) -> str:
 def cmd_clean(spark: SparkSession, args) -> str:
     """Span-level exact-substring dedup (Lee et al. order: AFTER
     whole-doc dedup, BEFORE chunking — boilerplate spans survive doc
-    dedup and would otherwise replicate into many chunks)."""
+    dedup and would otherwise replicate into many chunks). Docs with
+    zero tokens pass through unchanged (the operator emits only docs
+    with >= 1 token; a cleaning stage must not lose rows), via an anti
+    join — never a second corpus-wide join for columns the operator
+    can carry itself."""
     from c3s_sm_spark.operators.dedup_text import strip_duplicate_spans
 
     docs = _docs(spark, args)
     carry = [c for c in ("source",) if c in docs.columns]
     cleaned = strip_duplicate_spans(
         docs, k=args.span_k, min_count=args.span_min_count,
-        hash_shingles=True,
+        hash_shingles=True, carry_cols=carry,
     )
-    if carry:
-        cleaned = cleaned.join(docs.select("doc_id", *carry), "doc_id")
     out_df = cleaned.select(
         "doc_id", F.col("clean_text").alias("text"), *carry, "n_removed"
     )
-    path = _write(out_df, args.out, "cleaned")
+    tokenless = docs.join(
+        cleaned.select("doc_id"), "doc_id", "left_anti"
+    ).select("doc_id", "text", *carry, F.lit(0).cast("long").alias("n_removed"))
+    path = _write(out_df.unionByName(tokenless), args.out, "cleaned")
     agg = spark.read.parquet(path).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_removed").alias("tokens_removed"),
@@ -245,23 +250,43 @@ def cmd_drift(spark: SparkSession, args) -> None:
     _emit({"stage": "drift", "a": args.src_a, "b": args.src_b, "rows": rows})
 
 
-def _done(out: str, name: str) -> str | None:
-    """Path of a completed stage output (parquet _SUCCESS present)."""
+def _done(spark: SparkSession, out: str, name: str) -> str | None:
+    """Path of a completed stage output (parquet _SUCCESS present).
+
+    Checked through the Hadoop FileSystem API, not os.path — the
+    cluster launch mode writes to hdfs://, s3a:// etc., where a local
+    stat would always miss and silently disable resume."""
     path = os.path.join(out, name)
-    return path if os.path.exists(os.path.join(path, "_SUCCESS")) else None
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return path if fs.exists(p) else None
 
 
 def cmd_pipeline(spark: SparkSession, args) -> None:
     skip = getattr(args, "skip_existing", False)
+    upstream_ran = False  # once any stage re-runs, every later stage must
 
-    def stage(name: str, outdir: str, fn) -> str:
-        done = _done(args.out, outdir) if skip else None
+    def stage(name: str, outdir: str, fn, feeds_downstream: bool = True) -> str:
+        nonlocal upstream_ran
+        # a downstream _SUCCESS from an EARLIER run is stale the moment
+        # an upstream stage re-executes — skipping it would feed old
+        # intermediates into the final output
+        done = (
+            _done(spark, args.out, outdir)
+            if skip and not upstream_ran
+            else None
+        )
         if done:
             _emit({"stage": name, "path": done, "skipped": True})
             return done
+        if feeds_downstream:
+            upstream_ran = True
         return fn(spark, args)
 
-    stage("stats", "stats", cmd_stats)
+    # stats is a side output nothing downstream consumes — re-running
+    # it alone must not invalidate the chain
+    stage("stats", "stats", cmd_stats, feeds_downstream=False)
     args.input = stage("filter", "filtered", cmd_filter)
     args.input = stage("dedup", "deduped", cmd_dedup)
     if getattr(args, "strip_spans", False):

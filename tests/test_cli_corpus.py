@@ -169,3 +169,39 @@ main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
         == deduped_tokens - by["clean"]["tokens_removed"]
     )
     assert by["clean"]["tokens_removed"] > 0
+
+
+def test_corpus_cli_resume_invalidates_stale_downstream(spark, tmp_path):
+    """If an upstream stage re-runs, downstream _SUCCESS markers from
+    the earlier run are STALE and must not be skipped — otherwise the
+    final output silently mixes old intermediates with new upstream."""
+    out = str(tmp_path / "stale")
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "pipeline", "--chunk-tokens", "64", "--budget", "512",
+      "--skip-existing"])
+"""
+    first = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert first.returncode == 0, first.stderr[-3000:]
+    # crash scenario: dedup output lost, downstream outputs intact
+    import shutil
+    shutil.rmtree(os.path.join(out, "deduped"))
+    second = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert second.returncode == 0, second.stderr[-3000:]
+    by = {
+        json.loads(ln)["stage"]: json.loads(ln)
+        for ln in second.stdout.splitlines() if ln.strip().startswith("{")
+    }
+    assert by["stats"].get("skipped") and by["filter"].get("skipped")
+    # dedup re-ran, so chunk and pack must have re-run too
+    for stage in ("dedup", "chunk", "pack"):
+        assert "skipped" not in by[stage], stage
