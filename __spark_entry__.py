@@ -1727,6 +1727,35 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
+def _q_bin_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63 pack materialization: seq_pack's bin assignments turned into
+    actual training streams (in-bin order by exclusive token offset),
+    emitted as per-bin doc/token counts + an md5 of the joined stream
+    so the hash surface stays scalar. Zero-token docs contribute
+    nothing to a stream, so offset ties (they share pos with their
+    successor) cannot change it."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import (
+        materialize_bins,
+        pack_sequences,
+    )
+    from c3s_sm_spark.operators.textstats import words_col
+
+    seqs = _docs(spark, sf_dir).select(
+        "doc_id",
+        words_col("text").alias("tokens"),
+        F.size(words_col("text")).alias("n_tok"),
+    )
+    packed = pack_sequences(seqs, budget=4096)
+    out = materialize_bins(seqs, packed)
+    return out.select(
+        "bin_id",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.array_join("tokens", " ")).alias("stream_md5"),
+    )
+
+
 def _q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X62 span-level exact-substring dedup (Lee et al. 2022): 3-token
     shingles occurring >= 2 times corpus-wide mark their positions in
@@ -1931,6 +1960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "winnow_pairs": _q_winnow_pairs,
         "strip_spans": _q_strip_spans,
+        # X63 pack-to-stream materialization (oracled):
+        "bin_streams": _q_bin_streams,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2616,6 +2647,29 @@ def oracle_sql() -> dict[str, str]:
                    (cum // 4096)::BIGINT AS bin_id,
                    (cum % 4096)::BIGINT AS pos_in_bin
             FROM c
+        """,
+        # X63: same prefix chain as seq_pack; zero-token docs get [] so
+        # offset ties contribute nothing to the flattened stream.
+        "bin_streams": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE string_split(
+                            regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+                     END AS ws
+              FROM documents),
+            c AS (
+              SELECT doc_id, ws, len(ws)::BIGINT AS n_tok,
+                     sum(len(ws)) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - len(ws) AS cum
+              FROM t)
+            SELECT (cum // 4096)::BIGINT AS bin_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(
+                     flatten(list(ws ORDER BY cum % 4096)), ' '))
+                     AS stream_md5
+            FROM c GROUP BY 1
         """,
         "dup_profile": r"""
             WITH w AS (

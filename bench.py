@@ -102,6 +102,7 @@ HEADLINE = [
     "bpe_tokens",
     "winnow_pairs",
     "strip_spans",
+    "bin_streams",
     "text_quality",
     "lang_id",
     "quality_select",

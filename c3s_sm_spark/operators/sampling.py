@@ -363,3 +363,58 @@ def weighted_sample(
         top.withColumn("sample_rank", F.row_number().over(rk).cast("long"))
         .drop("__es")
     )
+
+
+def materialize_bins(
+    seqs: DataFrame,
+    packed: DataFrame,
+    sep_token: int | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """The last mile of sequence packing: turn :func:`pack_sequences`'
+    bin ASSIGNMENTS into actual training-sequence token streams — one
+    ``array<int>`` per bin, documents concatenated in stream order with
+    an optional separator token (the EOS/document-boundary convention)
+    between consecutive documents.
+
+    ``seqs`` is the pre-tokenized corpus (``id_col``, ``tokens_col``);
+    ``packed`` is pack_sequences' output for (a projection of) it.
+    Output: ``(bin_id, n_docs, n_tokens, tokens)`` where n_tokens
+    counts real tokens (separators excluded — budget math stays in
+    corpus tokens, matching pack_sequences' accounting).
+
+    Plan: one equi-join on the doc id (tokens never move until their
+    bin is known), then a groupBy(bin_id) whose payload per group is
+    bounded by pack_sequences' budget (+ one straddling doc) — the
+    collect_list here is the safe kind, budget-sized by construction,
+    not corpus-sized. Order within a bin is pinned by pos_in_bin (the
+    exclusive token offset), so the stream is bit-identical at any
+    parallelism.
+    """
+    joined = packed.select(id_col, "bin_id", "pos_in_bin").join(
+        seqs.select(id_col, tokens_col), id_col
+    )
+    parts = joined.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.array_sort(
+            F.collect_list(F.struct("pos_in_bin", tokens_col))
+        ).alias("__parts"),
+    )
+    # with a separator, every doc gets one appended and the trailing
+    # one is sliced off — exactly n_docs - 1 separators between docs
+    stream = F.flatten(F.transform(F.col("__parts"), lambda p: (
+        p[tokens_col] if sep_token is None
+        else F.concat(p[tokens_col], F.array(F.lit(sep_token).cast("int")))
+    )))
+    if sep_token is not None:
+        stream = F.slice(stream, 1, F.size(stream) - 1)
+    return parts.select(
+        "bin_id",
+        "n_docs",
+        (
+            F.size(stream)
+            - (F.lit(0) if sep_token is None else F.col("n_docs") - 1)
+        ).cast("long").alias("n_tokens"),
+        stream.alias(tokens_col),
+    )

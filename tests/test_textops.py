@@ -1298,3 +1298,54 @@ def test_strip_duplicate_spans_property_vs_bruteforce(spark):
         assert got == brute(texts, k, 2)
 
     check()
+
+
+def test_materialize_bins_streams_and_separators(spark):
+    """Pack assignments -> actual token streams: in-bin order follows
+    pos_in_bin, token counts reconcile, separators sit exactly between
+    documents (n_docs - 1 of them), and the stream is identical at any
+    parallelism."""
+    from c3s_sm_spark.operators.sampling import (
+        materialize_bins,
+        pack_sequences,
+    )
+
+    rows = [
+        (f"d{i:02d}", list(range(i * 10, i * 10 + 3 + i % 4)))
+        for i in range(12)
+    ]
+    seqs = spark.createDataFrame(
+        [(d, t, len(t)) for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    packed = pack_sequences(seqs, budget=10, token_col="n_tok")
+    out = {
+        r["bin_id"]: r
+        for r in materialize_bins(seqs, packed, sep_token=-1).collect()
+    }
+    toks = dict(rows)
+    assign: dict = {}
+    for r in packed.collect():
+        assign.setdefault(r["bin_id"], []).append(
+            (r["pos_in_bin"], r["doc_id"])
+        )
+    for b, members in assign.items():
+        members.sort()
+        expect = []
+        for _, d in members:
+            expect.extend(toks[d] + [-1])
+        expect = expect[:-1]
+        assert list(out[b]["tokens"]) == expect
+        assert out[b]["n_docs"] == len(members)
+        assert out[b]["n_tokens"] == sum(len(toks[d]) for _, d in members)
+    # no separators: plain concatenation, same totals
+    plain = materialize_bins(seqs, packed).collect()
+    assert all(r["n_tokens"] == len(r["tokens"]) for r in plain)
+    # partition invariance
+    re = {
+        r["bin_id"]: list(r["tokens"])
+        for r in materialize_bins(
+            seqs.repartition(7), packed.repartition(5), sep_token=-1
+        ).collect()
+    }
+    assert re == {b: list(r["tokens"]) for b, r in out.items()}
