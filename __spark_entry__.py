@@ -1727,6 +1727,16 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64 PII redaction: emails/URLs/long digit runs masked with typed
+    placeholders — the action to pattern_counts' detection, sharing its
+    proven cross-engine regexes. Pure three-replace projection."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
 def _q_bin_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X63 pack materialization: seq_pack's bin assignments turned into
     actual training streams (in-bin order by exclusive token offset),
@@ -1960,8 +1970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": _q_bpe_tokens,
         "winnow_pairs": _q_winnow_pairs,
         "strip_spans": _q_strip_spans,
-        # X63 pack-to-stream materialization (oracled):
+        # X63 pack-to-stream materialization and X64 PII redaction
+        # (both oracled):
         "bin_streams": _q_bin_streams,
+        "redact": _q_redact,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -2647,6 +2659,29 @@ def oracle_sql() -> dict[str, str]:
                    (cum // 4096)::BIGINT AS bin_id,
                    (cum % 4096)::BIGINT AS pos_in_bin
             FROM c
+        """,
+        # X64: identical regex chain and masking order; long-number
+        # hits counted on the email+URL-masked form, exactly as Spark.
+        "redact": r"""
+            WITH m1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     + len(regexp_extract_all(text, 'https?://[^ ]+')) AS c1
+              FROM documents),
+            m2 AS (
+              SELECT doc_id, c1,
+                     regexp_replace(t1, 'https?://[^ ]+', '<URL>', 'g') AS t2
+              FROM m1)
+            SELECT doc_id,
+                   regexp_replace(t2, '[0-9]{6,}', '<NUM>', 'g')
+                     AS text_redacted,
+                   CAST(c1 + len(regexp_extract_all(t2, '[0-9]{6,}'))
+                        AS BIGINT) AS n_redactions
+            FROM m2
         """,
         # X63: same prefix chain as seq_pack; zero-token docs get [] so
         # offset ties contribute nothing to the flattened stream.

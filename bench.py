@@ -103,6 +103,7 @@ HEADLINE = [
     "winnow_pairs",
     "strip_spans",
     "bin_streams",
+    "redact",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -692,3 +692,47 @@ def winnow_overlap(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+#: shared with pattern_counts — these exact regexes are already proven
+#: cross-engine (Java and RE2) by the pattern_counts driver oracle
+_URL_RE = r"https?://[^ ]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_LONGNUM_RE = r"[0-9]{6,}"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Surface-pattern PII redaction: mask emails, URLs and long digit
+    runs (>= 6 — phone/account/ID shapes) with typed placeholder tokens
+    — the ACTION to X27 pattern_counts' detection signal, and the
+    standard first scrub before corpus release. Email masking runs
+    FIRST (an email contains no ``://`` so URL masking can't eat it,
+    but a URL may contain an ``@`` userinfo part the email pattern
+    would shred if it ran after URL tokens were gone — order is
+    load-bearing and pinned in tests).
+
+    Deliberately conservative regexes shared with
+    :func:`pattern_counts`, so what gets counted is exactly what gets
+    masked; anything subtler (names, addresses) needs a model, not a
+    regex, and belongs behind the multimodal-style stub pattern.
+
+    Output: ``(doc_id, text_redacted, n_redactions)`` — a pure
+    three-``regexp_replace`` projection in whole-stage codegen, zero
+    shuffle at any corpus size.
+    """
+    t = F.col(text_col)
+    n = (
+        F.regexp_count(t, F.lit(_EMAIL_RE))
+        + F.regexp_count(t, F.lit(_URL_RE))
+        # long-number hits OUTSIDE emails/URLs only — count on the
+        # masked form so the three counts can't overlap
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(t, _EMAIL_RE, "<EMAIL>"), _URL_RE, "<URL>"
+    )
+    n = n + F.regexp_count(masked, F.lit(_LONGNUM_RE))
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(masked, _LONGNUM_RE, "<NUM>").alias("text_redacted"),
+        n.cast("long").alias("n_redactions"),
+    )

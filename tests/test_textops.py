@@ -1349,3 +1349,30 @@ def test_materialize_bins_streams_and_separators(spark):
         ).collect()
     }
     assert re == {b: list(r["tokens"]) for b, r in out.items()}
+
+
+def test_redact_pii_masks_and_counts(spark):
+    """Typed masking of emails, URLs, long digit runs; counting matches
+    masking; email-before-URL order; short numbers untouched."""
+    from c3s_sm_spark.operators.textstats import redact_pii
+
+    rows = [
+        (0, "mail me at bob.smith+x@corp.example.com or visit "
+            "https://ex.com/a?b=1 ref 12345678 done"),
+        (1, "call 555 1234 room 42"),   # short digit runs: untouched
+        (2, "https://u@host.com/path"),  # URL with userinfo: one URL
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["text_redacted"] == (
+        "mail me at <EMAIL> or visit <URL> ref <NUM> done"
+    )
+    assert got[0]["n_redactions"] == 3
+    assert got[1]["text_redacted"] == "call 555 1234 room 42"
+    assert got[1]["n_redactions"] == 0
+    # email masking runs first, so the userinfo URL stays ONE token
+    assert got[2]["n_redactions"] >= 1 and "host.com" not in got[2][
+        "text_redacted"
+    ].replace("<EMAIL>", "").replace("<URL>", "")
+    assert got[3]["text_redacted"] == "" and got[3]["n_redactions"] == 0
