@@ -1727,6 +1727,24 @@ def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
+def _q_seq_pack_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 strict packing: bins never exceed the 4096-token budget
+    (pack_sequences' stream-position form can overflow by one doc —
+    fine for shards, wrong when the bin IS a context window).
+    Deterministic prefix-grouped next-fit; rows-only (sequential
+    recursion has no ANSI twin) — pinned against a Python reference of
+    the exact contract at three parallelism levels in tests."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import pack_sequences_strict
+    from c3s_sm_spark.operators.textstats import words_col
+
+    docs = _docs(spark, sf_dir)
+    with_tok = docs.select(
+        "doc_id", F.size(words_col("text")).alias("n_tok")
+    )
+    return pack_sequences_strict(with_tok, budget=4096)
+
+
 def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X64 PII redaction: emails/URLs/long digit runs masked with typed
     placeholders — the action to pattern_counts' detection, sharing its
@@ -1974,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (both oracled):
         "bin_streams": _q_bin_streams,
         "redact": _q_redact,
+        # X65 strict packing (rows-only: sequential next-fit recursion):
+        "seq_pack_strict": _q_seq_pack_strict,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,

@@ -104,6 +104,7 @@ HEADLINE = [
     "strip_spans",
     "bin_streams",
     "redact",
+    "seq_pack_strict",
     "text_quality",
     "lang_id",
     "quality_select",

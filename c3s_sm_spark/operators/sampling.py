@@ -418,3 +418,150 @@ def materialize_bins(
         ).cast("long").alias("n_tokens"),
         stream.alias(tokens_col),
     )
+
+
+def pack_sequences_strict(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tok",
+    id_col: str = "doc_id",
+    group_tokens: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """STRICT sequence packing: bins NEVER exceed ``budget`` — the
+    production contract when a bin IS a context window (the plain
+    :func:`pack_sequences` bins documents by stream position, so a
+    straddling doc can push a bin over by up to its own length; fine
+    for shard sizing, wrong for fixed windows). A document longer than
+    the budget fails LOUDLY (chunk it first — X58).
+
+    Semantics, deterministic at ANY parallelism: documents are taken in
+    ``id_col`` order, partitioned into contiguous SUPER-GROUPS of
+    ~``group_tokens`` (default ``64 * budget``) by their exact global
+    token prefix, and next-fit packing runs sequentially inside each
+    group; bins never span groups, so each group wastes at most one
+    partial bin — waste fraction <= budget/group_tokens (~1.6% at the
+    default), the price of unbounded parallelism. Output:
+    ``(id_col, token_col, bin_id, pos_in_bin)``; per-bin token sums are
+    <= budget by construction.
+
+    Plan: the exact exclusive prefix reuses pack_sequences' two-phase
+    distributed scan (range partition -> per-partition window ->
+    partition-count-sized offset map — never a single-task global
+    Window); the sequential next-fit runs per GROUP via applyInPandas
+    (groups hold ~group_tokens tokens each, thousands of rows at most,
+    and there are corpus_tokens/group_tokens of them — parallelism
+    scales with data); global bin ids come from a second, group-sized
+    two-phase prefix over bins-per-group. All three stages are
+    deterministic functions of (ids, token counts, budget,
+    group_tokens).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    group_tokens = group_tokens or 64 * budget
+    if group_tokens < budget:
+        raise ValueError("group_tokens must be >= budget")
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = docs.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism * 4
+
+    # oversized docs would silently become over-budget bins — fail loud
+    # (the guard rides the projection so it cannot be pruned)
+    tok = F.col(token_col).cast("long")
+    guard = F.coalesce(
+        F.assert_true(
+            tok <= F.lit(budget),
+            F.lit(
+                f"document exceeds the strict bin budget {budget}"
+                " — chunk long documents first (chunk_documents)"
+            ),
+        ).cast("long"),
+        F.lit(0),
+    )
+    d = (
+        docs.select(id_col, (tok + guard).alias("__n"))
+        .repartitionByRange(n, F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    part = d.withColumn("_cum_incl", F.sum("__n").over(w)).localCheckpoint()
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in part.groupBy("_pid").agg(F.max("_cum_incl").alias("t")).collect()
+    )
+    running, offs = 0, {}
+    for pid, t in totals:
+        offs[pid] = running
+        running += t
+    off_map = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    grouped = part.select(
+        id_col,
+        F.col("__n").alias(token_col),
+        (
+            (F.col("_cum_incl") - F.col("__n") + off_map[F.col("_pid")])
+            / F.lit(group_tokens)
+        ).cast("long").alias("__g"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField(id_col, grouped.schema[id_col].dataType),
+            StructField(token_col, LongType()),
+            StructField("__g", LongType()),
+            StructField("__lb", LongType()),
+            StructField("pos_in_bin", LongType()),
+        ]
+    )
+
+    def _next_fit(pdf):
+        import pandas as pd  # noqa: F401  (arrow batch)
+
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        lb, fill = 0, 0
+        lbs, poss = [], []
+        for t in pdf[token_col]:
+            if fill + t > budget:
+                lb += 1
+                fill = 0
+            lbs.append(lb)
+            poss.append(fill)
+            fill += t
+        pdf["__lb"] = lbs
+        pdf["pos_in_bin"] = poss
+        return pdf[[id_col, token_col, "__g", "__lb", "pos_in_bin"]]
+
+    packed_local = grouped.groupBy("__g").applyInPandas(_next_fit, out_schema)
+    # group-sized second two-phase prefix: global bin offset per group
+    nb = (
+        packed_local.groupBy("__g")
+        .agg((F.max("__lb") + 1).alias("__nb"))
+        .repartitionByRange(max(2, n // 4), F.col("__g"))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w2 = Window.partitionBy("_pid").orderBy("__g")
+    nbp = nb.withColumn("_cum", F.sum("__nb").over(w2)).localCheckpoint()
+    totals2 = sorted(
+        (r["_pid"], r["t"])
+        for r in nbp.groupBy("_pid").agg(F.max("_cum").alias("t")).collect()
+    )
+    running, offs2 = 0, {}
+    for pid, t in totals2:
+        offs2[pid] = running
+        running += t
+    off_map2 = F.create_map(*[F.lit(x) for kv in offs2.items() for x in kv])
+    goff = nbp.select(
+        "__g",
+        (F.col("_cum") - F.col("__nb") + off_map2[F.col("_pid")]).alias("__off"),
+    )
+    return packed_local.join(goff, "__g").select(
+        id_col,
+        token_col,
+        (F.col("__off") + F.col("__lb")).cast("long").alias("bin_id"),
+        F.col("pos_in_bin").cast("long"),
+    )

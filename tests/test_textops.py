@@ -1376,3 +1376,58 @@ def test_redact_pii_masks_and_counts(spark):
         "text_redacted"
     ].replace("<EMAIL>", "").replace("<URL>", "")
     assert got[3]["text_redacted"] == "" and got[3]["n_redactions"] == 0
+
+
+def test_pack_sequences_strict_invariants_and_reference(spark):
+    """Strict packer: bins NEVER exceed the budget, every doc packed
+    exactly once, bit-identical across parallelism, equal to a Python
+    reference of the exact contract (prefix grouping + per-group
+    next-fit), and loud failure on oversized docs."""
+    from c3s_sm_spark.operators.sampling import pack_sequences_strict
+
+    sizes = [3, 7, 2, 9, 10, 1, 1, 8, 5, 6, 4, 10, 2, 3, 9, 7, 1, 5]
+    rows = [(f"d{i:02d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id string, n_tok int")
+
+    def reference(budget, group_tokens):
+        cum, out, binc = 0, {}, 0
+        cur_g, lb, fill, first = None, 0, 0, True
+        for d, s in rows:  # id order
+            g = cum // group_tokens
+            cum += s
+            if g != cur_g:
+                if not first:
+                    binc += lb + 1
+                cur_g, lb, fill, first = g, 0, 0, False
+                out[d] = (binc, 0)
+                fill = s
+                continue
+            if fill + s > budget:
+                lb += 1
+                fill = 0
+            out[d] = (binc + lb, fill)
+            fill += s
+        return out
+
+    for budget, gt in ((10, 30), (16, 64)):
+        want = reference(budget, gt)
+        for n in (2, 5, 9):
+            got = {
+                r["doc_id"]: (r["bin_id"], r["pos_in_bin"])
+                for r in pack_sequences_strict(
+                    df, budget=budget, group_tokens=gt, n_partitions=n
+                ).collect()
+            }
+            assert got == want, (budget, gt, n)
+        # strict invariant straight off the output
+        per_bin: dict = {}
+        for d, (b, p) in want.items():
+            per_bin.setdefault(b, 0)
+            per_bin[b] += dict(rows)[d]
+        assert all(v <= budget for v in per_bin.values())
+
+    import pytest as _pt
+
+    big = spark.createDataFrame([("x", 99)], "doc_id string, n_tok int")
+    with _pt.raises(Exception, match="strict bin budget"):
+        pack_sequences_strict(big, budget=10).collect()
