@@ -1847,6 +1847,67 @@ def _q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_divergence(_docs(spark, sf_dir), "src0", "src1", top_n=20)
 
 
+def _q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 PAA + equal-width SAX symbolization of per-user daily
+    purchase sums (frame = 24 days, alphabet 4). The daily pre-agg
+    gives the frame window a UNIQUE per-key order column (raw event ts
+    can tie within a user, which would make row_number frames
+    nondeterministic); 1e-4 scaling keeps the cross-multiplied bin
+    compare far inside int64 — see paa_symbols's bound."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import paa_symbols
+
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(v4).alias("v4"))
+    )
+    return paa_symbols(daily, ["user_id"], "day", "v4", frame_rows=24, alphabet=4)
+
+
+def _q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 per-user inter-arrival burstiness pieces (gap sum / sq-sum /
+    extrema in epoch seconds). Tie-safe without a tiebreaker column:
+    consecutive differences of a SORTED multiset are invariant under
+    any permutation of equal timestamps, so Spark's and DuckDB's
+    different tie orders hash identically."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import interarrival_stats
+
+    return interarrival_stats(_events(spark, sf_dir), ["user_id"], "ts")
+
+
+def _q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 per-doc OOV counts vs the corpus top-500 vocabulary (total
+    order count DESC, token ASC — deterministic boundary). Top-V plans
+    as TakeOrderedAndProject, never a single-partition window."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import oov_stats
+
+    return oov_stats(_docs(spark, sf_dir), vocab_size=500)
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 adjacent-bigram PMI pieces (pair count, slot marginals,
+    corpus pair total — all BIGINT; the log lives outside the
+    witness), min_count=5."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import bigram_pmi_pieces
+
+    return bigram_pmi_pieces(_docs(spark, sf_dir), min_count=5)
+
+
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 per-doc shingle novelty in ingest order: distinct bigram
+    shingles first seen in this doc vs total distinct shingles."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import novelty_curve
+
+    return novelty_curve(_docs(spark, sf_dir), k=2, order_col="doc_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -1994,6 +2055,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact": _q_redact,
         # X65 strict packing (rows-only: sequential next-fit recursion):
         "seq_pack_strict": _q_seq_pack_strict,
+        # X66-X70 (all oracled, all-BIGINT witnesses): SAX/PAA series
+        # symbolization, inter-arrival burstiness, OOV rate vs top-V
+        # vocab, adjacent-bigram PMI pieces, shingle novelty curve:
+        "paa_sax": _q_paa_sax,
+        "burstiness": _q_burstiness,
+        "oov_rate": _q_oov_rate,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "novelty": _q_novelty,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -3411,5 +3480,130 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS pr_den
         FROM events
         WHERE value IS NOT NULL
+    """
+    # X66: frame ids from row_number over the UNIQUE (user, day) grid;
+    # symbol via BIGINT cross-multiplication — `//` is DuckDB floor
+    # division, the twin of Spark's `div` on the non-negative operands
+    # here (num >= 0 because the frame mean >= the key min).
+    d["paa_sax"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        r AS (
+          SELECT user_id, v4,
+                 CAST(floor((row_number() OVER (
+                     PARTITION BY user_id ORDER BY day) - 1) / 24)
+                   AS BIGINT) AS frame,
+                 min(v4) OVER (PARTITION BY user_id) AS lo,
+                 max(v4) OVER (PARTITION BY user_id) AS hi
+          FROM p),
+        a AS (
+          SELECT user_id, frame,
+                 CAST(count(*) AS BIGINT) AS n_in_frame,
+                 CAST(sum(v4) AS BIGINT) AS v_sum,
+                 min(lo) AS lo, max(hi) AS hi
+          FROM r GROUP BY 1, 2)
+        SELECT user_id, frame, n_in_frame, v_sum,
+               CAST(CASE WHEN hi = lo THEN 0
+                    ELSE least(((v_sum - lo * n_in_frame) * 4)
+                               // ((hi - lo) * n_in_frame), 3)
+                    END AS INTEGER) AS symbol
+        FROM a
+    """
+    # X67: consecutive diffs of a sorted multiset are tie-permutation
+    # invariant, so no tiebreaker is needed in either engine's ORDER BY.
+    d["burstiness"] = """
+        WITH g AS (
+          SELECT user_id,
+                 e - lag(e) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+          FROM (SELECT user_id, ts,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS e
+                FROM events))
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(sum(gap) AS BIGINT) AS gap_sum,
+               CAST(sum(gap * gap) AS BIGINT) AS gap_sq_sum,
+               CAST(min(gap) AS BIGINT) AS gap_min,
+               CAST(max(gap) AS BIGINT) AS gap_max
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    """
+    # X68: the vocabulary is the top-500 under (count DESC, token ASC)
+    # — a deterministic total order, so the boundary rank never flaps.
+    d["oov_rate"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE lt > 0),
+        vocab AS (
+          SELECT tok FROM toks GROUP BY tok
+          ORDER BY count(*) DESC, tok ASC LIMIT 500),
+        oov AS (
+          SELECT t.doc_id, count(*) AS n_oov
+          FROM toks t LEFT JOIN vocab v USING (tok)
+          WHERE v.tok IS NULL GROUP BY 1)
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS BIGINT) AS n_tokens,
+               CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov
+        FROM w LEFT JOIN oov o USING (doc_id)
+        WHERE w.lt > 0
+    """
+    # X69: slot marginals are windows over the counted pair relation
+    # (sum(left_cnt) over distinct w1 == n_pairs exactly); min_count
+    # prunes AFTER the marginals, mirroring the Spark plan.
+    d["pmi_bigrams"] = r"""
+        WITH w AS (
+          SELECT string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws
+          FROM documents
+          WHERE len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                                 ' ')) >= 2 AND length(trim(text)) > 0),
+        prs AS (
+          SELECT unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS pr
+          FROM w),
+        cnt AS (
+          SELECT split_part(pr, ' ', 1) AS w1,
+                 split_part(pr, ' ', 2) AS w2,
+                 CAST(count(*) AS BIGINT) AS pair_cnt
+          FROM prs GROUP BY 1, 2),
+        m AS (
+          SELECT w1, w2, pair_cnt,
+                 CAST(sum(pair_cnt) OVER (PARTITION BY w1) AS BIGINT)
+                   AS left_cnt,
+                 CAST(sum(pair_cnt) OVER (PARTITION BY w2) AS BIGINT)
+                   AS right_cnt
+          FROM cnt),
+        tot AS (SELECT CAST(sum(pair_cnt) AS BIGINT) AS n_pairs FROM cnt)
+        SELECT w1, w2, pair_cnt, left_cnt, right_cnt, tot.n_pairs
+        FROM m, tot WHERE pair_cnt >= 5
+    """
+    # X70: first ownership = min(doc_id) over the shingle's postings —
+    # deterministic because doc_id is the unique monotone ingest id.
+    d["novelty"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS sh
+          FROM w WHERE len(ws) >= 2),
+        f AS (
+          SELECT doc_id, sh,
+                 min(doc_id) OVER (PARTITION BY sh) AS first_doc
+          FROM sh)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM f GROUP BY doc_id
     """
     return d

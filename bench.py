@@ -105,6 +105,11 @@ HEADLINE = [
     "bin_streams",
     "redact",
     "seq_pack_strict",
+    "paa_sax",
+    "burstiness",
+    "oov_rate",
+    "pmi_bigrams",
+    "novelty",
     "text_quality",
     "lang_id",
     "quality_select",

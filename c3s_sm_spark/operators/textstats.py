@@ -736,3 +736,173 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_replace(masked, _LONGNUM_RE, "<NUM>").alias("text_redacted"),
         n.cast("long").alias("n_redactions"),
     )
+
+
+def oov_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` vocabulary — the "how much of this document will
+    a fixed tokenizer vocabulary shatter into bytes" probe, and a
+    standard quality/novelty axis next to :func:`quality_score` (a doc
+    that is 60% OOV against its own corpus is usually noise, markup, or
+    another language).
+
+    The vocabulary is the top-V tokens under the TOTAL order
+    ``(count DESC, token ASC)`` — ties at the boundary rank are broken
+    on token text, so the survivor vocabulary (and every count derived
+    from it) is bit-identical on any engine. Output per doc:
+    ``(doc_id, n_tokens, n_oov)`` — the float rate derives outside the
+    witness, the same all-BIGINT split as ``lag_corr_pieces``.
+
+    Plan, scale-first: one corpus explode -> map-side-combined token
+    counts; the top-V is ``orderBy(...).limit(V)`` which Spark plans as
+    TakeOrderedAndProject — a distributed partial top-V per partition
+    merged on the driver, NEVER a single-partition global window (the
+    row_number-over-unpartitioned-window formulation serializes the
+    whole vocabulary through one task at web scale). The V-row vocab
+    then broadcast-anti-joins the (doc, tok) relation. Two corpus
+    parses total (tf and per-doc size) — both single-shuffle.
+    """
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    toks = (
+        docs.select("doc_id", words_col(text_col).alias("__ws"))
+        .select("doc_id", F.explode_outer("__ws").alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select("tok")
+    )
+    oov = (
+        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
+    )
+    sizes = docs.select(
+        "doc_id", F.size(words_col(text_col)).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    return sizes.join(oov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_oov"), F.lit(0)).cast("long").alias("n_oov"),
+    )
+
+
+def bigram_pmi_pieces(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Exact integer pieces of adjacent-bigram PMI — collocation mining
+    (Church/Hanks 1990), the signal a tokenizer-training or phrase-merge
+    pass ranks candidate merges by. PMI itself is
+    ``ln(c_ab * n_pairs / (c_a * c_b))``; emitting the log would put a
+    transcendental on the hash boundary, so this returns the four exact
+    BIGINT pieces per surviving bigram — ``pair_cnt`` (c_ab), ``left_cnt``
+    (c_a as a bigram-left slot), ``right_cnt`` (c_b as a right slot),
+    ``n_pairs`` (corpus total) — and the caller takes the log outside
+    the witness. Slot-marginal counts (not raw unigram frequencies) keep
+    ``sum(left_cnt over distinct w1) == n_pairs`` exactly, the textbook
+    contingency normalization.
+
+    ``min_count`` prunes the long tail BEFORE the marginal join — at web
+    scale the surviving collocation table is millions of rows, not the
+    raw bigram count.
+
+    Plan: ONE corpus parse staged to (w1, w2) pairs via a sequence/
+    transform over the words array (no posexplode self-join), then
+    map-side-combined pair counts; the slot marginals are windows over
+    the SAME counted relation (the characteristic_terms pattern — no
+    vocabulary-sized join, no recompute); n_pairs is a single-row
+    count broadcast.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from pyspark.sql import Window
+
+    ws = docs.select(words_col(text_col).alias("__ws")).filter(
+        F.size("__ws") >= 2
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, size(__ws) - 1), "
+        "i -> struct(element_at(__ws, i) AS w1, element_at(__ws, i + 1) AS w2))"
+    )
+    pairs = (
+        ws.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    w_l = Window.partitionBy("w1")
+    w_r = Window.partitionBy("w2")
+    n_pairs = pairs.select(
+        F.sum("pair_cnt").cast("long").alias("n_pairs")
+    )
+    return (
+        pairs.withColumn("left_cnt", F.sum("pair_cnt").over(w_l).cast("long"))
+        .withColumn("right_cnt", F.sum("pair_cnt").over(w_r).cast("long"))
+        .filter(F.col("pair_cnt") >= min_count)
+        .crossJoin(F.broadcast(n_pairs))
+        .select("w1", "w2", "pair_cnt", "left_cnt", "right_cnt", "n_pairs")
+    )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document shingle novelty: of the document's distinct
+    k-shingles, how many appear here for the FIRST time in corpus order
+    — the marginal-information curve a crawl-scheduling / data-mixing
+    pass uses to decide when a source has stopped contributing new
+    content (complement of X29's duplication profile: dup_profile counts
+    repeated mass, novelty attributes first sightings to their owner).
+
+    First ownership is ``min(order_col)`` over the shingle's posting
+    list — deterministic because ``order_col`` (the monotone ingest id)
+    is unique per document. Output: ``(doc_id, n_shingles, n_novel)``,
+    all BIGINT; the float novelty rate derives outside the witness.
+
+    Plan: one shingle explode -> distinct(doc, shingle) with the hash
+    partly collapsed map-side, then a min-window over the shingle's
+    postings (the characteristic_terms pattern: a window on the SAME
+    relation, not a groupBy+join that recomputes the explode), then a
+    doc-keyed count. Shuffles on (doc,sh) -> sh -> doc; no joins at
+    all, so there is nothing to skew except a pathological single
+    shingle, which a min/count window absorbs as a streaming aggregate.
+    """
+    from pyspark.sql import Window
+
+    from c3s_sm_spark.operators.dedup_text import _shingle_expr
+
+    posting = (
+        docs.select(
+            F.col(order_col).alias("__ord"),
+            F.explode_outer(_shingle_expr(text_col, k)).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+        .select("__ord", "sh")
+        .distinct()
+    )
+    w = Window.partitionBy("sh")
+    flagged = posting.withColumn("__first", F.min("__ord").over(w))
+    return (
+        flagged.groupBy(F.col("__ord").alias(order_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col("__ord"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )

@@ -1232,3 +1232,113 @@ def rolling_median2(
     )
     med = F.percentile(F.col(value_col), F.lit(0.5)).over(w)
     return df.withColumn(out_col, (med * 2).cast("long"))
+
+
+def paa_symbols(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    frame_rows: int,
+    alphabet: int = 4,
+) -> DataFrame:
+    """Piecewise Aggregate Approximation + equal-width symbolization —
+    the SAX-style series compressor (Lin/Keogh 2003) a 100 TB telemetry
+    tier uses to turn raw series into short symbol strings for motif
+    mining and cheap similarity pre-filters.
+
+    Each key's time-ordered rows are grouped into fixed
+    ``frame_rows``-row frames; a frame is summarized by its mean, then
+    discretized into one of ``alphabet`` equal-width bins between the
+    KEY's own min and max value. Classic SAX uses Gaussian-quantile
+    breakpoints on z-scored values — two float surfaces (mean/std and
+    the breakpoint compare) that would make a cross-engine value hash a
+    coin flip at bin boundaries. This variant keeps every comparison in
+    BIGINT cross-multiplication: with ``s = sum(v)`` over a frame of
+    ``n`` rows and key extrema ``lo/hi``,
+
+        symbol = floor( (s - lo*n) * alphabet / ((hi - lo) * n) )
+
+    clamped to ``alphabet - 1`` (the max-mean frame lands exactly on the
+    upper edge), and 0 when ``hi == lo`` (constant series). Exact in
+    int64 for micro-unit inputs: ``|s| * alphabet <= n * max|v| * a``
+    — feed 1e-4-scaled units like :func:`lag_corr_pieces`.
+
+    Plan: ONE hash shuffle on ``keys``; the frame id comes from a
+    per-key ``row_number`` sort, the key extrema from the same
+    partitioning (``min/max over the unframed window``), then a
+    map-side-combinable groupBy on (keys, frame) that reuses the
+    shuffle. Hot-key bound: one key's series sorts in one task — the
+    same contract as every order-dependent operator in this module.
+    """
+    keys = list(keys)
+    if frame_rows < 1:
+        raise ValueError(f"frame_rows must be >= 1, got {frame_rows}")
+    if alphabet < 2:
+        raise ValueError(f"alphabet must be >= 2, got {alphabet}")
+    wo = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    wk = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("long")
+    staged = df.withColumn(
+        "__frame",
+        ((F.row_number().over(wo) - F.lit(1)) / F.lit(frame_rows)).cast("long"),
+    ).withColumn("__lo", F.min(v).over(wk)).withColumn("__hi", F.max(v).over(wk))
+    agg = staged.groupBy(*keys, F.col("__frame").alias("frame")).agg(
+        F.count(F.lit(1)).alias("n_in_frame"),
+        F.sum(v).alias("v_sum"),
+        F.first("__lo").alias("__lo"),
+        F.first("__hi").alias("__hi"),
+    )
+    num = (F.col("v_sum") - F.col("__lo") * F.col("n_in_frame")) * F.lit(alphabet)
+    den = (F.col("__hi") - F.col("__lo")) * F.col("n_in_frame")
+    # num >= 0 and den > 0 on the non-constant branch, so truncating
+    # `div` IS floor division — matching DuckDB's `//` on the oracle side.
+    raw = F.expr("__num div __den")
+    return (
+        agg.withColumn("__num", num.cast("long"))
+        .withColumn("__den", den.cast("long"))
+        .withColumn(
+            "symbol",
+            F.when(F.col("__den") == 0, F.lit(0)).otherwise(
+                F.least(raw, F.lit(alphabet - 1))
+            ).cast("int"),
+        )
+        .select(*keys, "frame", "n_in_frame", "v_sum", "symbol")
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+) -> DataFrame:
+    """Exact integer pieces of per-key inter-arrival statistics — the
+    burstiness probe (CV of gaps: ~1 Poisson, >1 bursty, <1 regular)
+    an event pipeline runs per source/user to pick drift thresholds and
+    to spot scraper traffic (near-zero-variance arrival clocks).
+
+    Emits per key: ``n_gaps``, ``gap_sum`` / ``gap_sq_sum`` (seconds,
+    BIGINT — the float CV = std/mean derives outside the witness, the
+    same split as :func:`lag_corr_pieces`), ``gap_min`` / ``gap_max``.
+    Overflow bound: ``n * max_gap^2 < 2^63`` — a 30-year span (1e9 s)
+    squared is 1e18, so series with year-scale gaps need the gap unit
+    coarsened to minutes by the caller; sub-day cadences are safe to
+    ~9e18 row-seconds.
+
+    Plan: one hash shuffle on ``keys``, lag in one per-key sort, then a
+    groupBy reusing the window's partitioning. Keys with a single event
+    drop out (no gap), matching the SQL lag/filter oracle exactly.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    sec = F.unix_timestamp(F.col(ts_col))
+    gap = (sec - F.lag(sec, 1).over(w)).alias("__gap")
+    staged = df.withColumn("__gap", gap).filter(F.col("__gap").isNotNull())
+    g = F.col("__gap").cast("long")
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(g).alias("gap_sum"),
+        F.sum(g * g).alias("gap_sq_sum"),
+        F.min(g).alias("gap_min"),
+        F.max(g).alias("gap_max"),
+    )

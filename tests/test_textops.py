@@ -1431,3 +1431,113 @@ def test_pack_sequences_strict_invariants_and_reference(spark):
     big = spark.createDataFrame([("x", 99)], "doc_id string, n_tok int")
     with _pt.raises(Exception, match="strict bin budget"):
         pack_sequences_strict(big, budget=10).collect()
+
+
+def test_oov_stats_brute_force(spark):
+    """OOV counts vs a Python reference with the same (count DESC,
+    token ASC) vocabulary order, including a tie at the boundary rank
+    and an empty doc (dropped: no tokens)."""
+    docs = [
+        (1, "a a a b b c"),
+        (2, "b c d d"),
+        (3, "e e a"),
+        (4, "   "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from collections import Counter
+
+    from c3s_sm_spark.operators.textstats import oov_stats
+
+    toks = {d: t.split() for d, t in docs if t.strip()}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    for v in (1, 2, 3, 5, 99):
+        vocab = {
+            w for w, _ in sorted(cnt.items(), key=lambda x: (-x[1], x[0]))[:v]
+        }
+        want = {
+            d: (len(ws), sum(1 for w in ws if w not in vocab))
+            for d, ws in toks.items()
+        }
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["n_oov"])
+            for r in oov_stats(df, vocab_size=v).collect()
+        }
+        assert got == want, v
+    with pytest.raises(ValueError, match="vocab_size"):
+        oov_stats(df, vocab_size=0)
+
+
+def test_bigram_pmi_pieces_brute_force(spark):
+    """Pair counts + slot marginals vs a Python reference; the marginal
+    identity sum(left_cnt over distinct w1) == n_pairs; min_count
+    filters pairs but not the marginal mass."""
+    from collections import Counter
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a cat sat"),
+        (4, "x"),  # single token: no pairs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from c3s_sm_spark.operators.textstats import bigram_pmi_pieces
+
+    pairs = Counter()
+    for _, t in docs:
+        ws = t.split()
+        for i in range(len(ws) - 1):
+            pairs[(ws[i], ws[i + 1])] += 1
+    n_pairs = sum(pairs.values())
+    left = Counter()
+    right = Counter()
+    for (w1, w2), c in pairs.items():
+        left[w1] += c
+        right[w2] += c
+    for mc in (1, 2):
+        want = {
+            (w1, w2): (c, left[w1], right[w2], n_pairs)
+            for (w1, w2), c in pairs.items()
+            if c >= mc
+        }
+        got = {
+            (r["w1"], r["w2"]): (
+                r["pair_cnt"], r["left_cnt"], r["right_cnt"], r["n_pairs"]
+            )
+            for r in bigram_pmi_pieces(df, min_count=mc).collect()
+        }
+        assert got == want, mc
+    rows = bigram_pmi_pieces(df, min_count=1).collect()
+    assert sum({r["w1"]: r["left_cnt"] for r in rows}.values()) == n_pairs
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_pmi_pieces(df, min_count=0)
+
+
+def test_novelty_curve_brute_force(spark):
+    """First-seen shingle attribution vs a Python reference walking
+    docs in id order; a full duplicate of an earlier doc is 0-novel; a
+    doc with all-new text is 100%-novel."""
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # exact dup of 1
+        (3, "beta gamma epsilon zeta"),  # partial overlap
+        (4, "brand new words entirely"),
+        (5, "x"),  # too short for a bigram: no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    from c3s_sm_spark.operators.textstats import novelty_curve
+
+    seen: set = set()
+    want = {}
+    for d, t in docs:
+        ws = t.split()
+        shs = {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+        if not shs:
+            continue
+        want[d] = (len(shs), len(shs - seen))
+        seen |= shs
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"])
+        for r in novelty_curve(df, k=2).collect()
+    }
+    assert got == want
+    assert got[2] == (3, 0) and got[4] == (3, 3)

@@ -1066,3 +1066,83 @@ def test_lag_corr_pieces_rejects_bad_lag(spark):
     df = spark.createDataFrame([("a", 1.0, 1)], "k string, ts double, v long")
     with pytest.raises(ValueError, match="lag"):
         lag_corr_pieces(df, ["k"], "ts", "v", lag=0)
+
+
+def test_paa_symbols_brute_force(spark):
+    """Frame means + equal-width binning vs a pure-Python reference,
+    including the partial last frame, the clamp at the top edge, and
+    the constant-series (hi == lo) branch."""
+    import math
+
+    series = {
+        "a": [0, 10, 20, 30, 40, 50, 60, 70, 80, 100, 100],  # 11 rows
+        "b": [5, 5, 5, 5],  # constant
+        "c": [-30, -10, 10, 30],  # negatives
+    }
+    rows = [
+        (k, float(i), int(v))
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v long")
+    from c3s_sm_spark.operators.timeseries import paa_symbols
+
+    got = {
+        (r["k"], r["frame"]): (r["n_in_frame"], r["v_sum"], r["symbol"])
+        for r in paa_symbols(df, ["k"], "ts", "v", frame_rows=4).collect()
+    }
+
+    def ref(vals, frame_rows=4, a=4):
+        lo, hi = min(vals), max(vals)
+        out = {}
+        for f in range(math.ceil(len(vals) / frame_rows)):
+            fv = vals[f * frame_rows : (f + 1) * frame_rows]
+            s, n = sum(fv), len(fv)
+            sym = 0 if hi == lo else min((s - lo * n) * a // ((hi - lo) * n), a - 1)
+            out[f] = (n, s, sym)
+        return out
+
+    for k, vals in series.items():
+        want = ref(vals)
+        for f, w in want.items():
+            assert got[(k, f)] == w, (k, f)
+    # top-edge clamp: key a's last frame mean is 100 == hi -> symbol 3
+    assert got[("a", 2)][2] == 3
+    # constant series is all symbol 0
+    assert all(got[("b", f)][2] == 0 for f in (0,))
+    with pytest.raises(ValueError, match="frame_rows"):
+        paa_symbols(df, ["k"], "ts", "v", frame_rows=0)
+    with pytest.raises(ValueError, match="alphabet"):
+        paa_symbols(df, ["k"], "ts", "v", frame_rows=4, alphabet=1)
+
+
+def test_interarrival_stats_brute_force(spark):
+    """Gap pieces vs numpy diff of the sorted timestamps; equal
+    timestamps contribute zero gaps regardless of tie order; keys with
+    one event drop out."""
+    import datetime as dt
+
+    import numpy as np
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    offs = {
+        "a": [0, 60, 60, 300, 301, 3600],  # tie at 60
+        "b": [10, 10, 10],  # all ties
+        "solo": [5],
+    }
+    rows = [
+        (k, base + dt.timedelta(seconds=s)) for k, ss in offs.items() for s in ss
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    from c3s_sm_spark.operators.timeseries import interarrival_stats
+
+    got = {r["k"]: r for r in interarrival_stats(df, ["k"], "ts").collect()}
+    assert "solo" not in got
+    for k in ("a", "b"):
+        g = np.diff(np.sort(np.array(offs[k], dtype=np.int64)))
+        r = got[k]
+        assert r["n_gaps"] == len(g)
+        assert r["gap_sum"] == int(g.sum())
+        assert r["gap_sq_sum"] == int((g * g).sum())
+        assert r["gap_min"] == int(g.min())
+        assert r["gap_max"] == int(g.max())
