@@ -220,3 +220,43 @@ def stream_interval_tag(
         interval_cols=interval_cols,
         max_span_buckets=max_span_buckets,
     )
+
+
+def stream_sliding_rollup(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rollup — the live "rate over the last
+    hour, refreshed every 15 minutes" panel next to
+    :func:`stream_daily_rollup`'s tumbling daily tier. Each event lands
+    in ``window/slide`` overlapping windows; Spark keeps one aggregate
+    state row per (key, window) and drops it once the watermark passes
+    the window end, so state is bounded by
+    ``keys x (watermark + window)/slide`` regardless of stream length.
+
+    Emits (append mode) one final row per closed window: key,
+    win_start, win_end, n, v_sum_micro — the micro-integer sum
+    convention of the batch tiers, so a downstream exactness check can
+    diff this against a batch recompute bit-for-bit.
+    """
+    v_micro = F.round(F.col(value_col) * 1_000_000).cast("long")
+    return (
+        points_stream.withWatermark(ts_col, watermark)
+        .groupBy(key, F.window(ts_col, window, slide).alias("w"))
+        .agg(
+            F.count(value_col).alias("n"),
+            F.sum(v_micro).alias("v_sum_micro"),
+        )
+        .select(
+            key,
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n",
+            "v_sum_micro",
+        )
+    )

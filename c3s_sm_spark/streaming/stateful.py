@@ -1,0 +1,133 @@
+"""Custom stateful streaming operators (SURVEY.md §2.8, arbitrary state).
+
+The reference's incremental consumers carry per-series state between
+runs — the lineage high-water mark that ``extend_ts`` resumes from
+(``/root/reference/src/c3s_sm/reshuffle.py:67-133``). The streaming
+analog here generalizes that to a per-key RECURRENCE carried across
+micro-batches: the exponentially weighted moving average, the standard
+online smoother a telemetry tier keeps per series for drift/alert
+thresholds (the stateful twin of the batch
+``operators.timeseries.ewma``).
+
+Implemented with ``applyInPandasWithState`` (the same machinery as
+``frontier.track_frontier_gaps``): state per key is
+``(last_ewma float64, frontier_us int64)``. Each invocation sorts the
+key's new rows by timestamp, folds the recurrence vectorized in numpy,
+emits one output row per accepted input row, and advances the state.
+At 10^12 keys the state store shards with the shuffle partitioning on
+the key — the same layout the engine uses everywhere else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ewma", DoubleType()),
+        StructField("frontier_us", LongType()),
+    ]
+)
+
+
+def stream_ewma(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Streaming per-key EWMA: ``s_t = alpha*v_t + (1-alpha)*s_{t-1}``
+    carried across micro-batches in keyed state.
+
+    Exactness contract: fed the same rows in timestamp order (across
+    any micro-batch slicing), the emitted ewma values are bit-identical
+    to the batch :func:`~c3s_sm_spark.operators.timeseries.ewma` —
+    pinned by ``tests/test_streaming.py`` over a 2-batch split. Inside
+    one micro-batch rows are sorted per key before folding, so only
+    CROSS-batch disorder is a semantic hazard: a row at or before the
+    stored frontier would rewrite history that downstream consumers
+    already saw, so it is DROPPED (the same late-data policy as
+    ``track_frontier_gaps`` — the batch pipeline is the healing ledger,
+    the stream is the live surface). Null timestamps and null values
+    are likewise dropped (NaN would poison the recurrence forever).
+
+    Output (append mode): one row per accepted event —
+    ``(key, ts, value, ewma)``.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+
+    out_schema = StructType(
+        [
+            StructField(key, points_stream.schema[key].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+
+    def _fold(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts = pd.to_datetime(pdf[ts_col])
+        keep = ts.notna() & pdf[value_col].notna()
+        if state.exists:
+            last_ewma, frontier_us = state.get
+            frontier = pd.Timestamp(np.datetime64(frontier_us, "us"))
+            keep &= ts > frontier
+        else:
+            last_ewma = None
+        pdf = pdf.loc[keep].sort_values(ts_col, kind="stable")
+        if not len(pdf):
+            return
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        # bit-exactness with the batch operator demands the SAME
+        # sequential fold pandas ewm(adjust=False) runs in C — not an
+        # algebraically equal scaled-cumsum (different rounding order).
+        # The carry-in is injected by prepending the stored state as a
+        # synthetic row: ewm then yields y_0 = s and
+        # y_1 = (1-a)*s + a*v_1 — exactly the cross-batch recurrence —
+        # and the prepended row is sliced off the output.
+        s = last_ewma
+        if s is None:
+            folded = pd.Series(v).ewm(alpha=alpha, adjust=False).mean()
+            out = folded.to_numpy()
+        else:
+            seeded = np.concatenate(([s], v))
+            folded = pd.Series(seeded).ewm(alpha=alpha, adjust=False).mean()
+            out = folded.to_numpy()[1:]
+        s = float(out[-1])
+        frontier_us = int(
+            pd.to_datetime(pdf[ts_col]).to_numpy().astype("datetime64[us]").astype(np.int64).max()
+        )
+        state.update((s, frontier_us))
+        yield pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: v,
+                "ewma": out,
+            }
+        )
+
+    return points_stream.groupBy(key).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

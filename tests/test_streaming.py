@@ -205,3 +205,120 @@ def test_stream_interval_tag_matches_batch(spark, tmp_path):
         for r in interval_join(pts, iv, ["user_id"], bucket_s=3600).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_ewma_matches_batch_across_restarts(spark, tmp_path):
+    """The stateful streaming EWMA must be BIT-identical to the batch
+    operator when rows arrive in ts order across micro-batches (the
+    carry-in state is a pandas-ewm prepend, the same C fold), and a
+    late row at/before the stored frontier must be dropped."""
+    from c3s_sm_spark.operators.timeseries import ewma
+    from c3s_sm_spark.streaming.stateful import stream_ewma
+
+    raw = (
+        gen_points_raw(spark, 6, start="2019-10-01", end="2019-11-30")
+        .where(F.col("version") == "v1")
+        .select("doc_id", "ts", F.col("v").cast("double").alias("value"))
+        .cache()
+    )
+    in_dir = str(tmp_path / "in")
+    ck = str(tmp_path / "ck_ewma")
+    early = raw.where(F.col("ts") < "2019-11-01")
+    late = raw.where(F.col("ts") >= "2019-11-01")
+    early.coalesce(1).write.parquet(in_dir, mode="overwrite")
+
+    out_dir = str(tmp_path / "out_ewma")
+
+    def _run():
+        # memory sink can't recover from a checkpoint; foreachBatch +
+        # parquet append is the restart-capable harness
+        stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+        q = (
+            stream_ewma(stream, key="doc_id", ts_col="ts", value_col="value", alpha=0.3)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()  # micro-batch 1: october
+    late.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()  # micro-batch 2: november, carry-in state from batch 1
+
+    got = {
+        (r["doc_id"], str(r["ts"])): r["ewma"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["doc_id"], str(r["ts"])): r["ewma"]
+        for r in ewma(raw, ["doc_id"], "ts", "value", alpha=0.3).collect()
+    }
+    assert got == exp  # bit-identical floats, no tolerance
+    assert len(got) == raw.count()
+
+    # a replayed/late file (ts before the frontier) emits NOTHING new
+    early.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+    assert spark.read.parquet(out_dir).count() == len(exp)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="alpha"):
+        stream_ewma(spark.readStream.schema(raw.schema).parquet(in_dir), alpha=0.0)
+
+
+def test_stream_sliding_rollup_matches_batch_windows(spark, tmp_path):
+    """Closed sliding windows emitted by the stream must equal the batch
+    computation of the same window expression (micro-int sums, exact)."""
+    from c3s_sm_spark.streaming.refresh import stream_sliding_rollup
+
+    raw = (
+        gen_points_raw(spark, 5, start="2019-10-01", end="2019-10-10")
+        .where(F.col("version") == "v1")
+        .select("doc_id", "ts", F.col("v").cast("double").alias("value"))
+    )
+    in_dir = str(tmp_path / "in_slide")
+    raw.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+    out = stream_sliding_rollup(
+        stream, window="48 hours", slide="24 hours", watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("slide_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select * from slide_stream").collect()
+    assert len(got) > 0
+    exp = {
+        (r["doc_id"], str(r["w"]["start"]), str(r["w"]["end"])): (
+            r["n"],
+            r["v_sum_micro"],
+        )
+        for r in raw.groupBy(
+            "doc_id", F.window("ts", "48 hours", "24 hours").alias("w")
+        )
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "v_sum_micro"
+            ),
+        )
+        .collect()
+    }
+    for r in got:
+        assert exp[(r["doc_id"], str(r["win_start"]), str(r["win_end"]))] == (
+            r["n"],
+            r["v_sum_micro"],
+        )
+    # every event lands in window/slide = 2 overlapping windows: emitted
+    # (closed) windows are a subset, but n must tile <= 2x the row count
+    assert sum(r["n"] for r in got) <= 2 * raw.count()
