@@ -1899,6 +1899,16 @@ def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_pmi_pieces(_docs(spark, sf_dir), min_count=5)
 
 
+def _q_rank_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 rank-normalized quality blend: corpus-wide row_number per
+    integer signal under (signal, doc_id) total order, via the
+    two-phase distributed scan (never a one-task global window)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import rank_blend
+
+    return rank_blend(_docs(spark, sf_dir))
+
+
 def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X70 per-doc shingle novelty in ingest order: distinct bigram
     shingles first seen in this doc vs total distinct shingles."""
@@ -2063,6 +2073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": _q_oov_rate,
         "pmi_bigrams": _q_pmi_bigrams,
         "novelty": _q_novelty,
+        # X71 distributed global-rank quality blend (oracled):
+        "rank_blend": _q_rank_blend,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -3605,5 +3617,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_novel
         FROM f GROUP BY doc_id
+    """
+    # X71: three global row_numbers under (signal, doc_id) total orders
+    # — deterministic at any tie density; blend is the BIGINT rank sum.
+    d["rank_blend"] = r"""
+        WITH b AS (
+          SELECT doc_id,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::BIGINT
+                   AS alpha,
+                 (length(text) - length(replace(text, ' ', '')))::BIGINT
+                   AS spaces,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split(
+                               regexp_replace(trim(text), '\s+', ' ', 'g'),
+                               ' '))
+                 END::BIGINT AS n_tokens
+          FROM documents),
+        r AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY alpha, doc_id) AS BIGINT)
+                   AS rn_alpha,
+                 CAST(row_number() OVER (ORDER BY spaces, doc_id) AS BIGINT)
+                   AS rn_space,
+                 CAST(row_number() OVER (ORDER BY n_tokens, doc_id) AS BIGINT)
+                   AS rn_tok
+          FROM b)
+        SELECT doc_id, rn_alpha, rn_space, rn_tok,
+               CAST(rn_alpha + rn_space + rn_tok AS BIGINT) AS rank_sum
+        FROM r
     """
     return d

@@ -110,6 +110,7 @@ HEADLINE = [
     "oov_rate",
     "pmi_bigrams",
     "novelty",
+    "rank_blend",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -26,6 +26,8 @@ can skip to and never materializes the rest.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -565,3 +567,49 @@ def pack_sequences_strict(
         (F.col("__off") + F.col("__lb")).cast("long").alias("bin_id"),
         F.col("pos_in_bin").cast("long"),
     )
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rn",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global ``row_number`` over a TOTAL order — the
+    primitive behind corpus-wide rank normalization (and any "position
+    in the sorted corpus" computation). The naive
+    ``row_number().over(Window.orderBy(...))`` collapses the corpus
+    into ONE task; this is the :func:`pack_sequences` two-phase scan
+    applied to counting: range-partition on the order key, per-partition
+    local row_numbers (parallel), then add each partition's exclusive
+    row-count offset (a partition-count-sized driver collect + one
+    broadcast map expression). Identical output at any parallelism.
+
+    ``order_cols`` must form a total order (include a unique tiebreaker
+    like ``doc_id`` last) — otherwise boundary ties land in either
+    partition and the rank of tied rows becomes partitioning-dependent.
+    """
+    keys = [F.col(c) for c in order_cols]
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
+    d = df.repartitionByRange(n, *keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    # localCheckpoint pins the sampled range bounds (pack_sequences's
+    # note): offsets are only valid against THESE partitions
+    part = d.withColumn("_rn_local", F.row_number().over(w)).localCheckpoint()
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    running = 0
+    offs = {}
+    for pid, c in counts:
+        offs[pid] = running
+        running += c
+    off_map = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    return part.withColumn(
+        out_col, (F.col("_rn_local") + off_map[F.col("_pid")]).cast("long")
+    ).drop("_pid", "_rn_local")

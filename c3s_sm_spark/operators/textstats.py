@@ -906,3 +906,55 @@ def novelty_curve(
             .alias("n_novel"),
         )
     )
+
+
+def rank_blend(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rank-normalized quality blend: each raw signal (alphabetic-char
+    count, space count, token count) is replaced by its corpus-wide
+    rank under the total order ``(signal, doc_id)``, and the blend is
+    the BIGINT rank sum — the standard way to combine incomparably
+    scaled quality signals without any float weighting surface (the
+    weighted-float composite lives in :func:`quality_score`; this is
+    its scale-free sibling, and the witness is exact integers
+    end-to-end).
+
+    Each rank is a distributed two-phase global row_number
+    (:func:`~c3s_sm_spark.operators.sampling.global_rank` — never the
+    one-task unpartitioned window), so the plan survives a corpus that
+    does not fit one executor: three range shuffles + three
+    partition-count-sized offset collects, then two doc-keyed joins.
+    """
+    from c3s_sm_spark.operators.sampling import global_rank
+
+    n_chars = F.length(text_col).cast("long")
+    alpha = F.length(
+        F.regexp_replace(F.col(text_col), "[^A-Za-z]", "")
+    ).cast("long")
+    spaces = (
+        n_chars - F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("long")
+    )
+    base = docs.select(
+        "doc_id",
+        alpha.alias("alpha"),
+        spaces.alias("spaces"),
+        F.size(words_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    r1 = global_rank(base.select("doc_id", "alpha"), ["alpha", "doc_id"], "rn_alpha")
+    r2 = global_rank(base.select("doc_id", "spaces"), ["spaces", "doc_id"], "rn_space")
+    r3 = global_rank(
+        base.select("doc_id", "n_tokens"), ["n_tokens", "doc_id"], "rn_tok"
+    )
+    out = (
+        r1.select("doc_id", "rn_alpha")
+        .join(r2.select("doc_id", "rn_space"), "doc_id")
+        .join(r3.select("doc_id", "rn_tok"), "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "rn_alpha",
+        "rn_space",
+        "rn_tok",
+        (F.col("rn_alpha") + F.col("rn_space") + F.col("rn_tok"))
+        .cast("long")
+        .alias("rank_sum"),
+    )

@@ -1541,3 +1541,53 @@ def test_novelty_curve_brute_force(spark):
     }
     assert got == want
     assert got[2] == (3, 0) and got[4] == (3, 3)
+
+
+def test_global_rank_and_rank_blend(spark):
+    """global_rank equals the single-window row_number at every
+    partition count (including n > rows); rank_blend's rank sum matches
+    a Python reference over the same total orders."""
+    from c3s_sm_spark.operators.sampling import global_rank
+    from c3s_sm_spark.operators.textstats import rank_blend
+
+    rows = [(i, (i * 37) % 11) for i in range(40)]  # heavy ties
+    df = spark.createDataFrame(rows, "doc_id long, s long")
+    want = {
+        d: r + 1
+        for r, (s, d) in enumerate(sorted((s, d) for d, s in rows))
+    }
+    for n in (1, 3, 8, 64):
+        got = {
+            r["doc_id"]: r["rn"]
+            for r in global_rank(df, ["s", "doc_id"], n_partitions=n).collect()
+        }
+        assert got == want, n
+
+    docs = [
+        (1, "Hello world this is fine"),
+        (2, "aaa!!! ### $$$"),
+        (3, ""),
+        (4, "One two three four five six seven"),
+        (5, "short"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def sig(t):
+        alpha = sum(c.isascii() and c.isalpha() for c in t)
+        spaces = t.count(" ")
+        ntok = len(t.split())
+        return alpha, spaces, ntok
+
+    sigs = {d: sig(t) for d, t in docs}
+
+    def rank_of(i):
+        order = sorted((v[i], d) for d, v in sigs.items())
+        return {d: r + 1 for r, (_, d) in enumerate(order)}
+
+    ra, rs, rt = rank_of(0), rank_of(1), rank_of(2)
+    want2 = {d: (ra[d], rs[d], rt[d], ra[d] + rs[d] + rt[d]) for d in sigs}
+    got2 = {
+        r["doc_id"]: (r["rn_alpha"], r["rn_space"], r["rn_tok"], r["rank_sum"])
+        for r in rank_blend(ddf).collect()
+    }
+    assert got2 == want2
