@@ -1918,6 +1918,18 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return novelty_curve(_docs(spark, sf_dir), k=2, order_col="doc_id")
 
 
+def _q_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72 BPE-style phrase-merge training (8 rounds, min_count=5):
+    iterative count -> argmax -> greedy rewrite. Rows-only by design
+    (an n-round recursion over a rewritten corpus has no ANSI-SQL twin);
+    the merge table and rewritten corpus are pinned bit-exactly against
+    a pure-Python reference in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import phrase_merge_train
+
+    return phrase_merge_train(_docs(spark, sf_dir), n_merges=8, min_count=5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -2075,6 +2087,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "novelty": _q_novelty,
         # X71 distributed global-rank quality blend (oracled):
         "rank_blend": _q_rank_blend,
+        # X72 iterative phrase-merge trainer (rows-only: n-round
+        # recursion over a rewritten corpus; pinned vs Python reference):
+        "phrase_merges": _q_phrase_merges,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,

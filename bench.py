@@ -111,6 +111,7 @@ HEADLINE = [
     "pmi_bigrams",
     "novelty",
     "rank_blend",
+    "phrase_merges",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -958,3 +958,101 @@ def rank_blend(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .cast("long")
         .alias("rank_sum"),
     )
+
+
+def phrase_merge_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    min_count: int = 2,
+    text_col: str = "text",
+    return_corpus: bool = False,
+) -> DataFrame:
+    """BPE-style phrase-merge training at word granularity (the
+    word2phrase / tokenizer-induction loop): for ``n_merges`` rounds,
+    count adjacent token pairs across the corpus, pick the most frequent
+    pair under the TOTAL order ``(count DESC, w1 ASC, w2 ASC)``, fuse
+    every left-to-right non-overlapping occurrence into a single
+    ``w1_w2`` token, repeat on the rewritten corpus. Stops early when no
+    pair reaches ``min_count``. Deterministic end-to-end: the argmax
+    order has no ties and the greedy rewrite is position-defined.
+
+    Returns the merge table ``(merge_rank, w1, w2, pair_cnt)`` — the
+    trained vocabulary delta, what a real BPE trainer persists. With
+    ``return_corpus=True`` returns the rewritten corpus
+    ``(doc_id, toks)`` after all merges instead.
+
+    Scale shape (the honest BPE cost): ``n_merges`` corpus passes, each
+    a map-side-combinable pair count + a TakeOrdered(1) argmax + an
+    Arrow-batched rewrite (``mapInPandas``, no per-row Python in the
+    count path). Pair counts are computed on OVERLAPPING adjacency
+    (standard counting; the rewrite is non-overlapping greedy — same
+    convention as the reference BPE implementations). Each round's
+    corpus is localCheckpointed and the previous round unpersisted, so
+    lineage stays O(1) and memory holds ONE corpus copy; a 100 TB run
+    swaps the localCheckpoint for a per-round snapshot-table write, the
+    same trade documented at pack_sequences.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    spark = docs.sparkSession
+    cur = (
+        docs.select("doc_id", words_col(text_col).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .localCheckpoint()
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        top = (
+            cur.filter(F.size("toks") >= 2)
+            .select(F.explode(pair_arr).alias("p"))
+            .select("p.w1", "p.w2")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= min_count)
+            .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        w1, w2, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
+        merges.append((rnd, w1, w2, c))
+        fused = w1 + "_" + w2
+
+        def _rewrite(batches, _w1=w1, _w2=w2, _f=fused):
+            for pdf in batches:
+                if len(pdf):
+                    pdf["toks"] = pdf["toks"].map(
+                        lambda arr: _merge_once(list(arr), _w1, _w2, _f)
+                    )
+                yield pdf
+
+        nxt = cur.mapInPandas(_rewrite, schema=cur.schema).localCheckpoint()
+        cur.unpersist()
+        cur = nxt
+    if return_corpus:
+        return cur
+    out_schema = "merge_rank int, w1 string, w2 string, pair_cnt long"
+    if not merges:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(merges, out_schema)
+
+
+def _merge_once(arr: list, w1: str, w2: str, fused: str) -> list:
+    """Greedy left-to-right non-overlapping fuse of adjacent (w1, w2)."""
+    out = []
+    i, n = 0, len(arr)
+    while i < n:
+        if i + 1 < n and arr[i] == w1 and arr[i + 1] == w2:
+            out.append(fused)
+            i += 2
+        else:
+            out.append(arr[i])
+            i += 1
+    return out

@@ -1591,3 +1591,78 @@ def test_global_rank_and_rank_blend(spark):
         for r in rank_blend(ddf).collect()
     }
     assert got2 == want2
+
+
+def test_phrase_merge_train_matches_reference(spark):
+    """The merge table and the rewritten corpus must match a pure-Python
+    BPE-at-word-granularity reference (overlap-counted pairs, greedy
+    non-overlapping rewrite, (count DESC, w1, w2) argmax)."""
+    from collections import Counter
+
+    from c3s_sm_spark.operators.textstats import phrase_merge_train
+
+    docs = [
+        (1, "new york city is in new york state"),
+        (2, "new york new york"),
+        (3, "the city of new york"),
+        (4, "a a a a"),  # overlap-count vs greedy-rewrite divergence
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def ref(n_merges, min_count):
+        corpus = {d: t.split() for d, t in docs}
+        merges = []
+        for rnd in range(1, n_merges + 1):
+            cnt = Counter()
+            for ws in corpus.values():
+                for i in range(len(ws) - 1):
+                    cnt[(ws[i], ws[i + 1])] += 1
+            cands = [(c, w1, w2) for (w1, w2), c in cnt.items() if c >= min_count]
+            if not cands:
+                break
+            # total order (count DESC, w1 ASC, w2 ASC): pick via sort
+            cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+            c, w1, w2 = cands[0]
+            merges.append((rnd, w1, w2, c))
+            fused = w1 + "_" + w2
+            for d, ws in corpus.items():
+                out, i = [], 0
+                while i < len(ws):
+                    if i + 1 < len(ws) and ws[i] == w1 and ws[i + 1] == w2:
+                        out.append(fused)
+                        i += 2
+                    else:
+                        out.append(ws[i])
+                        i += 1
+                corpus[d] = out
+        return merges, corpus
+
+    for n_merges, min_count in ((1, 2), (3, 2), (10, 2), (10, 3)):
+        want_merges, want_corpus = ref(n_merges, min_count)
+        got = [
+            (r["merge_rank"], r["w1"], r["w2"], r["pair_cnt"])
+            for r in phrase_merge_train(df, n_merges, min_count)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want_merges, (n_merges, min_count)
+        got_corpus = {
+            r["doc_id"]: list(r["toks"])
+            for r in phrase_merge_train(
+                df, n_merges, min_count, return_corpus=True
+            ).collect()
+        }
+        assert got_corpus == want_corpus, (n_merges, min_count)
+    # the "a a a a" doc: pair (a,a) counts 3 overlapped, but the greedy
+    # non-overlapping rewrite fuses positions (0,1) and (2,3) only
+    from c3s_sm_spark.operators.textstats import _merge_once
+
+    assert _merge_once(["a", "a", "a", "a"], "a", "a", "a_a") == ["a_a", "a_a"]
+    assert _merge_once(["a", "a", "a"], "a", "a", "a_a") == ["a_a", "a"]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="n_merges"):
+        phrase_merge_train(df, n_merges=0)
+    with _pt.raises(ValueError, match="min_count"):
+        phrase_merge_train(df, min_count=0)
