@@ -250,6 +250,20 @@ def cmd_drift(spark: SparkSession, args) -> None:
     _emit({"stage": "drift", "a": args.src_a, "b": args.src_b, "rows": rows})
 
 
+def cmd_merges(spark: SparkSession, args) -> None:
+    from c3s_sm_spark.operators.textstats import phrase_merge_train
+
+    rows = [
+        r.asDict()
+        for r in phrase_merge_train(
+            _docs(spark, args), n_merges=args.n_merges, min_count=args.min_count
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    _emit({"stage": "merges", "rows": rows})
+
+
 def _done(spark: SparkSession, out: str, name: str) -> str | None:
     """Path of a completed stage output (parquet _SUCCESS present).
 
@@ -309,6 +323,7 @@ def main(argv: list[str] | None = None) -> None:
     c = sub.add_parser("chunk")
     k = sub.add_parser("pack")
     v = sub.add_parser("curve")
+    m = sub.add_parser("merges")
     g = sub.add_parser("drift")
     pl = sub.add_parser("pipeline")
 
@@ -334,6 +349,8 @@ def main(argv: list[str] | None = None) -> None:
     for sp in (cl, pl):
         sp.add_argument("--span-k", type=int, default=20)
         sp.add_argument("--span-min-count", type=int, default=2)
+    m.add_argument("--n-merges", type=int, default=10)
+    m.add_argument("--min-count", type=int, default=5)
     v.add_argument("--bucket-size", type=int, default=1000)
     v.add_argument("--hll", action="store_true")
     g.add_argument("--src-a", required=True)
@@ -350,6 +367,7 @@ def main(argv: list[str] | None = None) -> None:
         "chunk": cmd_chunk,
         "pack": cmd_pack,
         "curve": cmd_curve,
+        "merges": cmd_merges,
         "drift": cmd_drift,
         "pipeline": cmd_pipeline,
     }[args.cmd](spark, args)

@@ -205,3 +205,41 @@ main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
     # dedup re-ran, so chunk and pack must have re-run too
     for stage in ("dedup", "chunk", "pack"):
         assert "skipped" not in by[stage], stage
+
+
+def test_corpus_cli_merges_parity(spark, tmp_path):
+    """The merges subcommand must emit exactly the in-process
+    phrase_merge_train table for the same flags."""
+    out = str(tmp_path / "m")
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "merges", "--n-merges", "4", "--min-count", "5"])
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    got = None
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            d = json.loads(line)
+            if d.get("stage") == "merges":
+                got = d["rows"]
+    assert got is not None
+
+    from c3s_sm_spark.operators.textstats import phrase_merge_train
+
+    docs = spark.read.parquet(DOCS)
+    want = [
+        r.asDict()
+        for r in phrase_merge_train(docs, n_merges=4, min_count=5)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == 4
