@@ -1930,6 +1930,17 @@ def _q_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_merge_train(_docs(spark, sf_dir), n_merges=8, min_count=5)
 
 
+def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73 corpus clustering (spherical k-means via the IVF trainer,
+    k=8): per-vector cluster + cosine cohesion. Rows-only by design
+    (iterative Lloyd training has no ANSI-SQL twin); blob recovery and
+    parallelism invariance pinned in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.similarity import cluster_embeddings
+
+    return cluster_embeddings(_emb(spark, sf_dir), k=8, n_iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: cascading rollup raw->daily->dekadal->monthly on sf0.001."""
     return _q_rollup_cascade(spark, "/root/testdata/sf0.001")
@@ -2096,6 +2107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X72 iterative phrase-merge trainer (rows-only: n-round
         # recursion over a rewritten corpus; pinned vs Python reference):
         "phrase_merges": _q_phrase_merges,
+        # X73 k-means corpus clustering (rows-only: iterative training):
+        "cluster_docs": _q_cluster_embeddings,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

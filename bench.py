@@ -112,6 +112,7 @@ HEADLINE = [
     "novelty",
     "rank_blend",
     "phrase_merges",
+    "cluster_docs",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -653,3 +653,69 @@ def cosine_pairs_blocked(
     return scored.select("a", "b", sim.alias("cos_sim")).where(
         F.col("cos_sim") >= threshold
     )
+
+
+def cluster_embeddings(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus clustering over the embedding column — the domain-discovery
+    surface a data-mixing pipeline runs before setting per-domain
+    sampling weights (cluster the corpus, inspect/label the clusters,
+    then :func:`~c3s_sm_spark.operators.sampling.temperature_mix` over
+    the discovered domains). This is spherical k-means REUSING the IVF
+    coarse quantizer verbatim (:func:`ivf_train_centroids` — the
+    deterministic hash-seeded init, the one-job-per-iteration partial
+    reduction, the 9-decimal centroid rounding that keeps float
+    summation order out of the result) plus the IVF assignment matmul.
+
+    Output: one row per vector — ``(id_col, cluster int, cos_sim
+    double)`` where ``cos_sim`` is the cosine to the OWN centroid
+    rounded to 4 decimals (the cohesion signal; its per-cluster mean is
+    the standard "is this cluster real" diagnostic). Deterministic at
+    any parallelism; ties in the assignment argmax break on the lower
+    cluster id.
+
+    Scale: training cost is bounded by ``sample_fraction`` (k-means
+    needs ~1000x k points, not the corpus); assignment is one
+    Arrow-batched matmul pass, no shuffle at all — the output keeps the
+    input's partitioning.
+    """
+    cent = ivf_train_centroids(
+        corpus,
+        n_lists=k,
+        n_iters=n_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_fraction=sample_fraction,
+        seed=seed,
+    )
+    cnorm = np.linalg.norm(cent, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1.0
+    cn = cent / cnorm
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cluster: int, cos_sim: double>")
+    def _assign_scored(vs: pd.Series) -> pd.DataFrame:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cn.T
+        lid = np.argmax(sims, axis=1)
+        best = np.round(sims[np.arange(len(lid)), lid], 4)
+        return pd.DataFrame({"cluster": lid.astype(np.int32), "cos_sim": best})
+
+    out = corpus.withColumn(
+        "_c", _assign_scored(F.col(vec_col).cast("array<double>"))
+    )
+    return out.select(
+        id_col,
+        F.col("_c.cluster").alias("cluster"),
+        F.col("_c.cos_sim").alias("cos_sim"),
+    )

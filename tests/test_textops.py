@@ -1666,3 +1666,49 @@ def test_phrase_merge_train_matches_reference(spark):
         phrase_merge_train(df, n_merges=0)
     with _pt.raises(ValueError, match="min_count"):
         phrase_merge_train(df, min_count=0)
+
+
+def test_cluster_embeddings_recovers_blobs(spark):
+    """On well-separated synthetic blobs, k-means clustering must (a)
+    co-assign every vector of a blob, (b) separate distinct blobs, (c)
+    report near-1 cohesion for tight clusters, and (d) be identical at
+    different parallelism."""
+    import numpy as np
+
+    from c3s_sm_spark.operators.similarity import cluster_embeddings
+
+    rng_dirs = np.eye(4)  # 4 orthogonal blob directions in R^4
+    rows = []
+    vid = 0
+    for b in range(4):
+        for j in range(12):
+            # tight cone around direction b: base + tiny deterministic jitter
+            v = rng_dirs[b] + 0.01 * np.array(
+                [((vid * 7 + i * 3) % 5 - 2) / 10.0 for i in range(4)]
+            )
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out1 = {
+        r["vec_id"]: (r["cluster"], r["cos_sim"])
+        for r in cluster_embeddings(df, k=4, n_iters=5).collect()
+    }
+    # blob purity: each blob of 12 maps to exactly one cluster, and the 4
+    # blobs map to 4 distinct clusters
+    blob_clusters = []
+    for b in range(4):
+        cl = {out1[vid][0] for vid in range(b * 12, (b + 1) * 12)}
+        assert len(cl) == 1, (b, cl)
+        blob_clusters.append(cl.pop())
+    assert len(set(blob_clusters)) == 4
+    # cohesion: tight cones -> cosine to own centroid ~1
+    assert all(c >= 0.999 for _, c in out1.values())
+    # parallelism invariance
+    out2 = {
+        r["vec_id"]: (r["cluster"], r["cos_sim"])
+        for r in cluster_embeddings(
+            df.repartition(7), k=4, n_iters=5
+        ).collect()
+    }
+    assert out1 == out2
