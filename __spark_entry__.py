@@ -1930,6 +1930,40 @@ def _q_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_merge_train(_docs(spark, sf_dir), n_merges=8, min_count=5)
 
 
+def _q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74 forecast backtest pieces: seasonal-naive (lag-7) vs naive
+    (lag-1) absolute-error sums over per-user daily purchase sums
+    (1e-4 units) — the MASE numerator/denominator as exact BIGINTs."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import forecast_eval_pieces
+
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(v4).alias("v4"))
+    )
+    return forecast_eval_pieces(daily, ["user_id"], "day", "v4", season_lag=7)
+
+
+def _q_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75 below-threshold run statistics (gaps-and-islands on the
+    per-user daily sums, threshold 400000 micro = 40.0): run count,
+    longest run, total below — the drought-streak summary."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import threshold_runs
+
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(v4).alias("v4"))
+    )
+    return threshold_runs(daily, ["user_id"], "day", "v4", threshold=400000)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2109,6 +2143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_merges": _q_phrase_merges,
         # X73 k-means corpus clustering (rows-only: iterative training):
         "cluster_docs": _q_cluster_embeddings,
+        # X74/X75 (oracled): forecast backtest pieces, threshold runs:
+        "forecast_eval": _q_forecast_eval,
+        "threshold_runs": _q_threshold_runs,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3658,6 +3695,55 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_novel
         FROM f GROUP BY doc_id
+    """
+    # X74: both lags in one window; rows where either lag is NULL drop
+    # so sae_seasonal and sae_naive cover the identical row set.
+    d["forecast_eval"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        l AS (
+          SELECT user_id, v4,
+                 lag(v4, 7) OVER (PARTITION BY user_id ORDER BY day) AS sn,
+                 lag(v4, 1) OVER (PARTITION BY user_id ORDER BY day) AS nv
+          FROM p)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_eval,
+               CAST(sum(abs(v4 - sn)) AS BIGINT) AS sae_seasonal,
+               CAST(sum(abs(v4 - nv)) AS BIGINT) AS sae_naive,
+               CAST(max(abs(v4 - sn)) AS BIGINT) AS max_ae_seasonal
+        FROM l WHERE sn IS NOT NULL AND nv IS NOT NULL
+        GROUP BY user_id
+    """
+    # X75: classic gaps-and-islands — island id = rn over all rows minus
+    # rn over below-rows, constant exactly within a consecutive run.
+    d["threshold_runs"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        r AS (
+          SELECT user_id, day, v4,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day)
+                   AS rn_all
+          FROM p),
+        b AS (
+          SELECT user_id,
+                 rn_all - row_number() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS island
+          FROM r WHERE v4 < 400000),
+        runs AS (
+          SELECT user_id, island, count(*) AS len FROM b GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               CAST(max(len) AS BIGINT) AS max_run_len,
+               CAST(sum(len) AS BIGINT) AS total_below
+        FROM runs GROUP BY user_id
     """
     # X71: three global row_numbers under (signal, doc_id) total orders
     # — deterministic at any tie density; blend is the BIGINT rank sum.

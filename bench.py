@@ -113,6 +113,8 @@ HEADLINE = [
     "rank_blend",
     "phrase_merges",
     "cluster_docs",
+    "forecast_eval",
+    "threshold_runs",
     "text_quality",
     "lang_id",
     "quality_select",

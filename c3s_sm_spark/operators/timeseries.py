@@ -1342,3 +1342,89 @@ def interarrival_stats(
         F.min(g).alias("gap_min"),
         F.max(g).alias("gap_max"),
     )
+
+
+def forecast_eval_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_lag: int = 7,
+) -> DataFrame:
+    """Exact integer pieces of a forecast backtest — the MASE-style
+    "is anything smarter than persistence worth running here" triage a
+    telemetry tier computes per series before fitting real models. Two
+    zero-parameter baselines are evaluated in-sample: the seasonal
+    naive (``v_{t-season_lag}``) and the plain naive (``v_{t-1}``);
+    rows where EITHER lag falls off the series start drop out, so both
+    error sums cover the identical row set and their ratio (the MASE
+    numerator/denominator) is comparable. Emits per key: ``n_eval``,
+    ``sae_seasonal`` / ``sae_naive`` (sums of absolute errors, BIGINT
+    micro units — the float ratio derives outside the witness, the
+    lag_corr_pieces split), ``max_ae_seasonal``.
+
+    Plan: one hash shuffle on ``keys``, both lags in ONE per-key sort,
+    then a map-side-combinable groupBy reusing the window partitioning.
+    Requires unique ``ts_col`` per key (feed the daily pre-agg).
+    """
+    keys = list(keys)
+    if season_lag < 2:
+        raise ValueError(f"season_lag must be >= 2, got {season_lag}")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.withColumn("__sn", F.lag(v, season_lag).over(w))
+        .withColumn("__nv", F.lag(v, 1).over(w))
+        .filter(F.col("__sn").isNotNull() & F.col("__nv").isNotNull())
+    )
+    ae_s = F.abs(v - F.col("__sn"))
+    ae_n = F.abs(v - F.col("__nv"))
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(ae_s).cast("long").alias("sae_seasonal"),
+        F.sum(ae_n).cast("long").alias("sae_naive"),
+        F.max(ae_s).cast("long").alias("max_ae_seasonal"),
+    )
+
+
+def threshold_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Consecutive below-threshold run statistics per key — the
+    "longest drought / outage streak" summary (the reference's drought
+    consumers scan exactly these below-percentile runs over the rolled
+    soil-moisture tiers). A run is a maximal set of CONSECUTIVE series
+    rows (by ``ts_col`` order, not calendar adjacency — feed the
+    gap-filled tier if calendar runs are wanted) with
+    ``value < threshold``. Emits per key: ``n_runs``, ``max_run_len``,
+    ``total_below``; keys with no below-threshold rows drop out.
+
+    Plan: the gaps-and-islands double row_number (island id = rn over
+    all rows minus rn over below-rows — constant within a consecutive
+    below-run, distinct across runs), then two nested
+    map-side-combinable groupBys. Everything reuses ONE hash shuffle on
+    ``keys``: both window row_numbers share the same sort, and the
+    island/key aggregations collapse map-side. value_col must be
+    integer (micro units) so the threshold compare is exact.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.withColumn("__rn_all", F.row_number().over(w))
+        .filter(v < F.lit(threshold))
+        .withColumn("__rn_below", F.row_number().over(w))
+        .withColumn("__island", F.col("__rn_all") - F.col("__rn_below"))
+    )
+    runs = staged.groupBy(*keys, "__island").agg(
+        F.count(F.lit(1)).alias("__len")
+    )
+    return runs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("__len").cast("long").alias("max_run_len"),
+        F.sum("__len").cast("long").alias("total_below"),
+    )

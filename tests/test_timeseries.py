@@ -1146,3 +1146,81 @@ def test_interarrival_stats_brute_force(spark):
         assert r["gap_sq_sum"] == int((g * g).sum())
         assert r["gap_min"] == int(g.min())
         assert r["gap_max"] == int(g.max())
+
+
+def test_forecast_eval_pieces_brute_force(spark):
+    """MASE pieces vs a numpy reference: both lags drop the same rows,
+    and a perfectly seasonal series has sae_seasonal == 0."""
+    import numpy as np
+
+    series = {
+        "a": [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7],
+        "per": [1, 2, 3, 1, 2, 3, 1, 2, 3],  # period-3 exact
+        "tiny": [5, 6],  # shorter than season_lag: drops out
+    }
+    rows = [
+        (k, float(i), int(v))
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v long")
+    from c3s_sm_spark.operators.timeseries import forecast_eval_pieces
+
+    got = {
+        r["k"]: r for r in forecast_eval_pieces(df, ["k"], "ts", "v", 3).collect()
+    }
+    assert "tiny" not in got
+    for k in ("a", "per"):
+        v = np.array(series[k], dtype=np.int64)
+        sn, nv = v[3:] - v[:-3], v[3:] - v[2:-1]
+        r = got[k]
+        assert r["n_eval"] == len(v) - 3
+        assert r["sae_seasonal"] == int(np.abs(sn).sum())
+        assert r["sae_naive"] == int(np.abs(nv).sum())
+        assert r["max_ae_seasonal"] == int(np.abs(sn).max())
+    assert got["per"]["sae_seasonal"] == 0
+    with pytest.raises(ValueError, match="season_lag"):
+        forecast_eval_pieces(df, ["k"], "ts", "v", 1)
+
+
+def test_threshold_runs_brute_force(spark):
+    """Run stats vs a Python scan, incl. run at series start/end,
+    singleton runs, all-below and no-below keys."""
+    series = {
+        "a": [1, 1, 9, 1, 9, 9, 1, 1, 1],  # runs: 2, 1, 3
+        "edge": [1, 9, 1],  # runs at both ends
+        "all": [0, 0],
+        "none": [9, 9, 9],
+    }
+    rows = [
+        (k, float(i), int(v))
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v long")
+    from c3s_sm_spark.operators.timeseries import threshold_runs
+
+    got = {
+        r["k"]: (r["n_runs"], r["max_run_len"], r["total_below"])
+        for r in threshold_runs(df, ["k"], "ts", "v", threshold=5).collect()
+    }
+
+    def ref(vals, t=5):
+        runs, cur = [], 0
+        for v in vals:
+            if v < t:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        return (len(runs), max(runs), sum(runs)) if runs else None
+
+    for k, vals in series.items():
+        want = ref(vals)
+        if want is None:
+            assert k not in got
+        else:
+            assert got[k] == want, k
+    assert got["a"] == (3, 3, 6)
