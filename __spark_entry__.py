@@ -55,6 +55,21 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _daily_purchase_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily purchase sums in 1e-4 units — the shared staging
+    of every lag/window witness over the purchase series (lag_corr,
+    paa_sax, forecast_eval, threshold_runs). One definition so the
+    Spark side can never desynchronize from the oracles' common
+    ``p`` CTE; 1e-4 (not micro) keeps squares inside int64."""
+    v4 = F.round(F.col("value") * 10000).cast("long")
+    return (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(v4).alias("v4"))
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -1651,13 +1666,7 @@ def _q_lag_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from c3s_sm_spark.operators.timeseries import lag_corr_pieces
 
-    v4 = F.round(F.col("value") * 10000).cast("long")
-    daily = (
-        _events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.sum(v4).alias("v4"))
-    )
+    daily = _daily_purchase_v4(spark, sf_dir)
     return lag_corr_pieces(daily, ["user_id"], "day", "v4", lag=1)
 
 
@@ -1857,13 +1866,7 @@ def _q_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from c3s_sm_spark.operators.timeseries import paa_symbols
 
-    v4 = F.round(F.col("value") * 10000).cast("long")
-    daily = (
-        _events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.sum(v4).alias("v4"))
-    )
+    daily = _daily_purchase_v4(spark, sf_dir)
     return paa_symbols(daily, ["user_id"], "day", "v4", frame_rows=24, alphabet=4)
 
 
@@ -1937,13 +1940,7 @@ def _q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from c3s_sm_spark.operators.timeseries import forecast_eval_pieces
 
-    v4 = F.round(F.col("value") * 10000).cast("long")
-    daily = (
-        _events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.sum(v4).alias("v4"))
-    )
+    daily = _daily_purchase_v4(spark, sf_dir)
     return forecast_eval_pieces(daily, ["user_id"], "day", "v4", season_lag=7)
 
 
@@ -1954,13 +1951,7 @@ def _q_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     from c3s_sm_spark.operators.timeseries import threshold_runs
 
-    v4 = F.round(F.col("value") * 10000).cast("long")
-    daily = (
-        _events(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.sum(v4).alias("v4"))
-    )
+    daily = _daily_purchase_v4(spark, sf_dir)
     return threshold_runs(daily, ["user_id"], "day", "v4", threshold=400000)
 
 

@@ -757,37 +757,42 @@ def oov_stats(
     ``(doc_id, n_tokens, n_oov)`` — the float rate derives outside the
     witness, the same all-BIGINT split as ``lag_corr_pieces``.
 
-    Plan, scale-first: one corpus explode -> map-side-combined token
-    counts; the top-V is ``orderBy(...).limit(V)`` which Spark plans as
+    Plan, scale-first: the corpus is parsed EXACTLY ONCE into the
+    (doc, tok, cnt) term-frequency relation, which is localCheckpointed
+    (doc-token-pair-sized — far smaller than the text; without the
+    materialization Spark's no-declarative-subplan-reuse rule would
+    re-parse the corpus for each of the three consumers below). From
+    tf: the top-V is ``orderBy(...).limit(V)`` which Spark plans as
     TakeOrderedAndProject — a distributed partial top-V per partition
     merged on the driver, NEVER a single-partition global window (the
     row_number-over-unpartitioned-window formulation serializes the
-    whole vocabulary through one task at web scale). The V-row vocab
-    then broadcast-anti-joins the (doc, tok) relation. Two corpus
-    parses total (tf and per-doc size) — both single-shuffle.
+    whole vocabulary through one task at web scale); per-doc sizes are
+    ``sum(cnt)``; the OOV count is a broadcast anti-join against the
+    V-row vocab summing the same cnt.
     """
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
-    toks = (
+    tf = (
         docs.select("doc_id", words_col(text_col).alias("__ws"))
         .select("doc_id", F.explode_outer("__ws").alias("tok"))
         .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     vocab = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+        tf.groupBy("tok")
+        .agg(F.sum("cnt").alias("__cnt"))
         .orderBy(F.col("__cnt").desc(), F.col("tok").asc())
         .limit(vocab_size)
         .select("tok")
     )
     oov = (
-        toks.join(F.broadcast(vocab), "tok", "left_anti")
+        tf.join(F.broadcast(vocab), "tok", "left_anti")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
+        .agg(F.sum("cnt").cast("long").alias("n_oov"))
     )
-    sizes = docs.select(
-        "doc_id", F.size(words_col(text_col)).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") > 0)
+    sizes = tf.groupBy("doc_id").agg(F.sum("cnt").cast("long").alias("n_tokens"))
     return sizes.join(oov, "doc_id", "left").select(
         "doc_id",
         "n_tokens",
@@ -920,9 +925,12 @@ def rank_blend(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Each rank is a distributed two-phase global row_number
     (:func:`~c3s_sm_spark.operators.sampling.global_rank` — never the
-    one-task unpartitioned window), so the plan survives a corpus that
-    does not fit one executor: three range shuffles + three
-    partition-count-sized offset collects, then two doc-keyed joins.
+    one-task unpartitioned window). The three calls CHAIN on one
+    relation (global_rank preserves its input columns and
+    localCheckpoints the slim signal frame), so the corpus text is
+    parsed exactly once and no doc-keyed join-back exists at all —
+    just three range shuffles + three partition-count-sized offset
+    collects over a 4-column frame.
     """
     from c3s_sm_spark.operators.sampling import global_rank
 
@@ -939,15 +947,14 @@ def rank_blend(docs: DataFrame, text_col: str = "text") -> DataFrame:
         spaces.alias("spaces"),
         F.size(words_col(text_col)).cast("long").alias("n_tokens"),
     )
-    r1 = global_rank(base.select("doc_id", "alpha"), ["alpha", "doc_id"], "rn_alpha")
-    r2 = global_rank(base.select("doc_id", "spaces"), ["spaces", "doc_id"], "rn_space")
-    r3 = global_rank(
-        base.select("doc_id", "n_tokens"), ["n_tokens", "doc_id"], "rn_tok"
-    )
-    out = (
-        r1.select("doc_id", "rn_alpha")
-        .join(r2.select("doc_id", "rn_space"), "doc_id")
-        .join(r3.select("doc_id", "rn_tok"), "doc_id")
+    out = global_rank(
+        global_rank(
+            global_rank(base, ["alpha", "doc_id"], "rn_alpha"),
+            ["spaces", "doc_id"],
+            "rn_space",
+        ),
+        ["n_tokens", "doc_id"],
+        "rn_tok",
     )
     return out.select(
         "doc_id",

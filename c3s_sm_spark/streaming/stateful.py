@@ -51,14 +51,22 @@ def stream_ewma(
     Exactness contract: fed the same rows in timestamp order (across
     any micro-batch slicing), the emitted ewma values are bit-identical
     to the batch :func:`~c3s_sm_spark.operators.timeseries.ewma` —
-    pinned by ``tests/test_streaming.py`` over a 2-batch split. Inside
-    one micro-batch rows are sorted per key before folding, so only
-    CROSS-batch disorder is a semantic hazard: a row at or before the
-    stored frontier would rewrite history that downstream consumers
-    already saw, so it is DROPPED (the same late-data policy as
-    ``track_frontier_gaps`` — the batch pipeline is the healing ledger,
-    the stream is the live surface). Null timestamps and null values
-    are likewise dropped (NaN would poison the recurrence forever).
+    pinned by ``tests/test_streaming.py`` over a 2-batch split.
+    PRECONDITION: timestamps are unique per key (feed the deduped /
+    pre-aggregated tier, the same contract as every order-recursive
+    operator here). The frontier drop below is ``ts > frontier``
+    (at-or-before is discarded), so a second DISTINCT event sharing the
+    frontier timestamp across a batch boundary would be dropped too —
+    equality-drop is deliberate: it is what makes a whole-file replay
+    idempotent (the restart test), and with unique per-key timestamps
+    it never discards new data. Inside one micro-batch rows are sorted
+    per key before folding, so only CROSS-batch disorder is a semantic
+    hazard: a row at or before the stored frontier would rewrite
+    history that downstream consumers already saw, so it is DROPPED
+    (the same late-data policy as ``track_frontier_gaps`` — the batch
+    pipeline is the healing ledger, the stream is the live surface).
+    Null timestamps and null values are likewise dropped (NaN would
+    poison the recurrence forever).
 
     Output (append mode): one row per accepted event —
     ``(key, ts, value, ewma)``.
