@@ -1955,6 +1955,32 @@ def _q_threshold_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_runs(daily, ["user_id"], "day", "v4", threshold=400000)
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77 ordered funnel view -> click -> purchase: earliest completion
+    epoch per step, each strictly after the previous step; -1 sentinel
+    where the funnel stalled (the gate's NULL discipline)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import funnel_times
+
+    return funnel_times(
+        _events(spark, sf_dir),
+        ["user_id"],
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78 DAILY cohort-retention triangle (the synthetic events span
+    one month, so day grain gives a real triangle; the operator also
+    does monthly) over exact integer day indexes."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), "user_id", "ts", grain="day")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2137,6 +2163,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X74/X75 (oracled): forecast backtest pieces, threshold runs:
         "forecast_eval": _q_forecast_eval,
         "threshold_runs": _q_threshold_runs,
+        # X77/X78 (oracled): ordered funnel, cohort retention:
+        "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3735,6 +3764,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(len) AS BIGINT) AS max_run_len,
                CAST(sum(len) AS BIGINT) AS total_below
         FROM runs GROUP BY user_id
+    """
+    # X77: each step chains on the previous via strict >; -1 coalesce
+    # matches the engine's NULL-sentinel discipline for BIGINT outputs.
+    d["funnel"] = """
+        WITH e AS (
+          SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+                 event_type AS ty
+          FROM events),
+        s1 AS (SELECT user_id, min(ep) AS step1_ep
+               FROM e WHERE ty = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id, min(ep) AS step2_ep
+               FROM e JOIN s1 USING (user_id)
+               WHERE ty = 'click' AND ep > s1.step1_ep GROUP BY 1),
+        s3 AS (SELECT e.user_id, min(ep) AS step3_ep
+               FROM e JOIN s2 USING (user_id)
+               WHERE ty = 'purchase' AND ep > s2.step2_ep GROUP BY 1)
+        SELECT s1.user_id,
+               CAST(s1.step1_ep AS BIGINT) AS step1_ep,
+               CAST(coalesce(s2.step2_ep, -1) AS BIGINT) AS step2_ep,
+               CAST(coalesce(s3.step3_ep, -1) AS BIGINT) AS step3_ep,
+               CAST(1 + (s2.user_id IS NOT NULL)::INT
+                      + (s3.user_id IS NOT NULL)::INT AS INTEGER)
+                 AS n_steps
+        FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """
+    # X78: exact integer day index (days since epoch) on both engines.
+    d["cohort_retention"] = """
+        WITH f AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                   AS cohort_period,
+                 min(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+                   AS c_idx
+          FROM events GROUP BY 1),
+        a AS (
+          SELECT DISTINCT user_id,
+                 datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                   AS a_idx
+          FROM events)
+        SELECT f.cohort_period,
+               CAST(a.a_idx - f.c_idx AS INTEGER) AS period_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM a JOIN f USING (user_id) GROUP BY 1, 2
     """
     # X71: three global row_numbers under (signal, doc_id) total orders
     # — deterministic at any tie density; blend is the BIGINT rank sum.

@@ -115,6 +115,8 @@ HEADLINE = [
     "cluster_docs",
     "forecast_eval",
     "threshold_runs",
+    "funnel",
+    "cohort_retention",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1428,3 +1428,108 @@ def threshold_runs(
         F.max("__len").cast("long").alias("max_run_len"),
         F.sum("__len").cast("long").alias("total_below"),
     )
+
+
+def funnel_times(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered funnel matching: for each key, the earliest time each
+    step completes GIVEN the previous step completed strictly before it
+    (the standard product-analytics funnel; a user who clicks before
+    ever viewing does not count as past step 2). Emits per key:
+    ``step{i}_ep`` epoch seconds (BIGINT, -1 where the funnel stalled —
+    the gate's NULL-sentinel discipline) and ``n_steps`` completed.
+
+    Semantics: step 1 time is ``min(ts where type = steps[0])``; step
+    i+1 time is ``min(ts where type = steps[i+1] and ts > step_i
+    time)``. Strict inequality: same-timestamp step pairs do not chain
+    (deterministic regardless of tie order).
+
+    Plan: one conditional min-aggregation per step, each joined back on
+    the SAME key columns — every shuffle in the chain is on ``keys``,
+    so co-partitioning makes the joins exchange-free after the first
+    hash (AQE may broadcast the shrinking funnel side instead, equally
+    fine). len(steps) passes over the events relation; funnel depth is
+    small by nature.
+    """
+    keys = list(keys)
+    if len(steps) < 2:
+        raise ValueError(f"need >= 2 steps, got {len(steps)}")
+    ep = F.unix_timestamp(F.col(ts_col))
+    base = df.select(*keys, ep.alias("__ep"), F.col(type_col).alias("__ty"))
+    cur = base.filter(F.col("__ty") == steps[0]).groupBy(*keys).agg(
+        F.min("__ep").alias("step1_ep")
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"step{i-1}_ep"
+        nxt = (
+            base.filter(F.col("__ty") == step)
+            .join(cur.select(*keys, prev), keys)
+            .filter(F.col("__ep") > F.col(prev))
+            .groupBy(*keys)
+            .agg(F.min("__ep").alias(f"step{i}_ep"))
+        )
+        cur = cur.join(nxt, keys, "left")
+    n_steps = sum(
+        F.when(F.col(f"step{i}_ep").isNotNull(), 1).otherwise(0)
+        for i in range(1, len(steps) + 1)
+    )
+    return cur.select(
+        *keys,
+        *[
+            F.coalesce(F.col(f"step{i}_ep"), F.lit(-1))
+            .cast("long")
+            .alias(f"step{i}_ep")
+            for i in range(1, len(steps) + 1)
+        ],
+        n_steps.cast("int").alias("n_steps"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort-retention triangle: keys grouped by their first-activity
+    period (``grain`` = "day" or "month"), counted in every later
+    period they return — the standard "does the user base decay" panel.
+    Emits ``(cohort_period timestamp, period_offset int, n_users
+    bigint)``; the offset-0 row is the cohort size itself.
+
+    Period arithmetic is an exact integer index — days since epoch, or
+    ``year*12 + month`` — never float months_between, so the offset is
+    engine-independent.
+
+    Plan: first-activity min per key (one hash shuffle on ``key``),
+    distinct (key, period) activity on the same partitioning, one
+    key-equi-join, then the (cohort, offset) count — distinct keys per
+    period by construction, so ``count(*)``, no count-distinct state.
+    """
+    ts = F.col(ts_col)
+    if grain == "day":
+        idx = F.datediff(ts.cast("date"), F.lit("1970-01-01").cast("date"))
+        trunc = F.date_trunc("day", ts)
+    elif grain == "month":
+        idx = (F.year(ts) * 12 + F.month(ts)).cast("int")
+        trunc = F.date_trunc("month", ts)
+    else:
+        raise ValueError(f"grain must be 'day' or 'month', got {grain!r}")
+    first = df.groupBy(key).agg(
+        F.min(trunc).alias("cohort_period"),
+        F.min(idx).alias("__c_idx"),
+    )
+    acts = df.select(key, idx.alias("__a_idx")).distinct()
+    return (
+        acts.join(first, key)
+        .groupBy(
+            "cohort_period",
+            (F.col("__a_idx") - F.col("__c_idx")).cast("int").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

@@ -1224,3 +1224,92 @@ def test_threshold_runs_brute_force(spark):
         else:
             assert got[k] == want, k
     assert got["a"] == (3, 3, 6)
+
+
+def test_funnel_times_brute_force(spark):
+    """Funnel chaining vs a Python scan: strict ordering (same-ts pairs
+    don't chain), stalled funnels get -1, users without step 1 absent,
+    out-of-order completions don't count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1, tzinfo=dt.timezone.utc)
+
+    def t(s):
+        return base + dt.timedelta(seconds=s)
+
+    rows = [
+        # u1 completes in order
+        ("u1", t(0), "view"), ("u1", t(10), "click"), ("u1", t(20), "buy"),
+        # u2: click BEFORE view -> step2 must use the later click
+        ("u2", t(0), "click"), ("u2", t(5), "view"), ("u2", t(9), "click"),
+        # u3: view only
+        ("u3", t(1), "view"),
+        # u4: buy before click -> funnel stalls at step 2
+        ("u4", t(0), "view"), ("u4", t(2), "buy"), ("u4", t(4), "click"),
+        # u5: same-ts view+click must NOT chain (strict >)
+        ("u5", t(7), "view"), ("u5", t(7), "click"),
+        # u6: never views
+        ("u6", t(0), "click"), ("u6", t(1), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp, ty string")
+    from c3s_sm_spark.operators.timeseries import funnel_times
+
+    got = {
+        r["u"]: (r["step1_ep"], r["step2_ep"], r["step3_ep"], r["n_steps"])
+        for r in funnel_times(df, ["u"], "ts", "ty", ["view", "click", "buy"]).collect()
+    }
+
+    def ep(s):
+        return int(t(s).timestamp())
+
+    assert got["u1"] == (ep(0), ep(10), ep(20), 3)
+    assert got["u2"] == (ep(5), ep(9), -1, 2)
+    assert got["u3"] == (ep(1), -1, -1, 1)
+    assert got["u4"] == (ep(0), ep(4), -1, 2)
+    assert got["u5"] == (ep(7), -1, -1, 1)
+    assert "u6" not in got
+    with pytest.raises(ValueError, match="steps"):
+        funnel_times(df, ["u"], "ts", "ty", ["view"])
+
+
+def test_cohort_retention_brute_force(spark):
+    """Daily and monthly triangles vs a Python reference; offset-0 rows
+    equal cohort sizes; per-cohort user totals conserved."""
+    import datetime as dt
+
+    def d(day, month=1):
+        return dt.datetime(2024, month, day, 12, tzinfo=dt.timezone.utc)
+
+    rows = [
+        ("a", d(1)), ("a", d(2)), ("a", d(5)),
+        ("b", d(1)), ("b", d(1)),  # same-day dup collapses
+        ("c", d(2)), ("c", d(5)),
+        ("m", d(28, 1)), ("m", d(3, 2)),  # crosses a month boundary
+    ]
+    df = spark.createDataFrame(rows, "u string, ts timestamp")
+    from c3s_sm_spark.operators.timeseries import cohort_retention
+
+    got = {
+        (str(r["cohort_period"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, "u", "ts", grain="day").collect()
+    }
+    want = {
+        ("2024-01-01 00:00:00", 0): 2,  # a, b day-1 cohort
+        ("2024-01-01 00:00:00", 1): 1,  # a returns day 2
+        ("2024-01-01 00:00:00", 4): 1,  # a returns day 5
+        ("2024-01-02 00:00:00", 0): 1,  # c
+        ("2024-01-02 00:00:00", 3): 1,  # c returns day 5
+        ("2024-01-28 00:00:00", 0): 1,  # m
+        ("2024-01-28 00:00:00", 6): 1,  # m returns feb 3 (6 days later)
+    }
+    assert got == want
+    gm = {
+        (str(r["cohort_period"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, "u", "ts", grain="month").collect()
+    }
+    assert gm == {
+        ("2024-01-01 00:00:00", 0): 4,
+        ("2024-01-01 00:00:00", 1): 1,  # m active in feb
+    }
+    with pytest.raises(ValueError, match="grain"):
+        cohort_retention(df, "u", "ts", grain="week")
