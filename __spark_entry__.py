@@ -1981,6 +1981,44 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir), "user_id", "ts", grain="day")
 
 
+def _q_tok_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79 per-doc lexical-diversity pieces (token total / types /
+    sum-of-squared-counts / modal count — all BIGINT; TTR, Simpson and
+    Yule's K derive outside the witness)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import token_diversity
+
+    return token_diversity(_docs(spark, sf_dir))
+
+
+def _q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 robust median/MAD outlier screen per (user, event_type) on
+    micro-unit values — the heavy-tail-safe sibling of the X11
+    z-score. Doubled-units witness (med2 = 2*median, mad4 = 4*MAD)
+    keeps an even-count interpolated median exactly integral; the
+    Hampel test is the pure-integer compare 2*dev2 > k*mad4."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import mad_outliers
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    return mad_outliers(ev, ["user_id", "event_type"], "v4", k=3)
+
+
+def _q_sax_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 first-order Markov transition matrix over the X66 SAX
+    symbol stream (frame=4 days so the one-month synthetic span yields
+    real transitions; alphabet 4 -> at most 16 output rows at any
+    corpus size). Frame ids are unique per-key ordinals, so the lag
+    order never ties."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import paa_symbols, sax_transitions
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    sym = paa_symbols(daily, ["user_id"], "day", "v4", frame_rows=4, alphabet=4)
+    return sax_transitions(sym, ["user_id"])
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2166,6 +2204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X77/X78 (oracled): ordered funnel, cohort retention:
         "funnel": _q_funnel,
         "cohort_retention": _q_cohort_retention,
+        # X79-X81 (oracled): lexical diversity, MAD outliers, SAX
+        # transition matrix. Tail placement per window policy: each
+        # has an in-window family sibling hash-pinning its staging
+        # (token_stats for X79's parse, anomaly_zscore for X80's
+        # micro-unit screen, paa_sax for X81's symbolization).
+        "tok_diversity": _q_tok_diversity,
+        "anomaly_mad": _q_anomaly_mad,
+        "sax_transitions": _q_sax_transitions,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3835,5 +3881,92 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, rn_alpha, rn_space, rn_tok,
                CAST(rn_alpha + rn_space + rn_tok AS BIGINT) AS rank_sum
         FROM r
+    """
+    # X79: all-BIGINT diversity pieces off the term-frequency relation;
+    # empty docs drop (unnest of an empty list), matching Spark explode.
+    d["tok_diversity"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT doc_id, unnest(ws) AS tok FROM w WHERE lt > 0),
+        tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+               CAST(max(cnt) AS BIGINT) AS max_cnt
+        FROM tf GROUP BY doc_id
+    """
+    # X80: doubled-units median/MAD — 2*median of BIGINTs is exact
+    # (midpoint of two ints), so med2/mad4/the Hampel compare all stay
+    # on the integer hash boundary; k=3 Hampel rule as 2*dev2 > 3*mad4.
+    d["anomaly_mad"] = """
+        WITH p AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS v4
+          FROM events WHERE value IS NOT NULL),
+        m AS (
+          SELECT user_id, event_type,
+                 CAST(2 * median(v4) AS BIGINT) AS med2
+          FROM p GROUP BY 1, 2),
+        dv AS (
+          SELECT p.user_id, p.event_type, m.med2,
+                 abs(2 * p.v4 - m.med2) AS dev2
+          FROM p JOIN m USING (user_id, event_type)),
+        md AS (
+          SELECT user_id, event_type,
+                 CAST(2 * median(dev2) AS BIGINT) AS mad4
+          FROM dv GROUP BY 1, 2)
+        SELECT dv.user_id, dv.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(dv.med2) AS BIGINT) AS med2,
+               CAST(min(md.mad4) AS BIGINT) AS mad4,
+               CAST(sum(CASE WHEN 2 * dv.dev2 > 3 * md.mad4
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dv JOIN md USING (user_id, event_type)
+        GROUP BY 1, 2
+    """
+    # X81: the X66 symbolization CTE at frame=4, then a per-key lag on
+    # the unique frame ordinal -> global (from, to) counts.
+    d["sax_transitions"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        r AS (
+          SELECT user_id, v4,
+                 CAST(floor((row_number() OVER (
+                     PARTITION BY user_id ORDER BY day) - 1) / 4)
+                   AS BIGINT) AS frame,
+                 min(v4) OVER (PARTITION BY user_id) AS lo,
+                 max(v4) OVER (PARTITION BY user_id) AS hi
+          FROM p),
+        a AS (
+          SELECT user_id, frame,
+                 CAST(count(*) AS BIGINT) AS n_in_frame,
+                 CAST(sum(v4) AS BIGINT) AS v_sum,
+                 min(lo) AS lo, max(hi) AS hi
+          FROM r GROUP BY 1, 2),
+        s AS (
+          SELECT user_id, frame,
+                 CAST(CASE WHEN hi = lo THEN 0
+                      ELSE least(((v_sum - lo * n_in_frame) * 4)
+                                 // ((hi - lo) * n_in_frame), 3)
+                      END AS INTEGER) AS symbol
+          FROM a),
+        t AS (
+          SELECT symbol,
+                 lag(symbol) OVER (
+                   PARTITION BY user_id ORDER BY frame) AS prev
+          FROM s)
+        SELECT CAST(prev AS INTEGER) AS sym_from,
+               CAST(symbol AS INTEGER) AS sym_to,
+               CAST(count(*) AS BIGINT) AS n_trans
+        FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
     """
     return d

@@ -1063,3 +1063,42 @@ def _merge_once(arr: list, w1: str, w2: str, fused: str) -> list:
             out.append(arr[i])
             i += 1
     return out
+
+
+def token_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity pieces — the exact integer inputs
+    to type-token ratio, Simpson's repeat concentration and Yule's K,
+    the standard "is this document natural prose or keyword-stuffed /
+    generated sludge" quality axes next to :func:`repetition_score`
+    (which works on positional n-gram repeats; this one is
+    order-free frequency concentration).
+
+    Emits per doc (empty/whitespace-only docs are excluded, matching
+    :func:`oov_stats`): ``n_tokens`` (total), ``n_distinct`` (types),
+    ``sum_sq`` (sum of squared per-token counts), ``max_cnt`` (modal
+    token count) — all BIGINT, so the witness hashes bit-stably. The
+    float indices derive outside the hash boundary:
+    ``TTR = n_distinct/n_tokens``, Simpson repeat-rate
+    ``D = (sum_sq - n_tokens) / (n_tokens*(n_tokens-1))``, Yule's
+    ``K = 1e4 * (sum_sq - n_tokens) / n_tokens^2``. Headroom:
+    ``sum_sq <= n_tokens^2`` — int64-safe to ~3e9 tokens per doc.
+
+    Plan: the corpus is parsed EXACTLY ONCE into the (doc, tok, cnt)
+    term-frequency relation (the same single-parse discipline as
+    :func:`oov_stats`), then ONE map-side-combinable groupBy(doc_id)
+    folds the four pieces; both shuffles move 8-byte counts, never
+    text. No window, no join, no Python.
+    """
+    tf = (
+        docs.select("doc_id", words_col(text_col).alias("__ws"))
+        .select("doc_id", F.explode("__ws").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt")
+    return tf.groupBy("doc_id").agg(
+        F.sum(c).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(c * c).cast("long").alias("sum_sq"),
+        F.max(c).cast("long").alias("max_cnt"),
+    )

@@ -1533,3 +1533,98 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Robust per-key outlier screen: median / MAD (median absolute
+    deviation) instead of mean / stddev — the X11 z-score's
+    heavy-tail-safe sibling (one wild sensor spike inflates a stddev
+    enough to mask every other spike; it moves a median barely at all).
+    The classic robust rule ``|v - median| > k * MAD`` (Hampel
+    identifier; k=3 ~ "very conservative" in Leys et al. 2013).
+
+    Everything on the hash boundary stays BIGINT via the doubled-units
+    trick (:func:`rolling_median2`): for integer inputs the median is
+    the midpoint of two BIGINTs, so ``med2 = 2*median`` and
+    ``dev2_i = |2*v_i - med2|`` are exact integers, and
+    ``mad4 = 2*median(dev2) = 4*MAD`` again exact. The outlier test
+    ``|v - med| > k*MAD`` becomes the pure-integer compare
+    ``2*dev2_i > k*mad4``. Feed micro-unit longs (1e-4 scaling like
+    :func:`lag_corr_pieces`); headroom is ``4*max|v|`` — far inside
+    int64 for any physical telemetry range.
+
+    Plan: ONE hash shuffle on ``keys``; both medians are
+    whole-partition window aggregates over the same partitioning, and
+    the final groupBy reuses it (no second shuffle). Exactness bound:
+    a whole-key exact median buffers that key's values in its task —
+    the same O(series)-per-task contract as X12's exact percentile;
+    at 10^12 rows with hot keys, route to the mergeable sketch (X24)
+    and accept approximation, exactly as the X12 docstring prescribes.
+
+    Emits per key: ``n`` (BIGINT), ``med2`` (2x median), ``mad4``
+    (4x MAD), ``n_outliers`` (BIGINT count under the Hampel rule).
+    """
+    keys = list(keys)
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wk = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("long")
+    staged = df.withColumn(
+        "__med2", (F.percentile(v, F.lit(0.5)).over(wk) * 2).cast("long")
+    ).withColumn("__dev2", F.abs(v * 2 - F.col("__med2")))
+    staged = staged.withColumn(
+        "__mad4", (F.percentile(F.col("__dev2"), F.lit(0.5)).over(wk) * 2).cast("long")
+    )
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.first("__med2").alias("med2"),
+        F.first("__mad4").alias("mad4"),
+        F.sum(
+            F.when(F.col("__dev2") * 2 > F.lit(k) * F.col("__mad4"), 1).otherwise(0)
+        ).cast("long").alias("n_outliers"),
+    )
+
+
+def sax_transitions(
+    symbols: DataFrame,
+    keys: Sequence[str],
+    frame_col: str = "frame",
+    symbol_col: str = "symbol",
+) -> DataFrame:
+    """First-order Markov transition counts over a symbolized series —
+    the standard consumer of :func:`paa_symbols` output (Lin/Keogh
+    2003 SAX): motif mining, regime-change scoring, and anomaly
+    detection all start from "how often does symbol a follow symbol
+    b". A telemetry tier runs this corpus-wide to learn the normal
+    transition matrix, then flags series whose own transitions have
+    low likelihood under it.
+
+    Emits the global matrix ``(sym_from int, sym_to int, n_trans
+    bigint)`` — at alphabet size a it has at most a^2 rows, so the
+    final aggregate is a trivially small shuffle regardless of corpus
+    size. Deterministic: the frame id from ``paa_symbols`` is a unique
+    per-key ordinal, so the lag order never ties.
+
+    Plan: when fed directly from ``paa_symbols`` the lag window adds
+    NO exchange — the symbol relation is still hash-partitioned on
+    ``keys`` (Catalyst's subset rule: HashPartitioning(keys)
+    satisfies the frame-agg's ClusteredDistribution(keys+frame) and
+    this window's, so only a partition-local Sort runs) — then a
+    map-side-combinable groupBy on the (from, to) pair collapses
+    partial counts to ≤ a^2 rows per task BEFORE the tiny final
+    exchange (verified executed plan, PLANS.md X79-X81 notes).
+    """
+    keys = list(keys)
+    wo = Window.partitionBy(*keys).orderBy(F.col(frame_col).asc())
+    lagd = symbols.withColumn(
+        "__prev", F.lag(F.col(symbol_col)).over(wo)
+    ).filter(F.col("__prev").isNotNull())
+    return lagd.groupBy(
+        F.col("__prev").cast("int").alias("sym_from"),
+        F.col(symbol_col).cast("int").alias("sym_to"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_trans"))

@@ -1712,3 +1712,51 @@ def test_cluster_embeddings_recovers_blobs(spark):
         ).collect()
     }
     assert out1 == out2
+
+
+def test_token_diversity_brute_force(spark):
+    """Diversity pieces vs a Counter-based reference: repeats,
+    whitespace collapse, single-token doc, and the empty/blank docs
+    dropping out entirely (same exclusion contract as oov_stats)."""
+    from collections import Counter
+
+    docs = [
+        ("d1", "the cat sat on the mat the cat"),
+        ("d2", "  spaced   out\ttokens \n here  "),
+        ("d3", "solo"),
+        ("d4", ""),
+        ("d5", "     "),
+        ("d6", "a a a a a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    from c3s_sm_spark.operators.textstats import token_diversity
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["sum_sq"], r["max_cnt"])
+        for r in token_diversity(df).collect()
+    }
+    assert set(got) == {"d1", "d2", "d3", "d6"}  # blanks excluded
+    for doc_id, text in docs:
+        toks = text.split()
+        if not toks:
+            continue
+        c = Counter(toks)
+        want = (
+            sum(c.values()),
+            len(c),
+            sum(v * v for v in c.values()),
+            max(c.values()),
+        )
+        assert got[doc_id] == want, doc_id
+    # invariants the derived indices rely on
+    for n, k, ss, mx in got.values():
+        assert k <= n and mx * mx <= ss <= n * n
+    # words_col wart, pinned: trim strips only ASCII space (Spark and
+    # DuckDB agree), so a tab/newline-only doc is NOT excluded — it
+    # normalizes to a single collapsed space and two "" tokens. Both
+    # engines compute the same thing, so the oracle hash still holds.
+    tabby = spark.createDataFrame(
+        [("t1", "\t\n")], "doc_id string, text string"
+    )
+    (row,) = token_diversity(tabby).collect()
+    assert (row["n_tokens"], row["n_distinct"]) == (2, 1)

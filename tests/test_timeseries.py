@@ -1313,3 +1313,90 @@ def test_cohort_retention_brute_force(spark):
     }
     with pytest.raises(ValueError, match="grain"):
         cohort_retention(df, "u", "ts", grain="week")
+
+
+def test_mad_outliers_brute_force(spark):
+    """Median/MAD doubled-units pieces vs a pure-Python reference:
+    odd and even counts (interpolated median), a planted spike that a
+    Hampel k=3 screen must flag, negatives, and the degenerate
+    constant series (MAD=0 -> every off-median value is an outlier)."""
+    series = {
+        "odd": [10, 12, 11, 13, 9, 11, 500],     # spike, odd n
+        "even": [4, 8, 6, 10],                   # interpolated median
+        "neg": [-5, -3, -4, -1000, -4, -5],      # negative spike
+        "const": [7, 7, 7, 7, 7],                # MAD = 0
+        "mixd": [0, 1, 2, 3, 4, 5, 6, 7],        # no outliers
+    }
+    rows = [(k, int(v)) for k, vals in series.items() for v in vals]
+    df = spark.createDataFrame(rows, "k string, v long")
+    from c3s_sm_spark.operators.timeseries import mad_outliers
+
+    got = {
+        r["k"]: (r["n"], r["med2"], r["mad4"], r["n_outliers"])
+        for r in mad_outliers(df, ["k"], "v", k=3).collect()
+    }
+
+    def med2_of(vals):
+        s = sorted(vals)
+        n = len(s)
+        return 2 * s[n // 2] if n % 2 else s[n // 2 - 1] + s[n // 2]
+
+    for k, vals in series.items():
+        med2 = med2_of(vals)
+        dev2 = [abs(2 * v - med2) for v in vals]
+        mad4 = med2_of(dev2)
+        n_out = sum(1 for d in dev2 if 2 * d > 3 * mad4)
+        assert got[k] == (len(vals), med2, mad4, n_out), k
+    # the planted spikes are actually flagged
+    assert got["odd"][3] >= 1
+    assert got["neg"][3] >= 1
+    assert got["mixd"][3] == 0
+    # constant series: med2 exact, mad4 == 0, nothing off-median
+    assert got["const"] == (5, 14, 0, 0)
+    with pytest.raises(ValueError, match="k must be"):
+        mad_outliers(df, ["k"], "v", k=0)
+
+
+def test_sax_transitions_brute_force(spark):
+    """Transition counts vs a pure-Python walk of the reference
+    symbol stream (frame=2, alphabet=4): multi-key pooling, a
+    single-frame key contributing nothing, and the total-count
+    invariant sum(n_trans) == sum_k (frames_k - 1)."""
+    series = {
+        "a": [0, 0, 10, 10, 20, 20, 30, 30, 0, 0],  # 5 frames: 0,1,2,3,0
+        "b": [5, 5, 5, 5],                          # constant: 0,0
+        "c": [1, 2],                                # 1 frame -> no pairs
+    }
+    rows = [
+        (k, float(i), int(v))
+        for k, vals in series.items()
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts double, v long")
+    from c3s_sm_spark.operators.timeseries import paa_symbols, sax_transitions
+
+    sym = paa_symbols(df, ["k"], "ts", "v", frame_rows=2, alphabet=4)
+    got = {
+        (r["sym_from"], r["sym_to"]): r["n_trans"]
+        for r in sax_transitions(sym, ["k"]).collect()
+    }
+
+    ref_syms = {
+        k: [
+            r["symbol"]
+            for r in sorted(
+                sym.filter(F.col("k") == k).collect(),
+                key=lambda r: r["frame"],
+            )
+        ]
+        for k in series
+    }
+    want: dict = {}
+    for syms in ref_syms.values():
+        for p, q in zip(syms, syms[1:]):
+            want[(p, q)] = want.get((p, q), 0) + 1
+    assert got == want
+    assert ref_syms["a"] == [0, 1, 2, 3, 0]  # the designed staircase
+    assert sum(got.values()) == sum(
+        max(0, len(s) - 1) for s in ref_syms.values()
+    )
