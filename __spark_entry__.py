@@ -2019,6 +2019,17 @@ def _q_sax_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sax_transitions(sym, ["user_id"])
 
 
+def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 exact heavy hitters (tokens with freq > N/200) via the
+    Misra-Gries candidate pass + candidate-only exact recount. The
+    sketch only PRUNES (superset guarantee), so the output is exact
+    and sits under the full value-hash oracle."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import heavy_hitters
+
+    return heavy_hitters(_docs(spark, sf_dir), k=200)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2212,6 +2223,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_diversity": _q_tok_diversity,
         "anomaly_mad": _q_anomaly_mad,
         "sax_transitions": _q_sax_transitions,
+        # X82 (oracled): exact heavy hitters, MG-pruned recount
+        # (token_freq in-tail + token_stats in-window pin the family's
+        # parse; the sketch itself is pytest-pinned superset-exact):
+        "heavy_hitters": _q_heavy_hitters,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3968,5 +3983,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(symbol AS INTEGER) AS sym_to,
                CAST(count(*) AS BIGINT) AS n_trans
         FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+    """
+    # X82: the MG pass only prunes (superset guarantee), so the exact
+    # HAVING-threshold relation IS the operator's output.
+    d["heavy_hitters"] = r"""
+        WITH w AS (
+          SELECT string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT unnest(ws) AS tok FROM w WHERE lt > 0),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY tok
+        HAVING count(*) * 200 > (SELECT n FROM tot)
     """
     return d

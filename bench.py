@@ -117,6 +117,9 @@ HEADLINE = [
     "threshold_runs",
     "funnel",
     "cohort_retention",
+    "tok_diversity",
+    "anomaly_mad",
+    "sax_transitions",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1102,3 +1102,79 @@ def token_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(c * c).cast("long").alias("sum_sq"),
         F.max(c).cast("long").alias("max_cnt"),
     )
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """EXACT corpus-wide heavy hitters — every token whose frequency
+    exceeds ``N/k`` of the ``N``-token corpus — via the classic
+    two-pass sketch-then-verify plan (Misra-Gries 1982; merge rule
+    from Agarwal et al. 2012 "Mergeable Summaries"):
+
+    Pass 1 (zero shuffle): each partition streams its token batches
+    through a ``k``-counter Misra-Gries summary (pandas ``value_counts``
+    per Arrow batch — C speed — folded into the running dict; when the
+    dict exceeds ``k`` keys every count drops by the (k+1)-th largest
+    and non-positives evict). MG guarantees per-partition undercount
+    <= n_p/(k+1), so any token with GLOBAL count > N/k has local count
+    > n_p/k on at least one partition (pigeonhole) and survives that
+    partition's summary: the union of per-partition survivors is a
+    SUPERSET of the true heavy hitters. The same pass emits each
+    partition's token total, so the corpus never re-parses for ``N``.
+
+    Pass 2 (candidate-only shuffle): re-parse, broadcast-semi-join the
+    token stream to the <= partitions*k candidates, exact-count ONLY
+    those, keep ``cnt * k > N``. Output is EXACT — the sketch only
+    prunes, never decides — so the query stays under the full
+    value-hash oracle.
+
+    Why not ``token_freq``'s plain groupBy: that shuffles the ENTIRE
+    vocabulary (every distinct token crosses the wire once per
+    partition it appears in). Here the only shuffle is the recount of
+    ~k survivors — at a 10^12-token corpus with millions of distinct
+    tokens, that is the difference between a vocabulary-wide exchange
+    and a constant-size one. Cost: two corpus parses — the standard
+    exact-heavy-hitter trade (one-pass exact is impossible below
+    Omega(vocabulary) memory).
+
+    Emits ``(tok string, cnt bigint)``.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    toks = docs.select(words_col(text_col).alias("__ws")).select(
+        F.explode("__ws").alias("tok")
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        state: dict = {}
+        total = 0
+        for pdf in batches:
+            total += len(pdf)
+            for t, c in pdf["tok"].value_counts().items():
+                state[t] = state.get(t, 0) + int(c)
+            if len(state) > k:
+                dec = sorted(state.values(), reverse=True)[k]
+                state = {t: c - dec for t, c in state.items() if c > dec}
+        yield pd.DataFrame(
+            {
+                "tok": list(state.keys()) + [None],
+                "part_total": [0] * len(state) + [total],
+            }
+        )
+
+    ph1 = toks.mapInPandas(_mg, "tok string, part_total long").localCheckpoint()
+    # one scalar: the corpus token count (partition-count-sized agg of
+    # the already-materialized, <= (k+1)-rows-per-partition summary)
+    n_total = ph1.agg(F.sum("part_total")).collect()[0][0] or 0
+    cand = ph1.filter(F.col("tok").isNotNull()).select("tok").distinct()
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") * k > F.lit(int(n_total)))
+    )

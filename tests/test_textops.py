@@ -1760,3 +1760,49 @@ def test_token_diversity_brute_force(spark):
     )
     (row,) = token_diversity(tabby).collect()
     assert (row["n_tokens"], row["n_distinct"]) == (2, 1)
+
+
+def test_heavy_hitters_exact_vs_brute_force(spark):
+    """The MG-pruned recount equals the brute-force HAVING relation on
+    a skewed corpus, at several partition counts (the sketch is
+    per-partition, so repartitioning must not change the EXACT output),
+    and with k small enough that the per-partition summaries actually
+    evict (the prune path runs, not just the trivial k > vocab case)."""
+    import random
+
+    from c3s_sm_spark.operators.textstats import heavy_hitters
+
+    rng = random.Random(82)
+    # zipf-ish corpus: few huge tokens, long tail
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for d in range(60):
+        toks = []
+        for _ in range(rng.randint(20, 120)):
+            r = rng.random()
+            if r < 0.35:
+                toks.append(vocab[rng.randint(0, 4)])      # hot head
+            elif r < 0.6:
+                toks.append(vocab[rng.randint(5, 30)])
+            else:
+                toks.append(vocab[rng.randint(31, 399)])   # tail
+        docs.append((f"d{d}", " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+
+    all_toks = [t for _, text in docs for t in text.split()]
+    n = len(all_toks)
+    from collections import Counter
+
+    cnt = Counter(all_toks)
+    for k in (10, 50):
+        want = {(t, c) for t, c in cnt.items() if c * k > n}
+        for parts in (1, 7):
+            got = {
+                (r["tok"], r["cnt"])
+                for r in heavy_hitters(df.repartition(parts), k=k).collect()
+            }
+            assert got == want, (k, parts)
+    # k=10 on 400-token vocab forces MG eviction in every partition
+    assert len(want) > 0
+    with pytest.raises(ValueError, match="k must be"):
+        heavy_hitters(df, k=1)
