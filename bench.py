@@ -120,6 +120,7 @@ HEADLINE = [
     "tok_diversity",
     "anomaly_mad",
     "sax_transitions",
+    "heavy_hitters",
     "text_quality",
     "lang_id",
     "quality_select",
