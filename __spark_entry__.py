@@ -2030,6 +2030,22 @@ def _q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(_docs(spark, sf_dir), k=200)
 
 
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 classical seasonal-decomposition pieces over the shared
+    daily purchase series: weekday seasonal index inputs as exact
+    7-denominated integer sums (centered 7-row MA detrend; edge rows
+    excluded). Slot = epoch-day mod 7; floats derive outside."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import seasonal_decompose_pieces
+
+    daily = _daily_purchase_v4(spark, sf_dir).withColumn(
+        "day_ix", (F.unix_timestamp("day") / 86400).cast("long")
+    )
+    return seasonal_decompose_pieces(
+        daily, ["user_id"], "day_ix", "v4", period=7
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2227,6 +2243,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (token_freq in-tail + token_stats in-window pin the family's
         # parse; the sketch itself is pytest-pinned superset-exact):
         "heavy_hitters": _q_heavy_hitters,
+        # X83 (oracled): classical seasonal-decomposition pieces
+        # (anomaly_zscore in-window pins the family's climatology
+        # subtract; the centered-MA detrend is pytest-pinned vs brute
+        # force):
+        "seasonal": _q_seasonal,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3997,5 +4018,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT tok, CAST(count(*) AS BIGINT) AS cnt
         FROM toks GROUP BY tok
         HAVING count(*) * 200 > (SELECT n FROM tot)
+    """
+    # X83: centered 7-row MA detrend in 7-denominated integer units;
+    # epoch days are non-negative so % matches Spark pmod. Rows whose
+    # window is short (edges) are excluded on both sides.
+    d["seasonal"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                   // 86400 AS day_ix,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        w AS (
+          SELECT user_id, day_ix, v4,
+                 sum(v4) OVER (PARTITION BY user_id ORDER BY day_ix
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wsum,
+                 count(*) OVER (PARTITION BY user_id ORDER BY day_ix
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+          FROM p)
+        SELECT user_id, CAST(day_ix % 7 AS INTEGER) AS slot,
+               CAST(sum(7 * v4 - wsum) AS BIGINT) AS dt_sum,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM w WHERE wn = 7 GROUP BY 1, 2
     """
     return d

@@ -121,6 +121,7 @@ HEADLINE = [
     "anomaly_mad",
     "sax_transitions",
     "heavy_hitters",
+    "seasonal",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1636,3 +1636,69 @@ def sax_transitions(
         F.col("__prev").cast("int").alias("sym_from"),
         F.col(symbol_col).cast("int").alias("sym_to"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+
+
+def seasonal_decompose_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ord_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal-decomposition pieces (the
+    moving-average decomposition behind every STL/X-11-style seasonal
+    screen, and the seasonality stage of the reference's
+    drought-index-style climatology rollups — c3s_sm computes monthly
+    climatology anomalies the same subtract-the-trend way): per key
+    and per cycle slot, the EXACT integer sum of period-denominated
+    detrended values.
+
+    For each row with a FULL row-centered window of ``period``
+    consecutive observations (``period`` odd; the classical centered
+    MA), the detrended value in period-denominated units is
+    ``period * v - window_sum`` — exactly integral, no division on the
+    witness. Slot is ``ord % period`` (e.g. epoch-day mod 7 = weekday
+    for a daily series), so a gappy series still lands each
+    observation in its true calendar slot. Emits per (keys, slot):
+
+    - ``dt_sum``  = sum(period*v - wsum)  (BIGINT; the seasonal index
+      in 1/(n*period)-denominated value units derives outside)
+    - ``n_obs``   = contributing full-window rows (BIGINT)
+
+    ``ord_col`` must be a non-negative integer ordinal, unique per
+    key (a daily pre-agg guarantees both), so the window order is
+    deterministic and ``%`` matches ANSI ``%`` for non-negative
+    operands.
+
+    Plan: fed from a daily pre-agg the whole chain adds ONE exchange —
+    the window repartitions the (small, already-combined) daily rows
+    on ``keys``, and the final (keys, slot) groupBy's
+    ClusteredDistribution is satisfied by that same HashPartitioning
+    (subset rule), so it aggregates exchange-free. Edge rows (window
+    shorter than ``period``) are excluded, exactly as the classical
+    decomposition leaves the MA undefined there.
+    """
+    keys = list(keys)
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = (period - 1) // 2
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ord_col).asc())
+        .rowsBetween(-half, half)
+    )
+    v = F.col(value_col)
+    full = (
+        df.withColumn("__wsum", F.sum(v).over(w))
+        .withColumn("__wn", F.count(F.lit(1)).over(w))
+        .filter(F.col("__wn") == period)
+    )
+    return full.groupBy(
+        *keys,
+        F.pmod(F.col(ord_col), F.lit(period)).cast("int").alias("slot"),
+    ).agg(
+        F.sum(F.lit(period) * v - F.col("__wsum"))
+        .cast("long")
+        .alias("dt_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )

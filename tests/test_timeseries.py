@@ -1400,3 +1400,44 @@ def test_sax_transitions_brute_force(spark):
     assert sum(got.values()) == sum(
         max(0, len(s) - 1) for s in ref_syms.values()
     )
+
+
+def test_seasonal_pieces_brute_force(spark):
+    """Centered-MA seasonal pieces equal a Python brute force on a
+    gappy multi-key series (edge rows excluded, slots by ordinal mod
+    period), invariant to input partitioning; even/low periods fail."""
+    import random
+
+    from c3s_sm_spark.operators.timeseries import seasonal_decompose_pieces
+
+    rng = random.Random(83)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        # gappy ordinals: ~70% of a 40-day span, sorted, unique
+        days = sorted(rng.sample(range(100, 140), 28))
+        vals = [rng.randint(-500, 500) for _ in days]
+        series[key] = (days, vals)
+        rows += [(key, d, v) for d, v in zip(days, vals)]
+    df = spark.createDataFrame(rows, "k string, day_ix long, v long")
+
+    period, half = 7, 3
+    want = {}
+    for key, (days, vals) in series.items():
+        for i in range(half, len(days) - half):
+            wsum = sum(vals[i - half : i + half + 1])
+            slot = days[i] % period
+            dt, n = want.get((key, slot), (0, 0))
+            want[(key, slot)] = (dt + period * vals[i] - wsum, n + 1)
+
+    for parts in (1, 5):
+        got = {
+            (r["k"], r["slot"]): (r["dt_sum"], r["n_obs"])
+            for r in seasonal_decompose_pieces(
+                df.repartition(parts), ["k"], "day_ix", "v", period=period
+            ).collect()
+        }
+        assert got == want, parts
+
+    with pytest.raises(ValueError, match="odd"):
+        seasonal_decompose_pieces(df, ["k"], "day_ix", "v", period=6)
