@@ -2046,6 +2046,37 @@ def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 exact token-budget waterfilling across sources: avail =
+    per-source whitespace token counts (sum of split sizes — no token
+    explode), weight = 1 + (source_number mod 4) * 2, budget = 3/5 of
+    the corpus total (scale-free integer arithmetic). Sources too
+    small for their weighted share saturate; the rest floor-divide
+    the freed budget. One bounded scalar collect (the corpus total),
+    same contract as heavy_hitters' N."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import waterfill_alloc
+    from c3s_sm_spark.operators.textstats import words_col
+
+    per_src = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(words_col("text"))).cast("long").alias("a"))
+        .withColumn(
+            "w",
+            (
+                F.lit(1)
+                + F.pmod(
+                    F.regexp_extract("source", r"(\d+)", 1).cast("long"), 4
+                )
+                * 2
+            ).cast("long"),
+        )
+    )
+    total = per_src.agg(F.sum("a")).collect()[0][0] or 0
+    return waterfill_alloc(per_src, "source", "a", "w", total * 3 // 5)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2248,6 +2279,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # subtract; the centered-MA detrend is pytest-pinned vs brute
         # force):
         "seasonal": _q_seasonal,
+        # X84 (oracled): exact token-budget waterfilling (sample_mix /
+        # temperature_mix in-window pin the mixing family; the
+        # saturation arithmetic is pytest-pinned vs brute force over
+        # every regime):
+        "waterfill": _q_waterfill,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4041,5 +4077,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(7 * v4 - wsum) AS BIGINT) AS dt_sum,
                CAST(count(*) AS BIGINT) AS n_obs
         FROM w WHERE wn = 7 GROUP BY 1, 2
+    """
+    # X84: waterfilling. The float ratio a/w is ONLY a sort key (IEEE
+    # double division — identical in both engines); every decision is
+    # cross-multiplied int64. budget-sum HUGEINT is safe here: it only
+    # feeds arithmetic, never the output (alloc is cast). `//` and `%`
+    # on non-negative operands match Spark div/pmod.
+    d["waterfill"] = r"""
+        WITH s AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split(regexp_replace(trim(text),
+                               '\s+', ' ', 'g'), ' ')) END) AS BIGINT)
+                   AS a,
+                 CAST(1 + (CAST(regexp_extract(source, '(\d+)', 1)
+                                AS BIGINT) % 4) * 2 AS BIGINT) AS w
+          FROM documents GROUP BY 1),
+        b AS (SELECT CAST(sum(a) * 3 // 5 AS BIGINT) AS budget FROM s),
+        r AS (
+          SELECT source, a, w,
+                 row_number() OVER ord AS idx,
+                 sum(a) OVER ord AS pa,
+                 sum(w) OVER ord AS pw,
+                 sum(w) OVER () AS tw,
+                 lead(a) OVER ord AS nxt_a,
+                 lead(w) OVER ord AS nxt_w
+          FROM s
+          WINDOW ord AS (ORDER BY a * 1.0 / w, source
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)),
+        kv AS (
+          SELECT idx AS k, pa AS k_pa, pw AS k_pw
+          FROM r, b
+          WHERE a * (tw - pw) <= w * (budget - pa)
+            AND (nxt_a IS NULL
+                 OR nxt_a * (tw - pw) > nxt_w * (budget - pa))
+          ORDER BY idx DESC LIMIT 1),
+        kk AS (
+          SELECT coalesce((SELECT k FROM kv), 0) AS k,
+                 coalesce((SELECT k_pa FROM kv), 0) AS k_pa,
+                 coalesce((SELECT k_pw FROM kv), 0) AS k_pw)
+        SELECT r.source,
+               CAST(r.a AS BIGINT) AS avail,
+               CAST(r.w AS BIGINT) AS weight,
+               CAST(r.idx <= kk.k AS INTEGER) AS saturated,
+               CAST(CASE WHEN r.idx <= kk.k THEN r.a
+                    ELSE (r.w * (b.budget - kk.k_pa))
+                         // (r.tw - kk.k_pw) END AS BIGINT) AS alloc
+        FROM r, kk, b
     """
     return d

@@ -122,6 +122,7 @@ HEADLINE = [
     "sax_transitions",
     "heavy_hitters",
     "seasonal",
+    "waterfill",
     "text_quality",
     "lang_id",
     "quality_select",

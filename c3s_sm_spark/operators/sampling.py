@@ -613,3 +613,105 @@ def global_rank(
     return part.withColumn(
         out_col, (F.col("_rn_local") + off_map[F.col("_pid")]).cast("long")
     ).drop("_pid", "_rn_local")
+
+
+def waterfill_alloc(
+    avail: DataFrame,
+    source_col: str,
+    avail_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """EXACT token-budget waterfilling across sources — the planning
+    step in front of :func:`stratified_mix` / :func:`temperature_mix`:
+    given per-source availability ``a_s``, relative weights ``w_s``
+    and a total token ``budget`` B, allocate ``x_s = min(a_s,
+    w_s * t)`` with ``sum(x_s) = min(B, sum(a_s))`` — sources too
+    small to fill their weighted share saturate (take everything they
+    have) and the freed budget waterfalls to the rest. This is the
+    "50% web, 20% code, but wiki only HAS 1% " problem every
+    training-mix spec hits.
+
+    All decisions are exact int64 arithmetic: sorted ascending by
+    fill ratio ``a_s/w_s``, the saturated set is a prefix, and prefix
+    k is valid iff ``a_k * sw_k <= w_k * (B - pa_k)`` and the next
+    source strictly exceeds it (cross-multiplied — the float ratio is
+    only a sort key, never a decision value; ties break on source).
+    Unsaturated sources get ``w_s * rem div sw`` (floor division,
+    non-negative operands, so Spark ``div`` == ANSI ``//`` — the
+    leftover ``rem mod sw < |sources|`` tokens are deliberately
+    unassigned: deterministic beats off-by-one-fair). Emits
+    ``(source, avail, weight, saturated int, alloc)`` — all BIGINT.
+
+    Bounds: products are a_s * total_weight — safe while availability
+    x total weight < 2^63 (10^12 tokens x 10^5 weight units is 10^17,
+    inside int64). The input frame is the per-source AGGREGATE — a
+    dimension, not a corpus — so the global-order window below is a
+    one-task pass over |sources| rows by contract (the corpus-sized
+    work is the caller's per-source agg, which shuffles combined
+    counts only).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    a = F.col("a")
+    w = F.col("w")
+    s = (
+        avail.select(
+            F.col(source_col).alias("source"),
+            F.col(avail_col).cast("long").alias("a"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+    )
+    order = [(a / w).asc(), F.col("source").asc()]
+    wo = Window.orderBy(*order)
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        s.withColumn("idx", F.row_number().over(wo))
+        .withColumn("pa", F.sum("a").over(wo))
+        .withColumn("pw", F.sum("w").over(wo))
+        .withColumn("tw", F.sum("w").over(wall))
+        .withColumn("n_src", F.count(F.lit(1)).over(wall))
+        .withColumn("nxt_a", F.lead("a").over(wo))
+        .withColumn("nxt_w", F.lead("w").over(wo))
+    ).localCheckpoint()  # consumed twice: k-selection + final join
+    B = F.lit(int(budget))
+    valid = ranked.filter(
+        (a * (F.col("tw") - F.col("pw")) <= w * (B - F.col("pa")))
+        & (
+            F.col("nxt_a").isNull()
+            | (
+                F.col("nxt_a") * (F.col("tw") - F.col("pw"))
+                > F.col("nxt_w") * (B - F.col("pa"))
+            )
+        )
+    )
+    # the unique valid prefix (defensive max); empty -> k = 0, the
+    # no-source-saturates regime where rem = B over the full weight
+    k_row = valid.agg(
+        F.max(F.struct("idx", "pa", "pw")).alias("kk")
+    ).select(
+        F.coalesce(F.col("kk.idx"), F.lit(0)).alias("k"),
+        F.coalesce(F.col("kk.pa"), F.lit(0)).alias("k_pa"),
+        F.coalesce(F.col("kk.pw"), F.lit(0)).alias("k_pw"),
+    )
+    out = ranked.crossJoin(F.broadcast(k_row)).withColumns(
+        {
+            "wrem": w * (B - F.col("k_pa")),
+            "sw": F.col("tw") - F.col("k_pw"),
+        }
+    )
+    saturated = F.col("idx") <= F.col("k")
+    return out.select(
+        "source",
+        a.alias("avail"),
+        w.alias("weight"),
+        saturated.cast("int").alias("saturated"),
+        # `div` is Spark's integral division — exact at any int64
+        # magnitude (a float `/` would round past 2^53)
+        F.when(saturated, a)
+        .otherwise(F.expr("wrem div sw"))
+        .cast("long")
+        .alias("alloc"),
+    )

@@ -1806,3 +1806,79 @@ def test_heavy_hitters_exact_vs_brute_force(spark):
     assert len(want) > 0
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, k=1)
+
+
+def test_waterfill_alloc_brute_force(spark):
+    """Waterfilling equals a Python brute force across every regime —
+    none / some / all sources saturated, zero budget, ratio ties —
+    and the allocation is exact integer floor division."""
+    import random
+
+    from c3s_sm_spark.operators.sampling import waterfill_alloc
+
+    def brute(srcs, budget):
+        # srcs: list of (name, a, w); returns {name: (sat, alloc)}
+        order = sorted(srcs, key=lambda x: (x[1] / x[2], x[0]))
+        total_a = sum(a for _, a, _ in order)
+        k, pa, pw = 0, 0, 0
+        tw = sum(w for _, _, w in order)
+        # grow the saturated prefix while the next source can't fill
+        # its weighted share of what remains
+        for name, a, w in order:
+            sw = tw - (pw + w)
+            rem = budget - (pa + a)
+            # source saturates iff a/w <= t where t solves the rest
+            if sw > 0:
+                if a * sw <= w * rem:
+                    k, pa, pw = k + 1, pa + a, pw + w
+                else:
+                    break
+            else:  # last source: saturates only if budget covers all
+                if budget >= total_a:
+                    k, pa, pw = k + 1, pa + a, pw + w
+        rem, sw = budget - pa, tw - pw
+        out = {}
+        for i, (name, a, w) in enumerate(order):
+            if i < k:
+                out[name] = (1, a)
+            else:
+                out[name] = (0, (w * rem) // sw)
+        return out
+
+    rng = random.Random(84)
+    cases = [
+        # (sources, budget)
+        ([("a", 100, 1), ("b", 100, 1)], 0),            # zero budget
+        ([("a", 100, 1), ("b", 100, 1)], 1000),         # all saturate
+        ([("a", 10, 5), ("b", 1000, 1)], 200),          # a saturates
+        ([("a", 50, 1), ("b", 50, 1), ("c", 50, 1)], 60),  # ties, none
+        ([("a", 5, 1), ("b", 5, 1), ("c", 500, 1)], 100),  # tie both sat
+    ]
+    for _ in range(6):
+        n = rng.randint(2, 8)
+        srcs = [
+            (f"s{i}", rng.randint(1, 2000), rng.randint(1, 9))
+            for i in range(n)
+        ]
+        cases.append((srcs, rng.randint(0, 4000)))
+
+    for srcs, budget in cases:
+        want = brute(srcs, budget)
+        df = spark.createDataFrame(srcs, "source string, a long, w long")
+        got = {
+            r["source"]: (r["saturated"], r["alloc"])
+            for r in waterfill_alloc(df, "source", "a", "w", budget).collect()
+        }
+        assert got == want, (srcs, budget, got, want)
+        # invariant: total allocation == min(budget, total avail) minus
+        # only the deliberate floor remainder (< number of unsaturated)
+        tot = sum(al for _, al in got.values())
+        cap = min(budget, sum(a for _, a, _ in srcs))
+        n_unsat = sum(1 for s_, al in got.values() if not s_)
+        assert cap - n_unsat < tot <= cap or (n_unsat == 0 and tot == cap)
+
+    with pytest.raises(ValueError, match="budget"):
+        waterfill_alloc(
+            spark.createDataFrame([("a", 1, 1)], "source string, a long, w long"),
+            "source", "a", "w", -1,
+        )
