@@ -16,6 +16,7 @@ training-data pipeline performs on a raw documents table —
              token-budget bins -> parquet
     curve    vocabulary-growth curve (exact, or --hll sketch) -> JSON rows
     drift    token-distribution drift between two sources -> JSON rows
+    mix      token-budget waterfilling plan across sources -> JSON rows
     pipeline stats -> filter -> dedup -> chunk -> pack in one run
 
 Every stage reads/writes plain parquet directories under ``--out`` so
@@ -250,6 +251,47 @@ def cmd_drift(spark: SparkSession, args) -> None:
     _emit({"stage": "drift", "a": args.src_a, "b": args.src_b, "rows": rows})
 
 
+def cmd_mix(spark: SparkSession, args) -> None:
+    """Token-budget waterfilling plan across sources: per-source
+    availability from actual token counts, weights from --weights
+    (JSON name->int map; absent sources weight 1), budget either
+    absolute (--budget-tokens) or as a corpus fraction
+    (--budget-frac, exact integer num/den arithmetic). Emits the
+    (source, avail, weight, saturated, alloc) plan as JSON rows —
+    feed the allocs to `filter`/`dedup` sampling stages."""
+    import json as _json
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.operators.sampling import waterfill_alloc
+    from c3s_sm_spark.operators.textstats import words_col
+
+    weights = _json.loads(args.weights) if args.weights else {}
+    wexpr = F.lit(1).cast("long")
+    for name, wt in sorted(weights.items()):
+        wexpr = F.when(F.col("source") == name, int(wt)).otherwise(wexpr)
+    per_src = (
+        _docs(spark, args)
+        .groupBy("source")
+        .agg(F.sum(F.size(words_col("text"))).cast("long").alias("a"))
+        .withColumn("w", wexpr.cast("long"))
+    )
+    if args.budget_tokens is not None:
+        budget = int(args.budget_tokens)
+    else:
+        frac = Fraction(str(args.budget_frac)).limit_denominator(10**6)
+        total = per_src.agg(F.sum("a")).collect()[0][0] or 0
+        budget = total * frac.numerator // frac.denominator
+    rows = [
+        r.asDict()
+        for r in waterfill_alloc(per_src, "source", "a", "w", budget)
+        .orderBy("source")
+        .collect()
+    ]
+    _emit({"stage": "mix", "budget": budget, "rows": rows})
+
+
 def cmd_merges(spark: SparkSession, args) -> None:
     from c3s_sm_spark.operators.textstats import phrase_merge_train
 
@@ -325,6 +367,7 @@ def main(argv: list[str] | None = None) -> None:
     v = sub.add_parser("curve")
     m = sub.add_parser("merges")
     g = sub.add_parser("drift")
+    mx = sub.add_parser("mix")
     pl = sub.add_parser("pipeline")
 
     for sp in (f, pl):
@@ -356,6 +399,13 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--src-a", required=True)
     g.add_argument("--src-b", required=True)
     g.add_argument("--top-n", type=int, default=20)
+    mx.add_argument("--weights", default=None,
+                    help='JSON source->weight map, e.g. \'{"web": 5}\'; '
+                         "absent sources weight 1")
+    mx.add_argument("--budget-tokens", type=int, default=None)
+    mx.add_argument("--budget-frac", type=float, default=0.5,
+                    help="budget as corpus fraction (ignored when "
+                         "--budget-tokens is set)")
 
     args = p.parse_args(argv)
     spark = _spark(args)
@@ -369,6 +419,7 @@ def main(argv: list[str] | None = None) -> None:
         "curve": cmd_curve,
         "merges": cmd_merges,
         "drift": cmd_drift,
+        "mix": cmd_mix,
         "pipeline": cmd_pipeline,
     }[args.cmd](spark, args)
 

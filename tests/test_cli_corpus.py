@@ -243,3 +243,56 @@ main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
     ]
     assert got == want
     assert len(got) == 4
+
+
+def test_corpus_cli_mix_parity(spark, tmp_path):
+    """The mix subcommand must emit exactly the in-process
+    waterfill_alloc plan for the same weights/budget, including a
+    weighted source and the budget-fraction arithmetic."""
+    out = str(tmp_path / "mx")
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "mix", "--weights", '{{"src1": 9}}', "--budget-frac", "0.4"])
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    got = None
+    for line in res.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            d = json.loads(line)
+            if d.get("stage") == "mix":
+                got = d
+    assert got is not None
+
+    from c3s_sm_spark.operators.sampling import waterfill_alloc
+    from c3s_sm_spark.operators.textstats import words_col
+
+    per_src = (
+        spark.read.parquet(DOCS)
+        .groupBy("source")
+        .agg(F.sum(F.size(words_col("text"))).cast("long").alias("a"))
+        .withColumn(
+            "w",
+            F.when(F.col("source") == "src1", 9).otherwise(1).cast("long"),
+        )
+    )
+    total = per_src.agg(F.sum("a")).collect()[0][0]
+    budget = total * 2 // 5
+    assert got["budget"] == budget
+    want = [
+        r.asDict()
+        for r in waterfill_alloc(per_src, "source", "a", "w", budget)
+        .orderBy("source")
+        .collect()
+    ]
+    assert got["rows"] == want
+    # the weighted source grabs more than an unweighted sibling
+    by = {r["source"]: r for r in want}
+    assert by["src1"]["alloc"] >= by["src0"]["alloc"]
