@@ -2077,6 +2077,20 @@ def _q_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waterfill_alloc(per_src, "source", "a", "w", total * 3 // 5)
 
 
+def _q_clim_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85 circular day-of-year climatology pieces (pytesmo-style
+    35-day wraparound window) over the shared daily purchase series:
+    per (user, doy) exact integer sum + count of every observation
+    within circular DOY distance 17."""
+    _prep(spark)
+    from c3s_sm_spark.operators.anomaly import climatology_doy_window
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    return climatology_doy_window(
+        daily, ["user_id"], "day", "v4", half_window=17
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2284,6 +2298,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # saturation arithmetic is pytest-pinned vs brute force over
         # every regime):
         "waterfill": _q_waterfill,
+        # X85 (oracled): circular DOY climatology window (anomaly_zscore
+        # in-window pins the climatology family; the wrap arithmetic is
+        # pytest-pinned vs brute force across the year boundary):
+        "clim_window": _q_clim_window,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4125,5 +4143,27 @@ def oracle_sql() -> dict[str, str]:
                     ELSE (r.w * (b.budget - kk.k_pa))
                          // (r.tw - kk.k_pw) END AS BIGINT) AS alloc
         FROM r, kk, b
+    """
+    # X85: circular DOY climatology window. doy = (dayofyear-1) % 365
+    # (leap 366 folds to slot 0 on both engines); each observation
+    # fans out to its 35 target slots, (x+365)%365 keeps the modulus
+    # non-negative to match Spark pmod.
+    d["clim_window"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST((dayofyear(date_trunc('day', ts)) - 1) % 365
+                      AS BIGINT) AS doy,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, date_trunc('day', ts)),
+        e AS (
+          SELECT user_id, v4,
+                 (doy + unnest(range(-17, 18)) + 365) % 365 AS tdoy
+          FROM p)
+        SELECT user_id, CAST(tdoy AS INTEGER) AS doy,
+               CAST(sum(v4) AS BIGINT) AS clim_sum,
+               CAST(count(*) AS BIGINT) AS clim_n
+        FROM e GROUP BY 1, 2
     """
     return d

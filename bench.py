@@ -123,6 +123,7 @@ HEADLINE = [
     "heavy_hitters",
     "seasonal",
     "waterfill",
+    "clim_window",
     "text_quality",
     "lang_id",
     "quality_select",

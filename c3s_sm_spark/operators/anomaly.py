@@ -101,6 +101,59 @@ def anomaly(
     return out.withColumn("z", z)
 
 
+def climatology_doy_window(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "v",
+    half_window: int = 17,
+) -> DataFrame:
+    """Circular day-of-year climatology with a moving window — the
+    smoothing the reference's anomaly consumers actually use: pytesmo's
+    ``calc_climatology`` (the library c3s_sm ships its time series
+    into, ``/root/reference/src/c3s_sm/interface.py`` readers feed it)
+    defaults to a **35-day window wrapped around the year boundary**,
+    because a bare per-DOY mean over a few decades has ~30 samples per
+    slot and is far too noisy to difference against. Jan 3 averages
+    Dec 17 .. Jan 20 — the wrap is the whole point.
+
+    Exact integer pieces: per (keys, doy 0..364) emits ``clim_sum`` /
+    ``clim_n`` over every observation whose circular DOY distance is
+    <= ``half_window`` (the mean derives outside the witness;
+    ``value_col`` must already be integer micro-units). DOY is
+    ``(dayofyear - 1) mod 365`` — leap day 366 folds onto slot 0,
+    stated contract rather than silent engine drift.
+
+    Plan: each observation EXPLODES to its ``2*half_window + 1``
+    target slots (one Generate), then one (keys, doy) hash aggregate —
+    map-side combine collapses every task to <= |keys| x 365 partial
+    rows before the only shuffle. The alternative (a range window over
+    tripled year-shifted copies) is wrong on gappy series (it windows
+    observed ROWS, not calendar days) and needs a sort; the explode
+    form is exact and sort-free. The 35x row fan-out happens AFTER the
+    upstream daily reduction, on already-tiny rows.
+    """
+    if not 0 <= half_window <= 182:
+        raise ValueError(f"half_window must be in [0, 182], got {half_window}")
+    doy = (F.dayofyear(F.col(ts_col)) - 1) % 365
+    off = F.explode(
+        F.sequence(F.lit(-half_window), F.lit(half_window))
+    ).alias("__off")
+    return (
+        df.select(*keys, doy.alias("__doy"), F.col(value_col).alias("__v"), off)
+        .groupBy(
+            *keys,
+            F.pmod(F.col("__doy") + F.col("__off"), F.lit(365))
+            .cast("int")
+            .alias("doy"),
+        )
+        .agg(
+            F.sum("__v").cast("long").alias("clim_sum"),
+            F.count(F.lit(1)).cast("long").alias("clim_n"),
+        )
+    )
+
+
 def percentile_index(
     df: DataFrame,
     keys: Sequence[str],

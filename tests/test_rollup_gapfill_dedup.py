@@ -372,3 +372,48 @@ def test_keep_top_k_golden_ties_and_plan(spark):
     # plan: rank-limit pushdown prunes map-side before the exchange
     plan = keep_top_k(df, ["k"], ["v", "rid"], k=2)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_climatology_doy_window_brute_force(spark):
+    """Circular DOY window equals brute force across the year boundary
+    (Dec observations feed Jan slots and vice versa), folds leap day
+    366 to slot 0, and is invariant to partitioning."""
+    import datetime as dt
+    import random
+
+    from c3s_sm_spark.operators.anomaly import climatology_doy_window
+
+    rng = random.Random(85)
+    rows = []
+    # two keys, observations clustered at the year boundary + a leap day
+    for key in ("a", "b"):
+        for base in (dt.date(2023, 12, 15), dt.date(2024, 1, 5)):
+            for off in range(10):
+                d = base + dt.timedelta(days=off)
+                rows.append((key, dt.datetime.combine(d, dt.time()), rng.randint(-99, 99)))
+    rows.append(("a", dt.datetime(2024, 2, 29), 7))   # leap-day row
+    rows.append(("a", dt.datetime(2024, 12, 31), 11)) # doy 366 -> slot 0
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+
+    h = 17
+    want = {}
+    for key, ts, v in rows:
+        doy = (ts.timetuple().tm_yday - 1) % 365
+        for off in range(-h, h + 1):
+            slot = (doy + off) % 365
+            s, n = want.get((key, slot), (0, 0))
+            want[(key, slot)] = (s + v, n + 1)
+
+    for parts in (1, 6):
+        got = {
+            (r["k"], r["doy"]): (r["clim_sum"], r["clim_n"])
+            for r in climatology_doy_window(
+                df.repartition(parts), ["k"], "ts", "v", half_window=h
+            ).collect()
+        }
+        assert got == want, parts
+
+    # wrap really happened: a Dec observation contributes to slot 0..
+    assert any(slot < 5 for (_, slot) in want)
+    with pytest.raises(ValueError, match="half_window"):
+        climatology_doy_window(df, ["k"], "ts", "v", half_window=183)
