@@ -2091,6 +2091,29 @@ def _q_clim_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anomaly_doy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 departure vs the X85 circular-DOY windowed climatology over
+    the shared daily purchase series: per (user, day) integer departure
+    pieces dep_n = v4*clim_n - clim_sum (floats derive outside). The
+    day column is emitted as epoch-day BIGINT for the hash boundary."""
+    _prep(spark)
+    from c3s_sm_spark.operators.anomaly import anomaly_vs_doy_climatology
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    out = anomaly_vs_doy_climatology(
+        daily, ["user_id"], "day", "v4", half_window=17
+    )
+    return out.select(
+        "user_id",
+        (F.unix_timestamp("day") / 86400).cast("long").alias("day_ix"),
+        F.col("v4").cast("long").alias("v4"),
+        F.col("doy").cast("int").alias("doy"),
+        "clim_sum",
+        "clim_n",
+        "dep_n",
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2302,6 +2325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pins the climatology family; the wrap arithmetic is
         # pytest-pinned vs brute force across the year boundary):
         "clim_window": _q_clim_window,
+        # X86 (oracled): departure vs the X85 windowed climatology —
+        # the drought-indicator composition (same family pinning):
+        "anomaly_doy": _q_anomaly_doy,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4165,5 +4191,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v4) AS BIGINT) AS clim_sum,
                CAST(count(*) AS BIGINT) AS clim_n
         FROM e GROUP BY 1, 2
+    """
+    # X86: departure vs the X85 windowed climatology — the same CTE
+    # chain joined back to the daily series on (user, doy).
+    d["anomaly_doy"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                   // 86400 AS day_ix,
+                 CAST((dayofyear(date_trunc('day', ts)) - 1) % 365
+                      AS BIGINT) AS doy,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, date_trunc('day', ts)),
+        e AS (
+          SELECT user_id, v4,
+                 (doy + unnest(range(-17, 18)) + 365) % 365 AS tdoy
+          FROM p),
+        c AS (
+          SELECT user_id, tdoy AS doy,
+                 CAST(sum(v4) AS BIGINT) AS clim_sum,
+                 CAST(count(*) AS BIGINT) AS clim_n
+          FROM e GROUP BY 1, 2)
+        SELECT p.user_id,
+               CAST(p.day_ix AS BIGINT) AS day_ix,
+               CAST(p.v4 AS BIGINT) AS v4,
+               CAST(p.doy AS INTEGER) AS doy,
+               c.clim_sum, c.clim_n,
+               CAST(p.v4 * c.clim_n - c.clim_sum AS BIGINT) AS dep_n
+        FROM p JOIN c ON c.user_id = p.user_id AND c.doy = p.doy
     """
     return d

@@ -124,6 +124,7 @@ HEADLINE = [
     "seasonal",
     "waterfill",
     "clim_window",
+    "anomaly_doy",
     "text_quality",
     "lang_id",
     "quality_select",

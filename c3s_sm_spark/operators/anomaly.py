@@ -154,6 +154,45 @@ def climatology_doy_window(
     )
 
 
+def anomaly_vs_doy_climatology(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "v",
+    half_window: int = 17,
+    clim: DataFrame | None = None,
+    broadcast_clim: bool = True,
+) -> DataFrame:
+    """Departure of each observation from its circular-DOY windowed
+    climatology — the actual drought-indicator product the reference's
+    dekadal/monthly tiers feed (pytesmo ``calc_anomaly`` subtracts
+    exactly this smoothed climatology): soil-moisture-below-normal is
+    ``v - clim_mean(doy)`` with the 35-day wraparound baseline.
+
+    Exact integer pieces: adds ``doy``, ``clim_sum``, ``clim_n`` and
+    ``dep_n`` = ``v * clim_n - clim_sum`` (the departure in
+    clim_n-denominated micro-units — ``dep_n / clim_n`` is the float
+    departure, derived outside any witness). NULL-free by
+    construction: every observation's own slot contains at least
+    itself (clim_n >= 1), so the join never misses.
+
+    ``clim`` accepts a precomputed (longer-history) frame from
+    :func:`climatology_doy_window` — the operational pattern. The
+    climatology is |keys| x 365 rows; ``broadcast_clim=False`` is the
+    high-cardinality escape, same contract as :func:`anomaly`.
+    """
+    if clim is None:
+        clim = climatology_doy_window(df, keys, ts_col, value_col, half_window)
+    if broadcast_clim:
+        clim = F.broadcast(clim)
+    doy = ((F.dayofyear(F.col(ts_col)) - 1) % 365).cast("int")
+    out = df.withColumn("doy", doy).join(clim, [*keys, "doy"])
+    return out.withColumn(
+        "dep_n",
+        (F.col(value_col) * F.col("clim_n") - F.col("clim_sum")).cast("long"),
+    )
+
+
 def percentile_index(
     df: DataFrame,
     keys: Sequence[str],

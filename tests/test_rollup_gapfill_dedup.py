@@ -417,3 +417,55 @@ def test_climatology_doy_window_brute_force(spark):
     assert any(slot < 5 for (_, slot) in want)
     with pytest.raises(ValueError, match="half_window"):
         climatology_doy_window(df, ["k"], "ts", "v", half_window=183)
+
+
+def test_anomaly_vs_doy_climatology_brute_force(spark):
+    """Departure pieces equal brute force (every observation joined to
+    its own circular-window climatology; never a missed slot), and a
+    precomputed longer-history climatology frame is honored."""
+    import datetime as dt
+
+    from c3s_sm_spark.operators.anomaly import (
+        anomaly_vs_doy_climatology,
+        climatology_doy_window,
+    )
+
+    rows = []
+    for key in ("a", "b"):
+        for off in range(12):
+            d = dt.date(2023, 12, 25) + dt.timedelta(days=off)
+            rows.append((key, dt.datetime.combine(d, dt.time()), (off + 1) * (1 if key == "a" else -3)))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+
+    h = 5
+    clim = {}
+    for key, ts, v in rows:
+        doy = (ts.timetuple().tm_yday - 1) % 365
+        for off in range(-h, h + 1):
+            slot = (doy + off) % 365
+            s, n = clim.get((key, slot), (0, 0))
+            clim[(key, slot)] = (s + v, n + 1)
+    want = {}
+    for key, ts, v in rows:
+        doy = (ts.timetuple().tm_yday - 1) % 365
+        s, n = clim[(key, doy)]
+        want[(key, ts)] = (doy, s, n, v * n - s)
+
+    out = anomaly_vs_doy_climatology(df, ["k"], "ts", "v", half_window=h)
+    got = {
+        (r["k"], r["ts"]): (r["doy"], r["clim_sum"], r["clim_n"], r["dep_n"])
+        for r in out.collect()
+    }
+    assert got == want
+    assert len(got) == len(rows)  # no observation lost by the join
+
+    # precomputed clim frame (e.g. longer history) is used as-is
+    pre = climatology_doy_window(df, ["k"], "ts", "v", half_window=h)
+    out2 = anomaly_vs_doy_climatology(
+        df, ["k"], "ts", "v", half_window=99, clim=pre
+    )
+    got2 = {
+        (r["k"], r["ts"]): (r["doy"], r["clim_sum"], r["clim_n"], r["dep_n"])
+        for r in out2.collect()
+    }
+    assert got2 == want  # half_window ignored when clim is supplied
