@@ -2114,6 +2114,24 @@ def _q_anomaly_doy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87 M4 downsampling of the shared daily purchase series into 16
+    pixel buckets over the corpus's own [min, max] epoch range (one
+    bounded 2-scalar collect, same contract as heavy_hitters' N).
+    first/last exact on the unique daily grid; min/max tie rules
+    earliest/latest by struct extrema."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import m4_downsample
+
+    daily = _daily_purchase_v4(spark, sf_dir).withColumn(
+        "ep", F.unix_timestamp("day").cast("long")
+    )
+    t0, t1 = daily.agg(F.min("ep"), F.max("ep")).collect()[0]
+    return m4_downsample(
+        daily, ["user_id"], "ep", "v4", int(t0), int(t1), n_buckets=16
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2328,6 +2346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X86 (oracled): departure vs the X85 windowed climatology —
         # the drought-indicator composition (same family pinning):
         "anomaly_doy": _q_anomaly_doy,
+        # X87 (oracled): M4 pixel downsampling — gives the downsample
+        # family (rows-only lttb) its oracled row; ohlc in-tail pins
+        # the same bucketed-extrema staging:
+        "m4": _q_m4,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4221,5 +4243,37 @@ def oracle_sql() -> dict[str, str]:
                c.clim_sum, c.clim_n,
                CAST(p.v4 * c.clim_n - c.clim_sum AS BIGINT) AS dep_n
         FROM p JOIN c ON c.user_id = p.user_id AND c.doy = p.doy
+    """
+    # X87: M4. Buckets via integer // over the corpus's own range;
+    # struct extrema give the same deterministic tie rules as Spark
+    # (min(ROW(v,t)) -> earliest ts at the min, max -> latest at the
+    # max); ts unique per (user, day) so first/last are exact.
+    d["m4"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS ep,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, date_trunc('day', ts)),
+        r AS (SELECT min(ep) AS t0, max(ep) AS t1 FROM p),
+        b AS (
+          SELECT user_id, ep, v4,
+                 CAST(((ep - r.t0) * 16) // (r.t1 - r.t0 + 1)
+                      AS INTEGER) AS bucket
+          FROM p, r),
+        g AS (
+          SELECT user_id, bucket,
+                 min(struct_pack(t := ep, v := v4)) AS f,
+                 max(struct_pack(t := ep, v := v4)) AS l,
+                 min(struct_pack(v := v4, t := ep)) AS mn,
+                 max(struct_pack(v := v4, t := ep)) AS mx
+          FROM b GROUP BY 1, 2)
+        SELECT user_id, bucket,
+               CAST(f.t AS BIGINT) AS t_first, CAST(f.v AS BIGINT) AS v_first,
+               CAST(l.t AS BIGINT) AS t_last,  CAST(l.v AS BIGINT) AS v_last,
+               CAST(mn.v AS BIGINT) AS v_min,  CAST(mn.t AS BIGINT) AS t_min,
+               CAST(mx.v AS BIGINT) AS v_max,  CAST(mx.t AS BIGINT) AS t_max
+        FROM g
     """
     return d

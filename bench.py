@@ -125,6 +125,7 @@ HEADLINE = [
     "waterfill",
     "clim_window",
     "anomaly_doy",
+    "m4",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1702,3 +1702,66 @@ def seasonal_decompose_pieces(
         .alias("dt_sum"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    t_start: int,
+    t_end: int,
+    n_buckets: int = 240,
+) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014): split
+    the query range into ``n_buckets`` equal-width pixels and keep,
+    per (key, bucket), the four rows a pixel-perfect line rendering
+    needs — first, last, min and max. Unlike LTTB (perceptual,
+    sequential — our rows-only sibling) M4 is a pure GROUP BY, error-
+    bounded for line charts, and embarrassingly parallel: ONE
+    map-side-combined hash aggregate, each task collapsing to
+    <= |keys| x n_buckets rows of six BIGINTs before the only shuffle.
+
+    ``ts_col``/``value_col`` must be integer (epoch seconds /
+    micro-units); rows outside [t_start, t_end] are dropped (the
+    chart's range IS the filter). ``ts`` must be unique per key (a
+    daily/resampled series), making first/last exact. Tie rules,
+    deterministic on both engines via lexicographic struct extrema:
+    ``t_min`` = EARLIEST ts attaining the bucket minimum, ``t_max`` =
+    LATEST ts attaining the maximum.
+
+    Emits ``(keys..., bucket int, t_first, v_first, t_last, v_last,
+    v_min, t_min, v_max, t_max)`` — all BIGINT.
+    """
+    if t_end < t_start:
+        raise ValueError(f"t_end {t_end} < t_start {t_start}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    keys = list(keys)
+    t = F.col(ts_col)
+    v = F.col(value_col)
+    span = t_end - t_start + 1
+    # integral div (never float /): exact at any epoch magnitude,
+    # non-negative operands after the range filter
+    fr = df.filter((t >= t_start) & (t <= t_end)).withColumn(
+        "__bnum", (t - F.lit(t_start)).cast("long") * n_buckets
+    )
+    bucket = F.expr(f"__bnum div {span}")
+    g = fr.groupBy(*keys, bucket.cast("int").alias("bucket")).agg(
+        F.min(F.struct(t.alias("t"), v.alias("v"))).alias("__f"),
+        F.max(F.struct(t.alias("t"), v.alias("v"))).alias("__l"),
+        F.min(F.struct(v.alias("v"), t.alias("t"))).alias("__mn"),
+        F.max(F.struct(v.alias("v"), t.alias("t"))).alias("__mx"),
+    )
+    return g.select(
+        *keys,
+        "bucket",
+        F.col("__f.t").cast("long").alias("t_first"),
+        F.col("__f.v").cast("long").alias("v_first"),
+        F.col("__l.t").cast("long").alias("t_last"),
+        F.col("__l.v").cast("long").alias("v_last"),
+        F.col("__mn.v").cast("long").alias("v_min"),
+        F.col("__mn.t").cast("long").alias("t_min"),
+        F.col("__mx.v").cast("long").alias("v_max"),
+        F.col("__mx.t").cast("long").alias("t_max"),
+    )

@@ -1441,3 +1441,59 @@ def test_seasonal_pieces_brute_force(spark):
 
     with pytest.raises(ValueError, match="odd"):
         seasonal_decompose_pieces(df, ["k"], "day_ix", "v", period=6)
+
+
+def test_m4_downsample_brute_force(spark):
+    """M4 equals brute force on a series with VALUE TIES inside
+    buckets (exercises the earliest-min / latest-max tie rules),
+    drops out-of-range rows, and is partitioning-invariant."""
+    import random
+
+    from c3s_sm_spark.operators.timeseries import m4_downsample
+
+    rng = random.Random(87)
+    rows = []
+    for key in ("a", "b"):
+        for t in range(1000, 1200, 3):
+            rows.append((key, t, rng.randint(-5, 5)))  # small range -> ties
+    rows.append(("a", 5, 99))     # below range: dropped
+    rows.append(("a", 9999, 99))  # above range: dropped
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+
+    t0, t1, n = 1000, 1199, 7
+    span = t1 - t0 + 1
+    want = {}
+    for key, t, v in rows:
+        if not (t0 <= t <= t1):
+            continue
+        b = (t - t0) * n // span
+        cur = want.get((key, b))
+        if cur is None:
+            want[(key, b)] = [t, v, t, v, v, t, v, t]
+        else:
+            if t < cur[0]:
+                cur[0], cur[1] = t, v
+            if t > cur[2]:
+                cur[2], cur[3] = t, v
+            if v < cur[4] or (v == cur[4] and t < cur[5]):
+                cur[4], cur[5] = v, t
+            if v > cur[6] or (v == cur[6] and t > cur[7]):
+                cur[6], cur[7] = v, t
+    want = {k: tuple(x) for k, x in want.items()}
+
+    for parts in (1, 6):
+        got = {
+            (r["k"], r["bucket"]): (
+                r["t_first"], r["v_first"], r["t_last"], r["v_last"],
+                r["v_min"], r["t_min"], r["v_max"], r["t_max"],
+            )
+            for r in m4_downsample(
+                df.repartition(parts), ["k"], "t", "v", t0, t1, n_buckets=n
+            ).collect()
+        }
+        assert got == want, parts
+
+    with pytest.raises(ValueError, match="t_end"):
+        m4_downsample(df, ["k"], "t", "v", 10, 5)
+    with pytest.raises(ValueError, match="n_buckets"):
+        m4_downsample(df, ["k"], "t", "v", 0, 10, n_buckets=0)
