@@ -2132,6 +2132,19 @@ def _q_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88 within-session co-occurrence lift pieces over the events
+    stream (gap 1800 s, the sessionize default): exact BIGINT
+    (joint, m_a, m_b, n_sessions) per type pair; lift derives
+    outside."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import cooccurrence_lift_pieces
+
+    return cooccurrence_lift_pieces(
+        _events(spark, sf_dir), "user_id", "ts", "event_type", gap_s=1800
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2350,6 +2363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family (rows-only lttb) its oracled row; ohlc in-tail pins
         # the same bucketed-extrema staging:
         "m4": _q_m4,
+        # X88 (oracled): within-session co-occurrence lift pieces
+        # (sessionize in-window pins the session staging):
+        "cooccur": _q_cooccur,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4275,5 +4291,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(mn.v AS BIGINT) AS v_min,  CAST(mn.t AS BIGINT) AS t_min,
                CAST(mx.v AS BIGINT) AS v_max,  CAST(mx.t AS BIGINT) AS t_max
         FROM g
+    """
+    # X88: market-basket lift pieces over gap-1800s sessions. The
+    # session CTE is the sessionize oracle's; baskets are DISTINCT
+    # (user, session, type); every output is a count, BIGINT-cast.
+    d["cooccur"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS ep
+          FROM events),
+        f AS (
+          SELECT user_id, event_type, ts, ep,
+                 CASE WHEN lag(ep) OVER w IS NULL
+                        OR ep - lag(ep) OVER w > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT user_id, event_type,
+                 sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_seq
+          FROM f),
+        basket AS (
+          SELECT DISTINCT user_id, session_seq, event_type AS t FROM s),
+        ns AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_sessions
+          FROM (SELECT DISTINCT user_id, session_seq FROM basket)),
+        marg AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS m FROM basket GROUP BY 1),
+        joint AS (
+          SELECT x.t AS type_a, y.t AS type_b,
+                 CAST(count(*) AS BIGINT) AS joint
+          FROM basket x
+          JOIN basket y ON x.user_id = y.user_id
+                       AND x.session_seq = y.session_seq
+                       AND x.t < y.t
+          GROUP BY 1, 2)
+        SELECT j.type_a, j.type_b, j.joint,
+               ma.m AS m_a, mb.m AS m_b, ns.n_sessions
+        FROM joint j
+        JOIN marg ma ON ma.t = j.type_a
+        JOIN marg mb ON mb.t = j.type_b
+        CROSS JOIN ns
     """
     return d

@@ -126,6 +126,7 @@ HEADLINE = [
     "clim_window",
     "anomaly_doy",
     "m4",
+    "cooccur",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1765,3 +1765,66 @@ def m4_downsample(
         F.col("__mx.v").cast("long").alias("v_max"),
         F.col("__mx.t").cast("long").alias("t_max"),
     )
+
+
+def cooccurrence_lift_pieces(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Within-session event co-occurrence lift pieces (market-basket
+    over :func:`sessionize` sessions): for every unordered type pair
+    ``a < b``, how many sessions contain BOTH vs what independence
+    predicts — ``lift = n_sessions * joint / (m_a * m_b)``, emitted as
+    its exact BIGINT pieces ``(type_a, type_b, joint, m_a, m_b,
+    n_sessions)`` with the float ratio derived outside any witness.
+    The recommendation/affinity primitive ("users who view X in a
+    session also purchase Y").
+
+    Plan: sessionize (one key shuffle), then the DISTINCT
+    (key, session, type) basket — eagerly ``localCheckpoint``-ed
+    because FOUR consumers read it (marginals, session count, both
+    self-join sides; the funnel lesson: differing projections defeat
+    ReuseExchange). The self-join explodes each session to its own
+    type pairs — bounded by |types|^2 per session, with the pair
+    aggregate map-side-combining to <= |types|^2 rows per task before
+    its exchange. Marginals and the session-count scalar are
+    |types|-row / 1-row broadcasts. Everything downstream of the
+    basket is counts of counts — no corpus-sized shuffle anywhere
+    past the distinct.
+    """
+    sess = sessionize(
+        df.select(key, ts_col, type_col), key, ts_col, gap_s
+    )
+    basket = (
+        sess.select(key, "session_seq", F.col(type_col).alias("t"))
+        .distinct()
+        .localCheckpoint()
+    )
+    ns = (
+        basket.select(key, "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    marg = basket.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    x, y = basket.alias("x"), basket.alias("y")
+    joint = (
+        x.join(y, [key, "session_seq"])
+        .filter(F.col("x.t") < F.col("y.t"))
+        .groupBy(
+            F.col("x.t").alias("type_a"), F.col("y.t").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("joint"))
+    )
+    ma = marg.select(F.col("t").alias("type_a"), F.col("m").alias("m_a"))
+    mb = marg.select(F.col("t").alias("type_b"), F.col("m").alias("m_b"))
+    return (
+        joint.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(ns))
+        .select("type_a", "type_b", "joint", "m_a", "m_b", "n_sessions")
+    )

@@ -1497,3 +1497,45 @@ def test_m4_downsample_brute_force(spark):
         m4_downsample(df, ["k"], "t", "v", 10, 5)
     with pytest.raises(ValueError, match="n_buckets"):
         m4_downsample(df, ["k"], "t", "v", 0, 10, n_buckets=0)
+
+
+def test_cooccurrence_lift_brute_force(spark):
+    """Lift pieces equal a Python brute force over hand-sessionized
+    events (gap splits honored, within-session type dedup honored,
+    pairs unordered a<b), invariant to partitioning."""
+    import datetime as dt
+
+    from c3s_sm_spark.operators.timeseries import cooccurrence_lift_pieces
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # u1: two sessions — {A,B,A} (dup A) then after a 1-hour gap {B,C}
+    for off, ty in ((0, "A"), (60, "B"), (120, "A")):
+        rows.append(("u1", t0 + dt.timedelta(seconds=off), ty))
+    for off, ty in ((7200, "B"), (7260, "C")):
+        rows.append(("u1", t0 + dt.timedelta(seconds=off), ty))
+    # u2: one session {A, C}
+    for off, ty in ((0, "A"), (300, "C")):
+        rows.append(("u2", t0 + dt.timedelta(seconds=off), ty))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp, event_type string")
+
+    # brute: sessions = {u1s1: {A,B}, u1s2: {B,C}, u2s1: {A,C}}
+    sessions = [{"A", "B"}, {"B", "C"}, {"A", "C"}]
+    n = len(sessions)
+    marg = {t: sum(t in s for s in sessions) for t in "ABC"}
+    want = {}
+    for a, b in (("A", "B"), ("A", "C"), ("B", "C")):
+        j = sum(a in s and b in s for s in sessions)
+        if j:
+            want[(a, b)] = (j, marg[a], marg[b], n)
+
+    for parts in (1, 4):
+        got = {
+            (r["type_a"], r["type_b"]): (
+                r["joint"], r["m_a"], r["m_b"], r["n_sessions"]
+            )
+            for r in cooccurrence_lift_pieces(
+                df.repartition(parts), "user_id", "ts", "event_type", 1800
+            ).collect()
+        }
+        assert got == want, parts
