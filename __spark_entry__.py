@@ -2145,6 +2145,34 @@ def _q_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 Z-order interleave key over (user_id, epoch-day) at 16
+    bits; witness is the 64-bucket (z >> 26) checksum — sum + count
+    per bucket hash-pins every interleaved bit of every row while
+    keeping the gate row count constant."""
+    _prep(spark)
+    from c3s_sm_spark.operators.grid import zorder_key
+
+    ev = _events(spark, sf_dir)
+    z = zorder_key(
+        F.col("user_id"),
+        F.expr("unix_timestamp(ts) div 86400"),
+        bits=16,
+    )
+    # bucket on the LOW interleaved bits: the synthetic corpus spans
+    # one month, so z's high bits are constant and a high-bit bucket
+    # would collapse to one row — low bits vary row-to-row and give
+    # the hash 64 independent partial sums
+    return (
+        ev.select(z.alias("z"))
+        .groupBy(F.pmod(F.col("z"), F.lit(64)).cast("int").alias("zbucket"))
+        .agg(
+            F.sum("z").cast("long").alias("z_sum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2366,6 +2394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X88 (oracled): within-session co-occurrence lift pieces
         # (sessionize in-window pins the session staging):
         "cooccur": _q_cooccur,
+        # X89 (oracled): Z-order layout key, 64-bucket checksum witness
+        # (nearest_gpi in-window pins the grid-arithmetic family; the
+        # layout itself is pytest-pinned via disjoint partition ranges):
+        "zorder": _q_zorder,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4335,5 +4367,22 @@ def oracle_sql() -> dict[str, str]:
         JOIN marg ma ON ma.t = j.type_a
         JOIN marg mb ON mb.t = j.type_b
         CROSS JOIN ns
+    """
+    # X89: the same unrolled shift/mask interleave as zorder_key
+    # (bits=16), bucketed checksum. All operands non-negative.
+    _interleave = " | ".join(
+        f"(((x >> {i}) & 1) << {2 * i}) | (((y >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    d["zorder"] = f"""
+        WITH c AS (
+          SELECT CAST(user_id AS BIGINT) AS x,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS y
+          FROM events),
+        z AS (SELECT ({_interleave}) AS z FROM c)
+        SELECT CAST(z % 64 AS INTEGER) AS zbucket,
+               CAST(sum(z) AS BIGINT) AS z_sum,
+               CAST(count(*) AS BIGINT) AS n
+        FROM z GROUP BY 1
     """
     return d

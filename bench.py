@@ -127,6 +127,7 @@ HEADLINE = [
     "anomaly_doy",
     "m4",
     "cooccur",
+    "zorder",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -260,3 +260,68 @@ def nearest_join_bucketed(
     return out.select(
         *left_keys, *carry, "nn_id", "nn_lon", "nn_lat", "nn_d2", "nn_rank"
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton / Z-order interleave of two non-negative integer
+    coordinates into one BIGINT sort key — the data-skipping layout
+    primitive behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: rows close
+    in BOTH dimensions land close in the one-dimensional key, so
+    min/max file statistics prune 2-D predicates (cell x time, lat x
+    lon) that a single-column sort can only prune on its leading
+    column. Pure bit arithmetic — ``bits`` unrolled codegen terms,
+    no UDF — and engine-portable (the same shift/mask formula is the
+    DuckDB oracle).
+
+    Inputs must lie in ``[0, 2**bits)``; out-of-range raises at
+    execution (loud failure beats silently aliasing distant rows into
+    the same neighborhood). ``bits <= 31`` keeps the interleaved key
+    inside the int64 sign bit.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError(f"bits must be in [1, 31], got {bits}")
+    lim = F.lit(1 << bits).cast("long")
+    xx, yy = x.cast("long"), y.cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(xx, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(yy, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    ok = (xx >= 0) & (xx < lim) & (yy >= 0) & (yy < lim)
+    return F.when(ok, z).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"zorder_key: coordinate out of [0, 2^{bits}): x=%s y=%s",
+                xx,
+                yy,
+            )
+        )
+    )
+
+
+def zorder_layout(
+    df,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    n_partitions: int | None = None,
+):
+    """Write-side Z-order layout: range-partition AND sort the frame by
+    the interleaved key, so every output file covers one compact 2-D
+    neighborhood and carries tight min/max stats on BOTH dimensions.
+    This is a LAYOUT operator like ``salted_repartition`` — it changes
+    where rows live, not what they are; run it as the last stage
+    before a sink. rangepartitioning samples the key distribution, so
+    skewed 2-D data still yields balanced files (equal-ROW ranges,
+    not equal-AREA tiles).
+    """
+    z = zorder_key(F.col(x_col), F.col(y_col), bits).alias("__z")
+    out = df.withColumn("__z", z)
+    parts = [F.col("__z")]
+    out = (
+        out.repartitionByRange(n_partitions, *parts)
+        if n_partitions
+        else out.repartitionByRange(*parts)
+    )
+    return out.sortWithinPartitions("__z").drop("__z")

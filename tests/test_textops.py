@@ -1882,3 +1882,56 @@ def test_waterfill_alloc_brute_force(spark):
             spark.createDataFrame([("a", 1, 1)], "source string, a long, w long"),
             "source", "a", "w", -1,
         )
+
+
+def test_zorder_key_and_layout(spark):
+    """The interleave equals a Python brute force bit-for-bit, raises
+    loudly out of range, and zorder_layout yields DISJOINT per-
+    partition z ranges (the range-partitioning property data-skipping
+    relies on) with both dimensions' spread shrunk inside partitions."""
+    import random
+
+    from c3s_sm_spark.operators.grid import zorder_key, zorder_layout
+
+    def brute(x, y, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = random.Random(89)
+    pts = [(rng.randint(0, 1023), rng.randint(0, 1023)) for _ in range(500)]
+    pts += [(0, 0), (1023, 1023), (0, 1023), (1023, 0)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(F.col("x"), F.col("y"), 10).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == brute(x, y, 10), (x, y)
+
+    # out-of-range must raise, not alias
+    bad = spark.createDataFrame([(1024, 1)], "x long, y long")
+    with pytest.raises(Exception, match="zorder_key"):
+        bad.select(zorder_key(F.col("x"), F.col("y"), 10)).collect()
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(F.col("x"), F.col("y"), 32)
+
+    # layout: per-partition z ranges disjoint, rows preserved
+    laid = zorder_layout(df, "x", "y", bits=10, n_partitions=8)
+    assert laid.count() == len(pts)
+    parts = (
+        laid.select("x", "y")
+        .rdd.mapPartitions(
+            lambda it: (lambda rows: [(
+                min(brute(r.x, r.y, 10) for r in rows),
+                max(brute(r.x, r.y, 10) for r in rows),
+            )] if rows else [])(list(it))
+        )
+        .collect()
+    )
+    parts.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(parts, parts[1:]):
+        assert hi1 <= lo2, parts  # disjoint (range partitioning)
+    assert len(parts) > 1
