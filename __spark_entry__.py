@@ -2173,6 +2173,32 @@ def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90 bloom-pruned semi-join: the beyond-broadcast-scale form of
+    mask_semi_join (P3/P6) — the dim key set compacts to an m-bit
+    bitmap (<= m/64 two-long rows), the fact side takes k broadcast
+    bitmap probes with NO fact-side exchange, and only bloom survivors
+    pay the exact leftsemi shuffle. Result is bit-identical to the
+    plain semi-join, so the oracle IS the plain semi-join. Witness:
+    per-event-type count + micro-int value sum (all-BIGINT)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.bloom import bloom_semi_join
+
+    ev = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    active = cust.where(F.col("c_acctbal") < 2000).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return (
+        bloom_semi_join(ev, active, "user_id", m_bits=1 << 18, k=3)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_micro(F.col("value"))).alias("v_sum_micro"),
+        )
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2398,6 +2424,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (nearest_gpi in-window pins the grid-arithmetic family; the
         # layout itself is pytest-pinned via disjoint partition ranges):
         "zorder": _q_zorder,
+        # X90 (oracled): bloom-pruned semi-join — mask_semi_join
+        # in-window hash-pins the semi-join family; the bloom path's
+        # exactness/superset/bitmap bounds are pytest-pinned
+        # (tests/test_bloom.py):
+        "bloom_semi": _q_bloom_semi,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2786,6 +2817,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
+            GROUP BY event_type
+        """,
+        # X90: the bloom path must be bit-identical to the plain
+        # semi-join — the oracle deliberately states the exact form
+        "bloom_semi": f"""
+            SELECT event_type, count(*) AS n, {_VSUM_MICRO_SQL}
+            FROM events
+            WHERE user_id IN (SELECT c_custkey FROM customer
+                              WHERE c_acctbal < 2000)
             GROUP BY event_type
         """,
         "nearest_station": """
