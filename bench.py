@@ -128,6 +128,7 @@ HEADLINE = [
     "m4",
     "cooccur",
     "zorder",
+    "bloom_semi",
     "text_quality",
     "lang_id",
     "quality_select",
