@@ -2199,6 +2199,28 @@ def _q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91 sliding-window distinct count (7-day rolling active users)
+    via dedupe-then-fan-out — Spark has no COUNT(DISTINCT) window
+    frame, so the engine pre-distincts (key, day) and explodes each
+    survivor to the window-ends it feeds. Witness: per window end
+    (epoch-day BIGINT — DATE renders differently through Arrow vs
+    pandas), exact distinct actives + key-day mass, all BIGINT."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import rolling_distinct
+
+    out = rolling_distinct(
+        _events(spark, sf_dir), key="user_id", ts_col="ts", window_days=7
+    )
+    return out.select(
+        F.datediff(F.col("w_end"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("w_end_day"),
+        "active",
+        "key_days",
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2429,6 +2451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exactness/superset/bitmap bounds are pytest-pinned
         # (tests/test_bloom.py):
         "bloom_semi": _q_bloom_semi,
+        # X91 (oracled): rolling 7-day distinct actives — coverage
+        # in-window pins the valid-obs-count family; the fan-out
+        # equivalence to a brute-force window is pytest-pinned:
+        "rolling_active": _q_rolling_active,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2818,6 +2844,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X91: rolling 7-day distinct actives; the oracle states the
+        # same dedupe-then-fan-out (a window COUNT(DISTINCT) frame is
+        # equally unavailable in ANSI engines)
+        "rolling_active": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+                FROM events),
+            mx AS (SELECT max(d) AS mxd FROM ud),
+            fan AS (
+                SELECT user_id, d + CAST(t.i AS INTEGER) AS w_end
+                FROM ud, range(7) t(i))
+            SELECT CAST(w_end - DATE '1970-01-01' AS BIGINT) AS w_end_day,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS active,
+                   CAST(count(*) AS BIGINT) AS key_days
+            FROM fan, mx
+            WHERE w_end <= mxd
+            GROUP BY w_end
         """,
         # X90: the bloom path must be bit-identical to the plain
         # semi-join — the oracle deliberately states the exact form

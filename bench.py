@@ -129,6 +129,7 @@ HEADLINE = [
     "cooccur",
     "zorder",
     "bloom_semi",
+    "rolling_active",
     "text_quality",
     "lang_id",
     "quality_select",

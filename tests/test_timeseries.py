@@ -1539,3 +1539,64 @@ def test_cooccurrence_lift_brute_force(spark):
             ).collect()
         }
         assert got == want, parts
+
+
+# ---------------------------------------------------------------- X91
+# rolling_distinct: dedupe-then-fan-out sliding distinct count
+
+
+def _rd_frame(spark):
+    rows = [
+        # user u1 active on d1, d1 (dup event), d3; u2 on d1; u3 on d4
+        ("u1", _ts("2024-03-01 08:00:00")),
+        ("u1", _ts("2024-03-01 09:00:00")),
+        ("u1", _ts("2024-03-03 08:00:00")),
+        ("u2", _ts("2024-03-01 23:59:59")),
+        ("u3", _ts("2024-03-04 00:00:00")),
+    ]
+    return spark.createDataFrame(rows, "user_id string, ts timestamp")
+
+
+def test_rolling_distinct_brute_force(spark):
+    from c3s_sm_spark.operators.timeseries import rolling_distinct
+
+    df = _rd_frame(spark)
+    got = {
+        r["w_end"].isoformat(): (r["active"], r["key_days"])
+        for r in rolling_distinct(df, window_days=3).collect()
+    }
+    # brute force: window [w_end-2, w_end]; max day = 03-04, leading
+    # partial windows included
+    assert got == {
+        "2024-03-01": (2, 2),  # u1,u2
+        "2024-03-02": (2, 2),  # u1,u2 (from 03-01)
+        "2024-03-03": (2, 3),  # u1(03-01,03-03),u2
+        "2024-03-04": (2, 2),  # u1(03-03),u3
+    }
+
+
+def test_rolling_distinct_window1_is_daily_distinct(spark):
+    from c3s_sm_spark.operators.timeseries import rolling_distinct
+
+    df = _rd_frame(spark)
+    got = {
+        r["w_end"].isoformat(): r["active"]
+        for r in rolling_distinct(df, window_days=1).collect()
+    }
+    assert got == {"2024-03-01": 2, "2024-03-03": 1, "2024-03-04": 1}
+
+
+def test_rolling_distinct_partitioning_invariance(spark):
+    from c3s_sm_spark.operators.timeseries import rolling_distinct
+
+    df = _rd_frame(spark)
+    a = sorted(tuple(r) for r in rolling_distinct(df.repartition(7), window_days=3).collect())
+    b = sorted(tuple(r) for r in rolling_distinct(df.coalesce(1), window_days=3).collect())
+    assert a == b
+
+
+def test_rolling_distinct_guard(spark):
+    from c3s_sm_spark.operators.timeseries import rolling_distinct
+
+    with pytest.raises(ValueError):
+        rolling_distinct(_rd_frame(spark), window_days=0)
