@@ -2221,6 +2221,39 @@ def _q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92 Deequ-style data-quality audit: five declared constraints +
+    an event_id uniqueness check in ONE agg job, unioned with the
+    user_id->customer referential check (one shared-pass join). Mixes
+    firing checks (value<=95, 3-type whitelist, first-fortnight ts)
+    with passing ones (nulls, uniqueness, FK) so both paths are
+    hash-pinned. All-BIGINT witness."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import constraint_audit, fk_orphans
+
+    ev = _events(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    audit = constraint_audit(
+        ev,
+        [
+            ("value_not_null", F.col("value").isNotNull()),
+            ("value_le_95", F.col("value") <= 95.0),
+            (
+                "known_event_type",
+                F.col("event_type").isin("click", "view", "purchase"),
+            ),
+            (
+                "ts_first_fortnight",
+                F.col("ts") < F.lit("2024-01-15").cast("timestamp"),
+            ),
+            ("user_id_not_null", F.col("user_id").isNotNull()),
+        ],
+        unique_cols=["event_id"],
+    )
+    fk = fk_orphans(ev, "user_id", cust, "c_custkey")
+    return audit.unionByName(fk)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2455,6 +2488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pins the valid-obs-count family; the fan-out
         # equivalence to a brute-force window is pytest-pinned:
         "rolling_active": _q_rolling_active,
+        # X92 (oracled): declared-constraint DQ audit — param_consistency
+        # in-window pins the consistency-check family; the single-agg
+        # unpivot shape is profile_events' (X33, in-window):
+        "dq_audit": _q_dq_audit,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2844,6 +2881,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X92: the same checks as scalar CASE sums; NULL predicate =
+        # violation (both sides coalesce), uniqueness = count - distinct,
+        # FK via NOT EXISTS on non-null keys
+        "dq_audit": """
+            WITH base AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN NOT coalesce(value IS NOT NULL, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+                CAST(sum(CASE WHEN NOT coalesce(value <= 95.0, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                CAST(sum(CASE WHEN NOT coalesce(
+                       event_type IN ('click', 'view', 'purchase'), FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+                CAST(sum(CASE WHEN NOT coalesce(
+                       ts < TIMESTAMP '2024-01-15', FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_ts,
+                CAST(sum(CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_uid,
+                CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+                  AS v_dup
+              FROM events)
+            SELECT 'value_not_null' AS check_name, n AS n_checked,
+                   v_null AS n_violations FROM base
+            UNION ALL SELECT 'value_le_95', n, v_range FROM base
+            UNION ALL SELECT 'known_event_type', n, v_type FROM base
+            UNION ALL SELECT 'ts_first_fortnight', n, v_ts FROM base
+            UNION ALL SELECT 'user_id_not_null', n, v_uid FROM base
+            UNION ALL SELECT 'unique:event_id', n, v_dup FROM base
+            UNION ALL SELECT 'fk:user_id', n,
+              CAST((SELECT count(*) FROM events e
+                    WHERE e.user_id IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = e.user_id))
+                   AS BIGINT)
+              FROM base
         """,
         # X91: rolling 7-day distinct actives; the oracle states the
         # same dedupe-then-fan-out (a window COUNT(DISTINCT) frame is

@@ -130,6 +130,7 @@ HEADLINE = [
     "zorder",
     "bloom_semi",
     "rolling_active",
+    "dq_audit",
     "text_quality",
     "lang_id",
     "quality_select",

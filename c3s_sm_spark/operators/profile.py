@@ -100,3 +100,89 @@ def profile_table(
             )
         )
     return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def constraint_audit(
+    df: DataFrame,
+    constraints: list[tuple[str, "F.Column"]],
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deequ-style data-quality audit (X92): evaluate every declared
+    constraint over the table in ONE aggregate job — the pre-ingest
+    gate a training pipeline runs on each corpus drop before it is
+    allowed to join the mix.
+
+    ``constraints`` are ``(name, boolean Column)`` pairs where True
+    means PASS; a NULL predicate result counts as a violation (the
+    Deequ convention — ``value < 100`` with NULL value is not a pass).
+    ``unique_cols`` adds per-column uniqueness checks: violations =
+    non-null duplicate extras, ``count(col) - count(distinct col)``.
+
+    Output ``(check_name string, n_checked long, n_violations long)``,
+    one row per check. Plan: all checks fold into a single ``agg`` —
+    per-check conditional sums plus Catalyst's Expand for the
+    multi-count-distinct — then one ``explode(array(struct...))``
+    unpivot; no per-check jobs, no driver collect. Referential checks
+    need the dim side and therefore a join: see :func:`fk_orphans`,
+    whose output unions onto this frame.
+    """
+    if not constraints and not unique_cols:
+        raise ValueError("no checks declared")
+    total = F.count(F.lit(1)).cast("long")
+    entries = []
+    for name, cond in constraints:
+        viol = F.sum(
+            F.when(~F.coalesce(cond, F.lit(False)), 1).otherwise(0)
+        ).cast("long")
+        entries.append(
+            F.struct(
+                F.lit(name).alias("check_name"),
+                total.alias("n_checked"),
+                viol.alias("n_violations"),
+            )
+        )
+    for col in unique_cols or []:
+        entries.append(
+            F.struct(
+                F.lit(f"unique:{col}").alias("check_name"),
+                total.alias("n_checked"),
+                (F.count(col) - F.count_distinct(F.col(col)))
+                .cast("long")
+                .alias("n_violations"),
+            )
+        )
+    row = df.agg(F.array(*entries).alias("a"))
+    return row.select(F.explode("a").alias("c")).select("c.*")
+
+
+def fk_orphans(
+    fact: DataFrame, key: str, dim: DataFrame, dim_key: str
+) -> DataFrame:
+    """Referential-integrity check: one ``(check_name, n_checked,
+    n_violations)`` row counting fact rows whose non-null ``key`` has
+    no match in ``dim.dim_key`` (NULL keys are not orphans — they are
+    the null-check's job).
+
+    Plan: dim projects to its key and pre-DISTINCTs (map-side partial
+    dedup), then ONE left-outer join — AQE picks broadcast when the
+    deduped dim fits, shuffle-hash otherwise — and a single agg; the
+    total and the orphan count share the pass, so the fact side is
+    scanned once (a separate count + left-anti would scan twice).
+    """
+    marker = (
+        dim.select(F.col(dim_key).alias(key))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = fact.select(key).join(marker, key, "left")
+    return joined.agg(
+        F.lit(f"fk:{key}").alias("check_name"),
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.sum(
+            F.when(
+                F.col(key).isNotNull() & F.col("__hit").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_violations"),
+    )

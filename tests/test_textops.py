@@ -1935,3 +1935,46 @@ def test_zorder_key_and_layout(spark):
     for (lo1, hi1), (lo2, hi2) in zip(parts, parts[1:]):
         assert hi1 <= lo2, parts  # disjoint (range partitioning)
     assert len(parts) > 1
+
+
+def test_constraint_audit_null_predicate_and_uniqueness(spark):
+    # X92: NULL predicate result counts as a violation (Deequ
+    # convention); uniqueness counts non-null duplicate extras only
+    from c3s_sm_spark.operators.profile import constraint_audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 200.0), (3, 5.0), (None, 1.0)],
+        "k long, v double",
+    )
+    out = {
+        r["check_name"]: (r["n_checked"], r["n_violations"])
+        for r in constraint_audit(
+            df,
+            [("v_le_100", F.col("v") <= 100.0)],
+            unique_cols=["k"],
+        ).collect()
+    }
+    # v<=100: row v=200 fails, row v=NULL fails (NULL != pass)
+    assert out["v_le_100"] == (5, 2)
+    # k: 4 non-null values, 3 distinct -> 1 duplicate extra; NULL ignored
+    assert out["unique:k"] == (5, 1)
+
+
+def test_constraint_audit_guard(spark):
+    from c3s_sm_spark.operators.profile import constraint_audit
+
+    with pytest.raises(ValueError):
+        constraint_audit(spark.range(3), [])
+
+
+def test_fk_orphans_nulls_not_orphans(spark):
+    from c3s_sm_spark.operators.profile import fk_orphans
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (99,), (None,)], "user_id long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (2,)], "c_custkey long")
+    row = fk_orphans(fact, "user_id", dim, "c_custkey").collect()[0]
+    assert row["check_name"] == "fk:user_id"
+    assert row["n_checked"] == 4
+    assert row["n_violations"] == 1  # only 99; NULL is not an orphan
