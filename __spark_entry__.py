@@ -2254,6 +2254,54 @@ def _q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.unionByName(fk)
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 keyed snapshot diff (CDC between two table states): old =
+    events minus event_id%13==3, new = events minus event_id%11==7
+    with value doubled on event_id%5==0 — deterministic synthetic
+    snapshots from the same corpus, exercising added / deleted /
+    changed under null-safe compare. Witness: per status, count +
+    key checksum (membership-pinning, all BIGINT)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.diff import diff_summary, table_diff
+
+    ev = _events(spark, sf_dir).select("event_id", "value", "event_type")
+    old = ev.where(F.pmod(F.col("event_id"), F.lit(13)) != 3)
+    new = ev.where(F.pmod(F.col("event_id"), F.lit(11)) != 7).withColumn(
+        "value",
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(5)) == 0, F.col("value") * 2
+        ).otherwise(F.col("value")),
+    )
+    d = table_diff(old, new, ["event_id"], ["value", "event_type"])
+    return diff_summary(d, "event_id")
+
+
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 SCD2 validity intervals over each user's event_type stream
+    (1-in-20 user subset bounds the witness), event_id tiebreak for
+    same-ts determinism. Epoch-second BIGINT interval bounds with -1
+    sentinel for the open current interval (NULL in a pandas int
+    column goes float64 — the r3 lesson)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import scd2_intervals
+
+    ev = _events(spark, sf_dir).where(
+        F.pmod(F.col("user_id"), F.lit(20)) == 0
+    )
+    iv = scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak="event_id"
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("valid_from").cast("long").alias("from_s"),
+        F.coalesce(F.unix_timestamp("valid_to"), F.lit(-1))
+        .cast("long")
+        .alias("to_s"),
+        "version",
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2492,6 +2540,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pins the consistency-check family; the single-agg
         # unpivot shape is profile_events' (X33, in-window):
         "dq_audit": _q_dq_audit,
+        # X93 (oracled): keyed snapshot diff — record_union in-window
+        # pins the two-snapshot reconcile family; full-outer null-safe
+        # compare semantics pytest-pinned:
+        "snapshot_diff": _q_snapshot_diff,
+        # X94 (oracled): SCD2 validity intervals — dedup_keep_latest
+        # in-window pins the versioned-dimension family; null-safe
+        # change detection pytest-pinned:
+        "scd2": _q_scd2,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2881,6 +2937,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X94: identical change-point + lead construction; epoch-second
+        # twins per the witness discipline (floor(epoch()) == Spark
+        # unix_timestamp), -1 sentinel for the open interval
+        "scd2": """
+            WITH e AS (
+              SELECT user_id, ts, event_type, event_id FROM events
+              WHERE user_id % 20 = 0),
+            l AS (
+              SELECT *,
+                row_number() OVER w AS rn,
+                lag(event_type) OVER w AS prev
+              FROM e
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            cp AS (
+              SELECT user_id, ts, event_type, event_id FROM l
+              WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+            SELECT user_id, event_type,
+              CAST(floor(epoch(ts)) AS BIGINT) AS from_s,
+              COALESCE(CAST(floor(epoch(
+                lead(ts) OVER w2)) AS BIGINT), -1) AS to_s,
+              CAST(row_number() OVER w2 AS BIGINT) AS version
+            FROM cp
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        # X93: same synthetic snapshots, full outer join, IS NOT
+        # DISTINCT FROM = Spark's null-safe <=>
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT event_id, value, event_type FROM events
+              WHERE event_id % 13 <> 3),
+            new AS (
+              SELECT event_id,
+                     CASE WHEN event_id % 5 = 0 THEN value * 2
+                          ELSE value END AS value,
+                     event_type FROM events
+              WHERE event_id % 11 <> 7),
+            d AS (
+              SELECT coalesce(o.event_id, n.event_id) AS event_id,
+                CASE WHEN o.event_id IS NULL THEN 'added'
+                     WHEN n.event_id IS NULL THEN 'deleted'
+                     WHEN o.value IS NOT DISTINCT FROM n.value
+                      AND o.event_type IS NOT DISTINCT FROM n.event_type
+                       THEN 'unchanged'
+                     ELSE 'changed' END AS status
+              FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+            SELECT status, CAST(count(*) AS BIGINT) AS n,
+                   CAST(coalesce(sum(event_id), 0) AS BIGINT) AS key_sum
+            FROM d WHERE status <> 'unchanged'
+            GROUP BY status
         """,
         # X92: the same checks as scalar CASE sums; NULL predicate =
         # violation (both sides coalesce), uniqueness = count - distinct,

@@ -131,6 +131,8 @@ HEADLINE = [
     "bloom_semi",
     "rolling_active",
     "dq_audit",
+    "snapshot_diff",
+    "scd2",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1600,3 +1600,123 @@ def test_rolling_distinct_guard(spark):
 
     with pytest.raises(ValueError):
         rolling_distinct(_rd_frame(spark), window_days=0)
+
+
+# ---------------------------------------------------------------- X93
+# table_diff: keyed snapshot CDC
+
+
+def test_table_diff_statuses_and_nullsafe(spark):
+    from c3s_sm_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c"), (4, 40.0, "d")],
+        "k long, v double, t string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"),        # unchanged
+         (2, None, "b"),        # unchanged (NULL <=> NULL is true)
+         (3, 31.0, "c"),        # changed (value)
+         (5, 50.0, "e")],       # added; k=4 deleted
+        "k long, v double, t string",
+    )
+    got = {r["k"]: r["status"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {3: "changed", 4: "deleted", 5: "added"}
+    # NULL -> value transition must be 'changed', not 'unchanged'
+    new2 = new.withColumn(
+        "v", F.when(F.col("k") == 2, 2.0).otherwise(F.col("v"))
+    )
+    got2 = {r["k"]: r["status"] for r in table_diff(old, new2, ["k"]).collect()}
+    assert got2[2] == "changed"
+
+
+def test_table_diff_include_unchanged_and_sides(spark):
+    from c3s_sm_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    new = spark.createDataFrame([(1, 11.0)], "k long, v double")
+    rows = table_diff(old, new, ["k"], include_unchanged=True).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["v_old"], r["v_new"], r["status"]) == (10.0, 11.0, "changed")
+    with pytest.raises(ValueError):
+        table_diff(old, new, [])
+
+
+def test_diff_summary_checksum(spark):
+    from c3s_sm_spark.operators.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    new = spark.createDataFrame(
+        [(i, float(i) + (1 if i % 3 == 0 else 0)) for i in range(2, 12)],
+        "k long, v double",
+    )
+    s = {r["status"]: (r["n"], r["key_sum"])
+         for r in diff_summary(table_diff(old, new, ["k"]), "k").collect()}
+    assert s["added"] == (2, 21)          # 10, 11
+    assert s["deleted"] == (2, 1)         # 0, 1
+    assert s["changed"] == (3, 18)        # 3, 6, 9
+
+
+# ---------------------------------------------------------------- X94
+# scd2_intervals: dimension-history construction
+
+
+def test_scd2_collapses_and_versions(spark):
+    from c3s_sm_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:00:00"), "a", 1),
+            ("u", _ts("2024-01-01 01:00:00"), "a", 2),  # same value: collapse
+            ("u", _ts("2024-01-01 02:00:00"), "b", 3),  # change -> v2
+            ("u", _ts("2024-01-01 03:00:00"), "a", 4),  # back to a -> v3
+            ("v", _ts("2024-01-01 00:30:00"), "x", 5),  # other key
+        ],
+        "k string, ts timestamp, attr string, eid long",
+    )
+    out = sorted(
+        (r["k"], r["version"], r["attr"],
+         r["valid_from"].isoformat(), r["valid_to"].isoformat() if r["valid_to"] else None)
+        for r in scd2_intervals(df, ["k"], "ts", ["attr"], tiebreak="eid").collect()
+    )
+    assert out == [
+        ("u", 1, "a", "2024-01-01T00:00:00", "2024-01-01T02:00:00"),
+        ("u", 2, "b", "2024-01-01T02:00:00", "2024-01-01T03:00:00"),
+        ("u", 3, "a", "2024-01-01T03:00:00", None),
+        ("v", 1, "x", "2024-01-01T00:30:00", None),
+    ]
+
+
+def test_scd2_nullsafe_changes_and_tiebreak(spark):
+    from c3s_sm_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 00:00:00"), None, 1),   # v1: NULL attr
+            ("u", _ts("2024-01-01 01:00:00"), "a", 2),    # NULL->a: change
+            ("u", _ts("2024-01-01 02:00:00"), None, 3),   # a->NULL: change
+            # same-ts pair: tiebreak orders eid 4 before 5 -> b then c
+            ("u", _ts("2024-01-01 03:00:00"), "b", 4),
+            ("u", _ts("2024-01-01 03:00:00"), "c", 5),
+        ],
+        "k string, ts timestamp, attr string, eid long",
+    )
+    got = [
+        (r["version"], r["attr"])
+        for r in scd2_intervals(df, ["k"], "ts", ["attr"], tiebreak="eid")
+        .orderBy("version")
+        .collect()
+    ]
+    assert got == [(1, None), (2, "a"), (3, None), (4, "b"), (5, "c")]
+
+
+def test_scd2_guard(spark):
+    from c3s_sm_spark.operators.timeseries import scd2_intervals
+
+    df = spark.createDataFrame([("u", _ts("2024-01-01 00:00:00"), "a")],
+                               "k string, ts timestamp, attr string")
+    with pytest.raises(ValueError):
+        scd2_intervals(df, [], "ts", ["attr"])
+    with pytest.raises(ValueError):
+        scd2_intervals(df, ["k"], "ts", [])
