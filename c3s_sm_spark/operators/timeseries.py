@@ -1894,3 +1894,56 @@ def rolling_distinct(
             F.count(F.lit(1)).cast("long").alias("key_days"),
         )
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    attr_cols: Sequence[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Build slowly-changing-dimension type-2 validity intervals (X94)
+    from a change-event stream: per key, consecutive events carrying
+    identical attribute values collapse into one interval, and each
+    true change opens a new one — the dimension-history primitive every
+    warehouse load runs, and the tokens-corpus form of "which metadata
+    state was in force when this sequence was ingested".
+
+    Emits ``keys... + attr_cols... + valid_from, valid_to, version``:
+    ``valid_from`` = the change event's timestamp, ``valid_to`` = the
+    NEXT change's timestamp (NULL for the current interval — the
+    half-open ``[from, to)`` convention), ``version`` = 1-based per-key
+    interval ordinal. A change is any attribute differing from its
+    predecessor under null-safe semantics (NULL -> value and value ->
+    NULL are both changes); the first event per key always opens
+    version 1. Same-timestamp events need ``tiebreak`` for a
+    deterministic order (the sort is ``(ts, tiebreak)``).
+
+    Plan: one hash exchange on ``keys``, then ONE per-key sort shared
+    by all three window passes (lag flags, lead valid_to, row_number
+    version — identical window spec, Catalyst plans a single Sort +
+    Window chain), and a filter between them. Order-dependent by
+    nature, so the per-key-series-fits-a-task bound documented in the
+    module header applies — the same contract as sessionize/asof.
+    """
+    keys = list(keys)
+    attr_cols = list(attr_cols)
+    if not keys or not attr_cols:
+        raise ValueError("keys and attr_cols must be non-empty")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.row_number().over(w) == 1
+    for c in attr_cols:
+        # IS DISTINCT FROM lag == NOT (a <=> lag)
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    cp = df.withColumn("__chg", changed).where(F.col("__chg"))
+    return cp.select(
+        *keys,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
