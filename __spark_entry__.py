@@ -2302,6 +2302,23 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 out-of-order lateness profile per event_type: event_id is
+    the arrival order (ingest-sequence proxy), ts the event time;
+    lateness = per-user event-time frontier minus ts, clamped at 0.
+    The watermark-sizing metric, all-BIGINT witness."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import lateness_profile
+
+    return lateness_profile(
+        _events(spark, sf_dir),
+        keys=["user_id"],
+        ts_col="ts",
+        arrival_col="event_id",
+        group_col="event_type",
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2548,6 +2565,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pins the versioned-dimension family; null-safe
         # change detection pytest-pinned:
         "scd2": _q_scd2,
+        # X95 (oracled): out-of-order lateness profile (watermark
+        # sizing) — interval/asof family staging pinned in-window by
+        # range_window; the frontier-excludes-self frame pytest-pinned:
+        "lateness": _q_lateness,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2937,6 +2958,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X95: identical running-max frame (ROWS ... 1 PRECEDING);
+        # epoch-second twins; greatest/coalesce clamp on both sides
+        "lateness": """
+            WITH l AS (
+              SELECT event_type,
+                greatest(coalesce(
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                    PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  - CAST(floor(epoch(ts)) AS BIGINT), 0), 0) AS late_s
+              FROM events)
+            SELECT event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_late,
+              CAST(sum(late_s) AS BIGINT) AS late_sum_s,
+              CAST(max(late_s) AS BIGINT) AS late_max_s
+            FROM l GROUP BY event_type
         """,
         # X94: identical change-point + lead construction; epoch-second
         # twins per the witness discipline (floor(epoch()) == Spark

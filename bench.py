@@ -133,6 +133,7 @@ HEADLINE = [
     "dq_audit",
     "snapshot_diff",
     "scd2",
+    "lateness",
     "text_quality",
     "lang_id",
     "quality_select",

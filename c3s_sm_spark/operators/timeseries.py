@@ -1947,3 +1947,59 @@ def scd2_intervals(
         F.lead(F.col(ts_col)).over(w).alias("valid_to"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+def lateness_profile(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    arrival_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Out-of-order arrival profile (X95): how late do events arrive
+    relative to the event-time high-water mark already seen on their
+    key? This is THE input for sizing a Structured Streaming watermark
+    (``withWatermark`` threshold) and the allowed-lateness of the
+    engine's tumbling/dedup streaming operators — measured from data
+    instead of guessed.
+
+    ``arrival_col`` orders events by arrival (an ingest sequence /
+    offset / file ordinal; monotone per key). Per key, in arrival
+    order, an event's lateness is ``max(ts of all EARLIER arrivals) -
+    ts`` clamped at 0 — i.e. how far behind the key's running
+    event-time frontier it landed; on-time events score 0. Aggregated
+    per ``group_col`` (default: one global row): event count, late
+    count, lateness sum and max (seconds, all BIGINT — the mean and
+    any quantile cut derive outside the witness).
+
+    Plan: one hash exchange on ``keys``, one per-key sort by arrival,
+    a ROWS UNBOUNDED PRECEDING..1 PRECEDING running max (no self-join,
+    no second pass), then a map-side-combined groupBy. The running max
+    excludes the current row, so a fresh frontier event is never
+    "late against itself"; the first arrival per key has an empty
+    frame (NULL running max -> lateness 0).
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(arrival_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sec = F.unix_timestamp(F.col(ts_col))
+    frontier = F.max(sec).over(w)
+    late = F.greatest(F.coalesce(frontier - sec, F.lit(0)), F.lit(0)).cast(
+        "long"
+    )
+    staged = df.withColumn("__late_s", late)
+    gcols = [group_col] if group_col else []
+    agg = staged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("__late_s") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.sum("__late_s").cast("long").alias("late_sum_s"),
+        F.max("__late_s").cast("long").alias("late_max_s"),
+    )
+    return agg

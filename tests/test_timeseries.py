@@ -1720,3 +1720,46 @@ def test_scd2_guard(spark):
         scd2_intervals(df, [], "ts", ["attr"])
     with pytest.raises(ValueError):
         scd2_intervals(df, ["k"], "ts", [])
+
+
+# ---------------------------------------------------------------- X95
+# lateness_profile: out-of-order arrival / watermark sizing
+
+
+def test_lateness_frontier_excludes_self(spark):
+    from c3s_sm_spark.operators.timeseries import lateness_profile
+
+    # arrival order (aid): event times 10:00, 12:00, 11:00, 12:00
+    # frontier before each: -, 10:00, 12:00, 12:00
+    # lateness:              0,  0,     3600,  0 (own ts never counts)
+    df = spark.createDataFrame(
+        [
+            ("u", 1, _ts("2024-01-01 10:00:00")),
+            ("u", 2, _ts("2024-01-01 12:00:00")),
+            ("u", 3, _ts("2024-01-01 11:00:00")),
+            ("u", 4, _ts("2024-01-01 12:00:00")),
+        ],
+        "k string, aid long, ts timestamp",
+    )
+    row = lateness_profile(df, ["k"], "ts", "aid").collect()[0]
+    assert (row["n"], row["n_late"], row["late_sum_s"], row["late_max_s"]) == (
+        4, 1, 3600, 3600,
+    )
+
+
+def test_lateness_per_key_frontiers_independent(spark):
+    from c3s_sm_spark.operators.timeseries import lateness_profile
+
+    # key b's early event must not be late against key a's frontier
+    df = spark.createDataFrame(
+        [
+            ("a", 1, _ts("2024-01-01 23:00:00")),
+            ("b", 2, _ts("2024-01-01 01:00:00")),
+            ("b", 3, _ts("2024-01-01 00:00:00")),  # 3600s late within b
+        ],
+        "k string, aid long, ts timestamp",
+    )
+    row = lateness_profile(df, ["k"], "ts", "aid").collect()[0]
+    assert (row["n"], row["n_late"], row["late_sum_s"]) == (3, 1, 3600)
+    with pytest.raises(ValueError):
+        lateness_profile(df, [], "ts", "aid")
