@@ -2319,6 +2319,18 @@ def _q_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_inv_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 positional inverted index, witnessed by the per-token
+    position-weighted checksum (doc_freq >= 40 bounds the row count to
+    the vocabulary head) — pins every (doc, pos) posting pair without
+    shipping packed arrays through the gate. The packed-array form
+    (`inverted_index`) is pytest-pinned against this checksum."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import postings_checksum
+
+    return postings_checksum(_docs(spark, sf_dir), min_df=40)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2569,6 +2581,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sizing) — interval/asof family staging pinned in-window by
         # range_window; the frontier-excludes-self frame pytest-pinned:
         "lateness": _q_lateness,
+        # X96 (oracled): positional inverted index via its checksum
+        # witness — token_stats in-window pins the tokenizer; the
+        # packed posting arrays are pytest-pinned vs this checksum:
+        "inv_index": _q_inv_index,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2958,6 +2974,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X96: same tokenizer as token_freq, positions via
+        # generate_subscripts (1-based -> pos = i - 1)
+        "inv_index": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            toks AS (
+              SELECT doc_id,
+                     generate_subscripts(ws, 1) - 1 AS pos,
+                     unnest(ws) AS token
+              FROM w)
+            SELECT token,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+              CAST(count(*) AS BIGINT) AS n_postings,
+              CAST(sum(doc_id * (pos + 1) + pos) AS BIGINT) AS checksum
+            FROM toks GROUP BY token
+            HAVING count(DISTINCT doc_id) >= 40
         """,
         # X95: identical running-max frame (ROWS ... 1 PRECEDING);
         # epoch-second twins; greatest/coalesce clamp on both sides

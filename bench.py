@@ -134,6 +134,7 @@ HEADLINE = [
     "snapshot_diff",
     "scd2",
     "lateness",
+    "inv_index",
     "text_quality",
     "lang_id",
     "quality_select",

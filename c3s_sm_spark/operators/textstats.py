@@ -1178,3 +1178,71 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") * k > F.lit(int(n_total)))
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Positional inverted index (X96): token -> sorted posting list of
+    ``(doc_id, pos)`` structs — the IR primitive behind exact-phrase
+    contamination scans, concordance/KWIC views, and span-level dedup
+    over a tokenized corpus.
+
+    One ``posexplode`` of the staged word array (same tokenizer as
+    every counting path: :func:`words_col`), then ONE groupBy(token)
+    producing the packed posting array (``sort_array`` canonicalizes
+    (doc_id, pos) order — collect_list arrival order is partition-
+    dependent and must never leak into stored output), doc frequency,
+    and total postings. ``min_df`` prunes the hapax tail at write time.
+
+    Scale: the explode is corpus-token-sized but task-local; the only
+    exchange is the groupBy(token). Token frequency is Zipfian — the
+    head (stopword) tokens each carry corpus-sized posting lists, so a
+    single reducer would see the whole 'the' list. At 10^12 tokens,
+    shard head tokens by doc_id range into (token, shard) posting rows
+    (the standard segmented-index layout) or cap with a stopword list;
+    the checksum witness (see the entry query) aggregates BEFORE the
+    packed array materializes, so the driver gate never ships arrays.
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    toks = docs.select(
+        "doc_id", F.posexplode(words_col(text_col)).alias("pos", "token")
+    )
+    out = toks.groupBy("token").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "pos"))
+        ).alias("postings"),
+        F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("doc_freq") >= min_df)
+    return out
+
+
+def postings_checksum(
+    docs: DataFrame, text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """All-BIGINT witness for :func:`inverted_index`: per token, doc
+    frequency, posting count, and the position-weighted checksum
+    ``sum(doc_id * (pos + 1) + pos)`` — pins every posting's (doc, pos)
+    pair without shipping the packed arrays through the gate. Aggregates
+    straight off the exploded frame (no array materialization)."""
+    toks = docs.select(
+        "doc_id", F.posexplode(words_col(text_col)).alias("pos", "token")
+    )
+    out = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("n_postings"),
+        F.sum(
+            F.col("doc_id") * (F.col("pos") + 1) + F.col("pos")
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("doc_freq") >= min_df)
+    return out

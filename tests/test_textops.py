@@ -1978,3 +1978,60 @@ def test_fk_orphans_nulls_not_orphans(spark):
     assert row["check_name"] == "fk:user_id"
     assert row["n_checked"] == 4
     assert row["n_violations"] == 1  # only 99; NULL is not an orphan
+
+
+def test_inverted_index_postings_sorted_and_exact(spark):
+    # X96: packed postings vs hand-computed; sort_array canonical order
+    from c3s_sm_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(2, "b a b"), (1, "a  b"), (3, "   ")],  # ws collapse; blank doc
+        "doc_id long, text string",
+    ).repartition(3)
+    idx = {r["token"]: r for r in inverted_index(docs).collect()}
+    assert set(idx) == {"a", "b"}
+    a = idx["a"]
+    assert [(p["doc_id"], p["pos"]) for p in a["postings"]] == [(1, 0), (2, 1)]
+    assert (a["doc_freq"], a["n_postings"]) == (2, 2)
+    b = idx["b"]
+    assert [(p["doc_id"], p["pos"]) for p in b["postings"]] == [
+        (1, 1), (2, 0), (2, 2),
+    ]
+    assert (b["doc_freq"], b["n_postings"]) == (2, 3)
+
+
+def test_postings_checksum_matches_packed_index(spark):
+    # the checksum witness must equal the same reduction computed from
+    # the packed arrays — pins the two paths to each other
+    from c3s_sm_spark.operators.textstats import (
+        inverted_index,
+        postings_checksum,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} common w{i % 5} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    from_packed = {
+        r["token"]: sum(
+            p["doc_id"] * (p["pos"] + 1) + p["pos"] for p in r["postings"]
+        )
+        for r in inverted_index(docs).collect()
+    }
+    from_witness = {
+        r["token"]: r["checksum"] for r in postings_checksum(docs).collect()
+    }
+    assert from_packed == from_witness
+    from c3s_sm_spark.operators.textstats import inverted_index as ii
+    with pytest.raises(ValueError):
+        ii(docs, min_df=0)
+
+
+def test_inverted_index_min_df_prunes(spark):
+    from c3s_sm_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "rare common"), (2, "common")], "doc_id long, text string"
+    )
+    toks = {r["token"] for r in inverted_index(docs, min_df=2).collect()}
+    assert toks == {"common"}
