@@ -2331,6 +2331,41 @@ def _q_inv_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return postings_checksum(_docs(spark, sf_dir), min_df=40)
 
 
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97 one-pass multi-grain rollup: CUBE(source, lang) over
+    documents — n docs + char mass at every grain, one Expand + one
+    aggregate over a single scan. '(all)' labels the lattice totals;
+    data NULLs pre-coalesced to '(null)' so they can't collide."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import cube_stats
+
+    return cube_stats(
+        _docs(spark, sf_dir),
+        dims=["source", "lang"],
+        measures=[
+            ("n", F.count(F.lit(1)).cast("long")),
+            ("chars", F.sum("n_chars").cast("long")),
+        ],
+    )
+
+
+def _q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98 per-(user,event_type) OLS trend pieces over the event value
+    series: exact integer sums (n, sx, sy, sxy, sxx) with x = days
+    since 2024-01-01 and y in 1e-4 units; slope/intercept derive
+    outside the witness (lag_corr_pieces split). 1-in-10 user subset
+    bounds the gate rows."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import trend_pieces
+
+    ev = _events(spark, sf_dir).where(
+        F.pmod(F.col("user_id"), F.lit(10)) == 0
+    )
+    return trend_pieces(
+        ev, ["user_id", "event_type"], "ts", "value", scale=10000
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2585,6 +2620,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # witness — token_stats in-window pins the tokenizer; the
         # packed posting arrays are pytest-pinned vs this checksum:
         "inv_index": _q_inv_index,
+        # X97 (oracled): CUBE multi-grain rollup — coverage/
+        # param_consistency in-window pin the summary family; the
+        # NULL-vs-total disambiguation is pytest-pinned:
+        "cube_stats": _q_cube,
+        # X98 (oracled): per-key OLS trend pieces — anomaly_zscore
+        # in-window pins the micro-unit stats family; mergeability and
+        # the float derivation are pytest-pinned:
+        "trend": _q_trend,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -2974,6 +3017,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X98: identical integer-piece sums; x = day offset, y micro
+        "trend": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS x,
+                CAST(round(value * 10000) AS BIGINT) AS y
+              FROM events WHERE user_id % 10 = 0)
+            SELECT user_id, event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(x) AS BIGINT) AS sx,
+              CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM s GROUP BY user_id, event_type
+        """,
+        # X97: CUBE with GROUPING() label rewrite, same pre-coalesce
+        "cube_stats": """
+            WITH pre AS (
+              SELECT coalesce(CAST(source AS VARCHAR), '(null)') AS source,
+                     coalesce(CAST(lang AS VARCHAR), '(null)') AS lang,
+                     n_chars
+              FROM documents)
+            SELECT
+              CASE WHEN GROUPING(source) = 1 THEN '(all)'
+                   ELSE source END AS source,
+              CASE WHEN GROUPING(lang) = 1 THEN '(all)'
+                   ELSE lang END AS lang,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS chars
+            FROM pre GROUP BY CUBE (source, lang)
         """,
         # X96: same tokenizer as token_freq, positions via
         # generate_subscripts (1-based -> pos = i - 1)

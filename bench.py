@@ -135,6 +135,8 @@ HEADLINE = [
     "scd2",
     "lateness",
     "inv_index",
+    "cube_stats",
+    "trend",
     "text_quality",
     "lang_id",
     "quality_select",

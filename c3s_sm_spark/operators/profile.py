@@ -186,3 +186,56 @@ def fk_orphans(
         .cast("long")
         .alias("n_violations"),
     )
+
+
+def cube_stats(
+    df: DataFrame,
+    dims: list[str],
+    measures: list[tuple[str, "F.Column"]],
+    all_label: str = "(all)",
+) -> DataFrame:
+    """Multi-grain rollup in ONE pass (X97): every subset of ``dims``
+    aggregated together via ``CUBE`` — the dataset-card / dashboard
+    query ("by source, by language, by source x language, and overall")
+    that would otherwise run 2^|dims| separate jobs over a 100 TB scan.
+
+    Spark plans CUBE as a single Expand (2^|dims| grouping projections
+    of each input row) feeding one partial+final aggregate — the corpus
+    is READ ONCE; the 2^|dims| blow-up happens on the already-projected
+    narrow rows and combines map-side. For high-cardinality dims prefer
+    explicit grouping-set subsets (df.rollup or a union of grains) —
+    CUBE's full lattice on a 10^6-distinct dim materializes every
+    cross grain whether wanted or not.
+
+    NULL disambiguation: a CUBE output NULL means "all values" — but a
+    NULL in the DATA would collide with it. Dims are coalesced to
+    ``'(null)'`` BEFORE the cube and the roll-up slots labelled
+    ``all_label`` AFTER (via ``grouping()``), so data nulls and lattice
+    totals stay distinct — the classic reporting-layer bug, fixed in
+    the operator instead of in every consumer.
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    pre = df.select(
+        *[
+            F.coalesce(F.col(d).cast("string"), F.lit("(null)")).alias(d)
+            for d in dims
+        ],
+        *[df[c] for c in df.columns if c not in dims],
+    )
+    # grouping() is only legal inside the cube's agg list — surface it
+    # as marker columns, then rewrite the dim labels
+    aggs = [F.grouping(d).alias(f"__g_{d}") for d in dims] + [
+        expr.alias(name) for name, expr in measures
+    ]
+    cubed = pre.cube(*dims).agg(*aggs)
+    out = cubed.select(
+        *[
+            F.when(F.col(f"__g_{d}") == 1, F.lit(all_label))
+            .otherwise(F.col(d))
+            .alias(d)
+            for d in dims
+        ],
+        *[F.col(name) for name, _ in measures],
+    )
+    return out

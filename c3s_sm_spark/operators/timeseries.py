@@ -2003,3 +2003,48 @@ def lateness_profile(
         F.max("__late_s").cast("long").alias("late_max_s"),
     )
     return agg
+
+
+def trend_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    origin: str = "2024-01-01",
+    scale: int = 10000,
+) -> DataFrame:
+    """Per-key OLS trend pieces (X98) — the drought-monitoring /
+    drift-detection primitive "is this series going up or down, and how
+    fast": the five exact integer sums from which slope and intercept
+    derive, ``slope = (n*sxy - sx*sy) / (n*sxx - sx*sx)`` computed by
+    the CALLER in float, outside the hash witness (the lag_corr_pieces
+    split).
+
+    ``x`` = whole days since ``origin`` (keep the origin near the data:
+    day offsets stay small, so ``sxx`` and ``sxy`` stay far from 2^63 —
+    with |x| <= 10^4, values <= 10^6 in 1e-4 units and 10^6 points per
+    key the worst term is ~10^16); ``y`` = value in ``1/scale`` units
+    rounded to integer. Multiple observations per day enter
+    individually (OLS over points, not daily means — weighting by
+    day-count is a caller policy, achievable by pre-rolling up).
+
+    Plan: pure projection + ONE map-side-combined groupBy on the keys;
+    no window, no sort, no second pass. Mergeable by construction —
+    partial sums from incremental loads add, the same algebraic-state
+    property the rollup tiers rely on.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    x = F.datediff(F.to_date(F.col(ts_col)), F.lit(origin).cast("date")).cast(
+        "long"
+    )
+    y = F.round(F.col(value_col) * scale).cast("long")
+    staged = df.select(*keys, x.alias("__x"), y.alias("__y"))
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("sx"),
+        F.sum("__y").cast("long").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
+    )

@@ -2035,3 +2035,31 @@ def test_inverted_index_min_df_prunes(spark):
     )
     toks = {r["token"] for r in inverted_index(docs, min_df=2).collect()}
     assert toks == {"common"}
+
+
+def test_cube_stats_lattice_and_null_disambiguation(spark):
+    # X97: every grain present; data NULL stays distinct from '(all)'
+    from c3s_sm_spark.operators.profile import cube_stats
+
+    df = spark.createDataFrame(
+        [("web", "en", 10), ("web", "de", 20), (None, "en", 5)],
+        "source string, lang string, n_chars long",
+    )
+    out = {
+        (r["source"], r["lang"]): (r["n"], r["chars"])
+        for r in cube_stats(
+            df,
+            ["source", "lang"],
+            [("n", F.count(F.lit(1)).cast("long")),
+             ("chars", F.sum("n_chars").cast("long"))],
+        ).collect()
+    }
+    assert out[("(all)", "(all)")] == (3, 35)       # grand total
+    assert out[("web", "(all)")] == (2, 30)         # by source
+    assert out[("(null)", "(all)")] == (1, 5)       # data NULL ≠ total
+    assert out[("(all)", "en")] == (2, 15)          # by lang
+    assert out[("web", "de")] == (1, 20)            # finest grain
+    # full lattice: 1 total + 2 sources + 2 langs + 3 pairs
+    assert len(out) == 8
+    with pytest.raises(ValueError):
+        cube_stats(df, [], [("n", F.count(F.lit(1)))])

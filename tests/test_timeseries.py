@@ -1763,3 +1763,44 @@ def test_lateness_per_key_frontiers_independent(spark):
     assert (row["n"], row["n_late"], row["late_sum_s"]) == (3, 1, 3600)
     with pytest.raises(ValueError):
         lateness_profile(df, [], "ts", "aid")
+
+
+# ---------------------------------------------------------------- X98
+# trend_pieces: per-key OLS integer pieces
+
+
+def test_trend_pieces_slope_matches_numpy(spark):
+    import numpy as np
+    from c3s_sm_spark.operators.timeseries import trend_pieces
+
+    # y = 2.5*x + 1 with one repeated day (two obs same x)
+    rows = [
+        ("k", _ts("2024-01-01 06:00:00"), 1.0),
+        ("k", _ts("2024-01-02 06:00:00"), 3.5),
+        ("k", _ts("2024-01-02 18:00:00"), 3.5),
+        ("k", _ts("2024-01-04 06:00:00"), 8.5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    p = trend_pieces(df, ["k"], "ts", "value").collect()[0]
+    n, sx, sy, sxy, sxx = p["n"], p["sx"], p["sy"], p["sxy"], p["sxx"]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx) / 10000
+    xs = np.array([0, 1, 1, 3.0])
+    ys = np.array([1.0, 3.5, 3.5, 8.5])
+    expect = np.polyfit(xs, ys, 1)[0]
+    assert abs(slope - expect) < 1e-9
+    assert (n, sx) == (4, 5)
+
+
+def test_trend_pieces_mergeable(spark):
+    # partial sums from two loads must add to the full-frame sums
+    from c3s_sm_spark.operators.timeseries import trend_pieces
+
+    rows = [("k", _ts(f"2024-01-0{d} 06:00:00"), float(d)) for d in range(1, 8)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    full = trend_pieces(df, ["k"], "ts", "value").collect()[0]
+    a = trend_pieces(df.limit(3), ["k"], "ts", "value").collect()[0]
+    b = trend_pieces(df.subtract(df.limit(3)), ["k"], "ts", "value").collect()[0]
+    for c in ("n", "sx", "sy", "sxy", "sxx"):
+        assert a[c] + b[c] == full[c]
+    with pytest.raises(ValueError):
+        trend_pieces(df, [], "ts", "value")
