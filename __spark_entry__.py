@@ -2366,6 +2366,23 @@ def _q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99 per-source char-budget burn-down over documents in doc_id
+    (ingest) order, budget 4000: where does each source's cap land,
+    and how much fits. All-BIGINT witness with -1 never-exhausts
+    sentinel."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import budget_burndown
+
+    return budget_burndown(
+        _docs(spark, sf_dir),
+        group_col="source",
+        order_col="doc_id",
+        amount_col="n_chars",
+        budget=4000,
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2628,6 +2645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pins the micro-unit stats family; mergeability and
         # the float derivation are pytest-pinned:
         "trend": _q_trend,
+        # X99 (oracled): budget burn-down — sample_mix/temperature_mix
+        # in-window pin the budgeted-mix family; prefix admission is
+        # pytest-pinned:
+        "burndown": _q_burndown,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3017,6 +3038,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X99: identical inclusive running sum + first-overflow min
+        "burndown": """
+            WITH c AS (
+              SELECT source, doc_id, n_chars,
+                sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum
+              FROM documents)
+            SELECT source,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total,
+              CAST(sum(CASE WHEN cum <= 4000 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_within,
+              CAST(coalesce(min(CASE WHEN cum > 4000 THEN doc_id END), -1)
+                   AS BIGINT) AS exhaust_at
+            FROM c GROUP BY source
         """,
         # X98: identical integer-piece sums; x = day offset, y micro
         "trend": """

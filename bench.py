@@ -137,6 +137,7 @@ HEADLINE = [
     "inv_index",
     "cube_stats",
     "trend",
+    "burndown",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -715,3 +715,59 @@ def waterfill_alloc(
         .cast("long")
         .alias("alloc"),
     )
+
+
+def budget_burndown(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    amount_col: str,
+    budget: int,
+) -> DataFrame:
+    """Per-group budget burn-down (X99): consume ``amount_col`` in
+    ``order_col`` order against a per-group ``budget`` and report where
+    each group's budget exhausts — the sequential-consumption audit for
+    a token-budgeted corpus build (the waterfilling allocator plans the
+    budgets; this operator answers "when does each source actually hit
+    its cap in ingest order, and how much fits").
+
+    Per group emits (all BIGINT): ``n`` items, ``total`` amount,
+    ``n_within`` items whose RUNNING total (inclusive) stays <= budget,
+    and ``exhaust_at`` — the ``order_col`` value of the first item that
+    overflows the budget (-1 if the group never exhausts). The prefix
+    property holds by construction: items are admitted strictly in
+    order, so the admitted set is always a prefix.
+
+    Plan: one hash exchange on the group, ONE per-group sort shared by
+    the running sum, then a groupBy reusing the partitioning. The
+    running sum is order-dependent (same per-key-series contract as
+    sessionize); ``order_col`` must be unique per group for a
+    deterministic cut.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(amount_col)).over(w)
+    staged = df.select(
+        F.col(group_col),
+        F.col(order_col).alias("__ord"),
+        F.col(amount_col).alias("__amt"),
+        cum.alias("__cum"),
+    )
+    b = F.lit(budget).cast("long")
+    return staged.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__amt").cast("long").alias("total"),
+        F.sum(F.when(F.col("__cum") <= b, 1).otherwise(0))
+        .cast("long")
+        .alias("n_within"),
+        F.coalesce(
+            F.min(F.when(F.col("__cum") > b, F.col("__ord"))), F.lit(-1)
+        )
+        .cast("long")
+        .alias("exhaust_at"),
+    )

@@ -2063,3 +2063,36 @@ def test_cube_stats_lattice_and_null_disambiguation(spark):
     assert len(out) == 8
     with pytest.raises(ValueError):
         cube_stats(df, [], [("n", F.count(F.lit(1)))])
+
+
+def test_budget_burndown_prefix_and_sentinel(spark):
+    # X99: admitted set is an order prefix; exact cut; -1 sentinel
+    from c3s_sm_spark.operators.sampling import budget_burndown
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 50), ("a", 2, 40), ("a", 3, 20), ("a", 4, 5),
+            ("b", 1, 10), ("b", 2, 10),
+        ],
+        "src string, ord long, amt long",
+    ).repartition(4)
+    out = {
+        r["src"]: (r["n"], r["total"], r["n_within"], r["exhaust_at"])
+        for r in budget_burndown(df, "src", "ord", "amt", budget=100).collect()
+    }
+    # a: cum 50,90,110,115 -> 2 within, exhausts at ord 3
+    assert out["a"] == (4, 115, 2, 3)
+    # b: never exhausts
+    assert out["b"] == (2, 20, 2, -1)
+
+
+def test_budget_burndown_exact_boundary(spark):
+    # cum == budget is within (inclusive running total)
+    from c3s_sm_spark.operators.sampling import budget_burndown
+
+    df = spark.createDataFrame(
+        [("a", 1, 60), ("a", 2, 40), ("a", 3, 1)],
+        "src string, ord long, amt long",
+    )
+    r = budget_burndown(df, "src", "ord", "amt", budget=100).collect()[0]
+    assert (r["n_within"], r["exhaust_at"]) == (2, 3)
