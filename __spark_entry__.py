@@ -2383,6 +2383,20 @@ def _q_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_eqfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100 equal-frequency (NTILE) histogram of event values, k=16,
+    event_id tiebreak: the oracle states the semantic form (ntile
+    window); the engine runs the scalable two-phase global_rank +
+    closed-form bucket arithmetic — identical buckets by the SQL
+    NTILE remainder rule. All-BIGINT micro witness."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import eqfreq_hist
+
+    return eqfreq_hist(
+        _events(spark, sf_dir), "value", "event_id", k=16, scale=10000
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2649,6 +2663,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pin the budgeted-mix family; prefix admission is
         # pytest-pinned:
         "burndown": _q_burndown,
+        # X100 (oracled): equal-frequency NTILE histogram — value_hist
+        # (equal-width) is the in-tail sibling, rollup_quantiles
+        # in-window pins the exact-quantile family; the closed-form
+        # bucket == ntile equivalence is the oracle itself:
+        "eqfreq_hist": _q_eqfreq,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3038,6 +3057,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X100: the semantic NTILE form — the engine's two-phase rank +
+        # closed-form bucket must reproduce it exactly
+        "eqfreq_hist": """
+            WITH t AS (
+              SELECT CAST(ntile(16) OVER (ORDER BY value, event_id) - 1
+                          AS BIGINT) AS bucket,
+                     CAST(round(value * 10000) AS BIGINT) AS v
+              FROM events)
+            SELECT bucket,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(min(v) AS BIGINT) AS v_min_micro,
+              CAST(max(v) AS BIGINT) AS v_max_micro,
+              CAST(sum(v) AS BIGINT) AS v_sum_micro
+            FROM t GROUP BY bucket
         """,
         # X99: identical inclusive running sum + first-overflow min
         "burndown": """

@@ -138,6 +138,7 @@ HEADLINE = [
     "cube_stats",
     "trend",
     "burndown",
+    "eqfreq_hist",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -771,3 +771,69 @@ def budget_burndown(
         .cast("long")
         .alias("exhaust_at"),
     )
+
+
+def eqfreq_hist(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+    scale: int = 10000,
+) -> DataFrame:
+    """Equal-frequency (quantile-bucket) histogram (X100): split the
+    corpus into ``k`` buckets of (near-)equal row count in value order
+    and report each bucket's exact extent and mass — the equal-WIDTH
+    sibling is ``value_histogram``; together they answer "where does
+    the distribution actually live" without a pre-chosen bin width
+    (the NTILE dashboard primitive, and the bin-design input for
+    embedding-quantization / feature-bucketing passes).
+
+    NTILE's naive form (``ntile(k) OVER (ORDER BY v)``) collapses the
+    corpus into one task — this uses the two-phase
+    :func:`global_rank` total order (value, tiebreaker), then the
+    closed-form NTILE bucket arithmetic on the rank. With ``n = N div
+    k + 1`` for the first ``N mod k`` buckets and ``N div k`` after
+    (exactly SQL NTILE's rule), bucket = the closed-form inverse;
+    ties across a bucket boundary split by the tiebreaker, which is
+    why ``tiebreak_col`` is required, not optional (same contract as
+    global_rank).
+
+    Emits per bucket (all BIGINT): ``bucket`` (0-based), ``n`` rows,
+    ``v_min_micro`` / ``v_max_micro`` (1/scale units), ``v_sum_micro``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ranked = global_rank(df, [value_col, tiebreak_col], out_col="__rn")
+    # SQL NTILE: first (N % k) buckets get ceil(N/k), rest floor(N/k).
+    # Closed form on 1-based rank rn with q = N div k, r = N mod k:
+    #   boundary = r * (q + 1); bucket = (rn - 1) div (q + 1) if rn <=
+    #   boundary else r + (rn - 1 - boundary) div q   (q = 0 cannot
+    #   happen past the boundary: rows beyond r*(q+1) imply N > r*(q+1)
+    #   so q >= 1).
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    v = F.round(F.col(value_col) * scale).cast("long")
+
+    def _idiv(a, b):
+        # exact long division: subtract the remainder first so the
+        # double divide is of exactly-divisible longs (always exact
+        # <= 2^53) — a bare a/b can round up across a bucket boundary
+        return ((a - a % b) / b).cast("long")
+
+    q = _idiv(F.col("__n"), F.lit(k).cast("long"))
+    r = F.col("__n") % k
+    boundary = r * (q + 1)
+    rn0 = F.col("__rn") - 1
+    bucket = F.when(
+        F.col("__rn") <= boundary, _idiv(rn0, q + 1)
+    ).otherwise(r + _idiv(rn0 - boundary, q))
+    return (
+        ranked.join(F.broadcast(total))
+        .select(bucket.cast("long").alias("bucket"), v.alias("__v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("__v").alias("v_min_micro"),
+            F.max("__v").alias("v_max_micro"),
+            F.sum("__v").cast("long").alias("v_sum_micro"),
+        )
+    )

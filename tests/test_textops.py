@@ -2096,3 +2096,32 @@ def test_budget_burndown_exact_boundary(spark):
     )
     r = budget_burndown(df, "src", "ord", "amt", budget=100).collect()[0]
     assert (r["n_within"], r["exhaust_at"]) == (2, 3)
+
+
+def test_eqfreq_hist_matches_ntile_and_remainder_rule(spark):
+    # X100: k=4 over 10 rows -> bucket sizes 3,3,2,2 (SQL NTILE rule);
+    # buckets must be contiguous in value order at any parallelism
+    from c3s_sm_spark.operators.sampling import eqfreq_hist
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "eid long, v double"
+    ).repartition(5)
+    out = {r["bucket"]: r for r in eqfreq_hist(df, "v", "eid", k=4).collect()}
+    assert [out[b]["n"] for b in range(4)] == [3, 3, 2, 2]
+    # values 91..100; bucket 0 holds the 3 smallest
+    assert (out[0]["v_min_micro"], out[0]["v_max_micro"]) == (910000, 930000)
+    assert (out[3]["v_min_micro"], out[3]["v_max_micro"]) == (990000, 1000000)
+    # extents must not overlap (total order respected)
+    exts = [(out[b]["v_min_micro"], out[b]["v_max_micro"]) for b in range(4)]
+    for (lo1, hi1), (lo2, hi2) in zip(exts, exts[1:]):
+        assert hi1 <= lo2
+
+
+def test_eqfreq_hist_n_less_than_k_and_guard(spark):
+    from c3s_sm_spark.operators.sampling import eqfreq_hist
+
+    df = spark.createDataFrame([(1, 5.0), (2, 1.0)], "eid long, v double")
+    out = {r["bucket"]: r["n"] for r in eqfreq_hist(df, "v", "eid", k=5).collect()}
+    assert out == {0: 1, 1: 1}  # q=0 path: one row per leading bucket
+    with pytest.raises(ValueError):
+        eqfreq_hist(df, "v", "eid", k=0)
