@@ -251,6 +251,140 @@ def main() -> None:
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
+    # 13. bloom probe (X90): the UNVERIFIED path must never exchange the
+    # fact side — k broadcast bitmap joins in one codegen pass; the only
+    # exchanges in the whole job are the tiny bitmap build's
+    from c3s_sm_spark.operators.bloom import bloom_semi_join
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    bl = bloom_semi_join(
+        ev,
+        cust.select(F.col("c_custkey").alias("user_id")),
+        "user_id",
+        m_bits=1 << 16,
+        k=3,
+        verify=False,
+    )
+    bl_txt = plan_text(bl)
+    sections.append(
+        (
+            "bloom probe (X90): zero fact-side exchange, k broadcast joins",
+            bl_txt,
+            {
+                "no shuffle exchange on the probe": "hashpartitioning("
+                not in bl_txt,
+                "k=3 broadcast joins": bl_txt.count("BroadcastHashJoin") >= 3,
+            },
+        )
+    )
+
+    # 14. rolling_distinct (X91): dedupe-then-fan-out — the pre-DISTINCT
+    # is the only corpus exchange; the window clip is a broadcast 1-row
+    # cross join; the explode happens task-local AFTER the dedup
+    from c3s_sm_spark.operators.timeseries import rolling_distinct
+
+    rd_txt = plan_text(rolling_distinct(ev, window_days=7))
+    sections.append(
+        (
+            "rolling_distinct (X91): dedup exchange, task-local fan-out, broadcast clip",
+            rd_txt,
+            {
+                "task-local explode": "Generate" in rd_txt,
+                "broadcast 1-row clip (no shuffle for max)": "BroadcastNestedLoopJoin"
+                in rd_txt,
+                "map-side partial agg": "partial_count" in rd_txt,
+            },
+        )
+    )
+
+    # 15. constraint_audit (X92): ONE scan feeds every declared check;
+    # count-distinct planned as a pre-aggregate on the key (partial
+    # dedup), not a second pass
+    from c3s_sm_spark.operators.profile import constraint_audit
+
+    ca_txt = plan_text(
+        constraint_audit(
+            ev, [("v", F.col("value") < 50)], unique_cols=["event_id"]
+        )
+    )
+    sections.append(
+        (
+            "constraint_audit (X92): single scan, single agg tree",
+            ca_txt,
+            {
+                # formatted output names each node twice (tree + detail):
+                # count the "(n) Scan parquet" detail headers
+                "one scan": len(re.findall(r"\(\d+\) Scan parquet", ca_txt))
+                == 1,
+                "map-side partials": "partial_count" in ca_txt
+                and "partial_sum" in ca_txt,
+                "distinct via keyed pre-aggregate": "count(distinct" in ca_txt,
+            },
+        )
+    )
+
+    # 16. table_diff (X93): one full-outer sort-merge join, both sides
+    # exchanged once on the key, null-safe compare stays in the join's
+    # post-projection (no extra pass)
+    from c3s_sm_spark.operators.diff import table_diff
+
+    td_txt = plan_text(
+        table_diff(
+            ev.select("event_id", "value"),
+            ev.select("event_id", "value"),
+            ["event_id"],
+        )
+    )
+    sections.append(
+        (
+            "table_diff (X93): co-partitioned full-outer join",
+            td_txt,
+            {
+                "full outer join": "FullOuter" in td_txt,
+                "exactly two key exchanges": td_txt.count("hashpartitioning(")
+                == 2,
+            },
+        )
+    )
+
+    # 17. scd2 / burndown shape: ONE key exchange + ONE sort shared by
+    # the window passes (lateness has the same spine)
+    from c3s_sm_spark.operators.timeseries import scd2_intervals
+
+    sc_txt = plan_text(
+        scd2_intervals(ev, ["user_id"], "ts", ["event_type"], tiebreak="event_id")
+    )
+    sections.append(
+        (
+            "scd2_intervals (X94): one exchange, one shared sort, window chain",
+            sc_txt,
+            {
+                "single key exchange": sc_txt.count("hashpartitioning(") == 1,
+                "single sort": sc_txt.count("Sort (") == 1,
+                "window chain": "Window" in sc_txt,
+            },
+        )
+    )
+
+    # 18. eqfreq_hist (X100): the rank side is the pre-executed
+    # two-phase global_rank checkpoint — the FINAL plan must contain no
+    # window at all (closed-form bucket arithmetic, never ntile) and
+    # keep the bucket agg map-side partial
+    from c3s_sm_spark.operators.sampling import eqfreq_hist
+
+    eq_txt = plan_text(eqfreq_hist(ev, "value", "event_id", k=16))
+    sections.append(
+        (
+            "eqfreq_hist (X100): closed-form buckets, no ntile window",
+            eq_txt,
+            {
+                "no window operator": "Window" not in eq_txt,
+                "map-side partial bucket agg": "partial_count" in eq_txt,
+                "broadcast total (1 row)": "Broadcast" in eq_txt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
