@@ -2397,6 +2397,19 @@ def _q_eqfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_join_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 pre-join cardinality audit between events.user_id and
+    orders.o_custkey: exact inner-join output size, key overlap
+    classes, hottest key's pair share + deterministic argmax
+    (largest-string tie rule). All-BIGINT + string witness."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import join_degree
+
+    ev = _events(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return join_degree(ev, orders, "user_id", right_key="o_custkey")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2668,6 +2681,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window pins the exact-quantile family; the closed-form
         # bucket == ntile equivalence is the oracle itself:
         "eqfreq_hist": _q_eqfreq,
+        # X101 (oracled): pre-join cardinality audit — dup_profile
+        # in-window pins the degree-histogram family:
+        "join_degree": _q_join_degree,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3057,6 +3073,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id IN (SELECT c_custkey FROM customer
                               WHERE c_acctbal > 5000)
             GROUP BY event_type
+        """,
+        # X101: per-side key histograms full-outer joined; argmax via
+        # (pairs DESC, key-string DESC) — the struct-max tie rule
+        "join_degree": """
+            WITH lc AS (SELECT user_id AS k, count(*) AS nl
+                        FROM events GROUP BY 1),
+            rc AS (SELECT o_custkey AS k, count(*) AS nr
+                   FROM orders GROUP BY 1),
+            j AS (
+              SELECT coalesce(lc.k, rc.k) AS k, nl, nr,
+                     coalesce(nl, 0) * coalesce(nr, 0) AS p
+              FROM lc FULL OUTER JOIN rc ON lc.k = rc.k)
+            SELECT
+              CAST(sum(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_both,
+              CAST(sum(CASE WHEN nl IS NOT NULL AND nr IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_left_only,
+              CAST(sum(CASE WHEN nl IS NULL AND nr IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_keys_right_only,
+              CAST(sum(p) AS BIGINT) AS pairs_total,
+              CAST(coalesce(max(p), 0) AS BIGINT) AS max_degree_pairs,
+              (SELECT CAST(k AS VARCHAR) FROM j
+               ORDER BY p DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
+                AS argmax_key
+            FROM j
         """,
         # X100: the semantic NTILE form — the engine's two-phase rank +
         # closed-form bucket must reproduce it exactly

@@ -139,6 +139,7 @@ HEADLINE = [
     "trend",
     "burndown",
     "eqfreq_hist",
+    "join_degree",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -239,3 +239,60 @@ def cube_stats(
         *[F.col(name) for name, _ in measures],
     )
     return out
+
+
+def join_degree(
+    left: DataFrame, right: DataFrame, key: str, right_key: str | None = None
+) -> DataFrame:
+    """Pre-join cardinality audit (X101): BEFORE running an expensive
+    join, measure exactly what it would produce — at 10^12 rows a
+    many-to-many key you didn't know about turns a join into a
+    cross-product-shaped explosion, and the time to learn that is
+    before the shuffle, not 6 hours into it.
+
+    Per-side key histograms (two map-side-combined groupBys over only
+    the key column) full-outer joined key-to-key — an exchange of
+    |distinct keys| rows, never the data — then one summary row
+    (all BIGINT):
+
+    - ``n_keys_both`` / ``n_keys_left_only`` / ``n_keys_right_only``
+    - ``pairs_total`` = sum(n_l * n_r) — the EXACT inner-join output
+      cardinality
+    - ``max_degree_pairs`` = max per-key n_l * n_r (the hottest key's
+      share — the skew headline the salting config needs)
+    - ``argmax_key`` = the LARGEST key (string collation) attaining it
+      — a deterministic tie rule via a single struct-max, no window;
+      cast to string for schema stability.
+    """
+    rk = right_key or key
+    lc = left.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    rc = right.groupBy(F.col(rk).alias("k")).agg(
+        F.count(F.lit(1)).alias("nr")
+    )
+    j = lc.join(rc, "k", "full_outer")
+    pairs = F.coalesce(F.col("nl"), F.lit(0)) * F.coalesce(
+        F.col("nr"), F.lit(0)
+    )
+    staged = j.select(
+        "k",
+        F.col("nl").isNotNull().alias("inl"),
+        F.col("nr").isNotNull().alias("inr"),
+        pairs.alias("p"),
+    )
+    both = F.col("inl") & F.col("inr")
+    return staged.agg(
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias("n_keys_both"),
+        F.sum(F.when(F.col("inl") & ~F.col("inr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_left_only"),
+        F.sum(F.when(~F.col("inl") & F.col("inr"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keys_right_only"),
+        F.sum("p").cast("long").alias("pairs_total"),
+        F.coalesce(F.max("p"), F.lit(0)).cast("long").alias("max_degree_pairs"),
+        F.max(
+            F.struct(F.col("p").alias("p"), F.col("k").cast("string").alias("k"))
+        )["k"].alias("argmax_key"),
+    )

@@ -2125,3 +2125,34 @@ def test_eqfreq_hist_n_less_than_k_and_guard(spark):
     assert out == {0: 1, 1: 1}  # q=0 path: one row per leading bucket
     with pytest.raises(ValueError):
         eqfreq_hist(df, "v", "eid", k=0)
+
+
+def test_join_degree_exact_blowup_and_classes(spark):
+    # X101: pairs_total must equal the actual inner-join count
+    from c3s_sm_spark.operators.profile import join_degree
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (3,), (3,), (9,)], "k long"
+    )
+    r = join_degree(left, right, "k").collect()[0]
+    actual = left.join(right, "k").count()
+    assert r["pairs_total"] == actual == 3 * 2 + 1 * 3
+    assert (r["n_keys_both"], r["n_keys_left_only"], r["n_keys_right_only"]) == (2, 1, 1)
+    assert r["max_degree_pairs"] == 6
+    assert r["argmax_key"] == "1"
+
+
+def test_join_degree_tie_rule_and_empty(spark):
+    from c3s_sm_spark.operators.profile import join_degree
+
+    # keys 2 and 7 tie at 1 pair each -> largest string key wins
+    left = spark.createDataFrame([(2,), (7,)], "k long")
+    right = spark.createDataFrame([(2,), (7,)], "k long")
+    r = join_degree(left, right, "k").collect()[0]
+    assert (r["max_degree_pairs"], r["argmax_key"]) == (1, "7")
+    empty = spark.createDataFrame([], "k long")
+    r2 = join_degree(empty, right, "k").collect()[0]
+    assert (r2["pairs_total"], r2["max_degree_pairs"], r2["n_keys_both"]) == (0, 0, 0)
