@@ -2410,6 +2410,19 @@ def _q_join_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_degree(ev, orders, "user_id", right_key="o_custkey")
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 per-doc top-3 tf-idf terms over the full documents table,
+    in the exact fixed-point ``linear_micro`` idf mode — the witness
+    keeps the whole rank in BIGINT ((tf*N*1e6) div df; ties df ASC,
+    token ASC) so no transcendental sits on the hash boundary; the
+    textbook log-idf mode is the API default, pytest-pinned to agree
+    on rank-1 terms."""
+    _prep(spark)
+    from c3s_sm_spark.operators.ranking import tfidf_terms
+
+    return tfidf_terms(_docs(spark, sf_dir), k=3, idf_mode="linear_micro")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2684,6 +2697,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X101 (oracled): pre-join cardinality audit — dup_profile
         # in-window pins the degree-histogram family:
         "join_degree": _q_join_degree,
+        # X102 (oracled): tf-idf top terms, exact fixed-point idf —
+        # token_freq/inv_index in-tail pin the term-count substrate:
+        "tfidf_topk": _q_tfidf,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3098,6 +3114,36 @@ def oracle_sql() -> dict[str, str]:
                ORDER BY p DESC, CAST(k AS VARCHAR) DESC LIMIT 1)
                 AS argmax_key
             FROM j
+        """,
+        # X102: same tokenizer as inv_index; exact fixed-point idf
+        # ((tf*N*1e6) // df, non-negative so // == Spark div); ties
+        # (score_q DESC, df ASC, token ASC) — token unique per doc
+        "tfidf_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            tfc AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, unnest(ws) AS token FROM w)
+              GROUP BY doc_id, token),
+            dfq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tfc GROUP BY token),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                  FROM documents),
+            r AS (
+              SELECT t.doc_id, t.token, t.tf, d.df,
+                CAST((t.tf * n.n_docs * 1000000) // d.df AS BIGINT)
+                  AS score_q,
+                row_number() OVER (PARTITION BY t.doc_id
+                  ORDER BY (t.tf * n.n_docs * 1000000) // d.df DESC,
+                           d.df ASC, t.token ASC) AS rn
+              FROM tfc t JOIN dfq d USING (token) CROSS JOIN n)
+            SELECT doc_id, token, tf, df, score_q,
+                   CAST(rn AS BIGINT) AS rn
+            FROM r WHERE rn <= 3
         """,
         # X100: the semantic NTILE form — the engine's two-phase rank +
         # closed-form bucket must reproduce it exactly

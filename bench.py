@@ -140,6 +140,7 @@ HEADLINE = [
     "burndown",
     "eqfreq_hist",
     "join_degree",
+    "tfidf_topk",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2156,3 +2156,83 @@ def test_join_degree_tie_rule_and_empty(spark):
     empty = spark.createDataFrame([], "k long")
     r2 = join_degree(empty, right, "k").collect()[0]
     assert (r2["pairs_total"], r2["max_degree_pairs"], r2["n_keys_both"]) == (0, 0, 0)
+
+
+def _rank_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+            (4, "   "),  # blank doc: contributes to N, never to terms
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tfidf_linear_micro_exact_and_ties(spark):
+    # X102: hand-computed fixed-point scores; N=4 includes the blank doc
+    from c3s_sm_spark.operators.ranking import tfidf_terms
+
+    out = tfidf_terms(_rank_docs(spark), k=2, idf_mode="linear_micro")
+    rows = {(r["doc_id"], r["rn"]): r for r in out.collect()}
+    # d1: apple tf=2 df=1 -> 2*4e6/1 = 8e6 ; banana tf=1 df=2 -> 2e6
+    assert rows[(1, 1)]["token"] == "apple"
+    assert rows[(1, 1)]["score_q"] == 8_000_000
+    assert rows[(1, 2)]["token"] == "banana"
+    assert rows[(1, 2)]["score_q"] == 2_000_000
+    # d2: banana and cherry tie (tf=1, df=2) -> token ASC breaks it
+    assert rows[(2, 1)]["token"] == "banana"
+    assert rows[(2, 2)]["token"] == "cherry"
+    # blank doc emits nothing
+    assert not [k for k in rows if k[0] == 4]
+
+
+def test_tfidf_log_mode_agrees_on_rank1(spark):
+    from c3s_sm_spark.operators.ranking import tfidf_terms
+
+    docs = _rank_docs(spark)
+    lin = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_terms(docs, k=1, idf_mode="linear_micro").collect()
+    }
+    log = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_terms(docs, k=1, idf_mode="log").collect()
+    }
+    assert lin == log == {1: "apple", 2: "banana", 3: "cherry"}
+    with pytest.raises(ValueError):
+        tfidf_terms(docs, idf_mode="nope")
+
+
+def test_bm25_pieces_exact_and_score(spark):
+    from c3s_sm_spark.operators.ranking import bm25_pieces, bm25_score
+
+    docs = _rank_docs(spark)
+    pieces = bm25_pieces(docs, ["cherry", "banana"])
+    got = {
+        (r["doc_id"], r["token"]): (
+            r["tf"], r["dl"], r["df"], r["n_docs"], r["total_len"]
+        )
+        for r in pieces.collect()
+    }
+    # dl: d1=3 d2=2 d3=4 (blank doc dl=0, no hits); total_len=9, N=4
+    assert got == {
+        (1, "banana"): (1, 3, 2, 4, 9),
+        (2, "banana"): (1, 2, 2, 4, 9),
+        (2, "cherry"): (1, 2, 2, 4, 9),
+        (3, "cherry"): (3, 4, 2, 4, 9),
+    }
+    import math
+
+    k1, b = 1.2, 0.75
+    idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def term(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl * 4 / 9))
+
+    scores = {r["doc_id"]: r["bm25"] for r in bm25_score(pieces).collect()}
+    assert scores[2] == pytest.approx(term(1, 2) + term(1, 2))
+    assert scores[3] == pytest.approx(term(3, 4))
+    with pytest.raises(ValueError):
+        bm25_pieces(docs, [])
