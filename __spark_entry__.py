@@ -2423,6 +2423,17 @@ def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_terms(_docs(spark, sf_dir), k=3, idf_mode="linear_micro")
 
 
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102 BM25 pieces for a fixed two-token probe query: one row per
+    (matching doc, probe token) with every scalar the BM25 formula
+    needs — tf, dl, df, N, total corpus length — all BIGINT; the float
+    score derives caller-side (lag_corr_pieces split)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.ranking import bm25_pieces
+
+    return bm25_pieces(_docs(spark, sf_dir), ["the", "data"])
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2700,6 +2711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X102 (oracled): tf-idf top terms, exact fixed-point idf —
         # token_freq/inv_index in-tail pin the term-count substrate:
         "tfidf_topk": _q_tfidf,
+        # X102 (oracled): BM25 integer pieces for a fixed probe query:
+        "bm25": _q_bm25,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3144,6 +3157,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_q,
                    CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        # X102: BM25 pieces — same tokenizer; probe-token IN filter;
+        # total_len over non-blank docs only (blank docs have zero
+        # words on both sides), N over ALL docs
+        "bm25": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            x AS (
+              SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+                     unnest(ws) AS token
+              FROM w),
+            tfc AS (
+              SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+              FROM x WHERE token IN ('the', 'data')
+              GROUP BY doc_id, dl, token),
+            dfq AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tfc GROUP BY token),
+            tot AS (
+              SELECT
+                CAST((SELECT count(*) FROM documents) AS BIGINT)
+                  AS n_docs,
+                CAST(coalesce((SELECT sum(len(ws)) FROM w), 0) AS BIGINT)
+                  AS total_len)
+            SELECT t.doc_id, t.token, t.tf, t.dl, d.df,
+                   tot.n_docs, tot.total_len
+            FROM tfc t JOIN dfq d USING (token) CROSS JOIN tot
         """,
         # X100: the semantic NTILE form — the engine's two-phase rank +
         # closed-form bucket must reproduce it exactly

@@ -141,6 +141,7 @@ HEADLINE = [
     "eqfreq_hist",
     "join_degree",
     "tfidf_topk",
+    "bm25",
     "text_quality",
     "lang_id",
     "quality_select",
