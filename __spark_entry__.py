@@ -2434,6 +2434,17 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_pieces(_docs(spark, sf_dir), ["the", "data"])
 
 
+def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 Lorenz/Gini concentration audit over documents.n_chars:
+    items ranked by (n_chars, doc_id) via the two-phase global rank,
+    bucketed into 10 quantile bins; per bin n/mass/rank-weighted-mass/
+    cumulative mass — all BIGINT; exact Gini derives caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import lorenz_gini
+
+    return lorenz_gini(_docs(spark, sf_dir), "n_chars", "doc_id", buckets=10)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2713,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf,
         # X102 (oracled): BM25 integer pieces for a fixed probe query:
         "bm25": _q_bm25,
+        # X103 (oracled): Lorenz/Gini concentration pieces:
+        "lorenz": _q_lorenz,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3157,6 +3170,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_q,
                    CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        # X103: Lorenz pieces — the semantic one-window form the
+        # engine's two-phase rank must reproduce; ceil via
+        # (rn*b + n - 1) // n, non-negative so // == Spark div
+        "lorenz": """
+            WITH r AS (
+              SELECT n_chars AS x, doc_id,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                     count(*) OVER () AS n
+              FROM documents),
+            a AS (
+              SELECT CAST((rn * 10 + n - 1) // n AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_items,
+                     CAST(sum(x) AS BIGINT) AS x_sum,
+                     CAST(sum(rn * x) AS BIGINT) AS ix_sum
+              FROM r GROUP BY 1)
+            SELECT bucket, n_items, x_sum, ix_sum,
+                   CAST(sum(x_sum) OVER (ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_x
+            FROM a
         """,
         # X102: BM25 pieces — same tokenizer; probe-token IN filter;
         # total_len over non-blank docs only (blank docs have zero

@@ -142,6 +142,7 @@ HEADLINE = [
     "join_degree",
     "tfidf_topk",
     "bm25",
+    "lorenz",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -296,3 +296,83 @@ def join_degree(
             F.struct(F.col("p").alias("p"), F.col("k").cast("string").alias("k"))
         )["k"].alias("argmax_key"),
     )
+
+
+def lorenz_gini(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """X103 corpus-concentration audit (Lorenz curve + Gini pieces):
+    how unequally is mass (tokens, chars, bytes) distributed across
+    items? The dataset-card answer to "do 1% of the docs carry 60% of
+    the corpus?" — the signal behind mix rebalancing and head-capping
+    policies.
+
+    Sorts items by (value, id) — a TOTAL order, so tied values are
+    rank-stable — via the two-phase :func:`~c3s_sm_spark.operators.
+    sampling.global_rank` (never the one-task global window), buckets
+    ranks into ``buckets`` quantile bins (bin = ceil(rn*b/n), exact
+    integer arithmetic), and emits per bin: item count, mass sum,
+    rank-weighted mass sum and running cumulative mass — all BIGINT.
+
+    Exact Gini derives caller-side from the pieces (lag_corr_pieces
+    split): ``G = (2*Σ(rn·x) - (n+1)·Σx) / (n·Σx)`` with
+    ``Σ(rn·x) = sum(ix_sum)`` — tie-invariant because equal values
+    within a tie block contribute x·Σ(ranks) regardless of permutation.
+
+    Scale: one range exchange + per-partition sort (global_rank), one
+    map-side-combined groupBy on the bin id; the final cumulative
+    window runs over ``buckets`` rows — dimension-sized by contract.
+    Overflow bound: Σ(rn·x) < n²·max_x — inside int64 to ~10^8 items
+    at max_x 10^3; past that, run per-shard and merge, or drop to the
+    bucketed approximation (rank-weighting by bin midpoint).
+    """
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from pyspark.sql import Window
+
+    from c3s_sm_spark.operators.sampling import global_rank
+
+    vals = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(value_col).cast("long").alias("__x"),
+    )
+    n1 = vals.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    ranked = global_rank(vals, ["__x", "__id"], out_col="__rn").crossJoin(
+        F.broadcast(n1)
+    )
+    # ceil(rn*b/n) with non-negative ints: (rn*b + n - 1) div n
+    binned = ranked.withColumn(
+        "bucket",
+        F.expr(f"(__rn * {int(buckets)}L + __n - 1) div __n").cast("long"),
+    )
+    agg = binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("__x").cast("long").alias("x_sum"),
+        F.sum(F.col("__rn") * F.col("__x")).cast("long").alias("ix_sum"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "bucket",
+        "n_items",
+        "x_sum",
+        "ix_sum",
+        F.sum("x_sum").over(w).cast("long").alias("cum_x"),
+    )
+
+
+def gini_from_pieces(pieces: DataFrame) -> float:
+    """Exact Gini coefficient from :func:`lorenz_gini` output — a
+    driver-side reduction over ``buckets`` rows (dimension-sized by
+    contract; NOT a corpus collect)."""
+    row = pieces.agg(
+        F.sum("n_items").alias("n"),
+        F.sum("x_sum").alias("sx"),
+        F.sum("ix_sum").alias("six"),
+    ).collect()[0]
+    n, sx, six = row["n"], row["sx"], row["six"]
+    if not n or not sx:
+        return 0.0
+    return (2 * six - (n + 1) * sx) / (n * sx)

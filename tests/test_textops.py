@@ -2236,3 +2236,44 @@ def test_bm25_pieces_exact_and_score(spark):
     assert scores[3] == pytest.approx(term(3, 4))
     with pytest.raises(ValueError):
         bm25_pieces(docs, [])
+
+
+def test_lorenz_gini_exact_small(spark):
+    # X103: 4 items, hand-computed buckets and exact Gini
+    from c3s_sm_spark.operators.profile import gini_from_pieces, lorenz_gini
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "id long, v long"
+    )
+    out = lorenz_gini(df, "v", "id", buckets=2).collect()
+    rows = {r["bucket"]: r for r in out}
+    # ranks 1..4 ascending by v; bucket = ceil(rn*2/4): rn 1,2 -> 1; 3,4 -> 2
+    assert rows[1]["x_sum"] == 30 and rows[2]["x_sum"] == 70
+    assert rows[1]["ix_sum"] == 1 * 10 + 2 * 20
+    assert rows[2]["ix_sum"] == 3 * 30 + 4 * 40
+    assert rows[2]["cum_x"] == 100
+    # G = (2*Σrn·x - (n+1)Σx) / (nΣx) = (2*300 - 5*100)/(4*100) = 0.25
+    g = gini_from_pieces(lorenz_gini(df, "v", "id", buckets=2))
+    assert g == pytest.approx(0.25)
+
+
+def test_lorenz_gini_tie_and_partition_invariance(spark):
+    from c3s_sm_spark.operators.profile import gini_from_pieces, lorenz_gini
+
+    data = [(i, (i * 7) % 5 + 1) for i in range(1, 101)]  # heavy ties
+    a = spark.createDataFrame(data, "id long, v long")
+    b = a.repartition(17)
+    ra = sorted(map(tuple, lorenz_gini(a, "v", "id", buckets=10).collect()))
+    rb = sorted(map(tuple, lorenz_gini(b, "v", "id", buckets=10).collect()))
+    assert ra == rb  # rank assignment is partitioning-independent
+    # brute-force Gini over the sorted multiset
+    xs = sorted(v for _, v in data)
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    expected = (2 * six - (n + 1) * sx) / (n * sx)
+    assert gini_from_pieces(lorenz_gini(a, "v", "id")) == pytest.approx(expected)
+    # uniform corpus -> G == 0
+    u = spark.createDataFrame([(i, 5) for i in range(1, 21)], "id long, v long")
+    assert gini_from_pieces(lorenz_gini(u, "v", "id")) == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        lorenz_gini(a, "v", "id", buckets=0)
