@@ -2445,6 +2445,25 @@ def _q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lorenz_gini(_docs(spark, sf_dir), "n_chars", "doc_id", buckets=10)
 
 
+def _q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 edit-distance-1 pair mining (FastSS deletion-neighborhood
+    equi-join + levenshtein verify) over the part-name token
+    vocabulary — the only test vocabulary with genuine ED-1 pairs.
+    The oracle runs the quadratic length-banded join the engine
+    deliberately avoids."""
+    _prep(spark)
+    from c3s_sm_spark.operators.fuzzy import typo_pairs
+    from c3s_sm_spark.operators.textstats import words_col
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    vocab = (
+        parts.select(F.explode(words_col("p_name")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return typo_pairs(vocab)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2726,6 +2745,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": _q_bm25,
         # X103 (oracled): Lorenz/Gini concentration pieces:
         "lorenz": _q_lorenz,
+        # X104 (oracled): ED-1 typo pairs, deletion-neighborhood join:
+        "typo_pairs": _q_typo_pairs,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3170,6 +3191,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_q,
                    CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        # X104: the quadratic length-banded form (fine at oracle
+        # scale); same tokenizer; max_len 64 mirrored; tok_a < tok_b
+        "typo_pairs": r"""
+            WITH x AS (
+              SELECT unnest(string_split(regexp_replace(trim(p_name),
+                            '\s+', ' ', 'g'), ' ')) AS token
+              FROM part WHERE length(trim(p_name)) > 0),
+            v AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM x WHERE length(token) > 0 AND length(token) <= 64
+              GROUP BY token)
+            SELECT a.token AS tok_a, b.token AS tok_b,
+                   a.df AS df_a, b.df AS df_b
+            FROM v a JOIN v b ON a.token < b.token
+              AND length(b.token) BETWEEN length(a.token) - 1
+                                      AND length(a.token) + 1
+              AND levenshtein(a.token, b.token) <= 1
         """,
         # X103: Lorenz pieces — the semantic one-window form the
         # engine's two-phase rank must reproduce; ceil via

@@ -143,6 +143,7 @@ HEADLINE = [
     "tfidf_topk",
     "bm25",
     "lorenz",
+    "typo_pairs",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2277,3 +2277,56 @@ def test_lorenz_gini_tie_and_partition_invariance(spark):
     assert gini_from_pieces(lorenz_gini(u, "v", "id")) == pytest.approx(0.0)
     with pytest.raises(ValueError):
         lorenz_gini(a, "v", "id", buckets=0)
+
+
+def _brute_ed1(tokens):
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, len(b) + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1,
+                            prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[-1]
+
+    ts = sorted(tokens)
+    return {
+        (a, b)
+        for i, a in enumerate(ts)
+        for b in ts[i + 1:]
+        if abs(len(a) - len(b)) <= 1 and ed(a, b) == 1
+    }
+
+
+def test_typo_pairs_complete_vs_brute_force(spark):
+    # X104: deletion-neighborhood join must be COMPLETE for ED<=1 —
+    # substitution, insertion, deletion all recovered; transpositions
+    # ("ab"/"ba", ED=2) and beyond must NOT appear
+    from c3s_sm_spark.operators.fuzzy import typo_pairs
+
+    toks = [
+        "cold", "old", "bold", "bolt", "red", "rod", "road",
+        "ab", "ba", "a", "b", "aa", "abba",
+        "spark", "sparc", "sparkk", "park",
+    ]
+    vocab = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(toks)], "token string, df long"
+    )
+    got = {(r["tok_a"], r["tok_b"]) for r in typo_pairs(vocab).collect()}
+    assert got == _brute_ed1(toks)
+    # dfs pass through
+    row = [r for r in typo_pairs(vocab).collect() if r["tok_a"] == "cold"]
+    assert all(r["df_a"] == toks.index("cold") + 1 for r in row)
+
+
+def test_typo_pairs_max_len_and_guards(spark):
+    from c3s_sm_spark.operators.fuzzy import typo_pairs
+
+    vocab = spark.createDataFrame(
+        [("abcdef", 1), ("abcdeg", 1), ("", 9)], "token string, df long"
+    )
+    # both tokens over max_len=5 -> excluded entirely; empty dropped
+    assert typo_pairs(vocab, max_len=5).count() == 0
+    assert typo_pairs(vocab).count() == 1
