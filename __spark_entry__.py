@@ -2464,6 +2464,21 @@ def _q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typo_pairs(vocab)
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105 exact-integer PageRank (3 iterations, d=0.85 in
+    thousandths) over the token co-occurrence graph of documents —
+    the whole recurrence runs in micro-unit floor division so the
+    DuckDB oracle's 3 unrolled iterations match bit-for-bit."""
+    _prep(spark)
+    from c3s_sm_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank_micro,
+    )
+
+    edges = cooccurrence_edges(_docs(spark, sf_dir))
+    return pagerank_micro(edges, iterations=3)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2747,6 +2762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lorenz": _q_lorenz,
         # X104 (oracled): ED-1 typo pairs, deletion-neighborhood join:
         "typo_pairs": _q_typo_pairs,
+        # X105 (oracled): exact-integer PageRank, 3 unrolled rounds:
+        "pagerank": _q_pagerank,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3191,6 +3208,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_q,
                    CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        # X105: 3 unrolled exact-integer PageRank rounds; // == div
+        # (non-negative); every sum cast BIGINT; UNION dedups nodes
+        "pagerank": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            tk AS (
+              SELECT DISTINCT doc_id, token
+              FROM (SELECT doc_id, unnest(ws) AS token FROM w)),
+            e AS (
+              SELECT DISTINCT a.token AS src, b.token AS dst
+              FROM tk a JOIN tk b
+                ON a.doc_id = b.doc_id AND a.token <> b.token),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM e GROUP BY src),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+            s1 AS (SELECT e.dst AS node,
+                          CAST(sum(r0.r // deg.deg) AS BIGINT) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r0 ON r0.node = e.src GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                     CAST(150000 + (850 * coalesce(s1.s, 0)) // 1000
+                          AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN s1 USING (node)),
+            s2 AS (SELECT e.dst AS node,
+                          CAST(sum(r1.r // deg.deg) AS BIGINT) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r1 ON r1.node = e.src GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                     CAST(150000 + (850 * coalesce(s2.s, 0)) // 1000
+                          AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN s2 USING (node)),
+            s3 AS (SELECT e.dst AS node,
+                          CAST(sum(r2.r // deg.deg) AS BIGINT) AS s
+                   FROM e JOIN deg USING (src)
+                   JOIN r2 ON r2.node = e.src GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                     CAST(150000 + (850 * coalesce(s3.s, 0)) // 1000
+                          AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN s3 USING (node))
+            SELECT node, r AS rank_micro FROM r3
         """,
         # X104: the quadratic length-banded form (fine at oracle
         # scale); same tokenizer; max_len 64 mirrored; tok_a < tok_b

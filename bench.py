@@ -144,6 +144,7 @@ HEADLINE = [
     "bm25",
     "lorenz",
     "typo_pairs",
+    "pagerank",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2330,3 +2330,81 @@ def test_typo_pairs_max_len_and_guards(spark):
     # both tokens over max_len=5 -> excluded entirely; empty dropped
     assert typo_pairs(vocab, max_len=5).count() == 0
     assert typo_pairs(vocab).count() == 1
+
+
+def _pagerank_brute(edges, iters=3, d=850):
+    # same integer recurrence, plain Python
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    deg = defaultdict(int)
+    for s, _ in e:
+        deg[s] += 1
+    nodes = sorted({s for s, _ in e} | {t for _, t in e})
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iters):
+        s = defaultdict(int)
+        for u, v in e:
+            s[v] += r[u] // deg[u]
+        r = {n: 150_000 + (850 * s.get(n, 0)) // 1000 for n in nodes}
+    return r
+
+
+def test_pagerank_matches_integer_brute_force(spark):
+    # X105: asymmetric digraph incl. a dangling-ish sink and a hub
+    from c3s_sm_spark.operators.graph import pagerank_micro
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"), ("d", "a"), ("e", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(df, iterations=3).collect()
+    }
+    assert got == _pagerank_brute(edges)
+    # duplicate edges collapse; partitioning must not matter
+    dup = spark.createDataFrame(edges * 3, "src string, dst string")
+    got2 = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(dup.repartition(13), iterations=3).collect()
+    }
+    assert got2 == got
+
+
+def test_pagerank_ring_uniform_and_star_ordering(spark):
+    from c3s_sm_spark.operators.graph import pagerank_micro
+
+    ring = [(str(i), str((i + 1) % 5)) for i in range(5)]
+    ranks = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(
+            spark.createDataFrame(ring, "src string, dst string")
+        ).collect()
+    }
+    assert len(set(ranks.values())) == 1  # regular graph -> uniform
+    # undirected star: center collects from all leaves
+    star = [("c", str(i)) for i in range(4)] + [(str(i), "c") for i in range(4)]
+    sr = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_micro(
+            spark.createDataFrame(star, "src string, dst string")
+        ).collect()
+    }
+    assert all(sr["c"] > sr[str(i)] for i in range(4))
+    with pytest.raises(ValueError):
+        pagerank_micro(spark.createDataFrame(ring, "src string, dst string"), iterations=0)
+    with pytest.raises(ValueError):
+        pagerank_micro(spark.createDataFrame(ring, "src string, dst string"), damping_milli=1000)
+
+
+def test_cooccurrence_edges_symmetric_distinct(spark):
+    from c3s_sm_spark.operators.graph import cooccurrence_edges
+
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "y z y"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {(r["src"], r["dst"]) for r in cooccurrence_edges(docs).collect()}
+    assert got == {("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")}
