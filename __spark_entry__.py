@@ -2479,6 +2479,30 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_micro(edges, iterations=3)
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 pairwise trigram-set overlap between sources: exact
+    intersection/union piece counts per source pair (zero-overlap
+    pairs kept); Jaccard derives caller-side. Hash-before-distinct
+    keeps 8-byte keys in every exchange; the oracle computes the same
+    sets over shingle strings, so hash equality doubles as the
+    collision check."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import group_ngram_overlap
+
+    return group_ngram_overlap(_docs(spark, sf_dir), k=3)
+
+
+def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107 cross-source exact-duplicate leakage: distinct normalized
+    fingerprints appearing in BOTH sources of a pair (split-hygiene /
+    contamination check; clean corpora return zero rows — sf0.01 is
+    clean, sf0.1 carries real leakage the mirror pins)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import cross_group_dups
+
+    return cross_group_dups(_docs(spark, sf_dir))
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2764,6 +2788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "typo_pairs": _q_typo_pairs,
         # X105 (oracled): exact-integer PageRank, 3 unrolled rounds:
         "pagerank": _q_pagerank,
+        # X106 (oracled): pairwise source k-gram overlap pieces:
+        "source_overlap": _q_source_overlap,
+        # X107 (oracled): cross-source exact-dup leakage:
+        "cross_source_dups": _q_cross_source_dups,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3208,6 +3236,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_q,
                    CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        # X106: trigram sets per source over strings (engine uses
+        # xxhash64 lanes — set cardinalities are hash-invariant);
+        # zero-overlap pairs kept via size-grid left join
+        "source_overlap": r"""
+            WITH w AS (
+              SELECT source,
+                     string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT source AS g,
+                     unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                       AS sh
+              FROM w WHERE len(ws) >= 3),
+            sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS n
+                      FROM sh GROUP BY g),
+            i AS (
+              SELECT a.g AS src_a, b.g AS src_b,
+                     CAST(count(*) AS BIGINT) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.g < b.g
+              GROUP BY 1, 2)
+            SELECT sa.g AS src_a, sb.g AS src_b,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+                   CAST(sa.n + sb.n - coalesce(i.inter, 0) AS BIGINT)
+                     AS uni
+            FROM sizes sa JOIN sizes sb ON sa.g < sb.g
+            LEFT JOIN i ON i.src_a = sa.g AND i.src_b = sb.g
+        """,
+        # X107: normalized text grouped AS ITSELF (the engine's
+        # 128-bit key equality is the collision check)
+        "cross_source_dups": r"""
+            WITH f AS (
+              SELECT DISTINCT source AS g,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+                       AS nt
+              FROM documents)
+            SELECT a.g AS src_a, b.g AS src_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM f a JOIN f b ON a.nt = b.nt AND a.g < b.g
+            GROUP BY 1, 2
         """,
         # X105: 3 unrolled exact-integer PageRank rounds; // == div
         # (non-negative); every sum cast BIGINT; UNION dedups nodes

@@ -145,6 +145,8 @@ HEADLINE = [
     "lorenz",
     "typo_pairs",
     "pagerank",
+    "source_overlap",
+    "cross_source_dups",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1008,3 +1008,111 @@ def strip_duplicate_spans(
             " ",
         ).alias("clean_text"),
     )
+
+
+def group_ngram_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """X106 pairwise k-gram-set overlap between groups (sources): for
+    every unordered group pair, the exact intersection / union sizes
+    of their distinct word-k-gram sets — the corpus-audit answer to
+    "how much does crawl A repeat crawl B?" before any dedup runs.
+    Jaccard/containment floats derive caller-side from the pieces.
+
+    Shape: one distinct over (group, xxhash64(shingle)) — 8-byte keys
+    through the dedup shuffle (shingle_hashes' argument: hashes of a
+    set ARE the set for counting); the pair join is keyed on the
+    shingle hash, so its exchange carries one row per distinct
+    (group, shingle), never per occurrence; per-group sizes are a
+    dimension. Zero-overlap pairs are kept (size cross-join is
+    |groups|² — dimension-sized by contract).
+
+    Output: ``(src_a, src_b, n_a, n_b, inter, uni)`` all BIGINT with
+    ``src_a < src_b``.
+    """
+    shh = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.explode(_shingle_expr(text_col, k)).alias("sh"),
+        )
+        .select("g", F.xxhash64("sh").alias("shh"))
+        .distinct()
+    )
+    sizes = shh.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a, b = shh.alias("a"), shh.alias("b")
+    inter = (
+        a.join(b, "shh")
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    grid = (
+        sa.crossJoin(sb)
+        .where(F.col("sa.g") < F.col("sb.g"))
+        .select(
+            F.col("sa.g").alias("src_a"),
+            F.col("sb.g").alias("src_b"),
+            F.col("sa.n").alias("n_a"),
+            F.col("sb.n").alias("n_b"),
+        )
+    )
+    return grid.join(inter, ["src_a", "src_b"], "left").select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        F.coalesce(F.col("inter"), F.lit(0)).cast("long").alias("inter"),
+        (
+            F.col("n_a")
+            + F.col("n_b")
+            - F.coalesce(F.col("inter"), F.lit(0))
+        )
+        .cast("long")
+        .alias("uni"),
+    )
+
+
+def cross_group_dups(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """X107 exact-duplicate leakage ACROSS groups: per unordered group
+    pair, how many distinct normalized-content fingerprints appear in
+    BOTH — the train/eval split-hygiene and cross-crawl contamination
+    check (within-group dups are X1's job; this isolates the boundary-
+    crossing ones). Emits only pairs with leakage; a clean corpus
+    returns zero rows.
+
+    Normalization matches :func:`~c3s_sm_spark.operators.textstats.
+    fingerprint` (lower + whitespace collapse). The 128-bit two-lane
+    content key from :func:`exact_dedup` travels instead of text (16
+    bytes/row through every exchange; birthday-safe at 10^12 docs —
+    the oracle groups the normalized text itself, so hash-equality of
+    results IS the collision check at test scale).
+
+    Output: ``(src_a, src_b, n_shared)`` BIGINT, ``src_a < src_b``.
+    """
+    norm = F.lower(
+        F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    )
+    fps = docs.select(
+        F.col(group_col).alias("g"),
+        F.xxhash64(F.lit(0), norm).alias("th_lo"),
+        F.xxhash64(F.lit(1), norm).alias("th_hi"),
+    ).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, ["th_lo", "th_hi"])
+        .where(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -2408,3 +2408,51 @@ def test_cooccurrence_edges_symmetric_distinct(spark):
     )
     got = {(r["src"], r["dst"]) for r in cooccurrence_edges(docs).collect()}
     assert got == {("x", "y"), ("y", "x"), ("y", "z"), ("z", "y")}
+
+
+def test_group_ngram_overlap_exact_pieces(spark):
+    # X106: hand-computed trigram sets incl. a zero-overlap pair
+    from c3s_sm_spark.operators.dedup_text import group_ngram_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),      # trigrams: "a b c", "b c d"
+            (2, "B", "a b c x"),      # "a b c", "b c x"
+            (3, "C", "p q r"),        # "p q r"
+            (4, "A", "a b c"),        # dup trigram within A -> set stays 2
+            (5, "D", "xy"),           # too short -> empty set, no sizes row
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): (r["n_a"], r["n_b"], r["inter"], r["uni"])
+        for r in group_ngram_overlap(docs, k=3).collect()
+    }
+    assert rows[("A", "B")] == (2, 2, 1, 3)
+    assert rows[("A", "C")] == (2, 1, 0, 3)
+    assert rows[("B", "C")] == (2, 1, 0, 3)
+    assert ("A", "D") not in rows  # empty-set group contributes nothing
+    assert len(rows) == 3
+
+
+def test_cross_group_dups_normalization_and_pairs(spark):
+    # X107: case/whitespace-insensitive leakage; within-group dups ignored
+    from c3s_sm_spark.operators.dedup_text import cross_group_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "Hello  World"),
+            (2, "B", "hello world"),     # leaks A<->B after normalization
+            (3, "B", "hello world "),    # same fp, still ONE shared fp
+            (4, "C", "hello world"),     # leaks A<->C and B<->C
+            (5, "A", "unique to a"),
+            (6, "A", "unique to a"),     # within-group dup: not leakage
+            (7, "D", "only d"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in cross_group_dups(docs).collect()
+    }
+    assert rows == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
