@@ -2503,6 +2503,31 @@ def _q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_group_dups(_docs(spark, sf_dir))
 
 
+def _q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108 Count-Min sketch (depth 4, width 16^4) built over every
+    token occurrence in documents, then point-estimated for the whole
+    vocabulary and joined against exact counts: ``(token, n_true,
+    cm_est)`` — the overcount guarantee ``cm_est >= n_true`` is
+    visible in the witness itself. md5-hex-prefix buckets make the
+    sketch bit-identical in any engine."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from c3s_sm_spark.operators.textstats import words_col
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(words_col("text")).alias("token")
+    )
+    sketch = countmin_build(toks)
+    est = countmin_estimate(sketch, toks)
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    return exact.join(est, "token").select("token", "n_true", "cm_est")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2792,6 +2817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": _q_source_overlap,
         # X107 (oracled): cross-source exact-dup leakage:
         "cross_source_dups": _q_cross_source_dups,
+        # X108 (oracled): Count-Min sketch build + estimate vs exact:
+        "countmin": _q_countmin,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -3236,6 +3263,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, tf, df, score_q,
                    CAST(rn AS BIGINT) AS rn
             FROM r WHERE rn <= 3
+        """,
+        # X108: identical md5-hex-prefix cells; j from range(0,4);
+        # CAST(j AS VARCHAR) == Spark int->string
+        "countmin": r"""
+            WITH w AS (
+              SELECT string_split(regexp_replace(trim(text), '\s+', ' ',
+                                                 'g'), ' ') AS ws
+              FROM documents WHERE length(trim(text)) > 0),
+            x AS (SELECT unnest(ws) AS token FROM w),
+            jd AS (SELECT j FROM range(0, 4) t(j)),
+            cells AS (
+              SELECT j,
+                     substr(md5(CAST(j AS VARCHAR) || ':' || token),
+                            1, 4) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM x CROSS JOIN jd GROUP BY 1, 2),
+            exact AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS n_true
+              FROM x GROUP BY token),
+            pj AS (
+              SELECT p.token, j,
+                     substr(md5(CAST(j AS VARCHAR) || ':' || p.token),
+                            1, 4) AS bucket
+              FROM (SELECT DISTINCT token FROM x) p CROSS JOIN jd),
+            est AS (
+              SELECT pj.token,
+                     CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
+              FROM pj LEFT JOIN cells c
+                ON c.j = pj.j AND c.bucket = pj.bucket
+              GROUP BY pj.token)
+            SELECT e.token, ex.n_true, e.cm_est
+            FROM est e JOIN exact ex USING (token)
         """,
         # X106: trigram sets per source over strings (engine uses
         # xxhash64 lanes — set cardinalities are hash-invariant);

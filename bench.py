@@ -147,6 +147,7 @@ HEADLINE = [
     "pagerank",
     "source_overlap",
     "cross_source_dups",
+    "countmin",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2456,3 +2456,54 @@ def test_cross_group_dups_normalization_and_pairs(spark):
         for r in cross_group_dups(docs).collect()
     }
     assert rows == {("A", "B"): 1, ("A", "C"): 1, ("B", "C"): 1}
+
+
+def test_countmin_overcount_and_collisions(spark):
+    # X108: est >= true always; wide sketch is exact on a tiny vocab;
+    # width 16 forces collisions and min-over-depth still bounds them
+    from c3s_sm_spark.operators.sketches import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    data = [(t,) for t in ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"]]
+    keys = spark.createDataFrame(data, "token string")
+    true = {"a": 5, "b": 3, "c": 2, "d": 1}
+    wide = countmin_estimate(countmin_build(keys), keys)
+    got = {r["token"]: r["cm_est"] for r in wide.collect()}
+    assert got == true  # 65536 cells, 4 tokens: collision-free
+    narrow = countmin_estimate(
+        countmin_build(keys, depth=2, prefix_hex=1),
+        keys,
+        depth=2,
+        prefix_hex=1,
+    )
+    got_n = {r["token"]: r["cm_est"] for r in narrow.collect()}
+    assert all(got_n[t] >= true[t] for t in true)  # never undercounts
+    assert sum(got_n.values()) <= 4 * sum(true.values())  # bounded blowup
+    # absent key probes to 0 (or a collision overcount, never negative)
+    ghost = countmin_estimate(
+        countmin_build(keys), spark.createDataFrame([("zz",)], "token string")
+    ).collect()[0]
+    assert ghost["cm_est"] == 0
+    with pytest.raises(ValueError):
+        countmin_build(keys, depth=0)
+
+
+def test_countmin_mergeable_across_loads(spark):
+    # cell-wise union+re-group of two day-sketches == sketch of union
+    from pyspark.sql import functions as F
+    from c3s_sm_spark.operators.sketches import countmin_build
+
+    day1 = spark.createDataFrame([(t,) for t in "aabc"], "token string")
+    day2 = spark.createDataFrame([(t,) for t in "bcdd"], "token string")
+    merged = (
+        countmin_build(day1)
+        .union(countmin_build(day2))
+        .groupBy("j", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    full = countmin_build(day1.union(day2))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
