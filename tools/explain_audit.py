@@ -385,6 +385,130 @@ def main() -> None:
         )
     )
 
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    # 19. tfidf (X102): df dimension joins token-keyed; N arrives as a
+    # broadcast 1-row agg; top-k is ONE doc-keyed window (no global
+    # order anywhere)
+    from c3s_sm_spark.operators.ranking import tfidf_terms
+
+    tf_txt = plan_text(tfidf_terms(docs, k=3, idf_mode="linear_micro"))
+    sections.append(
+        (
+            "tfidf_terms (X102): token join + broadcast N + doc window",
+            tf_txt,
+            {
+                "broadcast 1-row n_docs": "Broadcast" in tf_txt,
+                "doc-keyed window": "Window" in tf_txt,
+                "map-side partial tf agg": "partial_count" in tf_txt,
+                "no cartesian blowup": "CartesianProduct" not in tf_txt,
+            },
+        )
+    )
+
+    # 20. typo_pairs (X104): candidate join is an 8-byte-hash equi-join
+    # (never a length-banded theta join); levenshtein verify sits on
+    # candidates only
+    from c3s_sm_spark.operators.fuzzy import typo_pairs
+    from c3s_sm_spark.operators.textstats import words_col
+
+    vocab = (
+        docs.select(F.explode(words_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    ty_txt = plan_text(typo_pairs(vocab))
+    sections.append(
+        (
+            "typo_pairs (X104): hash equi-join candidates, verify after",
+            ty_txt,
+            {
+                "equi-join on variant hash": "xxhash64" in ty_txt,
+                "levenshtein verify present": "levenshtein" in ty_txt,
+                "no nested-loop candidate join": "NestedLoop" not in ty_txt,
+                "no cartesian": "CartesianProduct" not in ty_txt,
+            },
+        )
+    )
+
+    # 21. pagerank (X105): the loop's edges+deg relation is
+    # checkpoint-pinned (ExistingRDD in the final plan — no lineage
+    # re-derivation), and rank updates are plain equi-joins
+    from c3s_sm_spark.operators.graph import pagerank_micro
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    pr_txt = plan_text(pagerank_micro(edges, iterations=2))
+    sections.append(
+        (
+            "pagerank_micro (X105): checkpoint-pinned loop, equi-joins",
+            pr_txt,
+            {
+                "lineage truncated to checkpoint": "ExistingRDD" in pr_txt,
+                "no cartesian": "CartesianProduct" not in pr_txt,
+            },
+        )
+    )
+
+    # 22. group_ngram_overlap (X106): the heavy pair join is keyed on
+    # the shingle hash; the only nested-loop is the |groups|²
+    # dimension grid (documented contract)
+    from c3s_sm_spark.operators.dedup_text import group_ngram_overlap
+
+    ov_txt = plan_text(group_ngram_overlap(docs, k=3))
+    sections.append(
+        (
+            "group_ngram_overlap (X106): hashed shingle join, dim grid",
+            ov_txt,
+            {
+                "hash-before-distinct shingles": "xxhash64" in ov_txt,
+                "map-side partial counts": "partial_count" in ov_txt,
+                "no corpus cartesian (grid is Broadcast NLJ)": (
+                    "BroadcastNestedLoopJoin" in ov_txt
+                    and "CartesianProduct" not in ov_txt
+                ),
+            },
+        )
+    )
+
+    # 23. countmin_build (X108): ONE exchange whose payload is sketch
+    # cells (partial agg before it)
+    from c3s_sm_spark.operators.sketches import countmin_build
+
+    toks = docs.select(F.explode(words_col("text")).alias("token"))
+    cm_txt = plan_text(countmin_build(toks))
+    sections.append(
+        (
+            "countmin_build (X108): partial agg to cells, one exchange",
+            cm_txt,
+            {
+                "map-side partial cells": "partial_count" in cm_txt,
+                "single exchange": cm_txt.count("hashpartitioning(") == 1,
+                "no window/sort": "Window" not in cm_txt,
+            },
+        )
+    )
+
+    # 24. lorenz (X103): rank side pre-executed (two-phase global_rank
+    # checkpoint) — final plan must NOT contain the one-task global
+    # window; the cumulative window runs over `buckets` rows only
+    from c3s_sm_spark.operators.profile import lorenz_gini
+
+    lz_txt = plan_text(lorenz_gini(docs, "n_chars", "doc_id", buckets=10))
+    sections.append(
+        (
+            "lorenz_gini (X103): checkpointed rank, bucket-only window",
+            lz_txt,
+            {
+                "rank lineage checkpoint-pinned": "ExistingRDD" in lz_txt,
+                "map-side partial bucket agg": "partial_count" in lz_txt,
+                "no single-partition global sort": "rangepartitioning(__x"
+                not in lz_txt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
