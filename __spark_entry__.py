@@ -2528,6 +2528,17 @@ def _q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "token").select("token", "n_true", "cm_est")
 
 
+def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109 per-SOURCE lexical-diversity pieces (X79's exact integer
+    witness lifted to the corpus-slice grain — "is source S a diverse
+    crawl or one template stamped out?"). Same all-BIGINT pieces, same
+    single-parse plan, grouped by source."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import token_diversity
+
+    return token_diversity(_docs(spark, sf_dir), group_col="source")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2819,6 +2830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": _q_cross_source_dups,
         # X108 (oracled): Count-Min sketch build + estimate vs exact:
         "countmin": _q_countmin,
+        # X109 (oracled): X79's diversity pieces at the source grain:
+        "source_diversity": _q_source_diversity,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4966,6 +4979,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X109: X79's pieces at the source grain
+    d["source_diversity"] = r"""
+        WITH w AS (
+          SELECT source,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT source, unnest(ws) AS tok FROM w WHERE lt > 0),
+        tf AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
+               CAST(max(cnt) AS BIGINT) AS max_cnt
+        FROM tf GROUP BY source
     """
     # X80: doubled-units median/MAD — 2*median of BIGINTs is exact
     # (midpoint of two ints), so med2/mad4/the Hampel compare all stay

@@ -148,6 +148,7 @@ HEADLINE = [
     "source_overlap",
     "cross_source_dups",
     "countmin",
+    "source_diversity",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1065,8 +1065,10 @@ def _merge_once(arr: list, w1: str, w2: str, fused: str) -> list:
     return out
 
 
-def token_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document lexical-diversity pieces — the exact integer inputs
+def token_diversity(
+    docs: DataFrame, text_col: str = "text", group_col: str = "doc_id"
+) -> DataFrame:
+    """Per-group lexical-diversity pieces — the exact integer inputs
     to type-token ratio, Simpson's repeat concentration and Yule's K,
     the standard "is this document natural prose or keyword-stuffed /
     generated sludge" quality axes next to :func:`repetition_score`
@@ -1083,6 +1085,11 @@ def token_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``K = 1e4 * (sum_sq - n_tokens) / n_tokens^2``. Headroom:
     ``sum_sq <= n_tokens^2`` — int64-safe to ~3e9 tokens per doc.
 
+    ``group_col`` defaults to per-document; pass ``"source"`` (or any
+    grouping column) for corpus-slice diversity — the X109 dataset-card
+    axis "is source S a diverse crawl or one template stamped 10^6
+    times", same pieces aggregated at the group grain.
+
     Plan: the corpus is parsed EXACTLY ONCE into the (doc, tok, cnt)
     term-frequency relation (the same single-parse discipline as
     :func:`oov_stats`), then ONE map-side-combinable groupBy(doc_id)
@@ -1090,13 +1097,13 @@ def token_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     text. No window, no join, no Python.
     """
     tf = (
-        docs.select("doc_id", words_col(text_col).alias("__ws"))
-        .select("doc_id", F.explode("__ws").alias("tok"))
-        .groupBy("doc_id", "tok")
+        docs.select(group_col, words_col(text_col).alias("__ws"))
+        .select(group_col, F.explode("__ws").alias("tok"))
+        .groupBy(group_col, "tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     c = F.col("cnt")
-    return tf.groupBy("doc_id").agg(
+    return tf.groupBy(group_col).agg(
         F.sum(c).cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.sum(c * c).cast("long").alias("sum_sq"),

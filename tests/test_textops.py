@@ -2507,3 +2507,28 @@ def test_countmin_mergeable_across_loads(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_token_diversity_group_grain(spark):
+    # X109: source-grain pieces equal hand-aggregation; doc grain intact
+    from c3s_sm_spark.operators.textstats import token_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A", "x x y"),
+            (2, "A", "x z"),
+            (3, "B", "w w w w"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    src = {
+        r["source"]: (r["n_tokens"], r["n_distinct"], r["sum_sq"], r["max_cnt"])
+        for r in token_diversity(docs, group_col="source").collect()
+    }
+    # A: x->3, y->1, z->1  |  B: w->4
+    assert src == {"A": (5, 3, 11, 3), "B": (4, 1, 16, 4)}
+    doc = {
+        r["doc_id"]: r["sum_sq"]
+        for r in token_diversity(docs).collect()
+    }
+    assert doc == {1: 5, 2: 2, 3: 16}
