@@ -2539,6 +2539,19 @@ def _q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_diversity(_docs(spark, sf_dir), group_col="source")
 
 
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110 rank-exact winsorization audit per event_type on micro-unit
+    values (5% tails): order-statistic thresholds (never interpolated
+    percentiles), value-compared clip counts, post-clip sum — all
+    BIGINT."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import winsorize_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    return winsorize_pieces(ev, ["event_type"], "v4", alpha_milli=50)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2832,6 +2845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin": _q_countmin,
         # X109 (oracled): X79's diversity pieces at the source grain:
         "source_diversity": _q_source_diversity,
+        # X110 (oracled): rank-exact winsorization pieces:
+        "winsorize": _q_winsorize,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4979,6 +4994,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X110: identical order-statistic thresholds ((α·n+999)//1000
+    # rank, conditional max over the key frame), value-compared clip
+    # counts; v4 micro-units as in anomaly_mad
+    d["winsorize"] = """
+        WITH p AS (
+          SELECT event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        r AS (
+          SELECT event_type, v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY v)
+                   AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM p),
+        t AS (
+          SELECT event_type, v, n,
+                 max(CASE WHEN rn = (50 * n + 999) // 1000 THEN v END)
+                   OVER (PARTITION BY event_type) AS lo,
+                 max(CASE WHEN rn = n + 1 - (50 * n + 999) // 1000
+                     THEN v END)
+                   OVER (PARTITION BY event_type) AS hi
+          FROM r)
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(max(lo) AS BIGINT) AS lo,
+               CAST(max(hi) AS BIGINT) AS hi,
+               CAST(sum(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clip_lo,
+               CAST(sum(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clip_hi,
+               CAST(sum(greatest(least(v, hi), lo)) AS BIGINT)
+                 AS sum_clipped
+        FROM t GROUP BY event_type
     """
     # X109: X79's pieces at the source grain
     d["source_diversity"] = r"""

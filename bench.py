@@ -149,6 +149,7 @@ HEADLINE = [
     "cross_source_dups",
     "countmin",
     "source_diversity",
+    "winsorize",
     "text_quality",
     "lang_id",
     "quality_select",

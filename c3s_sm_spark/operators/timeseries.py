@@ -2048,3 +2048,70 @@ def trend_pieces(
         F.sum(F.col("__x") * F.col("__y")).cast("long").alias("sxy"),
         F.sum(F.col("__x") * F.col("__x")).cast("long").alias("sxx"),
     )
+
+
+def winsorize_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    alpha_milli: int = 50,
+) -> DataFrame:
+    """X110 rank-exact winsorization audit per key: clip thresholds at
+    the α and (1-α) ORDER STATISTICS (never interpolated percentiles —
+    the k-th smallest of a multiset is engine-invariant where every
+    percentile interpolation rule is not), plus the per-key pieces a
+    clipping pass needs: how many values each tail would clamp and the
+    post-clip sum.
+
+    ``alpha_milli`` is α in thousandths (50 = 5%); ``k_lo =
+    ceil(α·n)`` via the non-negative integer form ``(α_milli·n + 999)
+    div 1000`` and ``k_hi = n + 1 - k_lo`` — n=1 degenerates to
+    lo = hi = the value, clipping nothing, by construction. Clip
+    counts compare VALUES (``x < lo``, ``x > hi``), not ranks, so
+    ties at the threshold are never counted as clipped (tie-safe on
+    both engines). Values should already be integral (micro-units —
+    the mad_outliers convention); all outputs are BIGINT.
+
+    Plan: ONE hash exchange on the keys + ONE per-key sort feeding the
+    rank window; the threshold extraction is two more window passes
+    over the SAME partitioning (no new exchange — conditional max over
+    the unbounded frame); the final groupBy reuses the partitioning.
+
+    Output: ``(keys..., n, lo, hi, n_clip_lo, n_clip_hi,
+    sum_clipped)``.
+    """
+    if not 0 < alpha_milli < 500:
+        raise ValueError("alpha_milli must be in (0, 500)")
+    ks = list(keys)
+    v = F.col(value_col).cast("long")
+    wp = Window.partitionBy(*ks)
+    staged = df.select(*ks, v.alias("__v")).select(
+        *ks,
+        "__v",
+        F.row_number().over(
+            Window.partitionBy(*ks).orderBy("__v")
+        ).alias("__rn"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("__n"),
+    )
+    k_lo = F.expr(f"({alpha_milli}L * __n + 999L) div 1000L")
+    k_hi = F.col("__n") + 1 - k_lo
+    marked = staged.select(
+        *ks,
+        "__v",
+        "__n",
+        F.max(F.when(F.col("__rn") == k_lo, F.col("__v"))).over(wp).alias("__lo"),
+        F.max(F.when(F.col("__rn") == k_hi, F.col("__v"))).over(wp).alias("__hi"),
+    )
+    clipped = F.greatest(F.least(F.col("__v"), F.col("__hi")), F.col("__lo"))
+    return marked.groupBy(*ks).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max("__lo").cast("long").alias("lo"),
+        F.max("__hi").cast("long").alias("hi"),
+        F.sum(F.when(F.col("__v") < F.col("__lo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_lo"),
+        F.sum(F.when(F.col("__v") > F.col("__hi"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clip_hi"),
+        F.sum(clipped).cast("long").alias("sum_clipped"),
+    )

@@ -2532,3 +2532,31 @@ def test_token_diversity_group_grain(spark):
         for r in token_diversity(docs).collect()
     }
     assert doc == {1: 5, 2: 2, 3: 16}
+
+
+def test_winsorize_pieces_exact_and_ties(spark):
+    # X110: hand-computed thresholds; threshold ties never clip
+    from c3s_sm_spark.operators.timeseries import winsorize_pieces
+
+    vals = [1, 2, 2, 3, 4, 5, 6, 7, 8, 100]  # n=10
+    df = spark.createDataFrame(
+        [("k", v) for v in vals], "g string, v long"
+    )
+    # alpha=10%: k_lo = ceil(1.0)=1 -> lo = 1st stat = 1; k_hi = 10 -> hi = 100
+    r = winsorize_pieces(df, ["g"], "v", alpha_milli=100).collect()[0]
+    assert (r["n"], r["lo"], r["hi"]) == (10, 1, 100)
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (0, 0)
+    assert r["sum_clipped"] == sum(vals)
+    # alpha=20%: k_lo = 2 -> lo = 2 (tie!); k_hi = 9 -> hi = 8
+    r = winsorize_pieces(df, ["g"], "v", alpha_milli=200).collect()[0]
+    assert (r["lo"], r["hi"]) == (2, 8)
+    # only the 1 is below lo (the two 2s tie the threshold, not clipped);
+    # only 100 is above hi
+    assert (r["n_clip_lo"], r["n_clip_hi"]) == (1, 1)
+    assert r["sum_clipped"] == 2 + 2 + 2 + 3 + 4 + 5 + 6 + 7 + 8 + 8
+    # n=1 degenerates to no clipping
+    one = spark.createDataFrame([("k", 7)], "g string, v long")
+    r1 = winsorize_pieces(one, ["g"], "v").collect()[0]
+    assert (r1["lo"], r1["hi"], r1["sum_clipped"]) == (7, 7, 7)
+    with pytest.raises(ValueError):
+        winsorize_pieces(df, ["g"], "v", alpha_milli=500)
