@@ -2552,6 +2552,25 @@ def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorize_pieces(ev, ["event_type"], "v4", alpha_milli=50)
 
 
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111 deterministic 80/10/10 train/val/test assignment by md5
+    content hash of doc_id — disjoint + exhaustive by construction
+    (consecutive half-open hex ranges); witnessed by per-split count +
+    id-sum. The oracle reproduces the exact ranges via split_cuts()."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import assign_splits
+
+    out = assign_splits(
+        _docs(spark, sf_dir),
+        "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2847,6 +2866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_diversity": _q_source_diversity,
         # X110 (oracled): rank-exact winsorization pieces:
         "winsorize": _q_winsorize,
+        # X111 (oracled): deterministic split assignment summary:
+        "split_assign": _q_split_assign,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -4994,6 +5015,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X111: exact hex ranges reproduced from the engine's own
+    # split_cuts() (cut literals baked in — the portability contract)
+    from c3s_sm_spark.operators.sampling import split_cuts
+
+    _sc = split_cuts([("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    d["split_assign"] = f"""
+        WITH s AS (
+          SELECT doc_id,
+            CASE
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_sc[0][1]}' THEN '{_sc[0][0]}'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                   < '{_sc[1][1]}' THEN '{_sc[1][0]}'
+              ELSE '{_sc[2][0]}'
+            END AS split
+          FROM documents)
+        SELECT split, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum
+        FROM s GROUP BY split
     """
     # X110: identical order-statistic thresholds ((α·n+999)//1000
     # rank, conditional max over the key frame), value-compared clip

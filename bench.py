@@ -150,6 +150,7 @@ HEADLINE = [
     "countmin",
     "source_diversity",
     "winsorize",
+    "split_assign",
     "text_quality",
     "lang_id",
     "quality_select",

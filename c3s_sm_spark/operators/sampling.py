@@ -837,3 +837,63 @@ def eqfreq_hist(
             F.sum("__v").cast("long").alias("v_sum_micro"),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: Sequence[tuple[str, float]],
+    salt: str = "",
+) -> DataFrame:
+    """X111 deterministic train/val/test split assignment: every row
+    gets exactly ONE split label, chosen by where the md5 content hash
+    of its key lands on the 4-hex grid — disjoint and exhaustive BY
+    CONSTRUCTION (consecutive half-open hash ranges), reproducible at
+    any parallelism and in any engine with md5, and stable under
+    re-ingestion (a re-crawled doc with the same key lands in the same
+    split — the leakage property row_number()-based splits don't have).
+
+    ``fractions`` is an ordered ``[(label, frac), ...]``; they must sum
+    to ~1 (±1e-9) — the LAST split absorbs the hash-grid remainder so
+    no row can fall between cuts. Different ``salt`` values give
+    independent split geometries.
+
+    Scale: one projection — no shuffle, no state; the split column
+    composes with partitioned writes (``partitionBy('split')``).
+    Per-split cut points are exposed via :func:`split_cuts` so an
+    external engine can reproduce the assignment.
+    """
+    fr = list(fractions)
+    if len(fr) < 2:
+        raise ValueError("need at least 2 splits")
+    total = sum(f for _, f in fr)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = [n for n, _ in fr]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate split labels")
+    cuts = split_cuts(fr)
+    h = hash_bucket(F.col(key_col), salt)
+    expr = None
+    for name, cut in cuts[:-1]:
+        cond = h < F.lit(cut)
+        expr = (
+            F.when(cond, name)
+            if expr is None
+            else expr.when(cond, name)
+        )
+    expr = expr.otherwise(cuts[-1][0])
+    return df.withColumn("split", expr)
+
+
+def split_cuts(fractions: Sequence[tuple[str, float]]) -> list[tuple[str, str]]:
+    """The cumulative hex cut points behind :func:`assign_splits` —
+    ``[(label, upper_cut_hex), ...]`` with the last cut saturated to
+    the 'g' full-keep sentinel. Exposed so oracles / other engines can
+    reproduce the exact ranges."""
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for name, f in fractions:
+        acc += f
+        out.append((name, _hexcut(int(acc * (16**_HEX_W)))))
+    return out

@@ -2560,3 +2560,36 @@ def test_winsorize_pieces_exact_and_ties(spark):
     assert (r1["lo"], r1["hi"], r1["sum_clipped"]) == (7, 7, 7)
     with pytest.raises(ValueError):
         winsorize_pieces(df, ["g"], "v", alpha_milli=500)
+
+
+def test_assign_splits_disjoint_exhaustive_stable(spark):
+    # X111: every row exactly one label; stable under re-ingestion and
+    # parallelism; salt changes geometry; guards
+    from c3s_sm_spark.operators.sampling import assign_splits, split_cuts
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    fr = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = assign_splits(df, "k", fr)
+    counts = {r["split"]: r["cnt"] for r in a.groupBy("split").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(counts.values()) == 1000 and set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic across partitionings
+    b = assign_splits(df.repartition(7), "k", fr)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # a subset re-ingested later keeps its labels (no index dependence)
+    sub = assign_splits(df.where(F.col("k") < 100), "k", fr)
+    full = {r["k"]: r["split"] for r in a.collect()}
+    assert all(full[r["k"]] == r["split"] for r in sub.collect())
+    # salt gives a different geometry
+    s = assign_splits(df, "k", fr, salt="v2")
+    assert sorted(map(tuple, s.collect())) != sorted(map(tuple, a.collect()))
+    # cuts are monotone and end at the saturating sentinel
+    cuts = split_cuts(fr)
+    assert cuts[-1][1] == "g" and cuts[0][1] < cuts[1][1]
+    with pytest.raises(ValueError):
+        assign_splits(df, "k", [("a", 0.5), ("b", 0.4)])
+    with pytest.raises(ValueError):
+        assign_splits(df, "k", [("a", 1.0)])
+    with pytest.raises(ValueError):
+        assign_splits(df, "k", [("a", 0.5), ("a", 0.5)])
