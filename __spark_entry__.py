@@ -2571,6 +2571,17 @@ def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112 per-label embedding-column health audit: null/NaN/zero
+    vector counts, dim range, quantized norm mass — all BIGINT (the
+    float L2 derives caller-side as sqrt(sum_norm2q)/scale)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.similarity import embedding_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_audit(emb, group_col="label")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2868,6 +2879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize": _q_winsorize,
         # X111 (oracled): deterministic split assignment summary:
         "split_assign": _q_split_assign,
+        # X112 (oracled): embedding vector-column health audit:
+        "embedding_audit": _q_embedding_audit,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5015,6 +5028,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X112: identical per-element quantization (round(x·1000)² as
+    # BIGINT); NaN vectors excluded from norm mass, counted apart
+    d["embedding_audit"] = """
+        WITH s AS (
+          SELECT label,
+                 embedding IS NULL AS isn,
+                 CASE WHEN embedding IS NULL THEN NULL
+                      ELSE len(embedding) END AS dim,
+                 CASE WHEN embedding IS NULL THEN FALSE
+                      ELSE len(list_filter(embedding,
+                             x -> isnan(CAST(x AS DOUBLE)))) > 0
+                 END AS nanv,
+                 CASE WHEN embedding IS NULL
+                        OR len(list_filter(embedding,
+                             x -> isnan(CAST(x AS DOUBLE)))) > 0
+                      THEN NULL
+                      ELSE CAST(list_sum(list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * 1000)
+                                  AS BIGINT)
+                             * CAST(round(CAST(x AS DOUBLE) * 1000)
+                                    AS BIGINT))) AS BIGINT)
+                 END AS n2q
+          FROM embeddings)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(CASE WHEN isn THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null,
+               CAST(sum(CASE WHEN nanv THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nan,
+               CAST(sum(CASE WHEN n2q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero,
+               CAST(min(dim) AS BIGINT) AS dim_min,
+               CAST(max(dim) AS BIGINT) AS dim_max,
+               CAST(coalesce(sum(n2q), 0) AS BIGINT) AS sum_norm2q
+        FROM s GROUP BY label
     """
     # X111: exact hex ranges reproduced from the engine's own
     # split_cuts() (cut literals baked in — the portability contract)

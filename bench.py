@@ -151,6 +151,7 @@ HEADLINE = [
     "source_diversity",
     "winsorize",
     "split_assign",
+    "embedding_audit",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -719,3 +719,63 @@ def cluster_embeddings(
         F.col("_c.cluster").alias("cluster"),
         F.col("_c.cos_sim").alias("cos_sim"),
     )
+
+
+def embedding_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """X112 vector-column health audit — the dataset-card pass an
+    embedding table gets before any ANN/clustering work: per group (or
+    corpus-wide with ``group_col=None``) counts of NULL vectors,
+    NaN-poisoned vectors, zero vectors, the dimension range (a mixed-dim
+    table breaks every matmul path downstream) and the quantized norm
+    mass.
+
+    Exactness: norms are summed over ``round(x·scale)²`` per element —
+    BIGINT end to end, so the witness hashes bit-stably in any engine
+    (the float L2 norm itself is derived caller-side as
+    ``sqrt(sum_norm2q)/scale``). NaN vectors are EXCLUDED from the norm
+    mass (a single NaN would null the whole sum) and counted
+    separately. Overflow: dim · (scale·max|x|)² per vector — int64-safe
+    to dim 10^4 at scale 1000 and |x| ≤ 30.
+
+    Plan: pure projection over higher-order functions (transform /
+    aggregate / exists — interpreted but JVM-side, no Python) + ONE
+    map-side-combined groupBy; no window, no join.
+    """
+    g = [group_col] if group_col else []
+    vec = F.col(vec_col)
+    has_nan = F.exists(vec, lambda x: F.isnan(x.cast("double")))
+    q = F.transform(
+        vec, lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    norm2q = F.aggregate(
+        q, F.lit(0).cast("long"), lambda a, x: a + x * x
+    )
+    staged = emb.select(
+        *g,
+        vec.isNull().alias("__isnull"),
+        F.when(vec.isNull(), None).otherwise(F.size(vec)).alias("__dim"),
+        F.when(vec.isNull(), F.lit(False)).otherwise(has_nan).alias("__nan"),
+        F.when(
+            vec.isNull() | has_nan, None
+        ).otherwise(norm2q).alias("__n2q"),
+    )
+    return staged.groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("__isnull"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null"),
+        F.sum(F.when(F.col("__nan"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nan"),
+        F.sum(F.when(F.col("__n2q") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero"),
+        F.min("__dim").cast("long").alias("dim_min"),
+        F.max("__dim").cast("long").alias("dim_max"),
+        F.coalesce(F.sum("__n2q"), F.lit(0)).cast("long").alias("sum_norm2q"),
+    )

@@ -2593,3 +2593,31 @@ def test_assign_splits_disjoint_exhaustive_stable(spark):
         assign_splits(df, "k", [("a", 1.0)])
     with pytest.raises(ValueError):
         assign_splits(df, "k", [("a", 0.5), ("a", 0.5)])
+
+
+def test_embedding_audit_null_nan_zero_paths(spark):
+    # X112: constructed table exercises every health branch
+    from pyspark.sql import Row
+    from c3s_sm_spark.operators.similarity import embedding_audit
+
+    rows = [
+        Row(g="a", embedding=[1.0, 2.0]),          # n2q = 1e6 + 4e6
+        Row(g="a", embedding=[0.0, 0.0]),          # zero vector
+        Row(g="a", embedding=None),                # null vector
+        Row(g="b", embedding=[float("nan"), 1.0]), # NaN vector
+        Row(g="b", embedding=[3.0, 4.0, 0.0]),     # mixed dim in group
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<double>")
+    got = {
+        r["g"]: (
+            r["n_vecs"], r["n_null"], r["n_nan"], r["n_zero"],
+            r["dim_min"], r["dim_max"], r["sum_norm2q"],
+        )
+        for r in embedding_audit(df, group_col="g").collect()
+    }
+    assert got["a"] == (3, 1, 0, 1, 2, 2, 5_000_000)
+    assert got["b"] == (2, 0, 1, 0, 2, 3, 25_000_000)
+    # corpus-wide grain (no group col): one row, same totals
+    allr = embedding_audit(df).collect()[0]
+    assert (allr["n_vecs"], allr["n_null"], allr["n_nan"]) == (5, 1, 1)
+    assert allr["sum_norm2q"] == 30_000_000
