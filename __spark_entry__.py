@@ -2582,6 +2582,22 @@ def _q_embedding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_audit(emb, group_col="label")
 
 
+def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113 K-Minimum-Values vocabulary sketch per source (k=16 —
+    below the 31-token vocab so the cut binds): the 16 smallest
+    md5(token) digests per source, as relational rows. Distinct-count
+    / Jaccard estimates derive caller-side; mergeability is
+    pytest-pinned."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sketches import kmv_sketch
+    from c3s_sm_spark.operators.textstats import words_col
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words_col("text")).alias("token")
+    )
+    return kmv_sketch(toks, "source", "token", k=16)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2881,6 +2897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         # X112 (oracled): embedding vector-column health audit:
         "embedding_audit": _q_embedding_audit,
+        # X113 (oracled): KMV vocabulary sketch rows per source:
+        "kmv": _q_kmv,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5028,6 +5046,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X113: same tokenizer; digests unique after DISTINCT so the rank
+    # is tie-free; lexicographic hex order both engines
+    d["kmv"] = r"""
+        WITH w AS (
+          SELECT source,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT source, unnest(ws) AS token FROM w WHERE lt > 0),
+        dig AS (SELECT DISTINCT source AS g, md5(token) AS digest
+                FROM toks),
+        r AS (SELECT g, digest,
+                     row_number() OVER (PARTITION BY g ORDER BY digest)
+                       AS rnk
+              FROM dig)
+        SELECT g AS source, CAST(rnk AS BIGINT) AS rnk, digest
+        FROM r WHERE rnk <= 16
     """
     # X112: identical per-element quantization (round(x·1000)² as
     # BIGINT); NaN vectors excluded from norm mass, counted apart

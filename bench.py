@@ -152,6 +152,7 @@ HEADLINE = [
     "winsorize",
     "split_assign",
     "embedding_audit",
+    "kmv",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -92,3 +92,90 @@ def countmin_estimate(
     return joined.groupBy("__k").agg(
         F.min("c").cast("long").alias("cm_est")
     ).select(F.col("__k").alias(key_col), "cm_est")
+
+
+def kmv_sketch(
+    items: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values distinct-set sketch per group: the ``k``
+    lexicographically smallest ``md5(key)`` hex digests of each
+    group's DISTINCT keys — the mergeable set summary behind cheap
+    distinct-count estimates and cross-group Jaccard estimates
+    (Bar-Yossef et al. 2002; Beyer et al. 2007 — public). md5 hex
+    strings keep the sketch engine-portable (the hash_bucket
+    discipline); lexicographic order on fixed-width hex IS numeric
+    order.
+
+    Mergeability: union two groups' sketch ROWS and keep the k
+    smallest again — identical to sketching the union (pytest-pinned).
+    Estimates derive caller-side: with v_k = the k-th minimum mapped
+    to (0,1], D̂ ≈ (k-1)/v_k; Jaccard(A,B) ≈ |{k smallest of A∪B
+    sketches} ∩ A-sketch ∩ B-sketch| / k.
+
+    Plan: distinct over (group, digest) — the only corpus-sized
+    exchange, carrying 32-byte digests of DISTINCT keys; the top-k cut
+    is a per-group rank window over the distinct frame (bounded by
+    vocabulary, not occurrences). Output: ``(group, rnk, digest)``
+    with rnk 1..k — rows, not arrays, so downstream merges stay
+    relational.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    dig = (
+        items.select(
+            F.col(group_col).alias("g"),
+            F.md5(F.col(key_col).cast("string")).alias("digest"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("digest")
+    return (
+        dig.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(F.col("g").alias(group_col), "rnk", "digest")
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+    """Merge KMV sketch rows (possibly from different loads/groups
+    mapped onto the same target group): distinct digests, keep the k
+    smallest per group — the same relation :func:`kmv_sketch` would
+    emit over the union of the original key sets."""
+    from pyspark.sql import Window
+
+    dig = sketches.select(
+        F.col(group_col).alias("g"), "digest"
+    ).distinct()
+    w = Window.partitionBy("g").orderBy("digest")
+    return (
+        dig.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+        .select(F.col("g").alias(group_col), "rnk", "digest")
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """Distinct-count estimate per group from a KMV sketch: if the
+    group has fewer than k digests the sketch IS the distinct set
+    (exact count); else D̂ = (k-1)/v_k with v_k = k-th minimum digest
+    mapped to (0,1] via its leading 15 hex chars (60 bits). Float by
+    nature — derives OUTSIDE any hash boundary."""
+    agg = sketch.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_sketch"),
+        F.max(F.when(F.col("rnk") == k, F.substring("digest", 1, 15))).alias(
+            "__vk"
+        ),
+    )
+    u = (F.conv(F.col("__vk"), 16, 10).cast("double") + 1.0) / float(16**15)
+    return agg.select(
+        group_col,
+        "n_in_sketch",
+        F.when(F.col("__vk").isNull(), F.col("n_in_sketch").cast("double"))
+        .otherwise((F.lit(float(k - 1))) / u)
+        .alias("d_est"),
+    )

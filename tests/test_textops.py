@@ -2621,3 +2621,37 @@ def test_embedding_audit_null_nan_zero_paths(spark):
     allr = embedding_audit(df).collect()[0]
     assert (allr["n_vecs"], allr["n_null"], allr["n_nan"]) == (5, 1, 1)
     assert allr["sum_norm2q"] == 30_000_000
+
+
+def test_kmv_sketch_merge_and_estimate(spark):
+    # X113: merge(sketch(A-half), sketch(B-half)) == sketch(whole);
+    # estimate is exact below k and within tolerance above
+    from c3s_sm_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    items = spark.createDataFrame(
+        [("g", f"key{i}") for i in range(500)] * 2, "g string, k string"
+    )
+    k = 32
+    full = kmv_sketch(items, "g", "k", k=k)
+    half1 = kmv_sketch(items.where(F.col("k") < "key3"), "g", "k", k=k)
+    half2 = kmv_sketch(items.where(F.col("k") >= "key25"), "g", "k", k=k)
+    merged = kmv_merge(half1.union(half2), "g", k=k)  # overlapping halves
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    est = kmv_distinct_estimate(full, "g", k).collect()[0]
+    assert est["n_in_sketch"] == k
+    assert 250 <= est["d_est"] <= 1000  # 500 true, k=32 -> ~±35%
+    # below k: sketch is the exact distinct set
+    small = spark.createDataFrame(
+        [("h", f"x{i}") for i in range(10)], "g string, k string"
+    )
+    es = kmv_distinct_estimate(kmv_sketch(small, "g", "k", k=k), "g", k)
+    r = es.collect()[0]
+    assert (r["n_in_sketch"], r["d_est"]) == (10, 10.0)
+    with pytest.raises(ValueError):
+        kmv_sketch(small, "g", "k", k=0)
