@@ -509,6 +509,76 @@ def main() -> None:
         )
     )
 
+    # 25. winsorize (X110): one key exchange + one shared sort feeding
+    # rank AND both threshold windows; final agg reuses partitioning
+    from c3s_sm_spark.operators.timeseries import winsorize_pieces
+
+    ev4 = ev.where(F.col("value").isNotNull()).withColumn(
+        "v4", F.round(F.col("value") * 10000).cast("long")
+    )
+    wz_txt = plan_text(winsorize_pieces(ev4, ["event_type"], "v4"))
+    sections.append(
+        (
+            "winsorize_pieces (X110): one exchange, one shared sort",
+            wz_txt,
+            {
+                "single key exchange": wz_txt.count("hashpartitioning(") == 1,
+                "single sort": wz_txt.count("Sort (") == 1,
+                "window chain": "Window" in wz_txt,
+            },
+        )
+    )
+
+    # 26. assign_splits (X111): pure projection — NO exchange at all
+    from c3s_sm_spark.operators.sampling import assign_splits
+
+    sp_txt = plan_text(
+        assign_splits(
+            docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+        )
+    )
+    sections.append(
+        (
+            "assign_splits (X111): zero-shuffle projection",
+            sp_txt,
+            {
+                "no exchange": "Exchange" not in sp_txt,
+                "no window/sort/join": all(
+                    t not in sp_txt for t in ("Window", "SortMergeJoin")
+                ),
+            },
+        )
+    )
+
+    # 27. kmv_sketch (X113): distinct over digests then per-group rank
+    # window on the DISTINCT frame (partial agg before the exchange)
+    from c3s_sm_spark.operators.sketches import kmv_sketch
+
+    kv_txt = plan_text(
+        kmv_sketch(
+            docs.select("source", F.explode(words_col("text")).alias("token")),
+            "source",
+            "token",
+            k=16,
+        )
+    )
+    sections.append(
+        (
+            "kmv_sketch (X113): partial-agg distinct, group rank window",
+            kv_txt,
+            {
+                # distinct plans as paired HashAggregates around the
+                # exchange — the first IS the map-side partial
+                "two-phase distinct": kv_txt.count("HashAggregate") >= 2,
+                # rank-limit pushed BELOW the exchange: each partition
+                # ships only its local top-k per group
+                "pre-shuffle rank limit": "WindowGroupLimit" in kv_txt,
+                "group-keyed window": "Window" in kv_txt,
+                "no join": "Join" not in kv_txt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
