@@ -2598,6 +2598,17 @@ def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch(toks, "source", "token", k=16)
 
 
+def _q_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 normalization-sensitivity dedup report over documents:
+    distinct/dup-group/redundant counts at each rung of the
+    normalization ladder (raw / ws / lower_ws / alnum) from ONE corpus
+    scan — the decide-before-you-delete audit for exact dedup."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import normalization_report
+
+    return normalization_report(_docs(spark, sf_dir))
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2899,6 +2910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_audit": _q_embedding_audit,
         # X113 (oracled): KMV vocabulary sketch rows per source:
         "kmv": _q_kmv,
+        # X114 (oracled): normalization-ladder dedup sensitivity:
+        "norm_report": _q_norm_report,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5046,6 +5059,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X114: cardinalities over the normalized STRINGS (engine uses
+    # 128-bit keys — hash-invariant counts, collision check)
+    d["norm_report"] = r"""
+        WITH n AS (
+          SELECT 'raw' AS form, text AS nt FROM documents
+          UNION ALL
+          SELECT 'ws', regexp_replace(trim(text), '\s+', ' ', 'g')
+          FROM documents
+          UNION ALL
+          SELECT 'lower_ws',
+                 lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+          FROM documents
+          UNION ALL
+          SELECT 'alnum',
+                 regexp_replace(
+                   lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                   '[^a-z0-9 ]', '', 'g')
+          FROM documents),
+        g AS (SELECT form, nt, count(*) AS c FROM n GROUP BY 1, 2)
+        SELECT form,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_groups,
+               CAST(sum(c) - count(*) AS BIGINT) AS redundant
+        FROM g GROUP BY form
     """
     # X113: same tokenizer; digests unique after DISTINCT so the rank
     # is tie-free; lexicographic hex order both engines

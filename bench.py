@@ -153,6 +153,7 @@ HEADLINE = [
     "split_assign",
     "embedding_audit",
     "kmv",
+    "norm_report",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1116,3 +1116,69 @@ def cross_group_dups(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+#: the normalization ladder (X114): each level's expression builder,
+#: applied in order of increasing aggressiveness. ONE definition so the
+#: report, any dedup caller and the oracle doc can't disagree.
+NORM_LEVELS = ("raw", "ws", "lower_ws", "alnum")
+
+
+def _norm_expr(level: str, text_col: str):
+    c = F.col(text_col)
+    if level == "raw":
+        return c
+    ws = F.regexp_replace(F.trim(c), r"\s+", " ")
+    if level == "ws":
+        return ws
+    if level == "lower_ws":
+        return F.lower(ws)
+    if level == "alnum":
+        return F.regexp_replace(F.lower(ws), "[^a-z0-9 ]", "")
+    raise ValueError(f"unknown normalization level {level!r}")
+
+
+def normalization_report(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """X114 normalization-sensitivity dedup report: how many duplicate
+    groups / redundant docs appear at each rung of the normalization
+    ladder (raw → whitespace-collapse → +lowercase → +alnum-only) —
+    the audit that decides WHICH normalization exact-dedup should key
+    on before anyone deletes a byte. A big raw→ws jump means trailing-
+    whitespace boilerplate; ws→lower_ws jumps mean case-variant spam.
+
+    One corpus scan: every level's 128-bit content key (exact_dedup's
+    two salted xxhash64 lanes — 16 bytes/row/level through the
+    shuffle, never text) is emitted via a posexplode'd struct array,
+    then ONE groupBy(level, key) + ONE groupBy(level). Output per
+    level: ``(form, n_docs, n_distinct, dup_groups, redundant)`` all
+    BIGINT; the oracle computes the same cardinalities over the
+    normalized strings themselves (collision check at test scale).
+    """
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(lv).alias("form"),
+                F.xxhash64(F.lit(0), _norm_expr(lv, text_col)).alias("lo"),
+                F.xxhash64(F.lit(1), _norm_expr(lv, text_col)).alias("hi"),
+            )
+            for lv in NORM_LEVELS
+        ]
+    )
+    keyed = docs.select(F.explode(structs).alias("s")).select(
+        F.col("s.form").alias("form"),
+        F.col("s.lo").alias("lo"),
+        F.col("s.hi").alias("hi"),
+    )
+    groups = keyed.groupBy("form", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return groups.groupBy("form").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dup_groups"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("redundant"),
+    )

@@ -2655,3 +2655,31 @@ def test_kmv_sketch_merge_and_estimate(spark):
     assert (r["n_in_sketch"], r["d_est"]) == (10, 10.0)
     with pytest.raises(ValueError):
         kmv_sketch(small, "g", "k", k=0)
+
+
+def test_normalization_report_ladder(spark):
+    # X114: constructed corpus where each rung reveals one more dup
+    from c3s_sm_spark.operators.dedup_text import (
+        NORM_LEVELS,
+        normalization_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello World"),
+            (2, "Hello  World"),    # ws rung collapses into 1
+            (3, "hello world"),     # lower_ws rung collapses into 1-3
+            (4, "hello, world"),    # alnum rung: "hello world" too
+            (5, "other"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["form"]: (r["n_docs"], r["n_distinct"], r["dup_groups"], r["redundant"])
+        for r in normalization_report(docs).collect()
+    }
+    assert set(rows) == set(NORM_LEVELS)
+    assert rows["raw"] == (5, 5, 0, 0)
+    assert rows["ws"] == (5, 4, 1, 1)        # 1+2 merge
+    assert rows["lower_ws"] == (5, 3, 1, 2)  # 1+2+3 merge
+    assert rows["alnum"] == (5, 2, 1, 3)     # "hello, world" joins too
