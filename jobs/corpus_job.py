@@ -17,6 +17,11 @@ training-data pipeline performs on a raw documents table —
     curve    vocabulary-growth curve (exact, or --hll sketch) -> JSON rows
     drift    token-distribution drift between two sources -> JSON rows
     mix      token-budget waterfilling plan across sources -> JSON rows
+    split    deterministic hash-range train/val/test assignment ->
+             split-partitioned parquet + JSON summary with the cuts
+    audit    one-shot dataset card (normalization-dedup ladder, per-
+             group diversity pieces, char-mass Gini, cross-group
+             exact-dup leakage) -> JSON
     pipeline stats -> filter -> dedup -> chunk -> pack in one run
 
 Every stage reads/writes plain parquet directories under ``--out`` so
@@ -306,6 +311,72 @@ def cmd_merges(spark: SparkSession, args) -> None:
     _emit({"stage": "merges", "rows": rows})
 
 
+def cmd_split(spark: SparkSession, args) -> None:
+    from c3s_sm_spark.operators.sampling import assign_splits, split_cuts
+
+    fr = [
+        ("train", args.train), ("val", args.val), ("test", args.test)
+    ]
+    out = assign_splits(_docs(spark, args), args.key, fr, salt=args.salt)
+    path = os.path.join(args.out, "splits")
+    # hive-partitioned by split so each consumer reads ONLY its split's
+    # files (partition pruning); repartition first so each split writes
+    # its own files instead of every task writing into all three
+    out.repartition("split").write.mode("overwrite").partitionBy(
+        "split"
+    ).parquet(path)
+    back = spark.read.parquet(path)
+    counts = {
+        r["split"]: r["n"]
+        for r in back.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    _emit(
+        {
+            "stage": "split",
+            "out": path,
+            "counts": counts,
+            "cuts": dict(split_cuts(fr)),
+        }
+    )
+
+
+def cmd_audit(spark: SparkSession, args) -> None:
+    """One-shot dataset card: normalization-dedup ladder, source
+    diversity pieces, mass concentration, cross-source leakage."""
+    from c3s_sm_spark.operators.dedup_text import (
+        cross_group_dups,
+        normalization_report,
+    )
+    from c3s_sm_spark.operators.profile import gini_from_pieces, lorenz_gini
+    from c3s_sm_spark.operators.textstats import token_diversity
+
+    docs = _docs(spark, args)
+    norm = {
+        r["form"]: {"distinct": r["n_distinct"], "redundant": r["redundant"]}
+        for r in normalization_report(docs).collect()
+    }
+    div = [
+        r.asDict()
+        for r in token_diversity(docs, group_col=args.group)
+        .orderBy(args.group)
+        .collect()
+    ]
+    gini = gini_from_pieces(lorenz_gini(docs, "n_chars", "doc_id"))
+    leaks = [
+        r.asDict()
+        for r in cross_group_dups(docs, group_col=args.group).collect()
+    ]
+    _emit(
+        {
+            "stage": "audit",
+            "normalization": norm,
+            "group_diversity": div,
+            "char_mass_gini": round(gini, 4),
+            "cross_group_leaks": leaks,
+        }
+    )
+
+
 def _done(spark: SparkSession, out: str, name: str) -> str | None:
     """Path of a completed stage output (parquet _SUCCESS present).
 
@@ -368,6 +439,8 @@ def main(argv: list[str] | None = None) -> None:
     m = sub.add_parser("merges")
     g = sub.add_parser("drift")
     mx = sub.add_parser("mix")
+    sl = sub.add_parser("split")
+    au = sub.add_parser("audit")
     pl = sub.add_parser("pipeline")
 
     for sp in (f, pl):
@@ -407,6 +480,13 @@ def main(argv: list[str] | None = None) -> None:
                     help="budget as corpus fraction (ignored when "
                          "--budget-tokens is set)")
 
+    sl.add_argument("--key", default="doc_id")
+    sl.add_argument("--train", type=float, default=0.8)
+    sl.add_argument("--val", type=float, default=0.1)
+    sl.add_argument("--test", type=float, default=0.1)
+    sl.add_argument("--salt", default="")
+    au.add_argument("--group", default="source")
+
     args = p.parse_args(argv)
     spark = _spark(args)
     {
@@ -420,6 +500,8 @@ def main(argv: list[str] | None = None) -> None:
         "merges": cmd_merges,
         "drift": cmd_drift,
         "mix": cmd_mix,
+        "split": cmd_split,
+        "audit": cmd_audit,
         "pipeline": cmd_pipeline,
     }[args.cmd](spark, args)
 

@@ -296,3 +296,51 @@ main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
     # the weighted source grabs more than an unweighted sibling
     by = {r["source"]: r for r in want}
     assert by["src1"]["alloc"] >= by["src0"]["alloc"]
+
+
+def test_cli_split_and_audit(tmp_path, spark):
+    # split: CLI assignment must equal the in-process API on the same
+    # input, and the hive layout must read back disjoint+exhaustive
+    out = str(tmp_path / "cli_sa")
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from jobs.corpus_job import main
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "split", "--val", "0.15", "--test", "0.05"])
+main(["--input", {DOCS!r}, "--out", {out!r}, "--master", "local[4]",
+      "audit"])
+"""
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    stages = {}
+    for line in res.stdout.splitlines():
+        if line.strip().startswith("{"):
+            d = json.loads(line)
+            stages[d["stage"]] = d
+    from c3s_sm_spark.operators.sampling import assign_splits
+
+    api = {
+        r["split"]: r["n"]
+        for r in assign_splits(
+            spark.read.parquet(DOCS),
+            "doc_id",
+            [("train", 0.8), ("val", 0.15), ("test", 0.05)],
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert stages["split"]["counts"] == api
+    back = spark.read.parquet(stages["split"]["out"])
+    assert back.count() == sum(api.values())
+    assert set(r["split"] for r in back.select("split").distinct().collect()) == set(api)
+    # audit card carries all four sections with sane shapes
+    card = stages["audit"]
+    assert set(card["normalization"]) == {"raw", "ws", "lower_ws", "alnum"}
+    assert len(card["group_diversity"]) == 20
+    assert 0.0 <= card["char_mass_gini"] <= 1.0
+    assert card["cross_group_leaks"] == []  # sf0.001 is leak-free
