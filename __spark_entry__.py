@@ -2609,6 +2609,33 @@ def _q_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalization_report(_docs(spark, sf_dir))
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115 ledger-backed cross-batch exact dedup, driven end-to-end
+    on a FRESH ledger each call: batch1 = docs with doc_id < 250;
+    batch2 = the rest PLUS a re-ingestion of the first 50 docs. The
+    witness is batch2's survivor summary — the 50 re-ingested docs
+    must be rejected by the persisted fingerprint ledger, which the
+    oracle expresses as a NOT EXISTS against batch1's text set."""
+    _prep(spark)
+    import tempfile
+
+    from c3s_sm_spark.operators.dedup_text import incremental_exact_dedup
+    from c3s_sm_spark.sources.tableio import SnapshotTable
+
+    docs = _docs(spark, sf_dir)
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250).unionByName(
+        docs.where(F.col("doc_id") < 50)
+    )
+    ledger = SnapshotTable(tempfile.mkdtemp(prefix="dedup_ledger_"))
+    incremental_exact_dedup(ledger, b1).count()  # ingest batch 1
+    surv = incremental_exact_dedup(ledger, b2)
+    return surv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_survivors"),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias("id_sum"),
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2912,6 +2939,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv": _q_kmv,
         # X114 (oracled): normalization-ladder dedup sensitivity:
         "norm_report": _q_norm_report,
+        # X115 (oracled): ledger-backed cross-batch dedup, fresh ledger
+        # per call (side effects confined to a throwaway tmp table):
+        "dedup_incremental": _q_dedup_incremental,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5059,6 +5089,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X115: batch2 survivors = per-text min-id rows whose text batch1
+    # never saw; raw-text equality (the engine's 128-bit key is the
+    # collision check)
+    d["dedup_incremental"] = """
+        WITH b1 AS (SELECT * FROM documents WHERE doc_id < 250),
+        b2 AS (SELECT * FROM documents WHERE doc_id >= 250
+               UNION ALL
+               SELECT * FROM documents WHERE doc_id < 50),
+        first AS (SELECT text, min(doc_id) AS keep
+                  FROM b2 GROUP BY text),
+        surv AS (
+          SELECT f.keep FROM first f
+          WHERE NOT EXISTS (SELECT 1 FROM b1 WHERE b1.text = f.text))
+        SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+               CAST(coalesce(sum(keep), 0) AS BIGINT) AS id_sum
+        FROM surv
     """
     # X114: cardinalities over the normalized STRINGS (engine uses
     # 128-bit keys — hash-invariant counts, collision check)

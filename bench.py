@@ -154,6 +154,7 @@ HEADLINE = [
     "embedding_audit",
     "kmv",
     "norm_report",
+    "dedup_incremental",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1182,3 +1182,63 @@ def normalization_report(
         .alias("dup_groups"),
         (F.sum("n") - F.count(F.lit(1))).cast("long").alias("redundant"),
     )
+
+
+def incremental_exact_dedup(
+    ledger,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X115 exact dedup ACROSS ingestion batches: keep a persisted
+    fingerprint ledger (a :class:`~c3s_sm_spark.sources.tableio.
+    SnapshotTable` of 128-bit content keys) and admit only first-seen
+    content — the stateful companion to :func:`exact_dedup`, which is
+    one-shot. First ARRIVAL wins (streaming-correct: an earlier batch's
+    doc keeps its slot even if a later batch ships a smaller id).
+
+    Semantics per call: (1) within the batch, keep the min-``id_col``
+    row per content key; (2) anti-join the ledger AT ITS CURRENT
+    SNAPSHOT (the explicit-file-list read pins the scan — concurrent
+    appends can't shift it mid-job); (3) atomically append the newly
+    admitted keys. Re-running the same batch is idempotent: every key
+    is already in the ledger, zero survivors, no ledger growth.
+
+    Scale: the ledger stores 16 bytes/distinct-content (two salted
+    xxhash64 lanes — exact_dedup's birthday-safe key); the anti-join
+    is key-to-key, never text; ledger compaction/expiry ride the
+    SnapshotTable maintenance ops. Returns the surviving batch rows
+    with all original columns.
+    """
+    spark = batch.sparkSession
+    keyed = batch.withColumn(
+        "__lo", F.xxhash64(F.lit(0), F.col(text_col))
+    ).withColumn("__hi", F.xxhash64(F.lit(1), F.col(text_col)))
+    first = keyed.groupBy("__lo", "__hi").agg(
+        F.min(id_col).alias("__keep")
+    )
+    try:
+        seen = ledger.read(spark)
+    except FileNotFoundError:
+        seen = None
+    fresh = (
+        first
+        if seen is None
+        else first.join(
+            seen.select(
+                F.col("lo").alias("__lo"), F.col("hi").alias("__hi")
+            ),
+            ["__lo", "__hi"],
+            "left_anti",
+        )
+    )
+    survivors = keyed.join(
+        fresh.withColumnRenamed("__keep", id_col),
+        ["__lo", "__hi", id_col],
+    ).drop("__lo", "__hi")
+    new_keys = fresh.select(
+        F.col("__lo").alias("lo"), F.col("__hi").alias("hi")
+    )
+    if not new_keys.isEmpty():
+        ledger.append(new_keys, summary={"op": "incremental_exact_dedup"})
+    return survivors

@@ -2683,3 +2683,37 @@ def test_normalization_report_ladder(spark):
     assert rows["ws"] == (5, 4, 1, 1)        # 1+2 merge
     assert rows["lower_ws"] == (5, 3, 1, 2)  # 1+2+3 merge
     assert rows["alnum"] == (5, 2, 1, 3)     # "hello, world" joins too
+
+
+def test_incremental_exact_dedup_ledger(spark, tmp_path):
+    # X115: cross-batch dedup with a persisted fingerprint ledger —
+    # first arrival wins, rerun is idempotent, ledger never re-admits
+    from c3s_sm_spark.operators.dedup_text import incremental_exact_dedup
+    from c3s_sm_spark.sources.tableio import SnapshotTable
+
+    ledger = SnapshotTable(str(tmp_path / "fps"))
+    b1 = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta"), (12, "alpha")],
+        "doc_id long, text string",
+    )
+    s1 = incremental_exact_dedup(ledger, b1)
+    assert sorted((r["doc_id"], r["text"]) for r in s1.collect()) == [
+        (10, "alpha"), (11, "beta"),  # within-batch min-id wins
+    ]
+    # batch 2: a dup of b1 content with a SMALLER id is still rejected
+    # (first arrival wins), genuinely new content admitted
+    b2 = spark.createDataFrame(
+        [(1, "alpha"), (20, "gamma"), (21, "gamma")],
+        "doc_id long, text string",
+    )
+    s2 = incremental_exact_dedup(ledger, b2)
+    assert sorted((r["doc_id"], r["text"]) for r in s2.collect()) == [
+        (20, "gamma"),
+    ]
+    # idempotent rerun: zero survivors, ledger unchanged
+    head_before = ledger.head()
+    s2b = incremental_exact_dedup(ledger, b2)
+    assert s2b.count() == 0
+    assert ledger.head() == head_before  # empty append skipped
+    # ledger holds exactly the 3 distinct contents
+    assert ledger.read(spark).count() == 3
