@@ -2636,6 +2636,19 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116 int8-quantization error audit per label: exact integer
+    fixed-point (q=round(x·1000)), per-vector max-abs scale, +m shift
+    keeps every div operand non-negative (floor vs trunc division
+    diverge on negatives across engines); per-group error mass + max
+    element error, all BIGINT."""
+    _prep(spark)
+    from c3s_sm_spark.operators.similarity import quantization_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantization_audit(emb, group_col="label")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2942,6 +2955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X115 (oracled): ledger-backed cross-batch dedup, fresh ledger
         # per call (side effects confined to a throwaway tmp table):
         "dedup_incremental": _q_dedup_incremental,
+        # X116 (oracled): int8-quantization error audit:
+        "quant_audit": _q_quant_audit,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5089,6 +5104,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X116: identical integer quantize/reconstruct chain; // == div
+    # (the +m shift keeps operands non-negative on both sides)
+    d["quant_audit"] = """
+        WITH s AS (
+          SELECT label,
+                 list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS q
+          FROM embeddings WHERE embedding IS NOT NULL),
+        m AS (
+          SELECT label, q,
+                 CAST(list_max(list_transform(q,
+                   x -> abs(x))) AS BIGINT) AS mm
+          FROM s),
+        e AS (
+          SELECT label,
+                 list_transform(q, x -> CASE WHEN mm = 0 THEN 0
+                   ELSE abs(x + mm -
+                   (((((x + mm) * 127) // (2 * mm)) * 2 * mm) // 127))
+                   END) AS earr
+          FROM m)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(list_sum(earr)) AS BIGINT) AS sum_err_q,
+               CAST(max(list_max(earr)) AS BIGINT) AS max_err_q
+        FROM e GROUP BY label
     """
     # X115: batch2 survivors = per-text min-id rows whose text batch1
     # never saw; raw-text equality (the engine's 128-bit key is the

@@ -155,6 +155,7 @@ HEADLINE = [
     "kmv",
     "norm_report",
     "dedup_incremental",
+    "quant_audit",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -779,3 +779,77 @@ def embedding_audit(
         F.max("__dim").cast("long").alias("dim_max"),
         F.coalesce(F.sum("__n2q"), F.lit(0)).cast("long").alias("sum_norm2q"),
     )
+
+
+def quantization_audit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+    qscale: int = 1000,
+    bits_levels: int = 127,
+) -> DataFrame:
+    """X116 int8-quantization error audit — measure what symmetric
+    per-vector max-abs quantization (the standard vector-DB / cache
+    compression) would cost BEFORE converting a corpus of embeddings.
+
+    Everything runs in exact integer arithmetic so the witness is
+    engine-portable: elements are first fixed-pointed (``q =
+    round(x·qscale)``), the per-vector scale is ``m = max|q|`` (a true
+    zero vector is representable exactly and reports error 0), codes
+    are ``b = ((q + m)·L) div (2m)`` — the +m shift keeps every
+    operand NON-NEGATIVE, which matters because floor vs
+    truncate-toward-zero division diverge between engines on negative
+    operands (the waterfill_alloc rule) — and reconstruction error is
+    ``|q - ((b·2m) div L - m)|`` per element. Emits per group:
+    ``(n_vecs, sum_err_q, max_err_q)`` — errors in the same 1e-3
+    fixed-point units as q; the relative error derives caller-side
+    against sum_norm from :func:`embedding_audit`.
+
+    Plan: pure higher-order-function projection + one map-side
+    combined groupBy — no shuffle of vectors, no Python. NULL vectors
+    are skipped (they're :func:`embedding_audit`'s finding, not a
+    quantization cost).
+    """
+    g = [group_col] if group_col else []
+    vec = F.col(vec_col)
+    q = F.transform(
+        vec, lambda x: F.round(x.cast("double") * qscale).cast("long")
+    )
+    staged = emb.where(vec.isNotNull()).select(*g, q.alias("__q"))
+    m = F.aggregate(
+        F.col("__q"),
+        F.lit(0).cast("long"),
+        lambda a, x: F.greatest(a, F.abs(x)),
+    )
+    staged = staged.select(*g, "__q", m.alias("__m"))
+    L = int(bits_levels)
+    # expr-string lambda: `div` is exact integer floor division on
+    # longs with non-negative operands — identical to DuckDB `//`.
+    # A true zero vector (m=0) is representable exactly: error 0 by
+    # definition, not the phantom half-step a clamped scale would
+    # charge it.
+    err_arr = F.expr(
+        f"transform(__q, x -> CASE WHEN __m = 0L THEN 0L ELSE "
+        f"abs(x + __m - "
+        f"(((((x + __m) * {L}L) div (2L * __m)) * 2L * __m) div {L}L)) "
+        f"END)"
+    )
+    return staged.select(*g, err_arr.alias("__e")).groupBy(*g).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(
+            F.aggregate(
+                F.col("__e"), F.lit(0).cast("long"), lambda a, x: a + x
+            )
+        )
+        .cast("long")
+        .alias("sum_err_q"),
+        F.max(
+            F.aggregate(
+                F.col("__e"),
+                F.lit(0).cast("long"),
+                lambda a, x: F.greatest(a, x),
+            )
+        )
+        .cast("long")
+        .alias("max_err_q"),
+    )

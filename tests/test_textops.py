@@ -2717,3 +2717,35 @@ def test_incremental_exact_dedup_ledger(spark, tmp_path):
     assert ledger.head() == head_before  # empty append skipped
     # ledger holds exactly the 3 distinct contents
     assert ledger.read(spark).count() == 3
+
+
+def test_quantization_audit_exact_and_guards(spark):
+    # X116: hand-checkable 127-level quantization on tiny vectors
+    from pyspark.sql import Row
+    from c3s_sm_spark.operators.similarity import quantization_audit
+
+    rows = [
+        Row(g="a", embedding=[1.0, -1.0]),   # q=[1000,-1000], m=1000
+        Row(g="a", embedding=[0.0, 0.0]),    # zero vec: m clamps to 1, err 0
+        Row(g="a", embedding=None),          # skipped
+        Row(g="b", embedding=[0.5, 0.25]),   # q=[500,250], m=500
+    ]
+    df = spark.createDataFrame(rows, "g string, embedding array<double>")
+    got = {
+        r["g"]: (r["n_vecs"], r["sum_err_q"], r["max_err_q"])
+        for r in quantization_audit(df, group_col="g").collect()
+    }
+
+    def err(q, m):
+        b = ((q + m) * 127) // (2 * m)
+        return abs(q + m - ((b * 2 * m) // 127))
+
+    # zero vector contributes 0 error by definition (m=0 special case)
+    a_err = err(1000, 1000) + err(-1000, 1000)
+    b_err = err(500, 500) + err(250, 500)
+    assert got["a"] == (2, a_err, max(err(1000, 1000), err(-1000, 1000)))
+    assert got["b"] == (1, b_err, max(err(500, 500), err(250, 500)))
+    # the ±max endpoints quantize exactly (codes 0 and L)
+    assert err(1000, 1000) == 0 and err(-1000, 1000) == 0
+    # a mid value carries at most half a step: step = 2m/L
+    assert 0 <= err(250, 500) <= (2 * 500) // 127 + 1
