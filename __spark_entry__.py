@@ -2649,6 +2649,18 @@ def _q_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantization_audit(emb, group_col="label")
 
 
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 exact-phrase occurrence search for the 2-token probe
+    "the data": the engine runs the join-free anchor aggregation
+    (anchor = pos - slot, full occurrence iff all k slots check in);
+    the oracle runs the classical positional self-join — two different
+    algorithms pinned to the same relation."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import phrase_occurrences
+
+    return phrase_occurrences(_docs(spark, sf_dir), ["the", "data"])
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2957,6 +2969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": _q_dedup_incremental,
         # X116 (oracled): int8-quantization error audit:
         "quant_audit": _q_quant_audit,
+        # X117 (oracled): exact-phrase positional search:
+        "phrase_search": _q_phrase_search,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5104,6 +5118,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X117: the classical positional self-join — a DIFFERENT algorithm
+    # than the engine's anchor aggregation, same relation
+    d["phrase_search"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws
+          FROM documents WHERE length(trim(text)) > 0),
+        toks AS (
+          SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos,
+                 unnest(ws) AS token
+          FROM w)
+        SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM toks a JOIN toks b
+          ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          AND a.token = 'the' AND b.token = 'data'
+        GROUP BY a.doc_id
     """
     # X116: identical integer quantize/reconstruct chain; // == div
     # (the +m shift keeps operands non-negative on both sides)

@@ -156,6 +156,7 @@ HEADLINE = [
     "norm_report",
     "dedup_incremental",
     "quant_audit",
+    "phrase_search",
     "text_quality",
     "lang_id",
     "quality_select",

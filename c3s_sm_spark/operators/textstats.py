@@ -1267,3 +1267,59 @@ def postings_checksum(
     if min_df > 1:
         out = out.where(F.col("doc_freq") >= min_df)
     return out
+
+
+def phrase_occurrences(
+    docs: DataFrame,
+    phrase: Sequence[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """X117 exact-phrase search (the positional-index consumer: "which
+    docs contain this exact k-token phrase, how many times" — the
+    contamination / quote-detection primitive X21's shingle probes
+    approximate): counts OVERLAPPING occurrences, so "data data data"
+    contains "data data" twice.
+
+    The anchor trick keeps it to ONE aggregation and zero self-joins:
+    every token occurrence matching phrase position i emits ``anchor =
+    pos - i``; an anchor where ALL k phrase positions check in is a
+    full occurrence (``count(DISTINCT i) = k`` — distinct because one
+    token can satisfy several phrase positions when the phrase has
+    repeats). The exchange carries only matching-token rows keyed by
+    (doc, anchor) — a phrase is a query, so the match filter prunes
+    the corpus to the phrase tokens' postings before any shuffle.
+
+    Output: ``(doc_id, n_occurrences)`` BIGINT, matching docs only.
+    """
+    ph = list(phrase)
+    if not ph:
+        raise ValueError("phrase must be non-empty")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words_col(text_col)).alias("pos", "tok"),
+    ).where(F.col("tok").isin(ph))
+    # one row per (occurrence, phrase-slot it could fill)
+    slots = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(t).alias("t"))
+            for i, t in enumerate(ph)
+        ]
+    )
+    cand = (
+        toks.select("doc_id", "pos", "tok", F.explode(slots).alias("s"))
+        .where(F.col("s.t") == F.col("tok"))
+        .select(
+            "doc_id",
+            (F.col("pos") - F.col("s.i")).alias("anchor"),
+            F.col("s.i").alias("i"),
+        )
+        .where(F.col("anchor") >= 0)
+    )
+    hits = (
+        cand.groupBy("doc_id", "anchor")
+        .agg(F.count_distinct("i").alias("k"))
+        .where(F.col("k") == len(ph))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

@@ -2749,3 +2749,42 @@ def test_quantization_audit_exact_and_guards(spark):
     assert err(1000, 1000) == 0 and err(-1000, 1000) == 0
     # a mid value carries at most half a step: step = 2m/L
     assert 0 <= err(250, 500) <= (2 * 500) // 127 + 1
+
+
+def test_phrase_occurrences_overlap_repeats_and_k3(spark):
+    # X117: overlapping matches, repeated-token phrases, k=3 chains
+    from c3s_sm_spark.operators.textstats import phrase_occurrences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b"),        # "a b" twice
+            (2, "x x x"),            # "x x" OVERLAPS: 2 occurrences
+            (3, "a b c d"),          # "a b c" once
+            (4, "b a"),              # reversed: no match
+            (5, ""),                 # empty
+        ],
+        "doc_id long, text string",
+    )
+    ab = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(docs, ["a", "b"]).collect()
+    }
+    assert ab == {1: 2, 3: 1}
+    xx = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(docs, ["x", "x"]).collect()
+    }
+    assert xx == {2: 2}  # overlapping counted
+    abc = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(docs, ["a", "b", "c"]).collect()
+    }
+    assert abc == {1: 1, 3: 1}
+    # single-token phrase degenerates to term occurrence count
+    a1 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_occurrences(docs, ["a"]).collect()
+    }
+    assert a1 == {1: 2, 3: 1, 4: 1}
+    with pytest.raises(ValueError):
+        phrase_occurrences(docs, [])
