@@ -2661,6 +2661,17 @@ def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_occurrences(_docs(spark, sf_dir), ["the", "data"])
 
 
+def _q_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118 Kaplan-Meier conversion-lag pieces signup→purchase per
+    user, day units, right-censored at the data horizon — (d,
+    n_events, n_censored) all BIGINT; the survival product derives
+    caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import km_pieces
+
+    return km_pieces(_events(spark, sf_dir), "user_id")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2971,6 +2982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quant_audit": _q_quant_audit,
         # X117 (oracled): exact-phrase positional search:
         "phrase_search": _q_phrase_search,
+        # X118 (oracled): Kaplan-Meier conversion-lag pieces:
+        "km_conversion": _q_km,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5118,6 +5131,33 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X118: identical first-start / first-qualifying-end / horizon
+    # censoring; epoch twins; all div operands non-negative
+    d["km_conversion"] = """
+        WITH ep AS (
+          SELECT user_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS es
+          FROM events),
+        t0 AS (SELECT user_id, min(es) AS t0 FROM ep
+               WHERE event_type = 'signup' GROUP BY 1),
+        te AS (SELECT e.user_id, min(e.es) AS te
+               FROM ep e JOIN t0 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.es >= t0.t0
+               GROUP BY 1),
+        hz AS (SELECT max(es) AS hz FROM ep),
+        per AS (
+          SELECT t0.user_id, te.te IS NOT NULL AS conv,
+                 CASE WHEN te.te IS NOT NULL
+                      THEN (te.te - t0.t0) // 86400
+                      ELSE (hz.hz - t0.t0) // 86400 END AS d
+          FROM t0 LEFT JOIN te USING (user_id) CROSS JOIN hz)
+        SELECT d,
+               CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_events,
+               CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT)
+                 AS n_censored
+        FROM per GROUP BY d
     """
     # X117: the classical positional self-join — a DIFFERENT algorithm
     # than the engine's anchor aggregation, same relation

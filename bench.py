@@ -157,6 +157,7 @@ HEADLINE = [
     "dedup_incremental",
     "quant_audit",
     "phrase_search",
+    "km_conversion",
     "text_quality",
     "lang_id",
     "quality_select",

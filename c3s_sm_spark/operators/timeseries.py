@@ -2115,3 +2115,83 @@ def winsorize_pieces(
         .alias("n_clip_hi"),
         F.sum(clipped).cast("long").alias("sum_clipped"),
     )
+
+
+def km_pieces(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    start_type: str = "signup",
+    end_type: str = "purchase",
+    type_col: str = "event_type",
+    unit_s: int = 86400,
+) -> DataFrame:
+    """X118 Kaplan-Meier conversion-lag pieces (time-to-event with
+    right-censoring — retention/conversion analysis done correctly:
+    ignoring users who HAVEN'T converted yet biases every naive lag
+    average): per subject, t0 = first ``start_type`` event, the event
+    time = first ``end_type`` AT OR AFTER t0; subjects with no
+    qualifying end event are CENSORED at the data horizon (the global
+    max event time). Emits one row per duration bucket ``d`` (in
+    ``unit_s`` units since t0): ``(d, n_events, n_censored)`` — all
+    BIGINT; the survival curve S(d) = Π(1 - e/r) with at-risk
+    r(d) = total - Σ_{d'<d}(e+c) derives caller-side (the
+    lag_corr_pieces split — products never sit on a hash boundary).
+
+    Epoch arithmetic is non-negative by construction (end ≥ t0,
+    horizon ≥ t0), so ``div`` == ANSI ``//``. Plan: two key-keyed
+    map-side-combined groupBys (first-start, first-qualifying-end) +
+    one broadcast 1-row horizon + one duration groupBy. No window.
+    """
+    ep = F.unix_timestamp(ts_col)
+    t0 = (
+        df.where(F.col(type_col) == start_type)
+        .groupBy(key)
+        .agg(F.min(ep).cast("long").alias("__t0"))
+    )
+    horizon = df.agg(F.max(ep).cast("long").alias("__hz"))
+    ends = df.where(F.col(type_col) == end_type).select(
+        key, ep.cast("long").alias("__te")
+    )
+    te = (
+        t0.join(ends, key)
+        .where(F.col("__te") >= F.col("__t0"))
+        .groupBy(key)
+        .agg(F.min("__te").alias("__te"))
+    )
+    per = (
+        t0.join(te, key, "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.col("__te").isNotNull().alias("__conv"),
+            F.expr(
+                f"CASE WHEN __te IS NOT NULL THEN (__te - __t0) div {unit_s}L"
+                f" ELSE (__hz - __t0) div {unit_s}L END"
+            ).alias("d"),
+        )
+    )
+    return per.groupBy("d").agg(
+        F.sum(F.when(F.col("__conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_events"),
+        F.sum(F.when(~F.col("__conv"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_censored"),
+    )
+
+
+def km_curve(pieces: DataFrame) -> list[tuple[int, float]]:
+    """Kaplan-Meier survival curve from :func:`km_pieces` output — a
+    driver-side product over duration buckets (bucket-count-sized by
+    contract). Returns ``[(d, S(d)), ...]`` sorted by d."""
+    rows = sorted(
+        (r["d"], r["n_events"], r["n_censored"]) for r in pieces.collect()
+    )
+    total = sum(e + c for _, e, c in rows)
+    s, at_risk, out = 1.0, total, []
+    for d, e, c in rows:
+        if at_risk > 0 and e:
+            s *= 1.0 - e / at_risk
+        at_risk -= e + c
+        out.append((d, s))
+    return out

@@ -2788,3 +2788,40 @@ def test_phrase_occurrences_overlap_repeats_and_k3(spark):
     assert a1 == {1: 2, 3: 1, 4: 1}
     with pytest.raises(ValueError):
         phrase_occurrences(docs, [])
+
+
+def test_km_pieces_and_curve(spark):
+    # X118: constructed cohort with conversions, censoring, pre-start
+    # end events that must NOT count
+    import datetime as dt
+    from c3s_sm_spark.operators.timeseries import km_curve, km_pieces
+
+    T = dt.datetime(2024, 1, 1)
+    day = dt.timedelta(days=1)
+    rows = [
+        # u1: signup d0, purchase d2 -> event at 2
+        (1, T, "signup"), (1, T + 2 * day, "purchase"),
+        # u2: PURCHASE BEFORE SIGNUP (must not count), signup d1, no
+        # purchase after -> censored at horizon (d10) - t0 = 9
+        (2, T, "purchase"), (2, T + day, "signup"),
+        # u3: signup d0, purchase same day -> event at 0
+        (3, T, "signup"), (3, T + dt.timedelta(hours=3), "purchase"),
+        # u4: no signup at all -> excluded entirely
+        (4, T + 5 * day, "purchase"),
+        # horizon pin: latest event in the table at d10
+        (5, T + 10 * day, "view"), (5, T, "signup"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows], "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["d"]: (r["n_events"], r["n_censored"])
+        for r in km_pieces(df, "user_id").collect()
+    }
+    # u1 converts at 2; u3 at 0; u2 censored at 9; u5 censored at 10
+    assert got == {0: (1, 0), 2: (1, 0), 9: (0, 1), 10: (0, 1)}
+    curve = dict(km_curve(km_pieces(df, "user_id")))
+    # 4 at risk: S(0)=0.75; S(2)=0.75*(1-1/3)=0.5; censoring flat
+    assert curve[0] == pytest.approx(0.75)
+    assert curve[2] == pytest.approx(0.5)
+    assert curve[10] == pytest.approx(0.5)
