@@ -579,6 +579,40 @@ def main() -> None:
         )
     )
 
+    # 28. phrase_occurrences (X117): the anchor trick — NO self-join;
+    # the probe-token filter prunes before the exchange
+    from c3s_sm_spark.operators.textstats import phrase_occurrences
+
+    ps_txt = plan_text(phrase_occurrences(docs, ["the", "data"]))
+    sections.append(
+        (
+            "phrase_occurrences (X117): join-free anchor aggregation",
+            ps_txt,
+            {
+                "no join at all": "Join" not in ps_txt,
+                "probe filter before exchange": "Filter" in ps_txt,
+                "map-side partial agg": "partial" in ps_txt,
+            },
+        )
+    )
+
+    # 29. km_pieces (X118): two key groupBys + broadcast horizon, no
+    # window anywhere
+    from c3s_sm_spark.operators.timeseries import km_pieces
+
+    km_txt = plan_text(km_pieces(ev, "user_id"))
+    sections.append(
+        (
+            "km_pieces (X118): groupBy chain, broadcast horizon, no window",
+            km_txt,
+            {
+                "no window": "Window" not in km_txt,
+                "broadcast 1-row horizon": "Broadcast" in km_txt,
+                "map-side partial agg": "partial" in km_txt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
