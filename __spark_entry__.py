@@ -2672,6 +2672,19 @@ def _q_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_pieces(_events(spark, sf_dir), "user_id")
 
 
+def _q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119 deterministic multiplier bootstrap over documents.n_chars
+    (16 resamples, Binomial(4, 1/4) weights from md5 content hashes):
+    per-resample effective n + weighted sum, all BIGINT; the CI
+    percentiles derive caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import bootstrap_pieces
+
+    return bootstrap_pieces(
+        _docs(spark, sf_dir), "doc_id", "n_chars", n_resamples=16
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2984,6 +2997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": _q_phrase_search,
         # X118 (oracled): Kaplan-Meier conversion-lag pieces:
         "km_conversion": _q_km,
+        # X119 (oracled): deterministic bootstrap resample pieces:
+        "bootstrap": _q_bootstrap,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5131,6 +5146,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X119: identical md5 weight draws; cut '4000' = 1/4 on the 4-hex
+    # grid; b from range() is BIGINT on both sides
+    d["bootstrap"] = """
+        WITH bb AS (SELECT b FROM range(0, 16) t(b)),
+        s AS (
+          SELECT bb.b,
+            (CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':0:' ||
+               CAST(doc_id AS VARCHAR)), 1, 4) < '4000' THEN 1 ELSE 0 END
+           + CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':1:' ||
+               CAST(doc_id AS VARCHAR)), 1, 4) < '4000' THEN 1 ELSE 0 END
+           + CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':2:' ||
+               CAST(doc_id AS VARCHAR)), 1, 4) < '4000' THEN 1 ELSE 0 END
+           + CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':3:' ||
+               CAST(doc_id AS VARCHAR)), 1, 4) < '4000' THEN 1 ELSE 0 END
+            ) AS w,
+            n_chars AS v
+          FROM documents CROSS JOIN bb)
+        SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(sum(w * v) AS BIGINT) AS wsum
+        FROM s GROUP BY b
     """
     # X118: identical first-start / first-qualifying-end / horizon
     # censoring; epoch twins; all div operands non-negative

@@ -158,6 +158,7 @@ HEADLINE = [
     "quant_audit",
     "phrase_search",
     "km_conversion",
+    "bootstrap",
     "text_quality",
     "lang_id",
     "quality_select",

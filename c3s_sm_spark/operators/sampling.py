@@ -897,3 +897,64 @@ def split_cuts(fractions: Sequence[tuple[str, float]]) -> list[tuple[str, str]]:
         acc += f
         out.append((name, _hexcut(int(acc * (16**_HEX_W)))))
     return out
+
+
+def bootstrap_pieces(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_resamples: int = 32,
+    trials: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """X119 deterministic multiplier bootstrap — confidence intervals
+    for corpus-level means WITHOUT randomness: resample ``b`` gives
+    each row an integer weight drawn Binomial(trials, 1/trials)
+    (mean 1 — the Poisson-bootstrap approximation, Owen & Eckles 2012,
+    public) from the md5 content hash of ``(b, trial, key)``. The
+    whole resampling is a pure expression of the row's key, so it is
+    reproducible at any parallelism, in any engine with md5, and
+    across re-ingestions — the same determinism contract as
+    :func:`deterministic_sample`, extended to multiplicities.
+
+    Emits one row per resample: ``(b, n_eff, wsum)`` with ``n_eff`` =
+    Σweights and ``wsum`` = Σ(weight · value) — all BIGINT (pass
+    micro-unit values). The CI derives caller-side: percentile-rank
+    the B resample means ``wsum/n_eff``.
+
+    Scale: the B-fold explode never reaches a shuffle — weights fold
+    into per-partition partial aggregates, so the exchange carries
+    ``B`` rows per partition regardless of corpus size.
+    """
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if trials < 2:
+        raise ValueError("trials must be >= 2")
+    cut = _hexcut(int((16**_HEX_W) / trials))
+    key = F.col(key_col).cast("string")
+    b = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(n_resamples)])
+    ).alias("b")
+    staged = df.select(
+        F.col(value_col).cast("long").alias("__v"), key.alias("__k")
+    ).select("__v", "__k", b)
+    w = None
+    for t in range(trials):
+        h = F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("b").cast("string"),
+                F.lit(f":{t}:"),
+                F.col("__k"),
+            )
+        )
+        hit = F.when(F.substring(h, 1, _HEX_W) < cut, 1).otherwise(0)
+        w = hit if w is None else w + hit
+    return (
+        staged.select("b", w.alias("__w"), "__v")
+        .groupBy("b")
+        .agg(
+            F.sum("__w").cast("long").alias("n_eff"),
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("wsum"),
+        )
+    )

@@ -2825,3 +2825,32 @@ def test_km_pieces_and_curve(spark):
     assert curve[0] == pytest.approx(0.75)
     assert curve[2] == pytest.approx(0.5)
     assert curve[10] == pytest.approx(0.5)
+
+
+def test_bootstrap_pieces_deterministic_and_sane(spark):
+    # X119: parallelism/re-ingestion invariance; weights mean ~1;
+    # CI brackets the true mean; guards
+    from c3s_sm_spark.operators.sampling import bootstrap_pieces
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 50) for i in range(2000)], "k long, v long"
+    )
+    a = sorted(map(tuple, bootstrap_pieces(df, "k", "v", 32).collect()))
+    b = sorted(
+        map(tuple, bootstrap_pieces(df.repartition(13), "k", "v", 32).collect())
+    )
+    assert a == b and len(a) == 32
+    true_mean = sum(100 + (i * 37) % 50 for i in range(2000)) / 2000
+    means = [wsum / n for _, n, wsum in a if n]
+    # Binomial(4, 1/4) weights: n_eff per resample ~ 2000 +- ~5%
+    assert all(1600 <= n <= 2400 for _, n, _ in a)
+    lo, hi = min(means), max(means)
+    assert lo <= true_mean <= hi
+    assert hi - lo < 5  # tight CI for a 2000-row low-variance corpus
+    # salt changes the draw
+    s = sorted(map(tuple, bootstrap_pieces(df, "k", "v", 32, salt="x").collect()))
+    assert s != a
+    with pytest.raises(ValueError):
+        bootstrap_pieces(df, "k", "v", n_resamples=1)
+    with pytest.raises(ValueError):
+        bootstrap_pieces(df, "k", "v", trials=1)
