@@ -2685,6 +2685,18 @@ def _q_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120 Mann-Whitney rank-sum pieces: click vs view event values
+    (1e-4 micro units) — doubled rank sum + tie mass, all BIGINT; U
+    and z derive caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import rank_sum_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    return rank_sum_pieces(ev, "event_type", "v4", "click", "view")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -2999,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_conversion": _q_km,
         # X119 (oracled): deterministic bootstrap resample pieces:
         "bootstrap": _q_bootstrap,
+        # X120 (oracled): Mann-Whitney rank-sum pieces:
+        "rank_sum": _q_rank_sum,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5146,6 +5160,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X120: the semantic one-window cumulative form the engine's
+    # two-phase cumsum must reproduce; 2·avgrank = 2·minrank + c − 1
+    d["rank_sum"] = """
+        WITH p AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 event_type = 'click' AS ia
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        counts AS (
+          SELECT v, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca
+          FROM p GROUP BY v),
+        r AS (
+          SELECT v, c, ca,
+                 CAST(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS before
+          FROM counts)
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(c - ca) AS BIGINT) AS n_b,
+               CAST(sum(ca * (2 * (before + 1) + c - 1)) AS BIGINT)
+                 AS rs2_a,
+               CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+        FROM r
     """
     # X119: identical md5 weight draws; cut '4000' = 1/4 on the 4-hex
     # grid; b from range() is BIGINT on both sides

@@ -159,6 +159,7 @@ HEADLINE = [
     "phrase_search",
     "km_conversion",
     "bootstrap",
+    "rank_sum",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2195,3 +2195,74 @@ def km_curve(pieces: DataFrame) -> list[tuple[int, float]]:
         at_risk -= e + c
         out.append((d, s))
     return out
+
+
+def rank_sum_pieces(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X120 Mann-Whitney/Wilcoxon rank-sum pieces — the nonparametric
+    two-sample test ("did the value distribution shift between
+    variants/sources?") that, unlike a t-test, survives the heavy
+    tails every real metric has. Exact integer witness: with
+    average-rank tie handling, every element of a tied value block
+    has 2·avgrank = 2·minrank + c − 1 (an INTEGER), so the doubled
+    rank sum ``rs2_a = Σ_A 2·avgrank`` and the tie-correction mass
+    ``Σ(c³ − c)`` are BIGINT-exact; U and the normal z derive
+    caller-side (U = rs2_a/2 − n_a(n_a+1)/2; the /2 is exact because
+    rs2_a and n_a(n_a+1) share parity).
+
+    minrank(v) = 1 + Σ_{v'<v} c(v') comes from a TWO-PHASE cumulative
+    sum over the per-value count frame (range-partition on value →
+    per-partition running sum → partition-offset map), never a
+    one-task global window — the eqfreq_hist discipline applied to
+    cumulative counts. Output: one row ``(n_a, n_b, rs2_a,
+    tie_sum)``.
+    """
+    p = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("ia"),
+    )
+    counts = p.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long").alias("ca"),
+    )
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism * 4
+    d = counts.repartitionByRange(n, F.col("v")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part = d.withColumn(
+        "_loc", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+    ).localCheckpoint()
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in part.groupBy("_pid").agg(F.sum("c").alias("t")).collect()
+    )
+    running, offs = 0, {}
+    for pid, t in totals:
+        offs[pid] = running
+        running += t
+    off_map = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+    ranked = part.withColumn(
+        "before", (F.col("_loc") + off_map[F.col("_pid")]).cast("long")
+    )
+    return ranked.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("before") + 1) + F.col("c") - 1)
+        )
+        .cast("long")
+        .alias("rs2_a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    )

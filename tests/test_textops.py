@@ -2854,3 +2854,34 @@ def test_bootstrap_pieces_deterministic_and_sane(spark):
         bootstrap_pieces(df, "k", "v", n_resamples=1)
     with pytest.raises(ValueError):
         bootstrap_pieces(df, "k", "v", trials=1)
+
+
+def test_rank_sum_pieces_vs_scipy_formula(spark):
+    # X120: brute-force average-rank computation incl. heavy ties;
+    # partitioning invariance of the two-phase cumsum
+    from c3s_sm_spark.operators.timeseries import rank_sum_pieces
+
+    va = [1, 2, 2, 3, 10, 10, 10]
+    vb = [2, 2, 4, 10, 11]
+    rows = [("a", v) for v in va] + [("b", v) for v in vb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = rank_sum_pieces(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (len(va), len(vb))
+    # brute force: average ranks over the pooled multiset
+    pooled = sorted(va + vb)
+    import collections
+    first = {}
+    cnt = collections.Counter(pooled)
+    pos = 1
+    for v in sorted(cnt):
+        first[v] = pos
+        pos += cnt[v]
+    rs2 = sum(2 * first[v] + cnt[v] - 1 for v in va)
+    assert r["rs2_a"] == rs2
+    assert r["tie_sum"] == sum(c**3 - c for c in cnt.values())
+    # invariance under repartition
+    r2 = rank_sum_pieces(df.repartition(11), "g", "v", "a", "b").collect()[0]
+    assert tuple(r) == tuple(r2)
+    # identical distributions -> U approx n_a*n_b/2
+    u = r["rs2_a"] / 2 - len(va) * (len(va) + 1) / 2
+    assert 0 <= u <= len(va) * len(vb)
