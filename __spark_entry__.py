@@ -2697,6 +2697,18 @@ def _q_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_sum_pieces(ev, "event_type", "v4", "click", "view")
 
 
+def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121 two-sample KS pieces click vs view: d_num = max
+    |inc_a·n_b − inc_b·n_a| over inclusive per-value cumulatives —
+    exactly integral; D derives caller-side as d_num/(n_a·n_b)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import ks_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    return ks_pieces(ev, "event_type", "v4", "click", "view")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3013,6 +3025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap": _q_bootstrap,
         # X120 (oracled): Mann-Whitney rank-sum pieces:
         "rank_sum": _q_rank_sum,
+        # X121 (oracled): two-sample Kolmogorov-Smirnov pieces:
+        "ks_test": _q_ks,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5160,6 +5174,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X121: inclusive one-window cumulative twin; the integer cross
+    # product keeps D off the float boundary
+    d["ks_test"] = """
+        WITH p AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 event_type = 'click' AS ia
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        counts AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cb
+          FROM p GROUP BY v),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                     CAST(sum(cb) AS BIGINT) AS n_b FROM counts),
+        c AS (
+          SELECT CAST(sum(ca) OVER w AS BIGINT) AS inc_a,
+                 CAST(sum(cb) OVER w AS BIGINT) AS inc_b
+          FROM counts
+          WINDOW w AS (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT t.n_a, t.n_b,
+               CAST(max(abs(inc_a * t.n_b - inc_b * t.n_a)) AS BIGINT)
+                 AS d_num
+        FROM c CROSS JOIN t GROUP BY t.n_a, t.n_b
     """
     # X120: the semantic one-window cumulative form the engine's
     # two-phase cumsum must reproduce; 2·avgrank = 2·minrank + c − 1

@@ -160,6 +160,7 @@ HEADLINE = [
     "km_conversion",
     "bootstrap",
     "rank_sum",
+    "ks_test",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -958,3 +958,60 @@ def bootstrap_pieces(
             F.sum(F.col("__w") * F.col("__v")).cast("long").alias("wsum"),
         )
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed EXCLUSIVE cumulative sums over a total order — the
+    :func:`global_rank` two-phase pattern generalized from counting to
+    arbitrary sum columns: range-partition on ``order_col``, local
+    running sums per partition (parallel), then add each partition's
+    exclusive totals (a partition-count-sized driver collect + one
+    broadcast map). Appends ``cum_<col>`` = Σ of ``<col>`` over all
+    STRICTLY-EARLIER rows (ties must not exist: pre-aggregate to one
+    row per order value first — the callers' per-value count frames
+    satisfy this by construction).
+    """
+    cols = list(sum_cols)
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism * 4
+    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    part = d
+    for c in cols:
+        part = part.withColumn(
+            f"_loc_{c}", F.coalesce(F.sum(c).over(w), F.lit(0)).cast("long")
+        )
+    part = part.localCheckpoint()
+    totals = {
+        r["_pid"]: r
+        for r in part.groupBy("_pid")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+        .collect()
+    }
+    running = {c: 0 for c in cols}
+    offs: dict[int, dict[str, int]] = {}
+    for pid in sorted(totals):
+        offs[pid] = dict(running)
+        for c in cols:
+            running[c] += totals[pid][c] or 0
+    out = part
+    for c in cols:
+        m = F.create_map(
+            *[F.lit(x) for pid in offs for x in (pid, offs[pid][c])]
+        )
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_loc_{c}") + m[F.col("_pid")]).cast("long"),
+        ).drop(f"_loc_{c}")
+    return out.drop("_pid")

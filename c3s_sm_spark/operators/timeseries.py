@@ -2230,28 +2230,10 @@ def rank_sum_pieces(
         F.count(F.lit(1)).cast("long").alias("c"),
         F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long").alias("ca"),
     )
-    spark = df.sparkSession
-    n = spark.sparkContext.defaultParallelism * 4
-    d = counts.repartitionByRange(n, F.col("v")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    w = Window.partitionBy("_pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    part = d.withColumn(
-        "_loc", F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
-    ).localCheckpoint()
-    totals = sorted(
-        (r["_pid"], r["t"])
-        for r in part.groupBy("_pid").agg(F.sum("c").alias("t")).collect()
-    )
-    running, offs = 0, {}
-    for pid, t in totals:
-        offs[pid] = running
-        running += t
-    off_map = F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
-    ranked = part.withColumn(
-        "before", (F.col("_loc") + off_map[F.col("_pid")]).cast("long")
+    from c3s_sm_spark.operators.sampling import global_cumsum
+
+    ranked = global_cumsum(counts, "v", ["c"]).withColumnRenamed(
+        "cum_c", "before"
     )
     return ranked.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -2265,4 +2247,55 @@ def rank_sum_pieces(
         F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
         .cast("long")
         .alias("tie_sum"),
+    )
+
+
+def ks_pieces(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X121 two-sample Kolmogorov-Smirnov pieces — the distribution-
+    shape companion to :func:`rank_sum_pieces` (rank-sum detects
+    location shifts; KS detects ANY ECDF divergence). The statistic is
+    kept exactly integral: ``D = max_v |F_a(v) − F_b(v)| = d_num /
+    (n_a·n_b)`` where ``d_num = max |inc_a(v)·n_b − inc_b(v)·n_a|``
+    over inclusive per-value cumulative counts — products of BIGINTs,
+    no float until the caller divides. Output: one row ``(n_a, n_b,
+    d_num)``.
+
+    Cumulatives come from the shared two-phase :func:`~c3s_sm_spark.
+    operators.sampling.global_cumsum` (range partition → local running
+    sums → offset map), evaluated only at observed values — ECDF
+    differences between observations are constant, so the max over
+    observed points IS the max.
+    """
+    p = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("ia"),
+    )
+    counts = p.groupBy("v").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    from c3s_sm_spark.operators.sampling import global_cumsum
+
+    cum = global_cumsum(counts, "v", ["ca", "cb"])
+    totals = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    inc_a = F.col("cum_ca") + F.col("ca")
+    inc_b = F.col("cum_cb") + F.col("cb")
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(inc_a * F.col("n_b") - inc_b * F.col("n_a")).alias("__d"),
+        )
+        .groupBy("n_a", "n_b")
+        .agg(F.max("__d").cast("long").alias("d_num"))
     )

@@ -2885,3 +2885,32 @@ def test_rank_sum_pieces_vs_scipy_formula(spark):
     # identical distributions -> U approx n_a*n_b/2
     u = r["rs2_a"] / 2 - len(va) * (len(va) + 1) / 2
     assert 0 <= u <= len(va) * len(vb)
+
+
+def test_ks_pieces_vs_brute_force(spark):
+    # X121: brute-force ECDF max-gap incl. ties; detects a known shift
+    from c3s_sm_spark.operators.timeseries import ks_pieces
+
+    va = [1, 2, 2, 3, 5, 8]
+    vb = [4, 5, 6, 6, 9]
+    rows = [("a", v) for v in va] + [("b", v) for v in vb]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = ks_pieces(df, "g", "v", "a", "b").collect()[0]
+    na, nb = len(va), len(vb)
+    pts = sorted(set(va + vb))
+    d_num = max(
+        abs(sum(1 for x in va if x <= t) * nb
+            - sum(1 for x in vb if x <= t) * na)
+        for t in pts
+    )
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (na, nb, d_num)
+    # shifted sample: D grows to near-max
+    vc = [x + 100 for x in vb]
+    df2 = spark.createDataFrame(
+        [("a", v) for v in va] + [("b", v) for v in vc], "g string, v long"
+    )
+    r2 = ks_pieces(df2, "g", "v", "a", "b").collect()[0]
+    assert r2["d_num"] == na * nb  # fully separated -> D = 1
+    # partitioning invariance
+    r3 = ks_pieces(df.repartition(9), "g", "v", "a", "b").collect()[0]
+    assert tuple(r3) == tuple(r)
