@@ -2709,6 +2709,19 @@ def _q_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_pieces(ev, "event_type", "v4", "click", "view")
 
 
+def _q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122 chi-square contingency pieces: event_type × (user_id % 5)
+    cells with margins and the grand total — all BIGINT; chi² derives
+    caller-side in exact rational form."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import chisq_pieces
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ub", F.pmod(F.col("user_id"), F.lit(5))
+    )
+    return chisq_pieces(ev, "event_type", "ub")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3027,6 +3040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_sum": _q_rank_sum,
         # X121 (oracled): two-sample Kolmogorov-Smirnov pieces:
         "ks_test": _q_ks,
+        # X122 (oracled): chi-square contingency pieces:
+        "chisq": _q_chisq,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5174,6 +5189,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X122: identical cell/margin/total chain; ub = user_id % 5
+    # (non-negative ids so % == pmod)
+    d["chisq"] = """
+        WITH cells AS (
+          SELECT CAST(event_type AS VARCHAR) AS r,
+                 CAST(user_id % 5 AS VARCHAR) AS c,
+                 CAST(count(*) AS BIGINT) AS o
+          FROM events GROUP BY 1, 2),
+        rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS row_total
+               FROM cells GROUP BY r),
+        ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS col_total
+               FROM cells GROUP BY c),
+        t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        SELECT cells.r, cells.c, cells.o, rt.row_total, ct.col_total,
+               t.n
+        FROM cells JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN t
     """
     # X121: inclusive one-window cumulative twin; the integer cross
     # product keeps D off the float boundary

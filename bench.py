@@ -161,6 +161,7 @@ HEADLINE = [
     "bootstrap",
     "rank_sum",
     "ks_test",
+    "chisq",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -376,3 +376,42 @@ def gini_from_pieces(pieces: DataFrame) -> float:
     if not n or not sx:
         return 0.0
     return (2 * six - (n + 1) * sx) / (n * sx)
+
+
+def chisq_pieces(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """X122 chi-square contingency pieces (categorical×categorical
+    independence — "did the label mix drift across sources?" — the
+    categorical companion to the numeric two-sample tests): one row
+    per observed cell with ``(r, c, o, row_total, col_total, n)`` all
+    BIGINT. The statistic derives caller-side in exact rational form:
+    ``chi2 = Σ (o·n − row_total·col_total)² / (n·row_total·
+    col_total)`` — the numerator is an exact integer per cell, so the
+    only float op is the final division.
+
+    Plan: one cell groupBy + two margin groupBys over the CELL frame
+    (dimension-sized — margins never rescan the corpus) + one
+    broadcast 1-row total; cells with zero observed count are absent
+    by construction (they contribute ``row_total·col_total/n`` to
+    chi², which the caller adds via the margins it already has).
+    """
+    cells = df.groupBy(
+        F.col(row_col).cast("string").alias("r"),
+        F.col(col_col).cast("string").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rt = cells.groupBy("r").agg(
+        F.sum("o").cast("long").alias("row_total")
+    )
+    ct = cells.groupBy("c").agg(
+        F.sum("o").cast("long").alias("col_total")
+    )
+    n = cells.agg(F.sum("o").cast("long").alias("n"))
+    return (
+        cells.join(rt, "r")
+        .join(ct, "c")
+        .crossJoin(F.broadcast(n))
+        .select("r", "c", "o", "row_total", "col_total", "n")
+    )

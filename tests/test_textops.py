@@ -2914,3 +2914,34 @@ def test_ks_pieces_vs_brute_force(spark):
     # partitioning invariance
     r3 = ks_pieces(df.repartition(9), "g", "v", "a", "b").collect()[0]
     assert tuple(r3) == tuple(r)
+
+
+def test_chisq_pieces_vs_brute_force(spark):
+    # X122: hand-computed margins + exact rational chi2 vs a float
+    # reference computation
+    from c3s_sm_spark.operators.profile import chisq_pieces
+
+    rows = (
+        [("a", "x")] * 10 + [("a", "y")] * 20
+        + [("b", "x")] * 30 + [("b", "y")] * 5
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = {
+        (p["r"], p["c"]): p for p in chisq_pieces(df, "r", "c").collect()
+    }
+    assert got[("a", "x")]["o"] == 10
+    assert got[("a", "x")]["row_total"] == 30
+    assert got[("a", "x")]["col_total"] == 40
+    assert got[("a", "x")]["n"] == 65
+    chi2 = sum(
+        (p["o"] * p["n"] - p["row_total"] * p["col_total"]) ** 2
+        / (p["n"] * p["row_total"] * p["col_total"])
+        for p in got.values()
+    )
+    # reference: sum (o-e)^2/e with e = r*c/n
+    ref = 0.0
+    for (r, c), p in got.items():
+        e = p["row_total"] * p["col_total"] / p["n"]
+        ref += (p["o"] - e) ** 2 / e
+    assert chi2 == pytest.approx(ref)
+    assert chi2 > 10  # strongly dependent by construction
