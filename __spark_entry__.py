@@ -2722,6 +2722,25 @@ def _q_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_pieces(ev, "event_type", "ub")
 
 
+def _q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123 per-source vocabulary distinct-count estimates from the
+    native Datasketches HLL aggregate (rows-only by design — DuckDB's
+    HLL is a different sketch; merge≡rebuild bit-equality and estimate
+    accuracy are pytest-pinned). KMV (X113) remains the
+    oracle-checkable sibling."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sketches import (
+        hll_estimate,
+        hll_group_sketch,
+    )
+    from c3s_sm_spark.operators.textstats import words_col
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words_col("text")).alias("token")
+    )
+    return hll_estimate(hll_group_sketch(toks, "source", "token"), "source")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3042,6 +3061,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": _q_ks,
         # X122 (oracled): chi-square contingency pieces:
         "chisq": _q_chisq,
+        # X123 (rows-only): native Datasketches HLL vocab estimates —
+        # kmv is the oracled sibling; merge≡rebuild is pytest-pinned:
+        "hll_vocab": _q_hll_vocab,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

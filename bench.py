@@ -162,6 +162,7 @@ HEADLINE = [
     "rank_sum",
     "ks_test",
     "chisq",
+    "hll_vocab",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -179,3 +179,55 @@ def kmv_distinct_estimate(sketch: DataFrame, group_col: str, k: int) -> DataFram
         .otherwise((F.lit(float(k - 1))) / u)
         .alias("d_est"),
     )
+
+
+def hll_group_sketch(
+    items: DataFrame,
+    group_col: str,
+    key_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """X123 per-group HyperLogLog register sketch using Spark's native
+    Datasketches aggregate (``hll_sketch_agg`` — JVM-side, mergeable,
+    ~0.8%% error at lgK=12 in 4 KB): ``(group, hll binary)``. The
+    industrial-strength sibling of :func:`kmv_sketch` — KMV stays the
+    engine-portable/oracle-checkable form; HLL is the
+    space-optimal production form (fixed 2^lgK registers per group vs
+    KMV's k digests, union via register max). Persist the binary
+    column in a SnapshotTable and daily distinct-count dashboards
+    never rescan history.
+
+    Determinism caveat (measured, not assumed): the DISTRIBUTED
+    aggregate's estimate depends on the partial-merge structure —
+    different partitionings of the same input drift a few parts in
+    10^3 (HLL mode promotion happens at merge points), and a union of
+    batch sketches serializes differently from a direct build. The
+    pinned contract is therefore estimate agreement within tolerance
+    across partitionings/merge orders + byte-idempotent re-merge —
+    never bit or exact-estimate equality. Need exactness or an engine
+    oracle? Use :func:`kmv_sketch`. Rows-only driver contract (row
+    count = |groups| is stable)."""
+    return items.groupBy(F.col(group_col).alias("g")).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias(
+            "hll"
+        )
+    ).select(F.col("g").alias(group_col), "hll")
+
+
+def hll_merge(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Merge HLL sketch rows onto the same group key (cross-batch /
+    cross-partition union): register-wise max via ``hll_union_agg`` —
+    associative, commutative, idempotent (re-merging the same sketch
+    changes nothing)."""
+    return sketches.groupBy(F.col(group_col).alias("g")).agg(
+        F.hll_union_agg("hll").alias("hll")
+    ).select(F.col("g").alias(group_col), "hll")
+
+
+def hll_estimate(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Distinct-count estimates from sketch rows: ``(group, d_est)``
+    BIGINT."""
+    return sketches.select(
+        group_col,
+        F.hll_sketch_estimate("hll").cast("long").alias("d_est"),
+    )
