@@ -2741,6 +2741,24 @@ def _q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(hll_group_sketch(toks, "source", "token"), "source")
 
 
+def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124 cross-table ED<=1 record linkage: part-name tokens linked
+    to document tokens (exact matches ed=0 plus single-edit neighbors
+    like rod→row); the oracle runs the quadratic banded two-table
+    join."""
+    _prep(spark)
+    from c3s_sm_spark.operators.fuzzy import fuzzy_join
+    from c3s_sm_spark.operators.textstats import words_col
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.explode(words_col("p_name")).alias("tok")
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.explode(words_col("text")).alias("tok")
+    )
+    return fuzzy_join(parts, docs, "tok", "tok")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3064,6 +3082,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X123 (rows-only): native Datasketches HLL vocab estimates —
         # kmv is the oracled sibling; merge≡rebuild is pytest-pinned:
         "hll_vocab": _q_hll_vocab,
+        # X124 (oracled): cross-table ED<=1 record linkage:
+        "fuzzy_link": _q_fuzzy_link,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5211,6 +5231,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq,
                CAST(max(cnt) AS BIGINT) AS max_cnt
         FROM tf GROUP BY doc_id
+    """
+    # X124: quadratic banded two-table join (oracle scale only)
+    d["fuzzy_link"] = r"""
+        WITH lt AS (
+          SELECT DISTINCT tok AS lk FROM (
+            SELECT unnest(string_split(regexp_replace(trim(p_name),
+                   '\s+', ' ', 'g'), ' ')) AS tok
+            FROM part WHERE length(trim(p_name)) > 0)
+          WHERE length(tok) > 0 AND length(tok) <= 64),
+        rt AS (
+          SELECT DISTINCT tok AS rk FROM (
+            SELECT unnest(string_split(regexp_replace(trim(text),
+                   '\s+', ' ', 'g'), ' ')) AS tok
+            FROM documents WHERE length(trim(text)) > 0)
+          WHERE length(tok) > 0 AND length(tok) <= 64)
+        SELECT lk, rk, CAST(levenshtein(lk, rk) AS BIGINT) AS ed
+        FROM lt JOIN rt
+          ON length(rk) BETWEEN length(lk) - 1 AND length(lk) + 1
+          AND levenshtein(lk, rk) <= 1
     """
     # X122: identical cell/margin/total chain; ub = user_id % 5
     # (non-negative ids so % == pmod)

@@ -163,6 +163,7 @@ HEADLINE = [
     "ks_test",
     "chisq",
     "hll_vocab",
+    "fuzzy_link",
     "text_quality",
     "lang_id",
     "quality_select",

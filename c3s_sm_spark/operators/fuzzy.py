@@ -79,3 +79,42 @@ def typo_pairs(
         .distinct()
     )
     return cand.where(F.levenshtein("tok_a", "tok_b") <= 1)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_len: int = 64,
+) -> DataFrame:
+    """X124 two-table edit-distance<=1 join (record linkage across
+    noisy catalogs — product names, author strings, OCR'd labels):
+    every (left key, right key) pair with levenshtein distance 0 or 1,
+    via the same deletion-neighborhood equi-join as :func:`typo_pairs`
+    (complete for ED<=1; exact matches ride the token-itself variant).
+
+    Output: ``(lk, rk, ed)`` with ``ed`` the exact distance (0 or 1).
+    Inputs are key frames — pre-distinct them to one row per key
+    (duplicate keys multiply candidate pairs, not correctness). The
+    join travels as xxhash64(variant); false hash neighbors die in the
+    verify. The quadratic length-banded alternative is the oracle's
+    form, never the engine's."""
+    lv = (
+        left.select(F.col(left_col).cast("string").alias("lk"))
+        .where((F.length("lk") > 0) & (F.length("lk") <= max_len))
+        .distinct()
+        .select("lk", F.explode(deletion_variants("lk")).alias("__v"))
+        .select("lk", F.xxhash64("__v").alias("__vh"))
+    )
+    rv = (
+        right.select(F.col(right_col).cast("string").alias("rk"))
+        .where((F.length("rk") > 0) & (F.length("rk") <= max_len))
+        .distinct()
+        .select("rk", F.explode(deletion_variants("rk")).alias("__v"))
+        .select("rk", F.xxhash64("__v").alias("__vh"))
+    )
+    cand = lv.join(rv, "__vh").select("lk", "rk").distinct()
+    return cand.select(
+        "lk", "rk", F.levenshtein("lk", "rk").cast("long").alias("ed")
+    ).where(F.col("ed") <= 1)

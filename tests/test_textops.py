@@ -2978,3 +2978,25 @@ def test_hll_sketch_merge_matches_rebuild_estimate(spark):
     m = merged.collect()[0]["hll"]
     again = hll_merge(merged.union(merged), "g").collect()[0]["hll"]
     assert bytes(again) == bytes(m)
+
+
+def test_fuzzy_join_cross_table(spark):
+    # X124: exact matches (ed=0), single edits, and non-matches; dup
+    # input keys collapse
+    from c3s_sm_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [("rod",), ("cold",), ("anvil",), ("rod",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("row",), ("rod",), ("old",), ("bolt",), ("zzz",)], "k string"
+    )
+    got = {
+        (r["lk"], r["rk"]): r["ed"]
+        for r in fuzzy_join(left, right, "k", "k").collect()
+    }
+    assert got == {
+        ("rod", "rod"): 0,
+        ("rod", "row"): 1,
+        ("cold", "old"): 1,
+    }
