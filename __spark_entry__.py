@@ -2598,6 +2598,25 @@ def _q_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_sketch(toks, "source", "token", k=16)
 
 
+def _q_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125 pairwise KMV set-operation pieces across source vocab
+    sketches (k=16): per source pair, the union k-sketch size, its
+    k-th minimum digest, and the in-both / per-side membership counts
+    — the exact-integer witnesses behind union / intersection /
+    difference cardinality estimates (which derive caller-side via
+    ``kmv_setop_estimates``, floats never crossing the hash
+    boundary). The sketch algebra HLL can't do: KMV intersects."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sketches import kmv_set_pieces, kmv_sketch
+    from c3s_sm_spark.operators.textstats import words_col
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(words_col("text")).alias("token")
+    )
+    sk = kmv_sketch(toks, "source", "token", k=16)
+    return kmv_set_pieces(sk, "source", k=16)
+
+
 def _q_norm_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X114 normalization-sensitivity dedup report over documents:
     distinct/dup-group/redundant counts at each rung of the
@@ -3084,6 +3103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_vocab": _q_hll_vocab,
         # X124 (oracled): cross-table ED<=1 record linkage:
         "fuzzy_link": _q_fuzzy_link,
+        # X125 (oracled): pairwise KMV set-op pieces (union/intersect/
+        # difference witnesses; estimates derive caller-side):
+        "kmv_setops": _q_kmv_setops,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5461,6 +5483,51 @@ def oracle_sql() -> dict[str, str]:
     """
     # X113: same tokenizer; digests unique after DISTINCT so the rank
     # is tie-free; lexicographic hex order both engines
+    d["kmv_setops"] = r"""
+        WITH w AS (
+          SELECT source,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT source, unnest(ws) AS token FROM w WHERE lt > 0),
+        dig AS (SELECT DISTINCT source AS g, md5(token) AS digest
+                FROM toks),
+        r AS (SELECT g, digest,
+                     row_number() OVER (PARTITION BY g ORDER BY digest)
+                       AS rnk
+              FROM dig),
+        sk AS (SELECT g, digest FROM r WHERE rnk <= 16),
+        gs AS (SELECT DISTINCT g FROM sk),
+        p AS (SELECT a.g AS g1, b.g AS g2
+              FROM gs a JOIN gs b ON a.g < b.g),
+        mem AS (
+          SELECT g1, g2, digest,
+                 max(in_a) AS in_a, max(in_b) AS in_b
+          FROM (
+            SELECT p.g1, p.g2, sk.digest, 1 AS in_a, 0 AS in_b
+            FROM p JOIN sk ON sk.g = p.g1
+            UNION ALL
+            SELECT p.g1, p.g2, sk.digest, 0 AS in_a, 1 AS in_b
+            FROM p JOIN sk ON sk.g = p.g2)
+          GROUP BY g1, g2, digest),
+        uk AS (
+          SELECT g1, g2, digest, in_a, in_b,
+                 row_number() OVER (PARTITION BY g1, g2
+                                    ORDER BY digest) AS rnk
+          FROM mem)
+        SELECT g1, g2,
+               CAST(count(*) AS BIGINT) AS n_union_sk,
+               COALESCE(max(CASE WHEN rnk = 16 THEN digest END), '')
+                 AS vk_union,
+               CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_common_k,
+               CAST(sum(in_a) AS BIGINT) AS n_a_k,
+               CAST(sum(in_b) AS BIGINT) AS n_b_k
+        FROM uk WHERE rnk <= 16
+        GROUP BY g1, g2
+    """
+
     d["kmv"] = r"""
         WITH w AS (
           SELECT source,

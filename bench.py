@@ -164,6 +164,7 @@ HEADLINE = [
     "chisq",
     "hll_vocab",
     "fuzzy_link",
+    "kmv_setops",
     "text_quality",
     "lang_id",
     "quality_select",

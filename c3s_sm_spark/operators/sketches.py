@@ -231,3 +231,101 @@ def hll_estimate(sketches: DataFrame, group_col: str) -> DataFrame:
         group_col,
         F.hll_sketch_estimate("hll").cast("long").alias("d_est"),
     )
+
+
+def kmv_set_pieces(sketch: DataFrame, group_col: str, k: int) -> DataFrame:
+    """X125 pairwise set-operation pieces from per-group KMV sketches
+    (the mergeable sketch algebra HLL cannot do: HLL unions only; KMV
+    unions AND intersects — Beyer et al. 2007, public). For every
+    unordered group pair ``g1 < g2``, merge the two k-sketches, keep
+    the k smallest union digests, and emit exact-integer witnesses:
+
+    - ``n_union_sk``  — digests in the union k-sketch (= k unless the
+      union itself has fewer distinct keys, in which case the sketch
+      is the exact set);
+    - ``vk_union``    — the k-th minimum union digest ('' when
+      ``n_union_sk < k``);
+    - ``n_common_k``  — union-sketch digests present in BOTH input
+      sketches (the Jaccard numerator: J ≈ n_common_k / n_union_sk);
+    - ``n_a_k`` / ``n_b_k`` — union-sketch digests present in each
+      side (difference pieces: |A\\B|-hat ∝ n_a_k - n_common_k).
+
+    Float estimates (union/intersection/difference cardinalities)
+    derive caller-side via :func:`kmv_setop_estimates` — transcendental-
+    free integers and hex strings are all that cross a hash boundary
+    (the oracle-witness discipline).
+
+    Scale shape: the corpus was already reduced to sketches (groups x
+    k rows) by :func:`kmv_sketch`; every stage here is sketch-sized —
+    a |groups|^2 pair frame joined twice against the sketch relation,
+    one groupBy on (pair, digest), one rank window, one aggregate.
+    At 10^12 keys none of this touches the corpus again, and the pair
+    frame is dimension-sized (sources/days/shards, not documents).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    s = sketch.select(F.col(group_col).alias("g"), "digest")
+    gs = s.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g1"))
+        .join(gs.select(F.col("g").alias("g2")), F.col("g1") < F.col("g2"))
+    )
+    left = pairs.join(s.withColumnRenamed("g", "g1"), "g1").select(
+        "g1", "g2", "digest",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    right = pairs.join(s.withColumnRenamed("g", "g2"), "g2").select(
+        "g1", "g2", "digest",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    u = (
+        left.unionByName(right)
+        .groupBy("g1", "g2", "digest")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("g1", "g2").orderBy("digest")
+    uk = u.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return uk.groupBy("g1", "g2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sk"),
+        F.coalesce(
+            F.max(F.when(F.col("rnk") == k, F.col("digest"))), F.lit("")
+        ).alias("vk_union"),
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("int"))
+        .cast("long")
+        .alias("n_common_k"),
+        F.sum("in_a").cast("long").alias("n_a_k"),
+        F.sum("in_b").cast("long").alias("n_b_k"),
+    )
+
+
+def kmv_setop_estimates(pieces: DataFrame, k: int) -> DataFrame:
+    """Cardinality estimates from :func:`kmv_set_pieces` rows —
+    floats, derived OUTSIDE any hash boundary: ``d_union`` ((k-1)/v_k,
+    exact count when the union sketch is the whole union),
+    ``jaccard_est`` (n_common_k / n_union_sk), ``d_inter``
+    (J-hat · D-hat, Beyer et al.'s ratio estimator) and the one-sided
+    differences ``d_a_only`` / ``d_b_only``."""
+    vk_u = (F.conv(F.substring("vk_union", 1, 15), 16, 10).cast("double") + 1.0) / float(16**15)
+    d_union = F.when(
+        F.col("vk_union") == "", F.col("n_union_sk").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / vk_u)
+    jac = F.col("n_common_k").cast("double") / F.col("n_union_sk")
+    return pieces.select(
+        "g1",
+        "g2",
+        d_union.alias("d_union"),
+        jac.alias("jaccard_est"),
+        (jac * d_union).alias("d_inter"),
+        (
+            (F.col("n_a_k") - F.col("n_common_k")).cast("double")
+            / F.col("n_union_sk")
+            * d_union
+        ).alias("d_a_only"),
+        (
+            (F.col("n_b_k") - F.col("n_common_k")).cast("double")
+            / F.col("n_union_sk")
+            * d_union
+        ).alias("d_b_only"),
+    )

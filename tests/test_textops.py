@@ -3000,3 +3000,59 @@ def test_fuzzy_join_cross_table(spark):
         ("rod", "row"): 1,
         ("cold", "old"): 1,
     }
+
+
+def test_kmv_set_pieces_exact_below_k_and_estimates(spark):
+    # X125: below k the union sketch IS the union, so the pieces are
+    # exact set cardinalities; above k the derived estimates land
+    # within KMV tolerance; pair frame covers every g1 < g2 pair.
+    from c3s_sm_spark.operators.sketches import (
+        kmv_set_pieces,
+        kmv_setop_estimates,
+        kmv_sketch,
+    )
+
+    k = 64
+    # A = x0..x19, B = x10..x29 (|A|=|B|=20, inter 10, union 30 < k),
+    # C = x0..x4 (subset of A, disjoint-ish with B tail)
+    rows = (
+        [("A", f"x{i}") for i in range(20)]
+        + [("B", f"x{i}") for i in range(10, 30)]
+        + [("C", f"x{i}") for i in range(5)]
+    )
+    items = spark.createDataFrame(rows * 2, "g string, k string")
+    pieces = kmv_set_pieces(kmv_sketch(items, "g", "k", k=k), "g", k=k)
+    got = {(r["g1"], r["g2"]): r for r in pieces.collect()}
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert (
+        ab["n_union_sk"], ab["n_common_k"], ab["n_a_k"], ab["n_b_k"]
+    ) == (30, 10, 20, 20)
+    assert ab["vk_union"] == ""  # union < k: no k-th digest
+    ac = got[("A", "C")]
+    assert (
+        ac["n_union_sk"], ac["n_common_k"], ac["n_a_k"], ac["n_b_k"]
+    ) == (20, 5, 20, 5)
+    # below-k estimates are exact: d_union=|A∪B|, d_inter=|A∩B|
+    est = {
+        (r["g1"], r["g2"]): r
+        for r in kmv_setop_estimates(pieces, k=k).collect()
+    }
+    eab = est[("A", "B")]
+    assert eab["d_union"] == 30.0
+    assert abs(eab["d_inter"] - 10.0) < 1e-9
+    assert abs(eab["d_a_only"] - 10.0) < 1e-9
+
+    # above k: 400+400 sharing 200 (true union 600, J=1/3)
+    big = spark.createDataFrame(
+        [("P", f"y{i}") for i in range(400)]
+        + [("Q", f"y{i}") for i in range(200, 600)],
+        "g string, k string",
+    )
+    bp = kmv_set_pieces(kmv_sketch(big, "g", "k", k=k), "g", k=k)
+    be = kmv_setop_estimates(bp, k=k).collect()[0]
+    assert 350 <= be["d_union"] <= 1000  # true 600, k=64 -> ~±25%
+    assert 0.15 <= be["jaccard_est"] <= 0.55  # true 1/3
+    assert 60 <= be["d_inter"] <= 400  # true 200
+    with pytest.raises(ValueError):
+        kmv_set_pieces(kmv_sketch(big, "g", "k", k=k), "g", k=0)
