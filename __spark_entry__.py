@@ -2778,6 +2778,30 @@ def _q_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(parts, docs, "tok", "tok")
 
 
+def _q_triple_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126 triple collocation pieces per event_type: three
+    deterministic collocated "estimates" of the same per-row signal
+    (x = 1e-4-scaled value; y, z = x plus small id-derived integer
+    perturbations — both engines build the identical triples), then
+    the exact BIGINT moment pieces (n, sums, sums of squares and
+    cross-products). The float TC error variances / SNR derive
+    caller-side via triple_collocation_scores and are pytest-pinned
+    against numpy covariances plus a synthetic-truth recovery test —
+    the witness itself never touches a float."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import triple_collocation_pieces
+
+    ev = _events(spark, sf_dir)
+    x = F.round(F.col("value") * 10000).cast("long")
+    tri = ev.select(
+        "event_type",
+        x.alias("x"),
+        (x + F.col("event_id") % 7 - 3).alias("y"),
+        (x + F.col("user_id") % 5 - 2).alias("z"),
+    )
+    return triple_collocation_pieces(tri, ["event_type"], "x", "y", "z")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3106,6 +3130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X125 (oracled): pairwise KMV set-op pieces (union/intersect/
         # difference witnesses; estimates derive caller-side):
         "kmv_setops": _q_kmv_setops,
+        # X126 (oracled): triple-collocation moment pieces — the
+        # reference domain's 3-source error-variance validation:
+        "triple_colloc": _q_triple_colloc,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5272,6 +5299,30 @@ def oracle_sql() -> dict[str, str]:
         FROM lt JOIN rt
           ON length(rk) BETWEEN length(lk) - 1 AND length(lk) + 1
           AND levenshtein(lk, rk) <= 1
+    """
+    # X126: identical deterministic triple construction (non-negative
+    # ids so % == pmod), then the same exact moment sums
+    d["triple_colloc"] = """
+        WITH tri AS (
+          SELECT event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS x,
+                 CAST(round(value * 10000) AS BIGINT)
+                   + event_id % 7 - 3 AS y,
+                 CAST(round(value * 10000) AS BIGINT)
+                   + user_id % 5 - 2 AS z
+          FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(z) AS BIGINT) AS sz,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(z * z) AS BIGINT) AS szz,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * z) AS BIGINT) AS sxz,
+               CAST(sum(y * z) AS BIGINT) AS syz
+        FROM tri GROUP BY event_type
     """
     # X122: identical cell/margin/total chain; ub = user_id % 5
     # (non-negative ids so % == pmod)

@@ -165,6 +165,7 @@ HEADLINE = [
     "hll_vocab",
     "fuzzy_link",
     "kmv_setops",
+    "triple_colloc",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2299,3 +2299,146 @@ def ks_pieces(
         .groupBy("n_a", "n_b")
         .agg(F.max("__d").cast("long").alias("d_num"))
     )
+
+
+def triple_collocation_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """X126 triple collocation, pieces mode: the reference domain's
+    hallmark validation technique — given three INDEPENDENT collocated
+    estimates of the same signal (satellite / model / in-situ soil
+    moisture in the reference's ecosystem; three labelling sources or
+    quality scorers in a training-data pipeline), estimate each
+    source's error variance WITHOUT ground truth (Stoffelen 1998;
+    McColl et al. 2014 extended TC). The reference's read-back series
+    (``/root/reference/src/c3s_sm/interface.py`` per-GPI frames) are
+    exactly what downstream TC validation consumes.
+
+    Emits per key the EXACT BIGINT moment pieces — ``n, sx, sy, sz,
+    sxx, syy, szz, sxy, sxz, syz`` — from integer-scaled inputs; every
+    float (covariances, error variances, SNR) derives caller-side in
+    :func:`triple_collocation_scores`, so the cross-engine witness
+    never touches float summation order. Overflow bound is
+    paired_validation's: ``n * max|v|^2 < 2^63`` per group — feed
+    1e-4-scaled units, not micro.
+
+    Plan: one map-side-combinable hash aggregate on ``keys`` — no
+    window, no join; at 10^12 rows this is a single shuffle of
+    10-longs-per-group partials. Use :func:`asof_join` twice (or
+    :func:`collocate3`) upstream to temporally match the three sources
+    first.
+    """
+    keys = list(keys)
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    z = F.col(z_col).cast("long")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(z).cast("long").alias("sz"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(z * z).cast("long").alias("szz"),
+        F.sum(x * y).cast("long").alias("sxy"),
+        F.sum(x * z).cast("long").alias("sxz"),
+        F.sum(y * z).cast("long").alias("syz"),
+    )
+
+
+def triple_collocation_scores(pieces: DataFrame, scale: int = 10000) -> DataFrame:
+    """Turn :func:`triple_collocation_pieces` into the classic TC
+    estimates, as a plain projection (no shuffle; floats appear only
+    here, outside any cross-engine witness):
+
+    - ``err_var_x = Qxx - Qxy*Qxz/Qyz`` (and cyclic for y, z), in
+      UNSCALED squared units (divided by ``scale**2``);
+    - ``snr_x_db = -10*log10(Qxx*Qyz/(Qxy*Qxz) - 1)`` (McColl 2014),
+      dimensionless.
+
+    Estimates are null when the paired covariance in the denominator
+    is <= 0 (sources uncorrelated or anti-correlated — TC's
+    independence/linearity assumptions are violated and the estimator
+    is undefined, matching pytesmo's nan behavior). Error variances
+    can come out slightly negative on sampling noise for very quiet
+    sources; they are reported as-is (standard practice — callers
+    clamp if they need a variance).
+    """
+    n = F.col("n").cast("double")
+    s2 = float(scale) * float(scale)
+    sx, sy, sz = [F.col(c).cast("double") for c in ("sx", "sy", "sz")]
+    sxx, syy, szz = [F.col(c).cast("double") for c in ("sxx", "syy", "szz")]
+    sxy, sxz, syz = [F.col(c).cast("double") for c in ("sxy", "sxz", "syz")]
+    # n^2-scaled covariances: Q_ab * n^2 = n*sab - sa*sb.  Ratios of
+    # two Qs are scale-free, so err_var (one Q times a Q-ratio) only
+    # needs a single 1/n^2 correction.
+    qxx = n * sxx - sx * sx
+    qyy = n * syy - sy * sy
+    qzz = n * szz - sz * sz
+    qxy = n * sxy - sx * sy
+    qxz = n * sxz - sx * sz
+    qyz = n * syz - sy * sz
+
+    def _ev(qaa: Column, qab: Column, qac: Column, qbc: Column) -> Column:
+        return F.when(
+            qbc > 0, (qaa - qab * qac / qbc) / (n * n) / s2
+        )
+
+    def _snr(qaa: Column, qab: Column, qac: Column, qbc: Column) -> Column:
+        ratio = qaa * qbc / (qab * qac) - 1
+        return F.when((qab * qac > 0) & (ratio > 0), -10 * F.log10(ratio))
+
+    return pieces.select(
+        "*",
+        _ev(qxx, qxy, qxz, qyz).alias("err_var_x"),
+        _ev(qyy, qxy, qyz, qxz).alias("err_var_y"),
+        _ev(qzz, qxz, qyz, qxy).alias("err_var_z"),
+        _snr(qxx, qxy, qxz, qyz).alias("snr_x_db"),
+        _snr(qyy, qxy, qyz, qxz).alias("snr_y_db"),
+        _snr(qzz, qxz, qyz, qxy).alias("snr_z_db"),
+    )
+
+
+def collocate3(
+    base: DataFrame,
+    second: DataFrame,
+    third: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    value_cols: tuple[str, str, str] = ("x", "y", "z"),
+    tolerance_s: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Temporal collocation of three sources for TC: as-of match
+    ``second`` then ``third`` onto ``base``'s timestamps (nearest at or
+    before, within ``tolerance_s``), keeping only rows where BOTH
+    matches exist. Two key-partitioned as-of joins — the same
+    one-shuffle-each plan as :func:`asof_join`; output columns are
+    ``keys + [ts_col, x, y, z]`` ready for
+    :func:`triple_collocation_pieces`.
+    """
+    keys = list(keys)
+    xc, yc, zc = value_cols
+    m2 = (
+        asof_join(
+            base.select(*keys, ts_col, xc), second.select(*keys, ts_col, yc),
+            keys, left_ts=ts_col, right_ts=ts_col, value_cols=[yc],
+            tolerance_s=tolerance_s, tiebreak=tiebreak,
+        )
+        .filter(F.col(f"asof_{yc}").isNotNull())
+        # project away asof_age_s before the second join re-emits it
+        .select(*keys, ts_col, xc, F.col(f"asof_{yc}").alias(yc))
+    )
+    m3 = asof_join(
+        m2, third.select(*keys, ts_col, zc),
+        keys, left_ts=ts_col, right_ts=ts_col, value_cols=[zc],
+        tolerance_s=tolerance_s, tiebreak=tiebreak,
+    )
+    return (
+        m3.filter(F.col(f"asof_{zc}").isNotNull())
+        .select(*keys, ts_col, xc, yc, F.col(f"asof_{zc}").alias(zc))
+    )

@@ -1804,3 +1804,151 @@ def test_trend_pieces_mergeable(spark):
         assert a[c] + b[c] == full[c]
     with pytest.raises(ValueError):
         trend_pieces(df, [], "ts", "value")
+
+
+def test_triple_collocation_pieces_match_numpy(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        triple_collocation_pieces,
+        triple_collocation_scores,
+    )
+
+    rng = np.random.default_rng(42)
+    x = rng.integers(-500, 500, 60)
+    y = x + rng.integers(-50, 50, 60)
+    z = x + rng.integers(-80, 80, 60)
+    df = spark.createDataFrame(
+        [("g", int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        "k string, x long, y long, z long",
+    )
+    p = triple_collocation_pieces(df, ["k"], "x", "y", "z").collect()[0]
+    assert p["n"] == 60
+    assert p["sx"] == int(x.sum()) and p["sxy"] == int((x * y).sum())
+    assert p["szz"] == int((z * z).sum()) and p["syz"] == int((y * z).sum())
+
+    # scores == direct numpy covariance TC (scale=1: inputs unscaled)
+    q = np.cov(np.stack([x, y, z]), bias=True)
+    want_evx = q[0, 0] - q[0, 1] * q[0, 2] / q[1, 2]
+    want_evy = q[1, 1] - q[0, 1] * q[1, 2] / q[0, 2]
+    want_evz = q[2, 2] - q[0, 2] * q[1, 2] / q[0, 1]
+    s = triple_collocation_scores(
+        triple_collocation_pieces(df, ["k"], "x", "y", "z"), scale=1
+    ).collect()[0]
+    assert s["err_var_x"] == pytest.approx(want_evx, rel=1e-9)
+    assert s["err_var_y"] == pytest.approx(want_evy, rel=1e-9)
+    assert s["err_var_z"] == pytest.approx(want_evz, rel=1e-9)
+    want_snr_x = -10 * np.log10(q[0, 0] * q[1, 2] / (q[0, 1] * q[0, 2]) - 1)
+    assert s["snr_x_db"] == pytest.approx(want_snr_x, rel=1e-9)
+
+
+def test_triple_collocation_recovers_synthetic_error_variances(spark):
+    # the estimator's whole point: three independent noisy views of a
+    # common signal -> each source's error variance, no ground truth.
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        triple_collocation_pieces,
+        triple_collocation_scores,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    truth = rng.normal(0, 100, n)
+    ex, ey, ez = 20.0, 35.0, 50.0  # true error stddevs
+    x = np.rint(truth + rng.normal(0, ex, n)).astype(np.int64)
+    y = np.rint(truth + rng.normal(0, ey, n)).astype(np.int64)
+    z = np.rint(truth + rng.normal(0, ez, n)).astype(np.int64)
+    df = spark.createDataFrame(
+        [("g", int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        "k string, x long, y long, z long",
+    )
+    s = triple_collocation_scores(
+        triple_collocation_pieces(df, ["k"], "x", "y", "z"), scale=1
+    ).collect()[0]
+    # sampling noise at n=20k: ~few percent; allow 10%
+    assert s["err_var_x"] == pytest.approx(ex * ex, rel=0.10)
+    assert s["err_var_y"] == pytest.approx(ey * ey, rel=0.10)
+    assert s["err_var_z"] == pytest.approx(ez * ez, rel=0.10)
+    # SNR ordering follows error ordering (same sensitivity)
+    assert s["snr_x_db"] > s["snr_y_db"] > s["snr_z_db"]
+
+
+def test_triple_collocation_undefined_when_uncorrelated(spark):
+    # y,z pure noise -> Qyz ~ 0 / negative: estimator must null, not lie
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        triple_collocation_pieces,
+        triple_collocation_scores,
+    )
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(-100, 100, 500)
+    y = rng.integers(-100, 100, 500)
+    z = -y  # perfectly anti-correlated pair: Qyz < 0
+    df = spark.createDataFrame(
+        [("g", int(a), int(b), int(c)) for a, b, c in zip(x, y, z)],
+        "k string, x long, y long, z long",
+    )
+    s = triple_collocation_scores(
+        triple_collocation_pieces(df, ["k"], "x", "y", "z"), scale=1
+    ).collect()[0]
+    assert s["err_var_x"] is None  # Qyz <= 0 -> undefined
+
+
+def test_triple_collocation_partitioning_invariance(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import triple_collocation_pieces
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (f"k{i % 3}", int(a), int(b), int(c))
+        for i, (a, b, c) in enumerate(
+            zip(*[rng.integers(-1000, 1000, 300) for _ in range(3)])
+        )
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, y long, z long")
+    a = {
+        r["k"]: r.asDict()
+        for r in triple_collocation_pieces(df, ["k"], "x", "y", "z").collect()
+    }
+    b = {
+        r["k"]: r.asDict()
+        for r in triple_collocation_pieces(
+            df.repartition(17), ["k"], "x", "y", "z"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_collocate3_matches_and_filters(spark):
+    from c3s_sm_spark.operators.timeseries import collocate3
+
+    base = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 10:00:00"), 10),  # both match
+            ("a", _ts("2024-01-01 11:00:00"), 20),  # z out of tolerance
+            ("b", _ts("2024-01-01 10:00:00"), 30),  # no y at all
+        ],
+        "k string, ts timestamp, x long",
+    )
+    second = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 09:59:00"), 101),
+            ("a", _ts("2024-01-01 10:59:00"), 102),
+        ],
+        "k string, ts timestamp, y long",
+    )
+    third = spark.createDataFrame(
+        [("a", _ts("2024-01-01 09:58:00"), 201)],
+        "k string, ts timestamp, z long",
+    )
+    out = collocate3(
+        base, second, third, ["k"], tolerance_s=600,
+        value_cols=("x", "y", "z"),
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["k"], r["x"], r["y"], r["z"]) == ("a", 10, 101, 201)
