@@ -2802,6 +2802,27 @@ def _q_triple_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triple_collocation_pieces(tri, ["event_type"], "x", "y", "z")
 
 
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127 Mann-Kendall trend pieces per event_type over the
+    user_id%10==0 slice (canonical (ts, event_id) pair order in both
+    engines): exact S, pair sign counts, tie term, 18*Var(S). The
+    oracle is the quadratic per-key self-join — exactly the form the
+    Arrow kernel avoids; z/p/Sen's slope derive caller-side and are
+    pytest-pinned."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import mann_kendall_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return mann_kendall_pieces(
+        ev, ["event_type"], "ts", "v", tiebreak="event_id"
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3133,6 +3154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X126 (oracled): triple-collocation moment pieces — the
         # reference domain's 3-source error-variance validation:
         "triple_colloc": _q_triple_colloc,
+        # X127 (oracled): Mann-Kendall monotone-trend pieces:
+        "mann_kendall": _q_mann_kendall,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5323,6 +5346,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X127: the quadratic per-key self-join form of Mann-Kendall —
+    # pairs ordered canonically by (ts, event_id); sgn over values
+    d["mann_kendall"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events WHERE user_id % 10 = 0),
+        p AS (
+          SELECT a.event_type,
+                 CASE WHEN b.v > a.v THEN 1
+                      WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+          FROM s a JOIN s b
+            ON a.event_type = b.event_type
+           AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))),
+        agg AS (
+          SELECT event_type,
+                 CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                 CAST(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                 CAST(sum(sg) AS BIGINT) AS s
+          FROM p GROUP BY event_type),
+        ties AS (
+          SELECT event_type,
+                 CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, v, count(*) AS tt FROM s GROUP BY 1, 2)
+          GROUP BY event_type),
+        nn AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY event_type)
+        SELECT nn.event_type, nn.n, agg.n_pos, agg.n_neg, agg.n_zero,
+               agg.s, ties.tie_term,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                    AS BIGINT) AS var18
+        FROM nn JOIN agg USING (event_type) JOIN ties USING (event_type)
     """
     # X122: identical cell/margin/total chain; ub = user_id % 5
     # (non-negative ids so % == pmod)

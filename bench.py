@@ -166,6 +166,7 @@ HEADLINE = [
     "fuzzy_link",
     "kmv_setops",
     "triple_colloc",
+    "mann_kendall",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -40,6 +40,7 @@ backward and forward sides).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -2442,3 +2443,167 @@ def collocate3(
         m3.filter(F.col(f"asof_{zc}").isNotNull())
         .select(*keys, ts_col, xc, yc, F.col(f"asof_{zc}").alias(zc))
     )
+
+
+def mann_kendall_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X127 Mann-Kendall trend test, pieces mode: the standard
+    nonparametric monotone-trend significance test for climate series
+    (Mann 1945; Kendall 1975) — is this GPI's soil-moisture series (or
+    this source's daily token-count series) drifting, robustly to
+    outliers and without assuming linearity?
+
+    Per key, with the series in canonical ``(ts, tiebreak)`` order,
+    emits EXACT BIGINT pieces:
+
+    - ``n`` — series length;
+    - ``n_pos / n_neg / n_zero`` — pair sign counts over all i<j pairs
+      (``sgn(v_j - v_i)``);
+    - ``s`` — the MK statistic ``n_pos - n_neg``;
+    - ``tie_term`` — ``sum over tied-value groups of t(t-1)(2t+5)``;
+    - ``var18`` — ``n(n-1)(2n+5) - tie_term`` (18*Var(S), exactly
+      integral).
+
+    Floats (z statistic, p-value, Sen's slope) derive caller-side via
+    :func:`mann_kendall_scores` / :func:`sen_slope` — the witness never
+    divides. Values must be integers (pre-scale floats).
+
+    Plan + bound: one hash shuffle on ``keys``, then a per-key Arrow
+    kernel — pair counting is vectorized numpy (O(n^2) work, O(n)
+    memory), same per-key-series-fits-a-task contract as the other
+    order-dependent operators in this module (see module docstring).
+    For series beyond ~10^5 points use the parametric ``trend`` pieces
+    (one pass) or pre-aggregate to a coarser grain first.
+    """
+    import numpy as np
+    import pandas as pd
+
+    keys = list(keys)
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    out_schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys]
+        + [
+            "n long", "n_pos long", "n_neg long", "n_zero long",
+            "s long", "tie_term long", "var18 long",
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        v = pdf["__v"].to_numpy(np.int64)
+        n = len(v)
+        pos = neg = 0
+        for i in range(n - 1):
+            d = v[i + 1:] - v[i]
+            pos += int((d > 0).sum())
+            neg += int((d < 0).sum())
+        npairs = n * (n - 1) // 2
+        _, counts = np.unique(v, return_counts=True)
+        t = counts.astype(np.int64)
+        tie_term = int((t * (t - 1) * (2 * t + 5)).sum())
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        head = {k: pdf[k].iloc[0] for k in keys}
+        return pd.DataFrame([{
+            **head, "n": n, "n_pos": pos, "n_neg": neg,
+            "n_zero": npairs - pos - neg, "s": pos - neg,
+            "tie_term": tie_term, "var18": var18,
+        }])
+
+    prepared = df.select(
+        *keys, *order, F.col(value_col).cast("long").alias("__v")
+    )
+    return prepared.groupBy(*keys).applyInPandas(_one, out_schema)
+
+
+def mann_kendall_scores(pieces: DataFrame) -> DataFrame:
+    """MK z statistic and two-sided normal p-value from
+    :func:`mann_kendall_pieces` — plain projection, floats only here.
+    ``z = (S - sgn(S)) / sqrt(var18/18)`` (continuity-corrected);
+    null when n < 3 or Var(S) == 0 (constant series).
+    ``p = erfc(|z| / sqrt(2))`` — the exact two-sided normal tail."""
+    s = F.col("s").cast("double")
+    var = F.col("var18").cast("double") / 18.0
+    z = F.when(
+        (F.col("n") >= 3) & (F.col("var18") > 0),
+        (s - F.signum(s)) / F.sqrt(var),
+    )
+    out = pieces.withColumn("__z", z)
+    # two-sided p = erfc(|z|/sqrt(2)); Spark SQL has no erfc, so use the
+    # Abramowitz & Stegun 7.1.26 rational approximation (|err| < 1.5e-7
+    # in erf, which is far below any significance-threshold decision).
+    ax = F.abs(F.col("__z")) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    p = poly * F.exp(-ax * ax)
+    return out.select(
+        "*",
+        F.col("__z").alias("z"),
+        F.when(F.col("__z").isNotNull(), p).alias("p_value"),
+    ).drop("__z")
+
+
+def sen_slope(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    x_unit_s: int = 86400,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Sen's slope (Theil-Sen estimator, Sen 1968): per key, the median
+    of all pairwise slopes ``(v_j - v_i) / (x_j - x_i)`` — the robust
+    trend-magnitude companion to :func:`mann_kendall_pieces`'s
+    significance test. ``x`` is the epoch timestamp divided by
+    ``x_unit_s`` (default days), so the slope reads "value units per
+    day". Pairs with zero time difference are excluded (standard
+    practice; scipy ``theilslopes`` semantics, float median like scipy
+    — float output -> pytest-pinned against brute force, never
+    hash-oracled). Same O(n^2)-per-key vectorized-numpy bound as the
+    MK kernel."""
+    import numpy as np
+    import pandas as pd
+
+    keys = list(keys)
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    out_schema = ", ".join(
+        [f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys]
+        + ["n_slopes long", "slope double"]
+    )
+    unit = float(x_unit_s)
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        v = pdf["__v"].to_numpy(np.int64)
+        x = pdf["__x"].to_numpy(np.int64)
+        n = len(v)
+        slopes = []
+        for i in range(n - 1):
+            dx = x[i + 1:] - x[i]
+            dy = v[i + 1:] - v[i]
+            m = dx != 0
+            if m.any():
+                slopes.append(dy[m].astype(np.float64) * unit / dx[m])
+        head = {k: pdf[k].iloc[0] for k in keys}
+        if not slopes:
+            return pd.DataFrame([{**head, "n_slopes": 0, "slope": None}])
+        allsl = np.concatenate(slopes)
+        return pd.DataFrame([{
+            **head,
+            "n_slopes": int(len(allsl)),
+            "slope": float(np.median(allsl)),
+        }])
+
+    prepared = df.select(
+        *keys, *order,
+        F.col(value_col).cast("long").alias("__v"),
+        F.unix_timestamp(F.col(ts_col)).cast("long").alias("__x"),
+    )
+    return prepared.groupBy(*keys).applyInPandas(_one, out_schema)

@@ -1952,3 +1952,136 @@ def test_collocate3_matches_and_filters(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["k"], r["x"], r["y"], r["z"]) == ("a", 10, 101, 201)
+
+
+def test_mann_kendall_pieces_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import mann_kendall_pieces
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for k in ("a", "b"):
+        # values with deliberate ties
+        for i in range(40):
+            rows.append(
+                (k, _ts("2024-01-01 00:00:00") + dt.timedelta(hours=i),
+                 i, int(rng.integers(-5, 6)))
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    out = {
+        r["k"]: r.asDict()
+        for r in mann_kendall_pieces(
+            df, ["k"], "ts", "v", tiebreak="eid"
+        ).collect()
+    }
+    for k in ("a", "b"):
+        vs = [v for kk, _, _, v in rows if kk == k]
+        n = len(vs)
+        pos = sum(
+            1 for i in range(n) for j in range(i + 1, n) if vs[j] > vs[i]
+        )
+        neg = sum(
+            1 for i in range(n) for j in range(i + 1, n) if vs[j] < vs[i]
+        )
+        _, counts = np.unique(vs, return_counts=True)
+        tie = int(sum(t * (t - 1) * (2 * t + 5) for t in counts))
+        assert out[k]["n"] == n and out[k]["n_pos"] == pos
+        assert out[k]["n_neg"] == neg and out[k]["s"] == pos - neg
+        assert out[k]["n_zero"] == n * (n - 1) // 2 - pos - neg
+        assert out[k]["tie_term"] == tie
+        assert out[k]["var18"] == n * (n - 1) * (2 * n + 5) - tie
+
+
+def test_mann_kendall_monotone_and_scores(spark):
+    import math
+
+    from c3s_sm_spark.operators.timeseries import (
+        mann_kendall_pieces,
+        mann_kendall_scores,
+    )
+
+    # strictly increasing series of n=10: S = 45, no ties
+    rows = [
+        ("up", _ts("2024-01-01") + dt.timedelta(days=i), i, 10 * i)
+        for i in range(10)
+    ]
+    # constant series: S = 0, var18 = 0 -> z, p null
+    rows += [
+        ("flat", _ts("2024-01-01") + dt.timedelta(days=i), i, 7)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    s = {
+        r["k"]: r.asDict()
+        for r in mann_kendall_scores(
+            mann_kendall_pieces(df, ["k"], "ts", "v", tiebreak="eid")
+        ).collect()
+    }
+    assert s["up"]["s"] == 45 and s["up"]["tie_term"] == 0
+    var = 10 * 9 * 25 / 18.0  # 125
+    want_z = (45 - 1) / math.sqrt(var)
+    assert s["up"]["z"] == pytest.approx(want_z, rel=1e-12)
+    # p = erfc(|z|/sqrt2); z=3.936 -> p ~ 8.28e-5 (A&S approx, <1.5e-7 err)
+    assert s["up"]["p_value"] == pytest.approx(
+        math.erfc(want_z / math.sqrt(2)), abs=2e-7
+    )
+    assert s["flat"]["s"] == 0 and s["flat"]["var18"] == 0
+    assert s["flat"]["z"] is None and s["flat"]["p_value"] is None
+
+
+def test_sen_slope_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import sen_slope
+
+    rng = np.random.default_rng(23)
+    ts0 = _ts("2024-01-01 00:00:00")
+    # irregular spacing incl. a duplicate timestamp (zero-dx pair drops)
+    offs = [0, 1, 1, 3, 7, 12, 20, 33]
+    vals = [int(v) for v in rng.integers(-100, 100, len(offs))]
+    rows = [
+        ("g", ts0 + dt.timedelta(days=o), i, v)
+        for i, (o, v) in enumerate(zip(offs, vals))
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    out = sen_slope(df, ["k"], "ts", "v", tiebreak="eid").collect()[0]
+    slopes = []
+    for i in range(len(offs)):
+        for j in range(i + 1, len(offs)):
+            dx = offs[j] - offs[i]
+            if dx != 0:
+                slopes.append((vals[j] - vals[i]) / dx)
+    assert out["n_slopes"] == len(slopes)
+    assert out["slope"] == pytest.approx(float(np.median(slopes)), rel=1e-12)
+    # pure linear series recovers the exact slope
+    lin = spark.createDataFrame(
+        [("l", ts0 + dt.timedelta(days=i), i, 5 * i) for i in range(12)],
+        "k string, ts timestamp, eid long, v long",
+    )
+    assert sen_slope(lin, ["k"], "ts", "v").collect()[0]["slope"] == pytest.approx(5.0)
+
+
+def test_mann_kendall_partitioning_invariance(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import mann_kendall_pieces
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (f"k{i % 4}", _ts("2024-01-01") + dt.timedelta(hours=i), i,
+         int(rng.integers(-50, 50)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    a = {
+        r["k"]: r.asDict()
+        for r in mann_kendall_pieces(df, ["k"], "ts", "v", tiebreak="eid").collect()
+    }
+    b = {
+        r["k"]: r.asDict()
+        for r in mann_kendall_pieces(
+            df.repartition(13), ["k"], "ts", "v", tiebreak="eid"
+        ).collect()
+    }
+    assert a == b
