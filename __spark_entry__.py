@@ -2823,6 +2823,25 @@ def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_allan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128 Allan-variance pieces per event_type at m in {4,16,64}
+    (row-index bins in canonical (ts,event_id) order, complete bins
+    only, adjacent-pair diff-squares as exact BIGINTs); float
+    AVAR/ADEV derive caller-side and are pytest-pinned."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import allan_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return allan_pieces(
+        ev, ["event_type"], "ts", "v", ms=(4, 16, 64), tiebreak="event_id"
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3156,6 +3175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_colloc": _q_triple_colloc,
         # X127 (oracled): Mann-Kendall monotone-trend pieces:
         "mann_kendall": _q_mann_kendall,
+        # X128 (oracled): Allan-variance stability pieces:
+        "allan_var": _q_allan,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5346,6 +5367,38 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X128: same row-index binning / complete-bin / adjacent-pair
+    # chain per m, UNION ALL across the three m values
+    d["allan_var"] = """
+        WITH s AS (
+          SELECT event_type,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) - 1 AS r,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events),
+        pb AS (
+          SELECT event_type, m, r // m AS bin,
+                 CAST(sum(v) AS BIGINT) AS bs, count(*) AS bc
+          FROM s CROSS JOIN (VALUES (4), (16), (64)) AS mm(m)
+          GROUP BY event_type, m, r // m
+          HAVING count(*) = m),
+        lg AS (
+          SELECT event_type, m, bin, bs,
+                 lag(bin) OVER (PARTITION BY event_type, m ORDER BY bin)
+                   AS pb,
+                 lag(bs) OVER (PARTITION BY event_type, m ORDER BY bin)
+                   AS ps
+          FROM pb)
+        SELECT event_type, CAST(m AS BIGINT) AS m,
+               CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(CASE WHEN pb = bin - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pairs,
+               CAST(coalesce(sum(CASE WHEN pb = bin - 1
+                    THEN (bs - ps) * (bs - ps) END), 0)
+                    AS BIGINT) AS dsum2
+        FROM lg GROUP BY event_type, m
     """
     # X127: the quadratic per-key self-join form of Mann-Kendall —
     # pairs ordered canonically by (ts, event_id); sgn over values

@@ -167,6 +167,7 @@ HEADLINE = [
     "kmv_setops",
     "triple_colloc",
     "mann_kendall",
+    "allan_var",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2607,3 +2607,108 @@ def sen_slope(
         F.unix_timestamp(F.col(ts_col)).cast("long").alias("__x"),
     )
     return prepared.groupBy(*keys).applyInPandas(_one, out_schema)
+
+
+def allan_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    ms: Sequence[int] = (4, 16, 64),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X128 Allan variance, pieces mode: the classic instrument-
+    stability metric (Allan 1966; IEEE 1139) — at which averaging time
+    does this sensor's noise stop averaging down and start drifting?
+    The same curve profiles any high-rate series' stability: satellite
+    radiometer streams in the reference's domain, per-source ingest
+    rates or loss curves in a training pipeline.
+
+    Non-overlapping estimator over ROW-index bins (canonical
+    ``(ts, tiebreak)`` order): bin k = rows ``[k*m, (k+1)*m)``; only
+    COMPLETE bins (count == m) participate (standard tail drop);
+    ``AVAR(m*tau0) = sum (S_{k+1}-S_k)^2 / (2 * n_pairs * m^2)`` over
+    ADJACENT complete bins. Emits, per key and per ``m`` — all exact
+    BIGINT: ``m, n_bins, n_pairs, dsum2`` (the sum of squared adjacent
+    bin-sum differences). The float AVAR/ADEV derive caller-side in
+    :func:`allan_scores`. Values must be integer-scaled.
+
+    Overflow bound: ``n_pairs * (2 * m * max|v|)^2 < 2^63``.
+
+    Plan: one hash shuffle on ``keys`` feeds every ``m`` (one
+    row-number sort reused); per ``m``, a map-side-combinable bin
+    groupBy then a tiny per-key lag window over ~n/m bin rows. All
+    JVM built-ins — no Python in the path.
+    """
+    keys = list(keys)
+    ms = list(ms)
+    if not ms or any(m < 2 for m in ms):
+        raise ValueError(f"ms must be ints >= 2, got {ms}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    base = df.select(
+        *keys, ts_col, *([tiebreak] if tiebreak else []),
+        F.col(value_col).cast("long").alias("__v"),
+    ).withColumn("__r", F.row_number().over(w) - 1)
+
+    outs = []
+    for m in ms:
+        per_bin = (
+            base.withColumn("__bin", (F.col("__r") / m).cast("long"))
+            .groupBy(*keys, "__bin")
+            .agg(
+                F.sum("__v").cast("long").alias("__bs"),
+                F.count(F.lit(1)).alias("__bc"),
+            )
+            .filter(F.col("__bc") == m)
+        )
+        wb = Window.partitionBy(*keys).orderBy(F.col("__bin").asc())
+        lagged = per_bin.select(
+            *keys,
+            "__bin",
+            "__bs",
+            F.lag("__bin").over(wb).alias("__pb"),
+            F.lag("__bs").over(wb).alias("__ps"),
+        )
+        d = F.col("__bs") - F.col("__ps")
+        pair_ok = F.col("__pb") == F.col("__bin") - 1
+        outs.append(
+            lagged.groupBy(*keys).agg(
+                F.lit(m).cast("long").alias("m"),
+                F.count(F.lit(1)).cast("long").alias("n_bins"),
+                F.sum(F.when(pair_ok, 1).otherwise(0))
+                .cast("long")
+                .alias("n_pairs"),
+                F.coalesce(
+                    F.sum(F.when(pair_ok, d * d)), F.lit(0)
+                ).cast("long").alias("dsum2"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def allan_scores(
+    pieces: DataFrame, scale: int = 10000, tau0_s: float = 1.0
+) -> DataFrame:
+    """Float Allan variance / deviation from :func:`allan_pieces` —
+    plain projection: ``avar = dsum2 / (2 * n_pairs * m^2 * scale^2)``,
+    ``adev = sqrt(avar)``, ``tau_s = m * tau0_s``. Null when no
+    adjacent complete-bin pair exists."""
+    m = F.col("m").cast("double")
+    npair = F.col("n_pairs").cast("double")
+    s2 = float(scale) * float(scale)
+    avar = F.when(
+        F.col("n_pairs") > 0,
+        F.col("dsum2").cast("double") / (2.0 * npair * m * m * s2),
+    )
+    return pieces.select(
+        "*",
+        avar.alias("avar"),
+        F.sqrt(avar).alias("adev"),
+        (m * F.lit(float(tau0_s))).alias("tau_s"),
+    )

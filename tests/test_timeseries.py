@@ -2085,3 +2085,88 @@ def test_mann_kendall_partitioning_invariance(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_allan_pieces_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import allan_pieces, allan_scores
+
+    rng = np.random.default_rng(37)
+    n = 50  # m=4 -> 12 complete bins; m=16 -> 3; tail dropped in both
+    vals = [int(v) for v in rng.integers(-100, 100, n)]
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    out = {
+        r["m"]: r.asDict()
+        for r in allan_pieces(
+            df, ["k"], "ts", "v", ms=(4, 16), tiebreak="eid"
+        ).collect()
+    }
+    for m in (4, 16):
+        nb = n // m
+        sums = [sum(vals[k * m:(k + 1) * m]) for k in range(nb)]
+        dsum2 = sum(
+            (sums[k + 1] - sums[k]) ** 2 for k in range(nb - 1)
+        )
+        assert out[m]["n_bins"] == nb
+        assert out[m]["n_pairs"] == nb - 1
+        assert out[m]["dsum2"] == dsum2
+    # scores: avar = dsum2 / (2 * n_pairs * m^2) at scale=1
+    s = {
+        r["m"]: r.asDict()
+        for r in allan_scores(
+            allan_pieces(df, ["k"], "ts", "v", ms=(4,), tiebreak="eid"),
+            scale=1, tau0_s=60.0,
+        ).collect()
+    }
+    nb = n // 4
+    sums = [sum(vals[k * 4:(k + 1) * 4]) for k in range(nb)]
+    want = sum((sums[k + 1] - sums[k]) ** 2 for k in range(nb - 1)) / (
+        2 * (nb - 1) * 16
+    )
+    assert s[4]["avar"] == pytest.approx(want, rel=1e-12)
+    assert s[4]["tau_s"] == pytest.approx(240.0)
+
+
+def test_allan_white_noise_slope(spark):
+    # white noise: AVAR(m) ~ sigma^2/m -> avar(16)/avar(4) ~ 1/4
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import allan_pieces, allan_scores
+
+    rng = np.random.default_rng(41)
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(seconds=i), i,
+         int(rng.integers(-1000, 1000)))
+        for i in range(8192)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    s = {
+        r["m"]: r["avar"]
+        for r in allan_scores(
+            allan_pieces(df, ["k"], "ts", "v", ms=(4, 16), tiebreak="eid"),
+            scale=1,
+        ).collect()
+    }
+    assert s[16] / s[4] == pytest.approx(0.25, rel=0.25)
+
+
+def test_allan_single_bin_null_and_guard(spark):
+    from c3s_sm_spark.operators.timeseries import allan_pieces, allan_scores
+
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(minutes=i), i, 5)
+        for i in range(5)  # m=4: one complete bin, zero pairs
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, eid long, v long")
+    out = allan_scores(
+        allan_pieces(df, ["k"], "ts", "v", ms=(4,), tiebreak="eid"), scale=1
+    ).collect()[0]
+    assert out["n_bins"] == 1 and out["n_pairs"] == 0 and out["dsum2"] == 0
+    assert out["avar"] is None
+    with pytest.raises(ValueError):
+        allan_pieces(df, ["k"], "ts", "v", ms=(1,))
