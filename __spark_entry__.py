@@ -2842,6 +2842,32 @@ def _q_allan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129 CCF pieces between the daily click v-sum series and the
+    daily view v-sum series (global pair, day index = days since
+    2024-01-01), lags -5..5: exact per-lag piece rows; the float r per
+    lag and the argmax lead/lag derive caller-side via
+    validation_scores and are pytest-pinned. Centi-unit scaling (x100,
+    not the usual 1e-4): daily SUMS get squared in sxx/syy, and
+    1e-4-scale daily sums (~1.5e8 at sf0.1) would put sum-of-squares
+    near 8.4e18 — inside int64 by only 9% and over it at sf1. Centi
+    units keep the witness exact through sf100."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import ccf_pieces
+
+    ev = _events(spark, sf_dir)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+    v2 = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("t"), v2.alias("v"))
+        .groupBy("event_type", "t")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    x = daily.filter(F.col("event_type") == "click").select("t", "v")
+    y = daily.filter(F.col("event_type") == "view").select("t", "v")
+    return ccf_pieces(x, y, [], "t", "v", "v", lags=range(-5, 6))
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3177,6 +3203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": _q_mann_kendall,
         # X128 (oracled): Allan-variance stability pieces:
         "allan_var": _q_allan,
+        # X129 (oracled): cross-correlation lead/lag pieces:
+        "ccf_lags": _q_ccf,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5367,6 +5395,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X129: identical daily-sum series build + shifted equi-join per lag
+    d["ccf_lags"] = """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS t,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        x AS (SELECT t, v FROM daily WHERE event_type = 'click'),
+        y AS (SELECT t, v FROM daily WHERE event_type = 'view'),
+        ly AS (
+          SELECT lag, y.t - lag AS t, y.v
+          FROM y CROSS JOIN (
+            VALUES (-5),(-4),(-3),(-2),(-1),(0),(1),(2),(3),(4),(5)
+          ) AS ll(lag))
+        SELECT CAST(ly.lag AS INTEGER) AS lag,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(x.v) AS BIGINT) AS sx,
+               CAST(sum(ly.v) AS BIGINT) AS sy,
+               CAST(sum(x.v * ly.v) AS BIGINT) AS sxy,
+               CAST(sum(x.v * x.v) AS BIGINT) AS sxx,
+               CAST(sum(ly.v * ly.v) AS BIGINT) AS syy
+        FROM x JOIN ly ON x.t = ly.t
+        GROUP BY ly.lag
     """
     # X128: same row-index binning / complete-bin / adjacent-pair
     # chain per m, UNION ALL across the three m values

@@ -168,6 +168,7 @@ HEADLINE = [
     "triple_colloc",
     "mann_kendall",
     "allan_var",
+    "ccf_lags",
     "text_quality",
     "lang_id",
     "quality_select",

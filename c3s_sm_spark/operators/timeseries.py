@@ -2712,3 +2712,64 @@ def allan_scores(
         F.sqrt(avar).alias("adev"),
         (m * F.lit(float(tau0_s))).alias("tau_s"),
     )
+
+
+def ccf_pieces(
+    x_df: DataFrame,
+    y_df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    x_col: str,
+    y_col: str,
+    lags: Sequence[int] = tuple(range(-7, 8)),
+) -> DataFrame:
+    """X129 cross-correlation function, pieces mode: does series Y lead
+    or lag series X, and by how much? (Does satellite soil moisture lag
+    rainfall by k days; do error events lead signups down by a week;
+    does a source's quality dip precede its volume dip?) Standard CCF
+    at integer lags — ``r(lag) = corr(x_t, y_{t+lag})``.
+
+    Inputs are two aligned integer-indexed series frames (``t_col`` an
+    integer grid index — day number, hour number; build with
+    ``datediff``/``unix_timestamp`` upstream) with integer-scaled
+    values. For every ``lag`` the y frame is shifted ``t -> t - lag``
+    (so it joins x at ``x_t`` vs ``y_{t+lag}``) via one
+    ``explode(lags)`` — then ONE equi-join on ``keys + t`` and one
+    map-side-combinable groupBy emit, per ``keys + lag``, the exact
+    BIGINT pieces ``n_matched sx sy sxy sxx syy`` (the
+    :func:`paired_validation` contract — feed to
+    :func:`validation_scores` for the float r; argmax-lag is a trivial
+    caller-side reduce). Only t-points present in BOTH series at that
+    lag participate (pandas ``Series.corr`` on shifted-join semantics).
+
+    Plan: the lag fan-out is a ``|lags|``-way row multiplier on the y
+    side only; both sides then shuffle ONCE on ``(keys, t)``; the
+    groupBy on ``(keys, lag)`` is a second small shuffle of
+    piece-partials. No window, no per-key series bound — this one
+    scales to any series length.
+    """
+    keys = list(keys)
+    lags = list(lags)
+    if not lags:
+        raise ValueError("lags must be non-empty")
+    x = x_df.select(
+        *keys,
+        F.col(t_col).cast("long").alias("__t"),
+        F.col(x_col).cast("long").alias("__x"),
+    )
+    y = y_df.select(
+        *keys,
+        F.explode(F.array(*[F.lit(int(l)) for l in lags])).alias("lag"),
+        F.col(t_col).cast("long").alias("__ty"),
+        F.col(y_col).cast("long").alias("__y"),
+    ).withColumn("__t", F.col("__ty") - F.col("lag"))
+    j = x.join(y, on=keys + ["__t"] if keys else ["__t"], how="inner")
+    xc, yc = F.col("__x"), F.col("__y")
+    return j.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(xc).cast("long").alias("sx"),
+        F.sum(yc).cast("long").alias("sy"),
+        F.sum(xc * yc).cast("long").alias("sxy"),
+        F.sum(xc * xc).cast("long").alias("sxx"),
+        F.sum(yc * yc).cast("long").alias("syy"),
+    )

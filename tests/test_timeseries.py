@@ -2170,3 +2170,66 @@ def test_allan_single_bin_null_and_guard(spark):
     assert out["avar"] is None
     with pytest.raises(ValueError):
         allan_pieces(df, ["k"], "ts", "v", ms=(1,))
+
+
+def test_ccf_pieces_detects_known_lag(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import ccf_pieces
+    from c3s_sm_spark.operators.timeseries import validation_scores
+
+    rng = np.random.default_rng(43)
+    n = 200
+    base = rng.integers(-1000, 1000, n + 10)
+    # y_{t+3} tracks x_t: y[t] = base[t-3] + small noise
+    x_rows = [(int(t), int(base[t])) for t in range(n)]
+    y_rows = [
+        (int(t), int(base[t - 3] + rng.integers(-5, 6)))
+        for t in range(3, n)
+    ]
+    x = spark.createDataFrame(x_rows, "t long, v long")
+    y = spark.createDataFrame(y_rows, "t long, v long")
+    scored = validation_scores(
+        ccf_pieces(x, y, [], "t", "v", "v", lags=range(-5, 6)), scale=1
+    ).collect()
+    best = max(scored, key=lambda r: r["pearson_r"])
+    assert best["lag"] == 3
+    assert best["pearson_r"] > 0.99
+
+
+def test_ccf_pieces_brute_force_and_matching(spark):
+    from c3s_sm_spark.operators.timeseries import ccf_pieces
+
+    # tiny frames with gaps: verify n_matched and sums per lag by hand
+    x = spark.createDataFrame(
+        [(0, 10), (1, 20), (3, 30)], "t long, v long"
+    )
+    y = spark.createDataFrame(
+        [(1, 5), (2, 7), (3, 9)], "t long, v long"
+    )
+    out = {
+        r["lag"]: r.asDict()
+        for r in ccf_pieces(x, y, [], "t", "v", "v", lags=[0, 1]).collect()
+    }
+    # lag 0: pairs at t=1 (20,5) and t=3 (30,9)
+    assert out[0]["n_matched"] == 2
+    assert out[0]["sx"] == 50 and out[0]["sy"] == 14
+    assert out[0]["sxy"] == 20 * 5 + 30 * 9
+    # lag 1: x_t vs y_{t+1}: t=0 (10,5), t=1 (20,7), missing t=3/y4
+    assert out[1]["n_matched"] == 2
+    assert out[1]["sx"] == 30 and out[1]["sy"] == 12
+    assert out[1]["sxy"] == 10 * 5 + 20 * 7
+    # keyed variant groups independently
+    xk = spark.createDataFrame(
+        [("a", 0, 1), ("a", 1, 2), ("b", 0, 3)], "k string, t long, v long"
+    )
+    yk = spark.createDataFrame(
+        [("a", 0, 4), ("b", 0, 5)], "k string, t long, v long"
+    )
+    got = {
+        (r["k"], r["lag"]): r["n_matched"]
+        for r in ccf_pieces(xk, yk, ["k"], "t", "v", "v", lags=[0]).collect()
+    }
+    assert got == {("a", 0): 1, ("b", 0): 1}
+    with pytest.raises(ValueError):
+        ccf_pieces(x, y, [], "t", "v", "v", lags=[])
