@@ -2868,6 +2868,18 @@ def _q_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccf_pieces(x, y, [], "t", "v", "v", lags=range(-5, 6))
 
 
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130 Holt level+trend smoothing per user (alpha=0.3, beta=0.1):
+    order-recursive like ewma, so rows-only; pinned bit-exact against a
+    pure-python reference recurrence and proven partition-invariant in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import holt_smooth
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    return holt_smooth(ev, ["user_id"], "ts", "value", alpha=0.3, beta=0.1)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3205,6 +3217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allan_var": _q_allan,
         # X129 (oracled): cross-correlation lead/lag pieces:
         "ccf_lags": _q_ccf,
+        # X130 (rows-only): Holt level+trend smoothing — order-
+        # recursive like ewma; python-loop recurrence pytest-pinned:
+        "holt": _q_holt,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

@@ -169,6 +169,7 @@ HEADLINE = [
     "mann_kendall",
     "allan_var",
     "ccf_lags",
+    "holt",
     "text_quality",
     "lang_id",
     "quality_select",

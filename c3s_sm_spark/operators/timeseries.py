@@ -2773,3 +2773,88 @@ def ccf_pieces(
         F.sum(xc * xc).cast("long").alias("sxx"),
         F.sum(yc * yc).cast("long").alias("syy"),
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    out_level: str = "holt_level",
+    out_trend: str = "holt_trend",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X130 Holt linear-trend (double exponential) smoothing per key —
+    the one-step-ahead level+trend tracker EWMA can't be when the
+    series drifts (Holt 1957; statsmodels ``Holt(initialization_method=
+    'legacy-heuristic'`` analog with simple first-two-points init):
+
+    ``l_t = alpha*v_t + (1-alpha)*(l_{t-1} + b_{t-1})``
+    ``b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}``
+
+    initialized ``l_0 = v_0``, ``b_0 = v_1 - v_0`` (``b_0 = 0`` for
+    one-point series). Appends ``out_level`` and ``out_trend``.
+
+    Physical strategy is :func:`ewma`'s: ``repartition(keys)`` +
+    ``sortWithinPartitions`` + partition-level ``mapInPandas`` with a
+    vectorized-per-series numpy recurrence — each key's series complete
+    and sorted in one partition, so the float recurrence is
+    deterministic under any cluster partitioning. Order-recursive by
+    nature -> rows-only (no ANSI-SQL twin); pinned against a pure-python
+    reference loop in pytest.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not (0 < alpha <= 1) or not (0 <= beta <= 1):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+    keys = list(keys)
+    cols = df.columns
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_level, DoubleType()), StructField(out_trend, DoubleType())]
+    )
+
+    def _holt_one(v: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+        n = len(v)
+        lev = np.empty(n, dtype=np.float64)
+        tr = np.empty(n, dtype=np.float64)
+        lev[0] = v[0]
+        tr[0] = (v[1] - v[0]) if n > 1 else 0.0
+        for t in range(1, n):
+            prev = lev[t - 1]
+            lev[t] = alpha * v[t] + (1 - alpha) * (prev + tr[t - 1])
+            tr[t] = beta * (lev[t] - prev) + (1 - beta) * tr[t - 1]
+        return lev, tr
+
+    def _holt_partition(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        lev = np.empty(len(pdf), dtype=np.float64)
+        tr = np.empty(len(pdf), dtype=np.float64)
+        for _, idx in pdf.groupby(keys, sort=False).indices.items():
+            gl, gt = _holt_one(
+                pdf[value_col].to_numpy(np.float64)[idx]
+            )
+            lev[idx], tr[idx] = gl, gt
+        pdf[out_level] = lev
+        pdf[out_trend] = tr
+        yield pdf
+
+    part = (
+        df.repartition(n_partitions, *keys)
+        if n_partitions
+        else df.repartition(*keys)
+    )
+    return (
+        part.sortWithinPartitions(*keys, ts_col)
+        .mapInPandas(_holt_partition, schema=out_schema)
+        .select(*cols, out_level, out_trend)
+    )

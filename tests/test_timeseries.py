@@ -2233,3 +2233,83 @@ def test_ccf_pieces_brute_force_and_matching(spark):
     assert got == {("a", 0): 1, ("b", 0): 1}
     with pytest.raises(ValueError):
         ccf_pieces(x, y, [], "t", "v", "v", lags=[])
+
+
+def test_holt_matches_reference_recurrence(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import holt_smooth
+
+    rng = np.random.default_rng(47)
+    vals = [float(v) for v in rng.normal(50, 10, 30)]
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = (
+        holt_smooth(df, ["k"], "ts", "value", alpha=0.4, beta=0.2)
+        .orderBy("ts")
+        .collect()
+    )
+
+    # reference: plain python Holt recurrence
+    a, b = 0.4, 0.2
+    lev = [vals[0]]
+    tr = [vals[1] - vals[0]]
+    for t in range(1, len(vals)):
+        l_new = a * vals[t] + (1 - a) * (lev[-1] + tr[-1])
+        tr.append(b * (l_new - lev[-1]) + (1 - b) * tr[-1])
+        lev.append(l_new)
+    for i, r in enumerate(out):
+        assert r["holt_level"] == lev[i]  # bit-exact
+        assert r["holt_trend"] == tr[i]
+
+
+def test_holt_tracks_linear_trend(spark):
+    from c3s_sm_spark.operators.timeseries import holt_smooth
+
+    # pure line: level converges to the line, trend to the slope
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), 5.0 * i + 2.0)
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    last = (
+        holt_smooth(df, ["k"], "ts", "value", alpha=0.5, beta=0.3)
+        .orderBy("ts")
+        .collect()[-1]
+    )
+    assert last["holt_level"] == pytest.approx(5.0 * 99 + 2.0, rel=1e-6)
+    assert last["holt_trend"] == pytest.approx(5.0, rel=1e-6)
+
+
+def test_holt_partition_invariance_and_edge(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import holt_smooth
+
+    rng = np.random.default_rng(53)
+    rows = [
+        (f"k{i % 5}", _ts("2024-01-01") + dt.timedelta(hours=i),
+         float(rng.normal(0, 1)))
+        for i in range(250)
+    ]
+    # one single-point series: b0 = 0
+    rows.append(("solo", _ts("2024-01-01"), 3.5))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    a = {
+        (r["k"], r["ts"]): (r["holt_level"], r["holt_trend"])
+        for r in holt_smooth(df, ["k"], "ts", "value", 0.3, 0.1).collect()
+    }
+    b = {
+        (r["k"], r["ts"]): (r["holt_level"], r["holt_trend"])
+        for r in holt_smooth(
+            df.repartition(11), ["k"], "ts", "value", 0.3, 0.1,
+            n_partitions=3,
+        ).collect()
+    }
+    assert a == b  # bit-exact under any partitioning
+    assert a[("solo", _ts("2024-01-01"))] == (3.5, 0.0)
+    with pytest.raises(ValueError):
+        holt_smooth(df, ["k"], "ts", "value", alpha=0.0, beta=0.5)
