@@ -2880,6 +2880,26 @@ def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_smooth(ev, ["user_id"], "ts", "value", alpha=0.3, beta=0.1)
 
 
+def _q_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131 block-bootstrap pieces per event_type: week blocks
+    (day//7) share one md5-derived Binomial(4,1/4) multiplier per
+    resample, 8 resamples — within-week autocorrelation preserved;
+    the CI percentile derives caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import block_bootstrap_pieces
+
+    ev = _events(spark, sf_dir)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+    staged = ev.select(
+        "event_type",
+        (day / 7).cast("long").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return block_bootstrap_pieces(
+        staged, ["event_type"], "wk", "v", n_resamples=8, trials=4
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3220,6 +3240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X130 (rows-only): Holt level+trend smoothing — order-
         # recursive like ewma; python-loop recurrence pytest-pinned:
         "holt": _q_holt,
+        # X131 (oracled): block-bootstrap CI pieces for
+        # autocorrelated series:
+        "block_bootstrap": _q_block_bootstrap,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5410,6 +5433,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X131: identical md5 multiplier chain keyed on (b, trial,
+    # event_type|week-block); day//7 blocks, 8 resamples, 4 trials
+    d["block_bootstrap"] = """
+        WITH bb AS (SELECT b FROM range(0, 8) t(b)),
+        s AS (
+          SELECT event_type,
+                 (CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT))
+                   // 7 AS wk,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+        blk AS (
+          SELECT event_type, v,
+                 event_type || '|' || CAST(wk AS VARCHAR) AS bk
+          FROM s),
+        wts AS (
+          SELECT bb.b, blk.event_type, blk.v,
+            (CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':0:' || bk),
+                  1, 4) < '4000' THEN 1 ELSE 0 END
+           + CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':1:' || bk),
+                  1, 4) < '4000' THEN 1 ELSE 0 END
+           + CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':2:' || bk),
+                  1, 4) < '4000' THEN 1 ELSE 0 END
+           + CASE WHEN substr(md5(CAST(bb.b AS VARCHAR) || ':3:' || bk),
+                  1, 4) < '4000' THEN 1 ELSE 0 END) AS w
+          FROM blk CROSS JOIN bb)
+        SELECT event_type, b,
+               CAST(sum(w) AS BIGINT) AS n_eff,
+               CAST(sum(w * v) AS BIGINT) AS wsum
+        FROM wts GROUP BY event_type, b
     """
     # X129: identical daily-sum series build + shifted equi-join per lag
     d["ccf_lags"] = """

@@ -170,6 +170,7 @@ HEADLINE = [
     "allan_var",
     "ccf_lags",
     "holt",
+    "block_bootstrap",
     "text_quality",
     "lang_id",
     "quality_select",

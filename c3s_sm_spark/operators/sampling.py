@@ -1015,3 +1015,75 @@ def global_cumsum(
             (F.col(f"_loc_{c}") + m[F.col("_pid")]).cast("long"),
         ).drop(f"_loc_{c}")
     return out.drop("_pid")
+
+
+def block_bootstrap_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    block_col: str,
+    value_col: str,
+    n_resamples: int = 16,
+    trials: int = 4,
+    salt: str = "",
+) -> DataFrame:
+    """X131 deterministic BLOCK multiplier bootstrap — the time-series
+    correction to :func:`bootstrap_pieces`: iid row-level resampling
+    underestimates the variance of autocorrelated series (neighboring
+    observations carry shared information), so the moving/block
+    bootstrap (Künsch 1989; Politis & Romano) resamples whole BLOCKS.
+    Here every row in the same ``block_col`` value shares ONE integer
+    multiplier drawn Binomial(trials, 1/trials) from the md5 of
+    ``(salt, resample, trial, keys, block)`` — within-block
+    autocorrelation is preserved exactly, blocks are iid across
+    resamples, and the whole scheme remains a pure expression of the
+    row (reproducible at any parallelism, in any engine with md5).
+
+    Build ``block_col`` upstream: typically ``t div L`` on an integer
+    time grid with ``L`` past the series' decorrelation length.
+
+    Emits per ``keys + (b,)``: ``n_eff`` (Σ multipliers) and ``wsum``
+    (Σ multiplier·value), exact BIGINT (feed integer-scaled values);
+    CI = caller-side percentile over the B resample means.
+
+    Plan: the B-fold explode folds into per-partition partial
+    aggregates before any exchange (the shuffle carries B rows per
+    partition per key), same as the iid bootstrap.
+    """
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if trials < 2:
+        raise ValueError("trials must be >= 2")
+    keys = list(keys)
+    cut = _hexcut(int((16**_HEX_W) / trials))
+    b = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(n_resamples)])
+    ).alias("b")
+    ident = F.concat_ws(
+        "|", *[F.col(k).cast("string") for k in keys],
+        F.col(block_col).cast("string"),
+    )
+    staged = df.select(
+        *keys,
+        F.col(value_col).cast("long").alias("__v"),
+        ident.alias("__blk"),
+    ).select(*keys, "__v", "__blk", b)
+    w = None
+    for t in range(trials):
+        h = F.md5(
+            F.concat(
+                F.lit(salt),
+                F.col("b").cast("string"),
+                F.lit(f":{t}:"),
+                F.col("__blk"),
+            )
+        )
+        hit = F.when(F.substring(h, 1, _HEX_W) < cut, 1).otherwise(0)
+        w = hit if w is None else w + hit
+    return (
+        staged.select(*keys, "b", w.alias("__w"), "__v")
+        .groupBy(*keys, "b")
+        .agg(
+            F.sum("__w").cast("long").alias("n_eff"),
+            F.sum(F.col("__w") * F.col("__v")).cast("long").alias("wsum"),
+        )
+    )

@@ -3056,3 +3056,63 @@ def test_kmv_set_pieces_exact_below_k_and_estimates(spark):
     assert 60 <= be["d_inter"] <= 400  # true 200
     with pytest.raises(ValueError):
         kmv_set_pieces(kmv_sketch(big, "g", "k", k=k), "g", k=0)
+
+
+def test_block_bootstrap_shares_multiplier_within_block(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.operators.sampling import block_bootstrap_pieces
+
+    # 3 blocks x 4 rows; within a block every row must get the SAME
+    # weight, so wsum must equal w_blk * sum(v in block) exactly.
+    rows = [(("g"), b, b * 4 + i, 10 + b) for b in range(3) for i in range(4)]
+    df = spark.createDataFrame(rows, "k string, blk long, rid long, v long")
+    out = {
+        r["b"]: r.asDict()
+        for r in block_bootstrap_pieces(
+            df, ["k"], "blk", "v", n_resamples=4, trials=4
+        ).collect()
+    }
+
+    def w_of(b, blk):
+        w = 0
+        for t in range(4):
+            h = hashlib.md5(f"{b}:{t}:g|{blk}".encode()).hexdigest()
+            w += 1 if h[:4] < "4000" else 0
+        return w
+
+    for b in range(4):
+        wexp = {blk: w_of(b, blk) for blk in range(3)}
+        assert out[b]["n_eff"] == sum(4 * w for w in wexp.values())
+        assert out[b]["wsum"] == sum(
+            w * 4 * (10 + blk) for blk, w in wexp.items()
+        )
+
+
+def test_block_bootstrap_mean_one_and_invariance(spark):
+    from c3s_sm_spark.operators.sampling import block_bootstrap_pieces
+
+    rows = [
+        ("g", i // 5, i, 100) for i in range(500)  # 100 blocks of 5
+    ]
+    df = spark.createDataFrame(rows, "k string, blk long, rid long, v long")
+    out = block_bootstrap_pieces(
+        df, ["k"], "blk", "v", n_resamples=16, trials=4
+    ).collect()
+    assert len(out) == 16
+    # multipliers average ~1: total effective n across resamples near 500
+    mean_neff = sum(r["n_eff"] for r in out) / 16
+    assert 400 <= mean_neff <= 600
+    # determinism under repartitioning (pure expression of the row)
+    out2 = block_bootstrap_pieces(
+        df.repartition(13), ["k"], "blk", "v", n_resamples=16, trials=4
+    ).collect()
+    assert {(r["b"], r["n_eff"], r["wsum"]) for r in out} == {
+        (r["b"], r["n_eff"], r["wsum"]) for r in out2
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        block_bootstrap_pieces(df, ["k"], "blk", "v", n_resamples=1)
