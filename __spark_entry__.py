@@ -2900,6 +2900,50 @@ def _q_block_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _periodogram_lut_rows() -> list[tuple[int, int, int, int, int]]:
+    """The shared fixed-point cos/sin lookup rows for X132 — computed
+    once HERE in Python and embedded in both engines (Spark literal
+    frame / DuckDB VALUES), so neither engine evaluates a
+    transcendental and the witness has no last-ulp risk."""
+    import math
+
+    rows = []
+    for p, k in ((24, 1), (24, 2), (168, 1)):
+        for r in range(p):
+            ang = 2.0 * math.pi * k * r / p
+            rows.append(
+                (p, k, r,
+                 int(round(10**6 * math.cos(ang))),
+                 int(round(-(10**6) * math.sin(ang))))
+            )
+    return rows
+
+
+def _q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132 periodogram pieces per event_type over the hourly
+    centi-scaled v-sum series at the daily (P=24,k=1), half-daily
+    (24,2) and weekly (168,1) harmonics; float power derives
+    caller-side (periodogram_scores) and is pytest-pinned against
+    numpy's FFT."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import periodogram_pieces
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    return periodogram_pieces(
+        hourly, ["event_type"], "t", "v",
+        harmonics=((24, 1), (24, 2), (168, 1)),
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3243,6 +3287,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X131 (oracled): block-bootstrap CI pieces for
         # autocorrelated series:
         "block_bootstrap": _q_block_bootstrap,
+        # X132 (oracled): fixed-point periodogram pieces (daily /
+        # half-daily / weekly harmonics):
+        "periodogram": _q_periodogram,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5433,6 +5480,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X132: same hourly series + the SAME Python-computed fixed-point
+    # LUT as a VALUES table (no engine-side trig anywhere)
+    _lut_vals = ",".join(
+        f"({p},{k},{r},{c},{s})" for p, k, r, c, s in _periodogram_lut_rows()
+    )
+    d["periodogram"] = f"""
+        WITH hr AS (
+          SELECT event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS t,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        lut(P, k, r, c, s) AS (VALUES {_lut_vals}),
+        f AS (
+          SELECT hr.event_type, hr.v, lut.P, lut.k, lut.c, lut.s
+          FROM hr JOIN lut ON hr.t % lut.P = lut.r)
+        SELECT event_type, CAST(P AS BIGINT) AS P, CAST(k AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(v * c) AS BIGINT) AS sc,
+               CAST(sum(v * s) AS BIGINT) AS ss,
+               CAST(sum(c) AS BIGINT) AS csum,
+               CAST(sum(s) AS BIGINT) AS ssum
+        FROM f GROUP BY event_type, P, k
     """
     # X131: identical md5 multiplier chain keyed on (b, trial,
     # event_type|week-block); day//7 blocks, 8 resamples, 4 trials

@@ -171,6 +171,7 @@ HEADLINE = [
     "ccf_lags",
     "holt",
     "block_bootstrap",
+    "periodogram",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -2313,3 +2313,85 @@ def test_holt_partition_invariance_and_edge(spark):
     assert a[("solo", _ts("2024-01-01"))] == (3.5, 0.0)
     with pytest.raises(ValueError):
         holt_smooth(df, ["k"], "ts", "value", alpha=0.0, beta=0.5)
+
+
+def test_periodogram_matches_numpy_fft(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        periodogram_pieces,
+        periodogram_scores,
+    )
+
+    rng = np.random.default_rng(59)
+    n, p = 480, 24  # 20 complete daily cycles
+    t = np.arange(n)
+    sig = 1000 * np.cos(2 * np.pi * t / p + 0.7)
+    v = np.rint(sig + rng.normal(0, 50, n)).astype(np.int64)
+    df = spark.createDataFrame(
+        [("g", int(tt), int(vv)) for tt, vv in zip(t, v)],
+        "grp string, t long, v long",
+    )
+    out = periodogram_scores(
+        periodogram_pieces(df, ["grp"], "t", "v", harmonics=((24, 1), (24, 2))),
+        scale=1,
+    ).collect()
+    got = {(r["P"], r["k"]): r["power"] for r in out}
+    # numpy reference: |DFT at f=k/P|^2 / n of the mean-centered series
+    c = v - v.mean()
+    for kk in (1, 2):
+        z = (c * np.exp(-2j * np.pi * kk * t / p)).sum()
+        want = (abs(z) ** 2) / n
+        # fp_scale=1e6 quantization of cos/sin: relative error ~1e-6
+        assert got[(24, kk)] == pytest.approx(want, rel=1e-4)
+    # the planted k=1 line dominates k=2 by orders of magnitude
+    assert got[(24, 1)] > 100 * got[(24, 2)]
+
+
+def test_periodogram_pieces_exactness_and_guard(spark):
+    import math
+
+    from c3s_sm_spark.operators.timeseries import periodogram_pieces
+
+    vals = [3, -1, 4, 1, -5, 9, 2, 6]
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)], "grp string, t long, v long"
+    )
+    r = periodogram_pieces(df, ["grp"], "t", "v", harmonics=((4, 1),)).collect()[0]
+    lut_c = [round(10**6 * math.cos(2 * math.pi * i / 4)) for i in range(4)]
+    lut_s = [round(-(10**6) * math.sin(2 * math.pi * i / 4)) for i in range(4)]
+    assert r["n"] == 8 and r["sv"] == sum(vals)
+    assert r["sc"] == sum(v * lut_c[i % 4] for i, v in enumerate(vals))
+    assert r["ss"] == sum(v * lut_s[i % 4] for i, v in enumerate(vals))
+    assert r["csum"] == 2 * sum(lut_c) and r["ssum"] == 2 * sum(lut_s)
+    with pytest.raises(ValueError):
+        periodogram_pieces(df, ["grp"], "t", "v", harmonics=((4, 4),))
+
+
+def test_periodogram_partitioning_invariance(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import periodogram_pieces
+
+    rng = np.random.default_rng(61)
+    df = spark.createDataFrame(
+        [(f"k{i % 2}", i, int(rng.integers(-100, 100))) for i in range(300)],
+        "grp string, t long, v long",
+    )
+    a = {
+        (r["grp"], r["P"], r["k"]): r.asDict()
+        for r in periodogram_pieces(df, ["grp"], "t", "v").collect()
+    }
+    b = {
+        (r["grp"], r["P"], r["k"]): r.asDict()
+        for r in periodogram_pieces(df.repartition(7), ["grp"], "t", "v").collect()
+    }
+    assert a == b
+
+
+def test_periodogram_reserved_key_guard(spark):
+    from c3s_sm_spark.operators.timeseries import periodogram_pieces
+
+    df = spark.createDataFrame([("a", 0, 1)], "k string, t long, v long")
+    with pytest.raises(ValueError, match="collide"):
+        periodogram_pieces(df, ["k"], "t", "v")
