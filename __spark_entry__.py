@@ -2944,6 +2944,29 @@ def _q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rolling_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133 rolling 7-day OLS pieces over the daily centi-scaled v-sum
+    series per event_type (t = day index — small by contract, the
+    witness squares it); the float slope derives caller-side and is
+    pytest-pinned against numpy polyfit."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import rolling_regression_pieces
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    return rolling_regression_pieces(daily, ["event_type"], "t", "v", 7)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3290,6 +3313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X132 (oracled): fixed-point periodogram pieces (daily /
         # half-daily / weekly harmonics):
         "periodogram": _q_periodogram,
+        # X133 (oracled): rolling 7-row OLS trend pieces:
+        "rolling_reg": _q_rolling_reg,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5480,6 +5505,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X133: identical daily series + identical ROWS frame sums
+    d["rolling_reg"] = """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS t,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events GROUP BY 1, 2)
+        SELECT event_type, t, v,
+               CAST(count(*) OVER w AS BIGINT) AS rn,
+               CAST(sum(t) OVER w AS BIGINT) AS rsx,
+               CAST(sum(v) OVER w AS BIGINT) AS rsy,
+               CAST(sum(t * v) OVER w AS BIGINT) AS rsxy,
+               CAST(sum(t * t) OVER w AS BIGINT) AS rsxx
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """
     # X132: same hourly series + the SAME Python-computed fixed-point
     # LUT as a VALUES table (no engine-side trig anywhere)

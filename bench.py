@@ -172,6 +172,7 @@ HEADLINE = [
     "holt",
     "block_bootstrap",
     "periodogram",
+    "rolling_reg",
     "text_quality",
     "lang_id",
     "quality_select",

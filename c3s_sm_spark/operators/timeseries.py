@@ -2973,3 +2973,65 @@ def periodogram_scores(
         "*",
         F.when(n > 0, (a * a + b * b) / n).alias("power"),
     )
+
+
+def rolling_regression_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    t_col: str,
+    value_col: str,
+    window_rows: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X133 rolling OLS pieces: per row, the exact BIGINT regression
+    sums of the trailing ``window_rows``-row frame — the "local trend
+    right now" tracker (is soil moisture declining over the last 7
+    observations; is a source's quality sliding this week?) that the
+    whole-series :func:`X96 trend <lag_corr_pieces>` pieces can't see.
+
+    Appends ``rn`` (frame row count), ``rsx, rsy, rsxy, rsxx`` (exact
+    sums over the frame of the integer time index ``t_col``, the
+    integer-scaled value, their product, and t^2). The float slope
+    ``(rn*rsxy - rsx*rsy) / (rn*rsxx - rsx^2)`` derives caller-side in
+    :func:`rolling_regression_scores`. Keep ``t_col`` SMALL (a day /
+    hour grid index, not raw epoch seconds): the witness squares it.
+
+    Plan: one hash shuffle on ``keys``, one sort, all four sums in one
+    window pass — JVM codegen end to end, O(window) state per row.
+    """
+    keys = list(keys)
+    if window_rows < 2:
+        raise ValueError(f"window_rows must be >= 2, got {window_rows}")
+    order = [F.col(t_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    x = F.col(t_col).cast("long")
+    y = F.col(value_col).cast("long")
+    return df.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("rn"),
+        F.sum(x).over(w).cast("long").alias("rsx"),
+        F.sum(y).over(w).cast("long").alias("rsy"),
+        F.sum(x * y).over(w).cast("long").alias("rsxy"),
+        F.sum(x * x).over(w).cast("long").alias("rsxx"),
+    )
+
+
+def rolling_regression_scores(pieces: DataFrame) -> DataFrame:
+    """Float rolling slope from :func:`rolling_regression_pieces` —
+    plain projection; null while the frame has < 2 rows or zero
+    t-variance (duplicate t values filling the frame)."""
+    n = F.col("rn").cast("double")
+    sx, sy = F.col("rsx").cast("double"), F.col("rsy").cast("double")
+    sxy, sxx = F.col("rsxy").cast("double"), F.col("rsxx").cast("double")
+    den = n * sxx - sx * sx
+    return pieces.select(
+        "*",
+        F.when((F.col("rn") >= 2) & (den > 0), (n * sxy - sx * sy) / den)
+        .alias("rslope"),
+    )

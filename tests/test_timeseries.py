@@ -2395,3 +2395,58 @@ def test_periodogram_reserved_key_guard(spark):
     df = spark.createDataFrame([("a", 0, 1)], "k string, t long, v long")
     with pytest.raises(ValueError, match="collide"):
         periodogram_pieces(df, ["k"], "t", "v")
+
+
+def test_rolling_regression_matches_polyfit(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        rolling_regression_pieces,
+        rolling_regression_scores,
+    )
+
+    rng = np.random.default_rng(67)
+    ts = list(range(20))
+    vs = [int(v) for v in rng.integers(-100, 100, 20)]
+    df = spark.createDataFrame(
+        [("g", t, v) for t, v in zip(ts, vs)], "grp string, t long, v long"
+    )
+    out = {
+        r["t"]: r.asDict()
+        for r in rolling_regression_scores(
+            rolling_regression_pieces(df, ["grp"], "t", "v", 5)
+        ).collect()
+    }
+    for i, t in enumerate(ts):
+        lo = max(0, i - 4)
+        xw, yw = np.array(ts[lo:i + 1]), np.array(vs[lo:i + 1])
+        assert out[t]["rn"] == len(xw)
+        assert out[t]["rsx"] == xw.sum() and out[t]["rsy"] == yw.sum()
+        assert out[t]["rsxy"] == (xw * yw).sum()
+        assert out[t]["rsxx"] == (xw * xw).sum()
+        if len(xw) >= 2:
+            want = np.polyfit(xw, yw, 1)[0]
+            assert out[t]["rslope"] == pytest.approx(want, rel=1e-9)
+        else:
+            assert out[t]["rslope"] is None
+    # guard
+    with pytest.raises(ValueError):
+        rolling_regression_pieces(df, ["grp"], "t", "v", 1)
+
+
+def test_rolling_regression_partitioning_invariance(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import rolling_regression_pieces
+
+    rng = np.random.default_rng(71)
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i, int(rng.integers(-50, 50))) for i in range(120)],
+        "grp string, t long, v long",
+    )
+    key = lambda r: (r["grp"], r["t"])
+    a = {key(r): r.asDict() for r in
+         rolling_regression_pieces(df, ["grp"], "t", "v", 7).collect()}
+    b = {key(r): r.asDict() for r in
+         rolling_regression_pieces(df.repartition(11), ["grp"], "t", "v", 7).collect()}
+    assert a == b
