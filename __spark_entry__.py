@@ -2967,6 +2967,24 @@ def _q_rolling_reg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_regression_pieces(daily, ["event_type"], "t", "v", 7)
 
 
+def _q_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134 block-maxima L-moment pieces per event_type (day blocks,
+    centi-scaled values, ascending rank over (x, block)); the Gumbel
+    fit and return levels derive caller-side and are pytest-pinned
+    against a planted-Gumbel recovery."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import block_maxima_lmoment_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return block_maxima_lmoment_pieces(ev, ["event_type"], "day", "v")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3315,6 +3333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": _q_periodogram,
         # X133 (oracled): rolling 7-row OLS trend pieces:
         "rolling_reg": _q_rolling_reg,
+        # X134 (oracled): block-maxima L-moment EVA pieces:
+        "block_maxima": _q_block_maxima,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5505,6 +5525,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X134: identical block-max + ascending (x, block) rank + rank-
+    # weighted sums
+    d["block_maxima"] = """
+        WITH bm AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT)
+                   AS blk,
+                 CAST(max(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        rk AS (
+          SELECT event_type, x,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type ORDER BY x, blk
+                 ) AS BIGINT) AS i
+          FROM bm)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS s0,
+               CAST(sum((i - 1) * x) AS BIGINT) AS s1,
+               CAST(sum((i - 1) * (i - 2) * x) AS BIGINT) AS s2
+        FROM rk GROUP BY event_type
     """
     # X133: identical daily series + identical ROWS frame sums
     d["rolling_reg"] = """

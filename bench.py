@@ -173,6 +173,7 @@ HEADLINE = [
     "block_bootstrap",
     "periodogram",
     "rolling_reg",
+    "block_maxima",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -3035,3 +3035,91 @@ def rolling_regression_scores(pieces: DataFrame) -> DataFrame:
         F.when((F.col("rn") >= 2) & (den > 0), (n * sxy - sx * sy) / den)
         .alias("rslope"),
     )
+
+
+def block_maxima_lmoment_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    block_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X134 extreme-value analysis, pieces mode: block maxima + exact
+    L-moment sums — the classical route to return periods ("the
+    drought/flood level exceeded once in T years"; the tail-risk
+    summary of any operational series: worst daily latency per week,
+    max document length per shard). Hosking 1990 L-moments are linear
+    in the ORDER STATISTICS, so unlike ordinary central moments they
+    have exact integer pieces: with the per-key block maxima sorted
+    ascending and ranked ``i = 1..n``,
+
+    - ``s0 = sum x_(i)``,
+    - ``s1 = sum (i-1) * x_(i)``,
+    - ``s2 = sum (i-1)(i-2) * x_(i)``,
+
+    all BIGINT-exact (rank weights are invariant under tie order: tied
+    values are interchangeable). ``b0 = s0/n``, ``b1 = s1/(n(n-1))``,
+    ``b2 = s2/(n(n-1)(n-2))`` and the L-moments ``l1 = b0``,
+    ``l2 = 2*b1 - b0``, ``l3 = 6*b2 - 6*b1 + b0`` derive caller-side
+    in :func:`gumbel_return_levels`.
+
+    Plan: one map-side-combinable groupBy for the block maxima
+    (corpus-sized shuffle of (key, block) partials), then a per-key
+    rank window over the BLOCK-COUNT-sized frame (tiny — n blocks per
+    key, not n observations) and a final groupBy reusing the same
+    partitioning.
+    """
+    keys = list(keys)
+    bm = df.groupBy(*keys, F.col(block_col).alias("__blk")).agg(
+        F.max(F.col(value_col).cast("long")).alias("__x")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__x").asc(), F.col("__blk").asc()
+    )
+    ranked = bm.withColumn("__i", F.row_number().over(w).cast("long"))
+    i1 = F.col("__i") - 1
+    i2 = F.col("__i") - 2
+    x = F.col("__x")
+    return ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).cast("long").alias("s0"),
+        F.sum(i1 * x).cast("long").alias("s1"),
+        F.sum(i1 * i2 * x).cast("long").alias("s2"),
+    )
+
+
+def gumbel_return_levels(
+    pieces: DataFrame,
+    return_periods: Sequence[float] = (10.0, 100.0),
+    scale: int = 1,
+) -> DataFrame:
+    """Gumbel (EV1) fit by L-moments from
+    :func:`block_maxima_lmoment_pieces` — plain projection, floats
+    only here: ``alpha = l2 / ln 2``, ``xi = l1 - gamma * alpha``
+    (Euler-Mascheroni gamma), and per requested return period T the
+    level ``rl_T = xi - alpha * ln(-ln(1 - 1/T))`` in unscaled value
+    units. Null when n < 3 (L-moments undefined) or l2 <= 0."""
+    import math
+
+    gamma = 0.5772156649015329
+    n = F.col("n").cast("double")
+    s = float(scale)
+    b0 = F.col("s0").cast("double") / n / s
+    b1 = F.col("s1").cast("double") / (n * (n - 1)) / s
+    l1, l2 = b0, 2 * b1 - b0
+    ok = (F.col("n") >= 3) & (l2 > 0)
+    alpha = l2 / math.log(2.0)
+    xi = l1 - gamma * alpha
+    cols = [
+        F.when(ok, l1).alias("l1"),
+        F.when(ok, l2).alias("l2"),
+        F.when(ok, alpha).alias("gumbel_alpha"),
+        F.when(ok, xi).alias("gumbel_xi"),
+    ]
+    for t in return_periods:
+        if t <= 1:
+            raise ValueError(f"return periods must be > 1, got {t}")
+        y = -math.log(-math.log(1.0 - 1.0 / float(t)))
+        cols.append(
+            F.when(ok, xi + alpha * y).alias(f"rl_{int(t)}")
+        )
+    return pieces.select("*", *cols)

@@ -2450,3 +2450,81 @@ def test_rolling_regression_partitioning_invariance(spark):
     b = {key(r): r.asDict() for r in
          rolling_regression_pieces(df.repartition(11), ["grp"], "t", "v", 7).collect()}
     assert a == b
+
+
+def test_block_maxima_lmoment_pieces_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import block_maxima_lmoment_pieces
+
+    rng = np.random.default_rng(73)
+    rows = []
+    for b in range(12):
+        for j in range(8):
+            rows.append(("g", b, int(rng.integers(-500, 500))))
+    df = spark.createDataFrame(rows, "grp string, blk long, v long")
+    out = block_maxima_lmoment_pieces(df, ["grp"], "blk", "v").collect()[0]
+    maxima = sorted(
+        max(v for g, b, v in rows if b == blk) for blk in range(12)
+    )
+    n = len(maxima)
+    assert out["n"] == n
+    assert out["s0"] == sum(maxima)
+    assert out["s1"] == sum(i * x for i, x in enumerate(maxima))
+    assert out["s2"] == sum(
+        i * (i - 1) * x for i, x in enumerate(maxima)
+    )
+
+
+def test_gumbel_return_levels_recover_planted_distribution(spark):
+    import math
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        block_maxima_lmoment_pieces,
+        gumbel_return_levels,
+    )
+
+    rng = np.random.default_rng(79)
+    xi_true, alpha_true = 500.0, 80.0
+    n_blocks = 3000
+    # one observation per block: the block max IS the Gumbel draw
+    draws = np.rint(rng.gumbel(xi_true, alpha_true, n_blocks)).astype(int)
+    df = spark.createDataFrame(
+        [("g", int(b), int(v)) for b, v in enumerate(draws)],
+        "grp string, blk long, v long",
+    )
+    out = gumbel_return_levels(
+        block_maxima_lmoment_pieces(df, ["grp"], "blk", "v"),
+        return_periods=(10.0, 100.0),
+    ).collect()[0]
+    # L-moment fit recovers location/scale within sampling error
+    assert out["gumbel_xi"] == pytest.approx(xi_true, rel=0.05)
+    assert out["gumbel_alpha"] == pytest.approx(alpha_true, rel=0.08)
+    # return level formula: xi - alpha*ln(-ln(1-1/T))
+    for t in (10, 100):
+        want = out["gumbel_xi"] - out["gumbel_alpha"] * math.log(
+            -math.log(1 - 1 / t)
+        )
+        assert out[f"rl_{t}"] == pytest.approx(want, rel=1e-12)
+    # empirical sanity: ~10% of draws exceed the 10-block return level
+    frac = (draws > out["rl_10"]).mean()
+    assert 0.06 <= frac <= 0.14
+
+
+def test_gumbel_edge_cases(spark):
+    from c3s_sm_spark.operators.timeseries import (
+        block_maxima_lmoment_pieces,
+        gumbel_return_levels,
+    )
+
+    # two blocks only: n < 3 -> all-null fit
+    df = spark.createDataFrame(
+        [("g", 0, 5), ("g", 1, 9)], "grp string, blk long, v long"
+    )
+    p = block_maxima_lmoment_pieces(df, ["grp"], "blk", "v")
+    out = gumbel_return_levels(p).collect()[0]
+    assert out["l1"] is None and out["rl_10"] is None
+    with pytest.raises(ValueError):
+        gumbel_return_levels(p, return_periods=(1.0,)).collect()
