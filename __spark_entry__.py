@@ -2985,6 +2985,17 @@ def _q_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_maxima_lmoment_pieces(ev, ["event_type"], "day", "v")
 
 
+def _q_goodturing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135 Good-Turing / Chao1 vocabulary-coverage pieces per source
+    (N, V, hapax n1, dis-legomena n2 — exact BIGINTs); unseen-mass,
+    coverage and Chao1 richness derive caller-side and are
+    pytest-pinned."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import goodturing_pieces
+
+    return goodturing_pieces(_docs(spark, sf_dir), group_col="source")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3335,6 +3346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_reg": _q_rolling_reg,
         # X134 (oracled): block-maxima L-moment EVA pieces:
         "block_maxima": _q_block_maxima,
+        # X135 (oracled): Good-Turing / Chao1 vocabulary coverage:
+        "goodturing": _q_goodturing,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5525,6 +5538,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X135: same TF relation as tok_diversity at the source grain,
+    # frequency-of-frequencies conditionals
+    d["goodturing"] = r"""
+        WITH w AS (
+          SELECT source,
+                 string_split(regexp_replace(trim(text), '\s+', ' ', 'g'),
+                              ' ') AS ws,
+                 length(trim(text)) AS lt
+          FROM documents),
+        toks AS (SELECT source, unnest(ws) AS tok FROM w WHERE lt > 0),
+        tf AS (SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n1,
+               CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n2
+        FROM tf GROUP BY source
     """
     # X134: identical block-max + ascending (x, block) rank + rank-
     # weighted sums

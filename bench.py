@@ -174,6 +174,7 @@ HEADLINE = [
     "periodogram",
     "rolling_reg",
     "block_maxima",
+    "goodturing",
     "text_quality",
     "lang_id",
     "quality_select",

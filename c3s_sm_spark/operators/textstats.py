@@ -1323,3 +1323,56 @@ def phrase_occurrences(
     return hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_occurrences")
     )
+
+
+def goodturing_pieces(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """X135 Good-Turing / Chao1 vocabulary-coverage pieces: how much
+    of this corpus slice's vocabulary have we NOT seen yet? The
+    frequency-of-frequencies statistics (Good 1953; Chao 1984) answer
+    the two planning questions a crawl/training pipeline keeps asking
+    — "is more data from source S still adding new types" and "how
+    big is S's true vocabulary" — from exact integer pieces:
+
+    ``n_tokens`` (N), ``n_types`` (V), ``n1`` (hapax legomena — types
+    seen exactly once), ``n2`` (dis legomena — exactly twice), all
+    BIGINT. Caller-side in :func:`goodturing_scores`:
+    ``unseen_mass = n1/N`` (Good-Turing probability the NEXT token is
+    a new type), ``coverage = 1 - n1/N``, and the bias-corrected Chao1
+    richness ``V + n1*(n1-1)/(2*(n2+1))`` (defined even when n2=0).
+
+    Plan: the single-parse (group, tok, cnt) term-frequency relation,
+    then one map-side-combinable groupBy folding four conditional
+    counts — both shuffles move 8-byte counts, never text.
+    """
+    tf = (
+        docs.select(group_col, words_col(text_col).alias("__ws"))
+        .select(group_col, F.explode("__ws").alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt")
+    return tf.groupBy(group_col).agg(
+        F.sum(c).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(c == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(c == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+
+
+def goodturing_scores(pieces: DataFrame) -> DataFrame:
+    """Float coverage / richness estimates from
+    :func:`goodturing_pieces` — plain projection: ``unseen_mass``,
+    ``coverage``, ``chao1``. Null on empty groups."""
+    n = F.col("n_tokens").cast("double")
+    v = F.col("n_types").cast("double")
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    unseen = F.when(n > 0, n1 / n)
+    return pieces.select(
+        "*",
+        unseen.alias("unseen_mass"),
+        F.when(n > 0, 1.0 - n1 / n).alias("coverage"),
+        F.when(n > 0, v + n1 * (n1 - 1) / (2.0 * (n2 + 1))).alias("chao1"),
+    )

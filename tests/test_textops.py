@@ -3116,3 +3116,66 @@ def test_block_bootstrap_mean_one_and_invariance(spark):
 
     with _pt.raises(ValueError):
         block_bootstrap_pieces(df, ["k"], "blk", "v", n_resamples=1)
+
+
+def test_goodturing_pieces_brute_force(spark):
+    from c3s_sm_spark.operators.textstats import (
+        goodturing_pieces,
+        goodturing_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c d e", "s1"),   # c,d,e hapax; b twice
+            (2, "x x y", "s2"),
+            (3, "   ", "s2"),               # whitespace-only: excluded
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["source"]: r.asDict()
+        for r in goodturing_pieces(docs, group_col="source").collect()
+    }
+    assert out["s1"] == {
+        "source": "s1", "n_tokens": 8, "n_types": 5, "n1": 3, "n2": 1,
+    }
+    assert out["s2"] == {
+        "source": "s2", "n_tokens": 3, "n_types": 2, "n1": 1, "n2": 1,
+    }
+    s = {
+        r["source"]: r.asDict()
+        for r in goodturing_scores(
+            goodturing_pieces(docs, group_col="source")
+        ).collect()
+    }
+    assert s["s1"]["unseen_mass"] == pytest.approx(3 / 8)
+    assert s["s1"]["coverage"] == pytest.approx(5 / 8)
+    # chao1 = V + n1(n1-1)/(2(n2+1)) = 5 + 3*2/4 = 6.5
+    assert s["s1"]["chao1"] == pytest.approx(6.5)
+
+
+def test_goodturing_saturated_vs_open_vocabulary(spark):
+    # a slice where every type repeats (saturated: unseen_mass = 0)
+    # vs a slice of all-distinct tokens (open: unseen_mass = 1)
+    sat = " ".join(f"t{i}" for i in range(50) for _ in range(2))
+    opn = " ".join(f"u{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, sat, "sat"), (2, opn, "open")],
+        "doc_id long, text string, source string",
+    )
+    from c3s_sm_spark.operators.textstats import (
+        goodturing_pieces,
+        goodturing_scores,
+    )
+
+    s = {
+        r["source"]: r.asDict()
+        for r in goodturing_scores(
+            goodturing_pieces(docs, group_col="source")
+        ).collect()
+    }
+    assert s["sat"]["unseen_mass"] == 0.0 and s["sat"]["chao1"] == 50.0
+    assert s["open"]["unseen_mass"] == 1.0
+    # chao1 for all-hapax: V + V(V-1)/2 — the estimator says "barely
+    # scratched": 100 + 4950
+    assert s["open"]["chao1"] == pytest.approx(5050.0)
