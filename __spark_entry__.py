@@ -2996,6 +2996,26 @@ def _q_goodturing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return goodturing_pieces(_docs(spark, sf_dir), group_col="source")
 
 
+def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136 rescaled-range pieces per event_type over the user_id%10
+    slice at m in {8,16,32} (canonical (ts,event_id) order): one exact
+    BIGINT row per (type, m, block) — rm = m*R, sv, sv2; the R/S means
+    and the log-log Hurst slope derive caller-side and are
+    pytest-pinned (white noise ~0.5, persistent walk > 0.6)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import hurst_rs_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return hurst_rs_pieces(
+        ev, ["event_type"], "ts", "v", ms=(8, 16, 32), tiebreak="event_id"
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3348,6 +3368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_maxima": _q_block_maxima,
         # X135 (oracled): Good-Turing / Chao1 vocabulary coverage:
         "goodturing": _q_goodturing,
+        # X136 (oracled): rescaled-range Hurst pieces:
+        "hurst_rs": _q_hurst,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5538,6 +5560,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X136: identical row-index blocks, m*Y integral cumulative
+    # deviations, complete blocks only, UNION over m
+    d["hurst_rs"] = """
+        WITH s AS (
+          SELECT event_type,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                 ) - 1 AS r,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events WHERE user_id % 10 = 0),
+        f AS (
+          SELECT event_type, m, r, v, r // m AS blk,
+                 r - (r // m) * m + 1 AS i
+          FROM s CROSS JOIN (VALUES (8), (16), (32)) AS mm(m)),
+        ann AS (
+          SELECT event_type, m, blk, v,
+                 m * sum(v) OVER (PARTITION BY event_type, m, blk
+                                  ORDER BY r ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND CURRENT ROW)
+                   - i * sum(v) OVER (PARTITION BY event_type, m, blk)
+                   AS my,
+                 count(*) OVER (PARTITION BY event_type, m, blk) AS bc
+          FROM f)
+        SELECT event_type, blk,
+               CAST(m AS BIGINT) AS m,
+               CAST(max(my) - min(my) AS BIGINT) AS rm,
+               CAST(sum(v) AS BIGINT) AS sv,
+               CAST(sum(v * v) AS BIGINT) AS sv2
+        FROM ann WHERE bc = m
+        GROUP BY event_type, m, blk
     """
     # X135: same TF relation as tok_diversity at the source grain,
     # frequency-of-frequencies conditionals

@@ -175,6 +175,7 @@ HEADLINE = [
     "rolling_reg",
     "block_maxima",
     "goodturing",
+    "hurst_rs",
     "text_quality",
     "lang_id",
     "quality_select",

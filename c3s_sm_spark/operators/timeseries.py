@@ -3123,3 +3123,123 @@ def gumbel_return_levels(
             F.when(ok, xi + alpha * y).alias(f"rl_{int(t)}")
         )
     return pieces.select("*", *cols)
+
+
+def hurst_rs_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    ms: Sequence[int] = (8, 16, 32, 64),
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X136 rescaled-range (R/S) pieces for the Hurst exponent
+    (Hurst 1951; Mandelbrot & Wallis 1969) — long-memory detection:
+    H ~ 0.5 is memoryless noise, H > 0.5 persistent (wet months follow
+    wet months — the signature behavior of soil-moisture series),
+    H < 0.5 mean-reverting. ``R/S`` over windows of size ``m`` grows
+    like ``m^H``.
+
+    Per key, with rows in canonical ``(ts, tiebreak)`` order, windows
+    are ROW-index blocks of size ``m`` (complete blocks only). Within
+    a block with values ``v_1..v_m``, sum ``T`` and prefix sums
+    ``C_i``: the mean-adjusted cumulative deviation is ``Y_i = C_i -
+    i*T/m``, and ``m*Y_i = m*C_i - i*T`` is EXACTLY integral — so the
+    emitted range ``rm = max(m*Y_i) - min(m*Y_i)`` is an exact BIGINT
+    (``R = rm/m`` caller-side), alongside exact ``sv``/``sv2`` for the
+    block std. One row per (keys, m, block). Floats (R/S, the log-log
+    Hurst slope) derive in :func:`hurst_scores` /
+    :func:`hurst_exponent`.
+
+    Overflow bound: ``m^2 * max|v| < 2^63`` per block (``m*C_i`` terms).
+
+    Plan: one row-number sort per key feeds every ``m``; per ``m``, a
+    per-(key, block) cumsum window + one groupBy — JVM built-ins only;
+    block frames are m rows, never the whole series.
+    """
+    keys = list(keys)
+    ms = [int(m) for m in ms]
+    if not ms or any(m < 4 for m in ms):
+        raise ValueError(f"ms must be ints >= 4, got {ms}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    base = df.select(
+        *keys, ts_col, *([tiebreak] if tiebreak else []),
+        F.col(value_col).cast("long").alias("__v"),
+    ).withColumn("__r", F.row_number().over(w) - 1)
+
+    outs = []
+    for m in ms:
+        blocked = base.withColumn("__blk", (F.col("__r") / m).cast("long"))
+        wb = Window.partitionBy(*keys, "__blk")
+        wc = wb.orderBy(F.col("__r").asc()).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        i = F.col("__r") - F.col("__blk") * m + 1
+        annotated = blocked.select(
+            *keys,
+            "__blk",
+            "__v",
+            (m * F.sum("__v").over(wc) - i * F.sum("__v").over(wb))
+            .alias("__my"),
+            F.count(F.lit(1)).over(wb).alias("__bc"),
+        ).filter(F.col("__bc") == m)
+        outs.append(
+            annotated.groupBy(*keys, "__blk").agg(
+                F.lit(m).cast("long").alias("m"),
+                (F.max("__my") - F.min("__my")).cast("long").alias("rm"),
+                F.sum("__v").cast("long").alias("sv"),
+                F.sum(F.col("__v") * F.col("__v")).cast("long").alias("sv2"),
+            ).withColumnRenamed("__blk", "blk")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def hurst_scores(pieces: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Per (keys, m): the mean R/S over blocks (float — outside any
+    witness). Blocks with zero variance (constant values) drop out,
+    standard practice."""
+    keys = list(keys)
+    m = F.col("m").cast("double")
+    r = F.col("rm").cast("double") / m
+    var = F.col("sv2").cast("double") / m - (
+        F.col("sv").cast("double") / m
+    ) ** 2
+    rs = F.when(var > 0, r / F.sqrt(var))
+    return (
+        pieces.withColumn("__rs", rs)
+        .filter(F.col("__rs").isNotNull())
+        .groupBy(*keys, "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.avg("__rs").alias("mean_rs"),
+        )
+    )
+
+
+def hurst_exponent(scores: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Per keys: the Hurst exponent — OLS slope of ``log(mean_rs)`` on
+    ``log(m)`` across the window scales (needs >= 2 scales; null
+    otherwise). Plain aggregate, no collect."""
+    keys = list(keys)
+    x = F.log(F.col("m").cast("double"))
+    y = F.log(F.col("mean_rs"))
+    agg = scores.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    n = F.col("__n")
+    den = n * F.col("__sxx") - F.col("__sx") ** 2
+    h = F.when(
+        (n >= 2) & (den > 0),
+        (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
+    )
+    return agg.select(*keys, n.cast("long").alias("n_scales"), h.alias("hurst"))

@@ -2528,3 +2528,93 @@ def test_gumbel_edge_cases(spark):
     assert out["l1"] is None and out["rl_10"] is None
     with pytest.raises(ValueError):
         gumbel_return_levels(p, return_periods=(1.0,)).collect()
+
+
+def test_hurst_pieces_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import hurst_rs_pieces
+
+    rng = np.random.default_rng(83)
+    vals = [int(v) for v in rng.integers(-100, 100, 37)]  # m=8: 4 blocks
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    out = {
+        r["blk"]: r.asDict()
+        for r in hurst_rs_pieces(
+            df, ["grp"], "ts", "v", ms=(8,), tiebreak="eid"
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}  # 37 rows -> 4 complete blocks of 8
+    for blk in range(4):
+        v = np.array(vals[blk * 8:(blk + 1) * 8], dtype=np.int64)
+        tot = v.sum()
+        my = [8 * v[: i + 1].sum() - (i + 1) * tot for i in range(8)]
+        assert out[blk]["rm"] == max(my) - min(my)
+        assert out[blk]["sv"] == tot and out[blk]["sv2"] == (v * v).sum()
+    with pytest.raises(ValueError):
+        hurst_rs_pieces(df, ["grp"], "ts", "v", ms=(2,))
+
+
+def test_hurst_white_noise_vs_persistent(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        hurst_exponent,
+        hurst_rs_pieces,
+        hurst_scores,
+    )
+
+    rng = np.random.default_rng(89)
+    n = 4096
+    white = rng.integers(-1000, 1000, n)
+    # persistent series: a random walk (integrated noise) has H -> 1
+    walk = np.cumsum(rng.integers(-50, 50, n))
+    rows = []
+    for i in range(n):
+        rows.append(("white", _ts("2024-01-01") + dt.timedelta(seconds=i),
+                     i, int(white[i])))
+        rows.append(("walk", _ts("2024-01-01") + dt.timedelta(seconds=i),
+                     i, int(walk[i])))
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    h = {
+        r["grp"]: r["hurst"]
+        for r in hurst_exponent(
+            hurst_scores(
+                hurst_rs_pieces(
+                    df, ["grp"], "ts", "v", ms=(8, 16, 32, 64),
+                    tiebreak="eid",
+                ),
+                ["grp"],
+            ),
+            ["grp"],
+        ).collect()
+    }
+    # small-sample R/S biases H upward for white noise; the separation
+    # is what matters
+    assert 0.40 <= h["white"] <= 0.68
+    assert h["walk"] >= 0.85
+    assert h["walk"] - h["white"] > 0.2
+
+
+def test_hurst_partitioning_invariance(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import hurst_rs_pieces
+
+    rng = np.random.default_rng(97)
+    rows = [
+        (f"g{i % 2}", _ts("2024-01-01") + dt.timedelta(seconds=i), i,
+         int(rng.integers(-100, 100)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    key = lambda r: (r["grp"], r["m"], r["blk"])
+    a = {key(r): r.asDict() for r in
+         hurst_rs_pieces(df, ["grp"], "ts", "v", (8, 16), "eid").collect()}
+    b = {key(r): r.asDict() for r in
+         hurst_rs_pieces(df.repartition(9), ["grp"], "ts", "v", (8, 16), "eid").collect()}
+    assert a == b
