@@ -3016,6 +3016,53 @@ def _q_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X137 seasonal Mann-Kendall pieces per event_type over the
+    user_id%10 slice, seasons = hour-of-day (the strongest cycle in
+    this month-long dataset): per-season MK pieces summed — S' and
+    Var(S') stay exact BIGINTs; z/p derive via mann_kendall_scores."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import (
+        seasonal_mann_kendall_pieces,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0).select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return seasonal_mann_kendall_pieces(
+        ev, ["event_type"], "hod", "ts", "v", tiebreak="event_id"
+    )
+
+
+def _q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138 temporal variogram pieces: the daily centi-scaled v-sum
+    series (all event types pooled per type) against ITSELF at lags
+    1..7 via the X129 CCF machinery; gamma(h) derives caller-side
+    (variogram_scores) with no new witness surface."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import ccf_pieces
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long")
+            .alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    return ccf_pieces(
+        daily, daily, ["event_type"], "t", "v", "v", lags=range(1, 8)
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3370,6 +3417,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "goodturing": _q_goodturing,
         # X136 (oracled): rescaled-range Hurst pieces:
         "hurst_rs": _q_hurst,
+        # X137 (oracled): seasonal Mann-Kendall summed pieces:
+        "seasonal_mk": _q_seasonal_mk,
+        # X138 (oracled): temporal variogram via self-CCF at lags 1..7:
+        "variogram": _q_variogram,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5560,6 +5611,82 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X137: the X127 self-join per (event_type, hour-of-day) season,
+    # pieces summed per type
+    d["seasonal_mk"] = """
+        WITH s AS (
+          SELECT event_type, hour(ts) AS hod, ts, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events WHERE user_id % 10 = 0),
+        p AS (
+          SELECT a.event_type, a.hod,
+                 CASE WHEN b.v > a.v THEN 1
+                      WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+          FROM s a JOIN s b
+            ON a.event_type = b.event_type AND a.hod = b.hod
+           AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))),
+        agg AS (
+          SELECT event_type, hod,
+                 CAST(sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                 CAST(sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+                 CAST(sum(CASE WHEN sg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+                 CAST(sum(sg) AS BIGINT) AS s
+          FROM p GROUP BY 1, 2),
+        ties AS (
+          SELECT event_type, hod,
+                 CAST(sum(tt * (tt - 1) * (2 * tt + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT event_type, hod, v, count(*) AS tt
+                FROM s GROUP BY 1, 2, 3)
+          GROUP BY 1, 2),
+        nn AS (
+          SELECT event_type, hod, CAST(count(*) AS BIGINT) AS n
+          FROM s GROUP BY 1, 2),
+        per AS (
+          SELECT nn.event_type, nn.hod, nn.n,
+                 coalesce(agg.n_pos, 0) AS n_pos,
+                 coalesce(agg.n_neg, 0) AS n_neg,
+                 coalesce(agg.n_zero, 0) AS n_zero,
+                 coalesce(agg.s, 0) AS s,
+                 ties.tie_term,
+                 nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                   AS var18
+          FROM nn LEFT JOIN agg USING (event_type, hod)
+                  JOIN ties USING (event_type, hod))
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_seasons,
+               CAST(sum(n) AS BIGINT) AS n,
+               CAST(sum(n_pos) AS BIGINT) AS n_pos,
+               CAST(sum(n_neg) AS BIGINT) AS n_neg,
+               CAST(sum(n_zero) AS BIGINT) AS n_zero,
+               CAST(sum(s) AS BIGINT) AS s,
+               CAST(sum(tie_term) AS BIGINT) AS tie_term,
+               CAST(sum(var18) AS BIGINT) AS var18
+        FROM per GROUP BY event_type
+    """
+    # X138: the X129 shifted self-join per event_type at lags 1..7
+    d["variogram"] = """
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS t,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        ly AS (
+          SELECT daily.event_type, lag, daily.t - lag AS t, daily.v
+          FROM daily CROSS JOIN (
+            VALUES (1),(2),(3),(4),(5),(6),(7)
+          ) AS ll(lag))
+        SELECT x.event_type, CAST(ly.lag AS INTEGER) AS lag,
+               CAST(count(*) AS BIGINT) AS n_matched,
+               CAST(sum(x.v) AS BIGINT) AS sx,
+               CAST(sum(ly.v) AS BIGINT) AS sy,
+               CAST(sum(x.v * ly.v) AS BIGINT) AS sxy,
+               CAST(sum(x.v * x.v) AS BIGINT) AS sxx,
+               CAST(sum(ly.v * ly.v) AS BIGINT) AS syy
+        FROM daily x JOIN ly
+          ON x.event_type = ly.event_type AND x.t = ly.t
+        GROUP BY x.event_type, ly.lag
     """
     # X136: identical row-index blocks, m*Y integral cumulative
     # deviations, complete blocks only, UNION over m

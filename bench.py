@@ -176,6 +176,8 @@ HEADLINE = [
     "block_maxima",
     "goodturing",
     "hurst_rs",
+    "seasonal_mk",
+    "variogram",
     "text_quality",
     "lang_id",
     "quality_select",

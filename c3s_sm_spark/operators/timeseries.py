@@ -3243,3 +3243,61 @@ def hurst_exponent(scores: DataFrame, keys: Sequence[str]) -> DataFrame:
         (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / den,
     )
     return agg.select(*keys, n.cast("long").alias("n_scales"), h.alias("hurst"))
+
+
+def seasonal_mann_kendall_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    season_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X137 seasonal Mann-Kendall (Hirsch & Slack 1984): the MK test
+    computed WITHIN each season (month-of-year, hour-of-day) and summed
+    across seasons — the standard guard against a seasonal cycle
+    masquerading as (or masking) a monotone trend in climate series.
+    Under the null the seasonal S statistics are independent, so
+    ``S' = sum_g S_g`` and ``Var(S') = sum_g Var(S_g)`` — both exact
+    BIGINT sums of the per-season pieces. Emits per key: ``n_seasons``
+    and the summed ``n, n_pos, n_neg, n_zero, s, tie_term, var18``;
+    :func:`mann_kendall_scores` applies unchanged (its z/p read only
+    ``n, s, var18``).
+
+    Plan: the per-season kernel shuffle is on ``keys + season`` —
+    MORE parallel than plain MK (each season is its own task), then a
+    tiny piece-sum groupBy."""
+    keys = list(keys)
+    per = mann_kendall_pieces(
+        df, keys + [season_col], ts_col, value_col, tiebreak=tiebreak
+    )
+    return per.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum("n_zero").cast("long").alias("n_zero"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("tie_term").cast("long").alias("tie_term"),
+        F.sum("var18").cast("long").alias("var18"),
+    )
+
+
+def variogram_scores(pieces: DataFrame, scale: int = 1) -> DataFrame:
+    """X138 temporal (semi)variogram from :func:`ccf_pieces` run with
+    the SAME series on both sides at positive lags — the structure
+    function ``gamma(h) = mean((v_{t+h} - v_t)^2) / 2`` (Matheron
+    1963), the geostatistics-native way to read decorrelation length
+    and nugget noise (the reference's satellite products lean on
+    spatial variograms; the temporal twin profiles any series'
+    smoothness). Plain projection: ``gamma = (sxx + syy - 2*sxy) /
+    (2 * n * scale^2)`` — no new witness surface, the CCF pieces are
+    already exact."""
+    n = F.col("n_matched").cast("double")
+    s2 = float(scale) * float(scale)
+    g = (
+        F.col("sxx").cast("double")
+        + F.col("syy").cast("double")
+        - 2.0 * F.col("sxy").cast("double")
+    ) / (2.0 * n * s2)
+    return pieces.select("*", F.when(n > 0, g).alias("gamma"))

@@ -2618,3 +2618,99 @@ def test_hurst_partitioning_invariance(spark):
     b = {key(r): r.asDict() for r in
          hurst_rs_pieces(df.repartition(9), ["grp"], "ts", "v", (8, 16), "eid").collect()}
     assert a == b
+
+
+def test_seasonal_mann_kendall_sums_per_season_pieces(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        mann_kendall_pieces,
+        mann_kendall_scores,
+        seasonal_mann_kendall_pieces,
+    )
+
+    rng = np.random.default_rng(101)
+    rows = []
+    for season in range(4):
+        for i in range(25):
+            rows.append(
+                ("g", season,
+                 _ts("2024-01-01") + dt.timedelta(hours=season * 1000 + i),
+                 season * 100 + i, int(rng.integers(-20, 20)))
+            )
+    df = spark.createDataFrame(
+        rows, "grp string, season long, ts timestamp, eid long, v long"
+    )
+    out = seasonal_mann_kendall_pieces(
+        df, ["grp"], "season", "ts", "v", tiebreak="eid"
+    ).collect()[0]
+    per = mann_kendall_pieces(
+        df, ["grp", "season"], "ts", "v", tiebreak="eid"
+    ).collect()
+    assert out["n_seasons"] == 4
+    for col in ("n", "n_pos", "n_neg", "n_zero", "s", "tie_term", "var18"):
+        assert out[col] == sum(r[col] for r in per)
+    # scores apply unchanged to the summed pieces
+    z = mann_kendall_scores(
+        seasonal_mann_kendall_pieces(
+            df, ["grp"], "season", "ts", "v", tiebreak="eid"
+        )
+    ).collect()[0]["z"]
+    assert z is not None
+
+
+def test_seasonal_mk_detrends_pure_cycle(spark):
+    # a pure seasonal square wave has a huge plain-MK |S| inflation
+    # risk; within-season the series is CONSTANT -> seasonal S = 0
+    rows = []
+    for d in range(40):
+        for season in (0, 1):
+            rows.append(
+                ("g", season,
+                 _ts("2024-01-01") + dt.timedelta(days=d, hours=season),
+                 d * 2 + season, 100 if season else -100)
+            )
+    df = spark.createDataFrame(
+        rows, "grp string, season long, ts timestamp, eid long, v long"
+    )
+    from c3s_sm_spark.operators.timeseries import (
+        seasonal_mann_kendall_pieces,
+    )
+
+    out = seasonal_mann_kendall_pieces(
+        df, ["grp"], "season", "ts", "v", tiebreak="eid"
+    ).collect()[0]
+    assert out["s"] == 0 and out["var18"] == 0
+
+
+def test_variogram_scores_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import ccf_pieces, variogram_scores
+
+    rng = np.random.default_rng(103)
+    vals = [int(v) for v in rng.integers(-100, 100, 50)]
+    df = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "t long, v long"
+    )
+    out = {
+        r["lag"]: r["gamma"]
+        for r in variogram_scores(
+            ccf_pieces(df, df, [], "t", "v", "v", lags=[1, 2, 5]), scale=1
+        ).collect()
+    }
+    v = np.array(vals)
+    for h in (1, 2, 5):
+        want = ((v[h:] - v[:-h]) ** 2).mean() / 2.0
+        assert out[h] == pytest.approx(want, rel=1e-12)
+    # smooth series: gamma grows with lag; check on a pure line
+    line = spark.createDataFrame(
+        [(t, 10 * t) for t in range(30)], "t long, v long"
+    )
+    g = {
+        r["lag"]: r["gamma"]
+        for r in variogram_scores(
+            ccf_pieces(line, line, [], "t", "v", "v", lags=[1, 3]), scale=1
+        ).collect()
+    }
+    assert g[3] > g[1] and g[1] == pytest.approx(50.0)  # (10*1)^2/2
