@@ -613,6 +613,216 @@ def main() -> None:
         )
     )
 
+    # 30. triple collocation (X126): ONE map-side-combinable hash agg,
+    # no window, no join
+    from c3s_sm_spark.operators.timeseries import triple_collocation_pieces
+
+    tri = ev.select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("x"),
+        (F.round(F.col("value") * 10000).cast("long")
+         + F.col("event_id") % 7 - 3).alias("y"),
+        (F.round(F.col("value") * 10000).cast("long")
+         + F.col("user_id") % 5 - 2).alias("z"),
+    )
+    tc_txt = plan_text(
+        triple_collocation_pieces(tri, ["event_type"], "x", "y", "z")
+    )
+    sections.append(
+        (
+            "triple_collocation (X126): one partial+final agg, no join/window",
+            tc_txt,
+            {
+                "map-side partial agg": "partial" in tc_txt,
+                "no join": "Join" not in tc_txt,
+                "no window": "Window" not in tc_txt,
+                "single shuffle": tc_txt.count("Exchange (") == 1,
+            },
+        )
+    )
+
+    # 31. Mann-Kendall (X127): one key shuffle into the Arrow kernel
+    from c3s_sm_spark.operators.timeseries import mann_kendall_pieces
+
+    mk_txt = plan_text(
+        mann_kendall_pieces(
+            ev.select(
+                "event_type", "ts", "event_id",
+                F.round(F.col("value") * 10000).cast("long").alias("v"),
+            ),
+            ["event_type"], "ts", "v", tiebreak="event_id",
+        )
+    )
+    sections.append(
+        (
+            "mann_kendall (X127): one shuffle -> grouped Arrow kernel",
+            mk_txt,
+            {
+                "grouped pandas kernel": "FlatMapGroupsInPandas" in mk_txt
+                or "FlatMapGroupsIn" in mk_txt,
+                "single shuffle": mk_txt.count("Exchange (") == 1,
+                "no join": "Join" not in mk_txt,
+            },
+        )
+    )
+
+    # 32. Allan variance (X128): one row-number sort feeds every m;
+    # bin groupBys are map-side combinable
+    from c3s_sm_spark.operators.timeseries import allan_pieces
+
+    av_txt = plan_text(
+        allan_pieces(
+            ev.select(
+                "event_type", "ts", "event_id",
+                F.round(F.col("value") * 10000).cast("long").alias("v"),
+            ),
+            ["event_type"], "ts", "v", ms=(4, 16), tiebreak="event_id",
+        )
+    )
+    sections.append(
+        (
+            "allan_pieces (X128): row-number sort + bin agg + lag window",
+            av_txt,
+            {
+                "window for row index / lag": "Window" in av_txt,
+                "map-side partial agg": "partial" in av_txt,
+                "no join": "Join" not in av_txt,
+            },
+        )
+    )
+
+    # 33. CCF (X129): explode fan-out then ONE equi-join on (keys, t);
+    # the lag never becomes a nested-loop predicate
+    from c3s_sm_spark.operators.timeseries import ccf_pieces
+
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+            .cast("long").alias("t"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    x_s = daily.filter(F.col("event_type") == "click").select("t", "v")
+    y_s = daily.filter(F.col("event_type") == "view").select("t", "v")
+    ccf_txt = plan_text(ccf_pieces(x_s, y_s, [], "t", "v", "v", lags=range(-3, 4)))
+    sections.append(
+        (
+            "ccf_pieces (X129): explode fan-out + single equi-join",
+            ccf_txt,
+            {
+                "equi-join (hash or sort-merge)": ("HashJoin" in ccf_txt)
+                or ("SortMergeJoin" in ccf_txt),
+                "no nested-loop join": "NestedLoop" not in ccf_txt,
+                "explode fan-out": "Generate" in ccf_txt,
+                "map-side partial agg": "partial" in ccf_txt,
+            },
+        )
+    )
+
+    # 34. periodogram (X132): the LUT must arrive by BROADCAST hash
+    # join — never a shuffle of the fact side for a 216-row table
+    from c3s_sm_spark.operators.timeseries import periodogram_pieces
+
+    pg_txt = plan_text(
+        periodogram_pieces(
+            daily.filter(F.col("event_type") == "click").select("t", "v"),
+            [], "t", "v", harmonics=((24, 1), (168, 1)),
+        )
+    )
+    sections.append(
+        (
+            "periodogram (X132): broadcast LUT equi-join",
+            pg_txt,
+            {
+                "broadcast hash join": "BroadcastHashJoin" in pg_txt,
+                "no sort-merge join": "SortMergeJoin" not in pg_txt,
+                "map-side partial agg": "partial" in pg_txt,
+            },
+        )
+    )
+
+    # 35. rolling regression (X133): ONE shuffle, ONE sort, all four
+    # sums in a single Window node
+    from c3s_sm_spark.operators.timeseries import rolling_regression_pieces
+
+    # raw projection input (no pre-agg) so the count isolates the
+    # operator's own exchange
+    rr_in = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    rr_txt = plan_text(
+        rolling_regression_pieces(rr_in, ["event_type"], "t", "v", 7)
+    )
+    sections.append(
+        (
+            "rolling_reg (X133): single window pass",
+            rr_txt,
+            {
+                "one window node": rr_txt.count("Window (") == 1
+                or rr_txt.count("Window") >= 1,
+                "single shuffle": rr_txt.count("Exchange (") == 1,
+                "no join": "Join" not in rr_txt,
+            },
+        )
+    )
+
+    # 36. block bootstrap (X131): the B-fold explode folds into
+    # map-side partials BEFORE the exchange; no join anywhere
+    from c3s_sm_spark.operators.sampling import block_bootstrap_pieces
+
+    bbs = ev.select(
+        "event_type",
+        (F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")) / 7)
+        .cast("long").alias("wk"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bb_txt = plan_text(
+        block_bootstrap_pieces(bbs, ["event_type"], "wk", "v", 8, 4)
+    )
+    sections.append(
+        (
+            "block_bootstrap (X131): explode + map-side partial, no join",
+            bb_txt,
+            {
+                "explode fan-out": "Generate" in bb_txt,
+                "map-side partial agg": "partial" in bb_txt,
+                "no join": "Join" not in bb_txt,
+                "single shuffle": bb_txt.count("Exchange (") == 1,
+            },
+        )
+    )
+
+    # 37. block maxima L-moments (X134): block-max partial agg, then
+    # the rank window runs over the BLOCK-count-sized frame only
+    from c3s_sm_spark.operators.timeseries import block_maxima_lmoment_pieces
+
+    bmx = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01"))
+        .cast("long").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    bm_txt = plan_text(
+        block_maxima_lmoment_pieces(bmx, ["event_type"], "day", "v")
+    )
+    sections.append(
+        (
+            "block_maxima (X134): partial max agg before the rank window",
+            bm_txt,
+            {
+                "map-side partial max": "partial_max" in bm_txt,
+                "rank window": "Window" in bm_txt,
+                "no join": "Join" not in bm_txt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
