@@ -3063,6 +3063,25 @@ def _q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139 Pettitt change-point pieces per event_type over the
+    user_id%20 slice (canonical (ts,event_id) order): K, first-argmax
+    split index and signed U — exact BIGINTs via the midrank identity
+    U_t = t(n+1) − Σ 2R_i (two window passes, no quadratic pair work
+    in EITHER engine); the significance approximation derives
+    caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import pettitt_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 20 == 0).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return pettitt_pieces(ev, ["event_type"], "ts", "v", tiebreak="event_id")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3421,6 +3440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_mk": _q_seasonal_mk,
         # X138 (oracled): temporal variogram via self-CCF at lags 1..7:
         "variogram": _q_variogram,
+        # X139 (oracled): Pettitt change-point pieces (midrank
+        # identity, window-only — no quadratic pair work):
+        "pettitt": _q_pettitt,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5611,6 +5633,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X139: the same midrank identity — rank window + cumulative sum,
+    # first-argmax tiebreak via (abs desc, t asc) ordering
+    d["pettitt"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events WHERE user_id % 20 = 0),
+        rk AS (
+          SELECT event_type, ts, event_id,
+                 2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+                   + count(*) OVER (PARTITION BY event_type, v) - 1
+                   AS tworank,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM s),
+        ut AS (
+          SELECT event_type, n,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id) AS t,
+                 sum(tworank) OVER (PARTITION BY event_type
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum2r
+          FROM rk),
+        u AS (
+          SELECT event_type, n, t, t * (n + 1) - cum2r AS u
+          FROM ut WHERE t < n),
+        pick AS (
+          SELECT event_type, n, t, u,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY abs(u) DESC, t ASC) AS rnk
+          FROM u)
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n,
+               CAST(abs(u) AS BIGINT) AS k_stat,
+               CAST(t AS BIGINT) AS t_split,
+               CAST(u AS BIGINT) AS u_at_split
+        FROM pick WHERE rnk = 1
     """
     # X137: the X127 self-join per (event_type, hour-of-day) season,
     # pieces summed per type

@@ -178,6 +178,7 @@ HEADLINE = [
     "hurst_rs",
     "seasonal_mk",
     "variogram",
+    "pettitt",
     "text_quality",
     "lang_id",
     "quality_select",

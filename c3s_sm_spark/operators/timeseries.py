@@ -3301,3 +3301,107 @@ def variogram_scores(pieces: DataFrame, scale: int = 1) -> DataFrame:
         - 2.0 * F.col("sxy").cast("double")
     ) / (2.0 * n * s2)
     return pieces.select("*", F.when(n > 0, g).alias("gamma"))
+
+
+def pettitt_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X139 Pettitt change-point test, pieces mode (Pettitt 1979): the
+    standard nonparametric single change-point detector for climate
+    records — WHERE did this series' level shift, without assuming
+    normality (the rank-based sibling of the CUSUM mean-shift screen,
+    and the changepoint companion to Mann-Kendall's trend test).
+
+    ``U_t = sum_{i<=t} sum_{j>t} sgn(x_j - x_i)``; statistic
+    ``K = max_t |U_t|``, change point = first t attaining it. The
+    naive form is O(n^2) pairs — but with whole-series MIDRANKS
+    ``R_i`` the antisymmetric double sum collapses to the exact
+    identity ``U_t = t*(n+1) - sum_{i<=t} 2*R_i`` (``2R_i = 2*rank_i
+    + ties_i - 1`` is always integral), so the whole test is two
+    window passes over the SAME key shuffle — rank-by-value, then
+    cumulative-sum-by-time — pure JVM expressions, no Python, no
+    quadratic anywhere, any series length.
+
+    Emits per key, all exact BIGINT: ``n``, ``k_stat`` (K),
+    ``t_split`` (1-based left-segment length at the first argmax),
+    ``u_at_split`` (signed U there — sign says step down vs up).
+    Significance ``p ~ 2*exp(-6K^2/(n^3+n^2))`` derives caller-side
+    in :func:`pettitt_scores`. Series of length < 2 report zeros.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    v = F.col("__v")
+    w_rank = Window.partitionBy(*keys).orderBy(v.asc())
+    # ties counted on the SAME value-ordered window via an empty RANGE
+    # frame (rows with equal order value) — no extra (keys, v) exchange
+    w_val = w_rank.rangeBetween(0, 0)
+    w_key = Window.partitionBy(*keys)
+    w_time = Window.partitionBy(*keys).orderBy(*order)
+    w_cum = w_time.rowsBetween(Window.unboundedPreceding, 0)
+
+    prepared = df.select(
+        *keys,
+        ts_col,
+        *([tiebreak] if tiebreak else []),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    annotated = prepared.select(
+        *keys,
+        *[c for c in [ts_col] + ([tiebreak] if tiebreak else [])],
+        "__v",
+        (2 * F.rank().over(w_rank) + F.count(F.lit(1)).over(w_val) - 1)
+        .cast("long")
+        .alias("__tworank"),
+        F.count(F.lit(1)).over(w_key).cast("long").alias("__n"),
+    )
+    u = (
+        F.col("__t") * (F.col("__n") + 1) - F.col("__cum2r")
+    ).alias("__u")
+    per_t = annotated.select(
+        *keys,
+        "__n",
+        F.row_number().over(w_time).cast("long").alias("__t"),
+        F.sum("__tworank").over(w_cum).cast("long").alias("__cum2r"),
+    ).select(*keys, "__n", "__t", u).filter(F.col("__t") < F.col("__n"))
+    pick = F.struct(
+        (-F.abs(F.col("__u"))).alias("negk"), F.col("__t").alias("t")
+    )
+    out = per_t.groupBy(*keys).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.max(F.abs(F.col("__u"))).cast("long").alias("k_stat"),
+        F.min_by(F.col("__t"), pick).cast("long").alias("t_split"),
+        F.min_by(F.col("__u"), pick).cast("long").alias("u_at_split"),
+    )
+    # length-1 (or empty-after-filter) series: report zeros rather than
+    # dropping the key
+    singles = (
+        annotated.groupBy(*keys)
+        .agg(F.max("__n").cast("long").alias("n"))
+        .filter(F.col("n") < 2)
+        .select(
+            *keys, "n",
+            F.lit(0).cast("long").alias("k_stat"),
+            F.lit(0).cast("long").alias("t_split"),
+            F.lit(0).cast("long").alias("u_at_split"),
+        )
+    )
+    return out.unionByName(singles)
+
+
+def pettitt_scores(pieces: DataFrame) -> DataFrame:
+    """Approximate Pettitt significance from :func:`pettitt_pieces` —
+    plain projection: ``p = min(1, 2*exp(-6K^2/(n^3+n^2)))``; null for
+    n < 2."""
+    n = F.col("n").cast("double")
+    k = F.col("k_stat").cast("double")
+    p = 2.0 * F.exp(-6.0 * k * k / (n * n * n + n * n))
+    return pieces.select(
+        "*",
+        F.when(F.col("n") >= 2, F.least(F.lit(1.0), p)).alias("p_value"),
+    )

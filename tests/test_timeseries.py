@@ -2714,3 +2714,90 @@ def test_variogram_scores_brute_force(spark):
         ).collect()
     }
     assert g[3] > g[1] and g[1] == pytest.approx(50.0)  # (10*1)^2/2
+
+
+def test_pettitt_pieces_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import pettitt_pieces
+
+    rng = np.random.default_rng(107)
+    vals = [int(v) for v in rng.integers(-10, 10, 60)]  # plenty of ties
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    out = pettitt_pieces(df, ["grp"], "ts", "v", tiebreak="eid").collect()[0]
+    n = len(vals)
+    U = []
+    for t in range(1, n):
+        U.append(int(sum(
+            np.sign(vals[j] - vals[i])
+            for i in range(t) for j in range(t, n)
+        )))
+    k = max(abs(u) for u in U)
+    t_split = next(t for t, u in enumerate(U, start=1) if abs(u) == k)
+    assert out["n"] == n and out["k_stat"] == k
+    assert out["t_split"] == t_split
+    assert out["u_at_split"] == U[t_split - 1]
+
+
+def test_pettitt_locates_planted_step(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        pettitt_pieces,
+        pettitt_scores,
+    )
+
+    rng = np.random.default_rng(109)
+    # level shift at t=120 of a 200-point noisy series
+    v = np.concatenate([
+        rng.normal(0, 30, 120), rng.normal(150, 30, 80)
+    ]).astype(np.int64)
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, int(x))
+        for i, x in enumerate(v)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    out = pettitt_scores(
+        pettitt_pieces(df, ["grp"], "ts", "v", tiebreak="eid")
+    ).collect()[0]
+    assert 115 <= out["t_split"] <= 125
+    assert out["u_at_split"] > 0  # upward step: late > early -> U positive
+    assert out["p_value"] < 1e-6
+    # a constant series: K = 0, p = min(1, 2) -> 1
+    flat = spark.createDataFrame(
+        [("f", _ts("2024-01-01") + dt.timedelta(hours=i), i, 5)
+         for i in range(20)],
+        "grp string, ts timestamp, eid long, v long",
+    )
+    fo = pettitt_scores(
+        pettitt_pieces(flat, ["grp"], "ts", "v", tiebreak="eid")
+    ).collect()[0]
+    assert fo["k_stat"] == 0 and fo["p_value"] == 1.0
+
+
+def test_pettitt_single_point_and_invariance(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import pettitt_pieces
+
+    rng = np.random.default_rng(113)
+    rows = [("solo", _ts("2024-01-01"), 0, 42)]
+    rows += [
+        (f"g{i % 3}", _ts("2024-01-01") + dt.timedelta(hours=i), i,
+         int(rng.integers(-50, 50)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    a = {r["grp"]: r.asDict() for r in
+         pettitt_pieces(df, ["grp"], "ts", "v", tiebreak="eid").collect()}
+    assert a["solo"] == {
+        "grp": "solo", "n": 1, "k_stat": 0, "t_split": 0, "u_at_split": 0,
+    }
+    b = {r["grp"]: r.asDict() for r in
+         pettitt_pieces(df.repartition(13), ["grp"], "ts", "v",
+                        tiebreak="eid").collect()}
+    assert a == b
