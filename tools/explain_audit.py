@@ -823,6 +823,33 @@ def main() -> None:
         )
     )
 
+    # 38. Pettitt (X139): the midrank identity keeps the whole test in
+    # window land — one key exchange feeds both the value-rank and the
+    # time-cumsum windows (two sorts, ONE shuffle), no pandas, no join
+    from c3s_sm_spark.operators.timeseries import pettitt_pieces
+
+    pt_txt = plan_text(
+        pettitt_pieces(
+            ev.select(
+                "event_type", "ts", "event_id",
+                F.round(F.col("value") * 10000).cast("long").alias("v"),
+            ),
+            ["event_type"], "ts", "v", tiebreak="event_id",
+        )
+    )
+    sections.append(
+        (
+            "pettitt (X139): window-only midrank plan",
+            pt_txt,
+            {
+                "windows present": "Window" in pt_txt,
+                "no pandas kernel": "FlatMapGroupsInPandas" not in pt_txt,
+                "no join in the main branch": pt_txt.count("Join") <= 1,
+                "bounded exchanges": pt_txt.count("Exchange (") <= 3,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
