@@ -3082,6 +3082,25 @@ def _q_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt_pieces(ev, ["event_type"], "ts", "v", tiebreak="event_id")
 
 
+def _q_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140 running-record counts per event_type (canonical
+    (ts, event_id) order): exact record-high/low counts and last-record
+    positions; the distribution-free H_n expectation comparison derives
+    caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import record_stats_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return record_stats_pieces(
+        ev, ["event_type"], "ts", "v", tiebreak="event_id"
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3443,6 +3462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X139 (oracled): Pettitt change-point pieces (midrank
         # identity, window-only — no quadratic pair work):
         "pettitt": _q_pettitt,
+        # X140 (oracled): running-record nonstationarity counts:
+        "record_stats": _q_record_stats,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5633,6 +5654,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X140: identical running-extreme window, strict-record semantics,
+    # first row both a high and a low record
+    d["record_stats"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events),
+        ann AS (
+          SELECT event_type, v,
+                 row_number() OVER w AS t,
+                 max(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmax,
+                 min(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS pmin
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN pmax IS NULL OR v > pmax
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_high,
+               CAST(sum(CASE WHEN pmin IS NULL OR v < pmin
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_rec_low,
+               CAST(max(CASE WHEN pmax IS NULL OR v > pmax
+                        THEN t END) AS BIGINT) AS t_last_high,
+               CAST(max(CASE WHEN pmin IS NULL OR v < pmin
+                        THEN t END) AS BIGINT) AS t_last_low
+        FROM ann GROUP BY event_type
     """
     # X139: the same midrank identity — rank window + cumulative sum,
     # first-argmax tiebreak via (abs desc, t asc) ordering

@@ -179,6 +179,7 @@ HEADLINE = [
     "seasonal_mk",
     "variogram",
     "pettitt",
+    "record_stats",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -3405,3 +3405,71 @@ def pettitt_scores(pieces: DataFrame) -> DataFrame:
         "*",
         F.when(F.col("n") >= 2, F.least(F.lit(1.0), p)).alias("p_value"),
     )
+
+
+def record_stats_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X140 record statistics: how many RUNNING RECORDS (new all-time
+    highs / lows) has this series set, and when was the last one? For
+    a stationary exchangeable series the expected count is the
+    harmonic number ``H_n ~ ln n + gamma`` regardless of the value
+    distribution — so an excess of record highs is a distribution-free
+    nonstationarity alarm (the record-count test used in climate-change
+    detection; ops twin: "we keep setting new daily-peak records").
+
+    A new high at t means ``v_t > max(v_1..v_{t-1})`` (strict; the
+    first observation is by convention both a high and a low record).
+    Emits per key, all exact BIGINT: ``n``, ``n_rec_high``,
+    ``n_rec_low``, ``t_last_high``, ``t_last_low`` (1-based positions
+    of the last records). The expected-count comparison derives
+    caller-side in :func:`record_stats_scores`.
+
+    Plan: one key shuffle, one sort, running min/max + row_number in a
+    single window pass, then a map-side-combinable groupBy. Pure JVM.
+    """
+    keys = list(keys)
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    v = F.col("__v")
+    annotated = df.select(
+        *keys, F.col(value_col).cast("long").alias("__v"), *order_cols
+    ).select(
+        *keys,
+        "__v",
+        F.row_number().over(w).cast("long").alias("__t"),
+        F.max("__v").over(wprev).alias("__pmax"),
+        F.min("__v").over(wprev).alias("__pmin"),
+    )
+    is_high = F.col("__pmax").isNull() | (v > F.col("__pmax"))
+    is_low = F.col("__pmin").isNull() | (v < F.col("__pmin"))
+    return annotated.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("n_rec_high"),
+        F.sum(F.when(is_low, 1).otherwise(0)).cast("long").alias("n_rec_low"),
+        F.max(F.when(is_high, F.col("__t"))).cast("long").alias("t_last_high"),
+        F.max(F.when(is_low, F.col("__t"))).cast("long").alias("t_last_low"),
+    )
+
+
+def record_stats_scores(pieces: DataFrame) -> DataFrame:
+    """Expected record count and excess ratios from
+    :func:`record_stats_pieces` — plain projection. ``H_n`` is
+    approximated by ``ln n + gamma + 1/(2n)`` (error < 1/(8n^2), far
+    below the integer count's own granularity); excess_high =
+    n_rec_high / H_n."""
+    gamma = 0.5772156649015329
+    n = F.col("n").cast("double")
+    h = F.log(n) + gamma + 1.0 / (2.0 * n)
+    return pieces.select(
+        "*",
+        F.when(F.col("n") > 0, h).alias("expected_records"),
+        F.when(F.col("n") > 0, F.col("n_rec_high") / h).alias("excess_high"),
+        F.when(F.col("n") > 0, F.col("n_rec_low") / h).alias("excess_low"),
+    )

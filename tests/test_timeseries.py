@@ -2801,3 +2801,64 @@ def test_pettitt_single_point_and_invariance(spark):
          pettitt_pieces(df.repartition(13), ["grp"], "ts", "v",
                         tiebreak="eid").collect()}
     assert a == b
+
+
+def test_record_stats_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import record_stats_pieces
+
+    rng = np.random.default_rng(127)
+    vals = [int(v) for v in rng.integers(-50, 50, 80)]
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    out = record_stats_pieces(df, ["grp"], "ts", "v", tiebreak="eid").collect()[0]
+    highs = [
+        t + 1 for t, v in enumerate(vals)
+        if t == 0 or v > max(vals[:t])
+    ]
+    lows = [
+        t + 1 for t, v in enumerate(vals)
+        if t == 0 or v < min(vals[:t])
+    ]
+    assert out["n"] == 80
+    assert out["n_rec_high"] == len(highs)
+    assert out["n_rec_low"] == len(lows)
+    assert out["t_last_high"] == highs[-1]
+    assert out["t_last_low"] == lows[-1]
+
+
+def test_record_stats_monotone_and_expected(spark):
+    import math
+
+    from c3s_sm_spark.operators.timeseries import (
+        record_stats_pieces,
+        record_stats_scores,
+    )
+
+    # strictly increasing: every point is a record high, only the
+    # first a record low; excess_high >> 1
+    rows = [
+        ("up", _ts("2024-01-01") + dt.timedelta(hours=i), i, i * 3)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    out = record_stats_scores(
+        record_stats_pieces(df, ["grp"], "ts", "v", tiebreak="eid")
+    ).collect()[0]
+    assert out["n_rec_high"] == 50 and out["n_rec_low"] == 1
+    hn = math.log(50) + 0.5772156649015329 + 1 / 100
+    assert out["expected_records"] == pytest.approx(hn, rel=1e-6)
+    assert out["excess_high"] == pytest.approx(50 / hn, rel=1e-6)
+    # ties are NOT records (strict comparison)
+    flat = spark.createDataFrame(
+        [("f", _ts("2024-01-01") + dt.timedelta(hours=i), i, 7)
+         for i in range(10)],
+        "grp string, ts timestamp, eid long, v long",
+    )
+    fo = record_stats_pieces(flat, ["grp"], "ts", "v", tiebreak="eid").collect()[0]
+    assert fo["n_rec_high"] == 1 and fo["n_rec_low"] == 1
+    assert fo["t_last_high"] == 1 and fo["t_last_low"] == 1
