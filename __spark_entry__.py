@@ -3101,6 +3101,22 @@ def _q_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141 Wald-Wolfowitz runs pieces per event_type (lower-median
+    threshold, median-equal rows dropped, canonical (ts,event_id)
+    order); E[R]/z/p derive caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import runs_test_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return runs_test_pieces(ev, ["event_type"], "ts", "v", tiebreak="event_id")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3464,6 +3480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt": _q_pettitt,
         # X140 (oracled): running-record nonstationarity counts:
         "record_stats": _q_record_stats,
+        # X141 (oracled): Wald-Wolfowitz runs-test pieces:
+        "runs_test": _q_runs_test,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5654,6 +5672,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X141: identical lower-median window + drop-equals + lag runs
+    d["runs_test"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events),
+        rk AS (
+          SELECT event_type, ts, event_id, v,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY v) AS rn,
+                 (count(*) OVER (PARTITION BY event_type) + 1) // 2
+                   AS pos
+          FROM s),
+        md AS (
+          SELECT event_type, ts, event_id, v,
+                 min(CASE WHEN rn = pos THEN v END)
+                   OVER (PARTITION BY event_type) AS med
+          FROM rk),
+        kept AS (
+          SELECT event_type, ts, event_id,
+                 CASE WHEN v > med THEN 1 ELSE 0 END AS sgn
+          FROM md WHERE v <> med),
+        lr AS (
+          SELECT event_type, sgn,
+                 lag(sgn) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS prev
+          FROM kept)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(sgn) AS BIGINT) AS n_above,
+               CAST(sum(1 - sgn) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN prev IS NULL OR sgn <> prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM lr GROUP BY event_type
     """
     # X140: identical running-extreme window, strict-record semantics,
     # first row both a high and a low record

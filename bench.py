@@ -180,6 +180,7 @@ HEADLINE = [
     "variogram",
     "pettitt",
     "record_stats",
+    "runs_test",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -3473,3 +3473,99 @@ def record_stats_scores(pieces: DataFrame) -> DataFrame:
         F.when(F.col("n") > 0, F.col("n_rec_high") / h).alias("excess_high"),
         F.when(F.col("n") > 0, F.col("n_rec_low") / h).alias("excess_low"),
     )
+
+
+def runs_test_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X141 Wald-Wolfowitz runs test, pieces mode: is the sequence of
+    above/below-median excursions RANDOM, or does the series cluster
+    (persistence) / alternate (negative feedback)? The classic
+    distribution-free randomness check that complements X136's Hurst
+    read with an actual significance test.
+
+    Median = the LOWER median (value at ascending rank ``(n+1)//2`` —
+    a concrete order statistic, deterministic in every engine
+    regardless of tie order since only the VALUE at the position is
+    read). Rows equal to the median are dropped (standard); the
+    remaining rows classify above/below, and a RUN is a maximal
+    same-class stretch in time order. Emits per key, exact BIGINT:
+    ``n`` (kept rows), ``n_above``, ``n_below``, ``n_runs``. The
+    normal approximation ``E[R] = 1 + 2ab/(a+b)``,
+    ``Var[R] = 2ab(2ab-a-b)/((a+b)^2(a+b-1))`` and z derive
+    caller-side in :func:`runs_test_scores`.
+
+    Plan: one key shuffle; the median is a window aggregate over the
+    value-ranked frame (no join back), the run boundaries a lag over
+    the time-ordered frame — two sorts, one exchange, pure JVM.
+    """
+    keys = list(keys)
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    w_rank = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    w_key = Window.partitionBy(*keys)
+    w_time = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    v = F.col("__v")
+    pos = (F.count(F.lit(1)).over(w_key) + 1) / 2
+    ranked = df.select(
+        *keys, F.col(value_col).cast("long").alias("__v"), *order_cols
+    ).select(
+        *keys, "__v", *order_cols,
+        F.row_number().over(w_rank).alias("__rn"),
+        F.floor(pos).cast("int").alias("__pos"),
+    )
+    with_med = ranked.select(
+        *keys, "__v", *order_cols,
+        F.min(F.when(F.col("__rn") == F.col("__pos"), v)).over(w_key)
+        .alias("__med"),
+    )
+    kept = with_med.filter(v != F.col("__med")).select(
+        *keys, *order_cols, (v > F.col("__med")).cast("int").alias("__sgn")
+    )
+    runs = kept.select(
+        *keys,
+        "__sgn",
+        F.lag("__sgn").over(w_time).alias("__prev"),
+    )
+    new_run = F.col("__prev").isNull() | (F.col("__sgn") != F.col("__prev"))
+    return runs.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__sgn").cast("long").alias("n_above"),
+        F.sum(1 - F.col("__sgn")).cast("long").alias("n_below"),
+        F.sum(F.when(new_run, 1).otherwise(0)).cast("long").alias("n_runs"),
+    )
+
+
+def runs_test_scores(pieces: DataFrame) -> DataFrame:
+    """Normal-approximation z and two-sided p for the runs test —
+    plain projection (A&S erfc as in :func:`mann_kendall_scores`);
+    null when either class is empty or the variance degenerates."""
+    a = F.col("n_above").cast("double")
+    b = F.col("n_below").cast("double")
+    r = F.col("n_runs").cast("double")
+    er = 1.0 + 2.0 * a * b / (a + b)
+    vr = (
+        2.0 * a * b * (2.0 * a * b - a - b)
+        / ((a + b) * (a + b) * (a + b - 1.0))
+    )
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (vr > 0)
+    z = F.when(ok, (r - er) / F.sqrt(vr))
+    out = pieces.withColumn("__z", z)
+    ax = F.abs(F.col("__z")) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    p = poly * F.exp(-ax * ax)
+    return out.select(
+        "*",
+        F.when(ok, er).alias("expected_runs"),
+        F.col("__z").alias("z"),
+        F.when(F.col("__z").isNotNull(), p).alias("p_value"),
+    ).drop("__z")

@@ -2862,3 +2862,65 @@ def test_record_stats_monotone_and_expected(spark):
     fo = record_stats_pieces(flat, ["grp"], "ts", "v", tiebreak="eid").collect()[0]
     assert fo["n_rec_high"] == 1 and fo["n_rec_low"] == 1
     assert fo["t_last_high"] == 1 and fo["t_last_low"] == 1
+
+
+def test_runs_test_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import runs_test_pieces
+
+    rng = np.random.default_rng(131)
+    vals = [int(v) for v in rng.integers(-8, 9, 45)]  # ties + median hits
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    out = runs_test_pieces(df, ["grp"], "ts", "v", tiebreak="eid").collect()[0]
+    med = sorted(vals)[(len(vals) + 1) // 2 - 1]  # lower median
+    kept = [v for v in vals if v != med]
+    signs = [1 if v > med else 0 for v in kept]
+    runs = 1 + sum(1 for i in range(1, len(signs)) if signs[i] != signs[i - 1])
+    assert out["n"] == len(kept)
+    assert out["n_above"] == sum(signs)
+    assert out["n_below"] == len(signs) - sum(signs)
+    assert out["n_runs"] == runs
+
+
+def test_runs_test_alternating_vs_clustered(spark):
+    from c3s_sm_spark.operators.timeseries import (
+        runs_test_pieces,
+        runs_test_scores,
+    )
+
+    # distinct values (the drop-equals-median rule would otherwise
+    # swallow a whole side of a two-valued series)
+    # perfectly alternating about zero: maximal runs, z positive
+    alt = [(100 + i) if i % 2 else -(100 + i) for i in range(60)]
+    # perfectly clustered: 2 runs, z strongly negative
+    clu = [-(10 + i) for i in range(30)] + [10 + i for i in range(30)]
+    rows = [
+        ("alt", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(alt)
+    ] + [
+        ("clu", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(clu)
+    ]
+    df = spark.createDataFrame(rows, "grp string, ts timestamp, eid long, v long")
+    s = {
+        r["grp"]: r.asDict()
+        for r in runs_test_scores(
+            runs_test_pieces(df, ["grp"], "ts", "v", tiebreak="eid")
+        ).collect()
+    }
+    # clustered: the lower median itself (one row) drops, two blocks
+    assert s["clu"]["n_runs"] == 2
+    assert s["clu"]["z"] < -5 and s["clu"]["p_value"] < 1e-6
+    assert s["alt"]["n_runs"] == s["alt"]["n"]  # every kept row a run
+    # one-sided degenerate: all values equal the median -> empty kept
+    # set produces NO row (groupBy over empty frame)
+    flat = spark.createDataFrame(
+        [("f", _ts("2024-01-01"), 0, 5), ("f", _ts("2024-01-02"), 1, 5)],
+        "grp string, ts timestamp, eid long, v long",
+    )
+    assert runs_test_pieces(flat, ["grp"], "ts", "v", tiebreak="eid").count() == 0
