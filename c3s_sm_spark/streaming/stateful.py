@@ -139,3 +139,134 @@ def stream_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("n_seen", LongType()),
+        StructField("frontier_us", LongType()),
+    ]
+)
+
+
+def stream_holt(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """X142 streaming per-key Holt level+trend smoothing — the stateful
+    twin of :func:`~c3s_sm_spark.operators.timeseries.holt_smooth`,
+    carrying ``(level, trend, n_seen, frontier)`` across micro-batches:
+    the live "where is this series and which way is it drifting" surface
+    a telemetry tier serves between batch recomputes.
+
+    Same contracts as :func:`stream_ewma` (unique per-key timestamps,
+    equality-drop at the frontier for idempotent replay, null drop,
+    per-key in-batch sort — only CROSS-batch disorder is dropped as
+    late data). Initialization matches the batch operator exactly:
+    ``l_0 = v_0``, ``b_0 = v_1 - v_0`` (0 for a one-point series so
+    far) — the ``n_seen`` state replays the batch init across a batch
+    boundary that splits the first two observations. The stream is
+    bit-identical to the batch operator for EVERY row except one
+    documented case: row 0's emitted trend is the batch operator's
+    anticausal ``b_0 = v_1 - v_0``, which a stream can only reproduce
+    when both points share a batch — a 1-point first batch emits trend
+    0 there (levels and all later trends still match bit-for-bit;
+    pinned both ways in tests/test_streaming.py).
+
+    Output (append mode): ``(key, ts, value, holt_level, holt_trend)``
+    per accepted event.
+    """
+    if not (0 < alpha <= 1) or not (0 <= beta <= 1):
+        raise ValueError(f"need 0<alpha<=1, 0<=beta<=1, got {alpha}, {beta}")
+
+    out_schema = StructType(
+        [
+            StructField(key, points_stream.schema[key].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("holt_level", DoubleType()),
+            StructField("holt_trend", DoubleType()),
+        ]
+    )
+
+    def _fold(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts = pd.to_datetime(pdf[ts_col])
+        keep = ts.notna() & pdf[value_col].notna()
+        if state.exists:
+            lev, tr, n_seen, frontier_us = state.get
+            frontier = pd.Timestamp(np.datetime64(frontier_us, "us"))
+            keep &= ts > frontier
+        else:
+            lev = tr = None
+            n_seen = 0
+        pdf = pdf.loc[keep].sort_values(ts_col, kind="stable")
+        if not len(pdf):
+            return
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        n = len(v)
+        out_l = np.empty(n, dtype=np.float64)
+        out_t = np.empty(n, dtype=np.float64)
+        i = 0
+        if n_seen == 0:
+            # batch init: l_0 = v_0 and the ANTICAUSAL b_0 = v_1 - v_0.
+            # A stream can only reproduce row 0's trend when the second
+            # point is in the same batch; a 1-point first batch emits
+            # trend 0 for row 0 (the only permitted divergence from the
+            # batch operator — see docstring).
+            lev = v[0]
+            tr = (v[1] - v[0]) if n >= 2 else 0.0
+            out_l[0], out_t[0] = lev, tr
+            i = 1
+            n_seen = 1
+        if n_seen == 1 and i < n:
+            # second observation overall: seed b_0 = v_1 - l_0. After a
+            # 1-point batch lev is exactly v_0, so this equals the batch
+            # b_0; when the seed already happened at emission above the
+            # formula reproduces the same value — idempotent either way.
+            tr = v[i] - lev
+            prev = lev
+            lev = alpha * v[i] + (1 - alpha) * (prev + tr)
+            tr = beta * (lev - prev) + (1 - beta) * tr
+            out_l[i], out_t[i] = lev, tr
+            i += 1
+            n_seen = 2
+        for j in range(i, n):
+            prev = lev
+            lev = alpha * v[j] + (1 - alpha) * (prev + tr)
+            tr = beta * (lev - prev) + (1 - beta) * tr
+            out_l[j], out_t[j] = lev, tr
+        n_seen += max(0, n - i)
+        frontier_us = int(
+            pd.to_datetime(pdf[ts_col]).to_numpy().astype("datetime64[us]").astype(np.int64).max()
+        )
+        state.update((float(lev), float(tr), int(n_seen), frontier_us))
+        yield pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: v,
+                "holt_level": out_l,
+                "holt_trend": out_t,
+            }
+        )
+
+    return points_stream.groupBy(key).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

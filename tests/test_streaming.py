@@ -322,3 +322,121 @@ def test_stream_sliding_rollup_matches_batch_windows(spark, tmp_path):
     # every event lands in window/slide = 2 overlapping windows: emitted
     # (closed) windows are a subset, but n must tile <= 2x the row count
     assert sum(r["n"] for r in got) <= 2 * raw.count()
+
+
+def test_stream_holt_matches_batch_across_restarts(spark, tmp_path):
+    """Streaming Holt must be bit-identical to the batch operator for
+    every row when the first two points of each series share a batch;
+    a split first pair may only differ in row 0's anticausal trend."""
+    from c3s_sm_spark.operators.timeseries import holt_smooth
+    from c3s_sm_spark.streaming.stateful import stream_holt
+
+    raw = (
+        gen_points_raw(spark, 6, start="2019-10-01", end="2019-11-30")
+        .where(F.col("version") == "v1")
+        .select("doc_id", "ts", F.col("v").cast("double").alias("value"))
+        .cache()
+    )
+    in_dir = str(tmp_path / "in_h")
+    ck = str(tmp_path / "ck_holt")
+    out_dir = str(tmp_path / "out_holt")
+    early = raw.where(F.col("ts") < "2019-11-01")
+    late = raw.where(F.col("ts") >= "2019-11-01")
+    early.coalesce(1).write.parquet(in_dir, mode="overwrite")
+
+    def _run():
+        stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+        q = (
+            stream_holt(
+                stream, key="doc_id", ts_col="ts", value_col="value",
+                alpha=0.3, beta=0.1,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()
+    late.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+
+    got = {
+        (r["doc_id"], str(r["ts"])): (r["holt_level"], r["holt_trend"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["doc_id"], str(r["ts"])): (r["holt_level"], r["holt_trend"])
+        for r in holt_smooth(
+            raw, ["doc_id"], "ts", "value", alpha=0.3, beta=0.1
+        ).collect()
+    }
+    # every series here has both of its first two points in october
+    # (gen_points_raw emits daily points), so the stream must match the
+    # batch operator bit-for-bit on EVERY row including row 0
+    assert got == exp
+    assert len(got) == raw.count()
+
+    # replayed early file: frontier drops everything, no new rows
+    early.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+    assert spark.read.parquet(out_dir).count() == len(exp)
+
+
+def test_stream_holt_split_first_pair_row0_caveat(spark, tmp_path):
+    """A 1-point first batch can't know the anticausal b0 = v1 - v0:
+    row 0 emits trend 0, every later row still matches batch exactly."""
+    import datetime as _dt
+
+    from c3s_sm_spark.operators.timeseries import holt_smooth
+    from c3s_sm_spark.streaming.stateful import stream_holt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + _dt.timedelta(hours=i), float(v))
+            for i, v in enumerate([10.0, 16.0, 13.0, 20.0])]
+    df = spark.createDataFrame(rows, "doc_id string, ts timestamp, value double")
+    in_dir = str(tmp_path / "in_s")
+    ck = str(tmp_path / "ck_s")
+    out_dir = str(tmp_path / "out_s")
+    df.where(F.col("value") == 10.0).coalesce(1).write.parquet(
+        in_dir, mode="overwrite"
+    )
+
+    def _run():
+        stream = spark.readStream.schema(df.schema).parquet(in_dir)
+        q = (
+            stream_holt(stream, key="doc_id", alpha=0.4, beta=0.2)
+            .writeStream.foreachBatch(
+                lambda d, _eid: d.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()  # batch 1: only the first point
+    df.where(F.col("value") != 10.0).coalesce(1).write.parquet(
+        in_dir, mode="append"
+    )
+    _run()  # batch 2: the rest
+
+    got = {
+        str(r["ts"]): (r["holt_level"], r["holt_trend"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        str(r["ts"]): (r["holt_level"], r["holt_trend"])
+        for r in holt_smooth(df, ["doc_id"], "ts", "value", 0.4, 0.2).collect()
+    }
+    k0 = str(rows[0][1])
+    assert got[k0][0] == exp[k0][0]  # level matches
+    assert got[k0][1] == 0.0 and exp[k0][1] == 6.0  # documented caveat
+    for k in got:
+        if k != k0:
+            assert got[k] == exp[k]  # bit-identical from row 1 on
