@@ -3117,6 +3117,37 @@ def _q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs_test_pieces(ev, ["event_type"], "ts", "v", tiebreak="event_id")
 
 
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143 Benford first-digit counts per event_type over the
+    1e-4-scaled values (exact counts; the irrational expectation and
+    chi-square screen derive caller-side)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import benford_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return benford_pieces(ev, ["event_type"], "v")
+
+
+def _q_flatline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144 flatline (stuck-at) detection per event_type: values
+    coarsened to round(value) % 7 so equal-runs actually occur in the
+    synthetic stream; longest equal run, its value and 1-based start,
+    exact BIGINTs via gaps-and-islands."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import flatline_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        (F.round(F.col("value")).cast("long") % 7).alias("v"),
+    )
+    return flatline_pieces(ev, ["event_type"], "ts", "v", tiebreak="event_id")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3482,6 +3513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "record_stats": _q_record_stats,
         # X141 (oracled): Wald-Wolfowitz runs-test pieces:
         "runs_test": _q_runs_test,
+        # X143 (oracled): Benford first-digit forensic counts:
+        "benford": _q_benford,
+        # X144 (oracled): flatline stuck-at detection:
+        "flatline": _q_flatline,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5672,6 +5707,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X143: identical arithmetic leading digit + per-group total
+    d["benford"] = """
+        WITH s AS (
+          SELECT event_type,
+                 abs(CAST(round(value * 10000) AS BIGINT)) AS v
+          FROM events),
+        dg AS (
+          SELECT event_type,
+                 CAST(floor(v / power(10, floor(log10(CAST(v AS DOUBLE)))))
+                      AS BIGINT) AS digit
+          FROM s WHERE v > 0),
+        c AS (
+          SELECT event_type, digit, CAST(count(*) AS BIGINT) AS o
+          FROM dg GROUP BY 1, 2)
+        SELECT event_type, digit, o,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM c
+    """
+    # X144: identical gaps-and-islands with the first-longest tiebreak
+    d["flatline"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value) AS BIGINT) % 7 AS v
+          FROM events),
+        st AS (
+          SELECT event_type, v,
+                 row_number() OVER w AS t,
+                 CASE WHEN lag(v) OVER w IS NULL
+                        OR lag(v) OVER w <> v THEN 1 ELSE 0 END AS nw
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        runs AS (
+          SELECT event_type, v, t,
+                 sum(nw) OVER (PARTITION BY event_type ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS rid
+          FROM st),
+        per AS (
+          SELECT event_type, rid,
+                 CAST(count(*) AS BIGINT) AS len,
+                 CAST(min(v) AS BIGINT) AS val,
+                 CAST(min(t) AS BIGINT) AS start
+          FROM runs GROUP BY 1, 2),
+        pick AS (
+          SELECT event_type, len, val, start,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY len DESC, start ASC) AS rk,
+                 CAST(sum(len) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n,
+                 CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS n_runs
+          FROM per)
+        SELECT event_type, n,
+               CAST(len AS BIGINT) AS max_run,
+               val AS run_value,
+               start AS t_run_start,
+               n_runs
+        FROM pick WHERE rk = 1
     """
     # X141: identical lower-median window + drop-equals + lag runs
     d["runs_test"] = """

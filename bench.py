@@ -181,6 +181,8 @@ HEADLINE = [
     "pettitt",
     "record_stats",
     "runs_test",
+    "benford",
+    "flatline",
     "text_quality",
     "lang_id",
     "quality_select",

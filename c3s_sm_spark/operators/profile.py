@@ -28,7 +28,9 @@ Typed min/max without cross-engine string-formatting hazards:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DateType,
@@ -414,4 +416,132 @@ def chisq_pieces(
         .join(ct, "c")
         .crossJoin(F.broadcast(n))
         .select("r", "c", "o", "row_total", "col_total", "n")
+    )
+
+
+def benford_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """X143 Benford first-digit audit: the fraud/corruption forensic —
+    naturally-occurring multiplicative measurements follow
+    ``P(d) = log10(1 + 1/d)`` for the leading digit; fabricated,
+    truncated, default-filled or unit-mangled columns don't. A cheap
+    whole-column screen a pipeline runs per ingest batch.
+
+    Emits per ``keys + (digit,)``: the exact BIGINT observed count of
+    leading digits 1-9 (zero/null values excluded — they have no
+    leading digit) plus the group total ``n``. The chi-square distance
+    to the Benford expectation and the per-digit deviation derive
+    caller-side in :func:`benford_scores` (the expectation is
+    irrational — it never enters the witness).
+
+    Leading digit extracted arithmetically — ``d = floor(|v| /
+    10^floor(log10(|v|)))`` — identical in both engines on BIGINT
+    inputs (log10 of an exact integer magnitude is safely inside
+    float64 here: the boundary cases are exact powers of ten, where
+    IEEE log10 is exact).
+
+    Plan: one map-side-combinable groupBy; shuffles carry 9 counters
+    per group.
+    """
+    keys = list(keys)
+    v = F.abs(F.col(value_col).cast("long"))
+    digit = F.floor(
+        v / F.pow(F.lit(10.0), F.floor(F.log10(v.cast("double"))))
+    ).cast("long")
+    staged = df.filter(v > 0).select(*keys, digit.alias("digit"))
+    w = Window.partitionBy(*keys)
+    return (
+        staged.groupBy(*keys, "digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        .select("*", F.sum("o").over(w).cast("long").alias("n"))
+    )
+
+
+def benford_scores(pieces: DataFrame) -> DataFrame:
+    """Per-digit Benford deviation from :func:`benford_pieces` — plain
+    projection: ``expected = n * log10(1 + 1/d)``, the per-digit
+    z-ish standardized residual ``(o - e)/sqrt(e)``, and the cell's
+    chi-square contribution. Sum the contributions per key for the
+    8-dof screen statistic."""
+    d = F.col("digit").cast("double")
+    n = F.col("n").cast("double")
+    o = F.col("o").cast("double")
+    e = n * F.log10(1.0 + 1.0 / d)
+    return pieces.select(
+        "*",
+        e.alias("expected"),
+        ((o - e) / F.sqrt(e)).alias("std_residual"),
+        ((o - e) * (o - e) / e).alias("chi2_part"),
+    )
+
+
+def flatline_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X144 flatline (stuck-at) detector: the longest run of IDENTICAL
+    consecutive values per key — the classic failed-sensor signature
+    (a soil-moisture probe reporting the same reading for nine dekads;
+    a scraper re-serving one cached page). The complement of
+    threshold_runs (X92), which measures exceedance runs, not equality.
+
+    Emits per key, exact BIGINT: ``n``, ``max_run`` (longest equal
+    run), ``run_value`` (the stuck value of the FIRST longest run),
+    ``t_run_start`` (1-based position where it starts), and
+    ``n_runs`` (count of maximal runs, = distinct consecutive
+    segments). A healthy noisy series has max_run ~ 1-2.
+
+    Plan: gaps-and-islands with two window passes on one key shuffle —
+    change-flag via lag, run ids via cumulative sum, then one groupBy.
+    Pure JVM.
+    """
+    keys = list(keys)
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    w_time = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    # the cumulative run-id window runs AFTER the projection drops the
+    # raw order columns — order by the materialized row index instead
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col("__v")
+    staged = df.select(
+        *keys, F.col(value_col).cast("long").alias("__v"), *order_cols
+    ).select(
+        *keys,
+        "__v",
+        F.row_number().over(w_time).cast("long").alias("__t"),
+        F.when(
+            F.lag("__v").over(w_time).isNull()
+            | (F.lag("__v").over(w_time) != v),
+            1,
+        ).otherwise(0).alias("__new"),
+    )
+    runs = staged.select(
+        *keys, "__v", "__t",
+        F.sum("__new").over(w_cum).alias("__rid"),
+    )
+    per_run = runs.groupBy(*keys, "__rid").agg(
+        F.count(F.lit(1)).cast("long").alias("__len"),
+        F.min("__v").alias("__val"),
+        F.min("__t").cast("long").alias("__start"),
+    )
+    pick = F.struct(
+        (-F.col("__len")).alias("neglen"), F.col("__start").alias("s")
+    )
+    return per_run.groupBy(*keys).agg(
+        F.sum("__len").cast("long").alias("n"),
+        F.max("__len").cast("long").alias("max_run"),
+        F.min_by("__val", pick).cast("long").alias("run_value"),
+        F.min_by("__start", pick).cast("long").alias("t_run_start"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
     )
