@@ -3148,6 +3148,22 @@ def _q_flatline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatline_pieces(ev, ["event_type"], "ts", "v", tiebreak="event_id")
 
 
+def _q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146 Brown-Forsythe variance-homogeneity pieces per event_type,
+    groups = first vs second half of the month (day < 15): exact
+    per-group |v − lower-median| sums; the F statistic derives
+    caller-side and is pytest-pinned against a variance-shift plant."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import brown_forsythe_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.when(F.dayofmonth("ts") < 15, "h1").otherwise("h2").alias("half"),
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    return brown_forsythe_pieces(ev, ["event_type"], "half", "v")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3517,6 +3533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford": _q_benford,
         # X144 (oracled): flatline stuck-at detection:
         "flatline": _q_flatline,
+        # X146 (oracled): Brown-Forsythe variance-shift pieces:
+        "brown_forsythe": _q_brown_forsythe,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5707,6 +5725,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(x * z) AS BIGINT) AS sxz,
                CAST(sum(y * z) AS BIGINT) AS syz
         FROM tri GROUP BY event_type
+    """
+    # X146: identical lower-median window + absolute-deviation sums
+    d["brown_forsythe"] = """
+        WITH s AS (
+          SELECT event_type,
+                 CASE WHEN day(ts) < 15 THEN 'h1' ELSE 'h2' END AS half,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events),
+        rk AS (
+          SELECT event_type, half, v,
+                 row_number() OVER (PARTITION BY event_type, half
+                                    ORDER BY v) AS rn,
+                 (count(*) OVER (PARTITION BY event_type, half) + 1) // 2
+                   AS pos
+          FROM s),
+        md AS (
+          SELECT event_type, half, v,
+                 min(CASE WHEN rn = pos THEN v END)
+                   OVER (PARTITION BY event_type, half) AS med
+          FROM rk)
+        SELECT event_type, half,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(abs(v - med)) AS BIGINT) AS sd,
+               CAST(sum(abs(v - med) * abs(v - med)) AS BIGINT) AS sd2
+        FROM md GROUP BY event_type, half
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

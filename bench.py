@@ -183,6 +183,7 @@ HEADLINE = [
     "runs_test",
     "benford",
     "flatline",
+    "brown_forsythe",
     "text_quality",
     "lang_id",
     "quality_select",

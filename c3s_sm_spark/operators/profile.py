@@ -545,3 +545,85 @@ def flatline_pieces(
         F.min_by("__start", pick).cast("long").alias("t_run_start"),
         F.count(F.lit(1)).cast("long").alias("n_runs"),
     )
+
+
+def brown_forsythe_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X146 Brown-Forsythe variance-homogeneity pieces (Brown &
+    Forsythe 1974): did the VARIANCE shift between two regimes — the
+    spread companion to Pettitt's mean-shift and KS's shape tests
+    (a sensor going noisy before it dies; a source's quality variance
+    blowing up after a scraper change). The robust Levene variant:
+    one-way ANOVA on the absolute deviations from each group's MEDIAN.
+
+    Exactness: the group median is the LOWER median (the X141 order
+    statistic — deterministic under ties in every engine), so
+    ``d = |v - med|`` is an exact integer and the emitted pieces are
+    exact BIGINTs per ``keys + (group,)``: ``n``, ``sd`` (sum of d),
+    ``sd2`` (sum of d^2). The F statistic
+    ``F = (N-k)/(k-1) * sum n_g (dbar_g - dbar)^2 / sum sum (d - dbar_g)^2``
+    derives caller-side in :func:`brown_forsythe_scores` (two-group
+    case: one row per group feeds a trivial reduce).
+
+    Plan: the median is a window aggregate over the value-ranked
+    (keys, group) frame — one shuffle, no join-back — then one
+    map-side-combinable groupBy.
+    """
+    keys = list(keys)
+    part = keys + [group_col]
+    w_rank = Window.partitionBy(*part).orderBy(F.col("__v").asc())
+    w_grp = Window.partitionBy(*part)
+    pos = (F.count(F.lit(1)).over(w_grp) + 1) / 2
+    ranked = df.select(
+        *part, F.col(value_col).cast("long").alias("__v")
+    ).select(
+        *part, "__v",
+        F.row_number().over(w_rank).alias("__rn"),
+        F.floor(pos).cast("int").alias("__pos"),
+    )
+    with_med = ranked.select(
+        *part, "__v",
+        F.min(F.when(F.col("__rn") == F.col("__pos"), F.col("__v")))
+        .over(w_grp)
+        .alias("__med"),
+    )
+    d = F.abs(F.col("__v") - F.col("__med"))
+    return with_med.groupBy(*part).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).cast("long").alias("sd"),
+        F.sum(d * d).cast("long").alias("sd2"),
+    )
+
+
+def brown_forsythe_scores(pieces: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """The Brown-Forsythe F from per-group pieces — a groupBy over the
+    group rows per key (k-1, N-k dof emitted alongside); null when any
+    within-group variance degenerates or k < 2."""
+    keys = list(keys)
+    agg = pieces.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__k"),
+        F.sum("n").cast("double").alias("__N"),
+        F.sum(F.col("sd")).cast("double").alias("__sd_all"),
+        # between-group numerator pieces: sum over groups of sd^2/n
+        F.sum(
+            F.col("sd").cast("double") * F.col("sd") / F.col("n")
+        ).alias("__sq_over_n"),
+        F.sum("sd2").cast("double").alias("__sd2_all"),
+    )
+    k = F.col("__k")
+    N = F.col("__N")
+    # SS_between = sum n_g dbar_g^2 - N dbar^2 = sum sd_g^2/n_g - sd^2/N
+    ssb = F.col("__sq_over_n") - F.col("__sd_all") ** 2 / N
+    # SS_within = sum d^2 - sum sd_g^2/n_g
+    ssw = F.col("__sd2_all") - F.col("__sq_over_n")
+    ok = (k >= 2) & (ssw > 0) & (N > k)
+    return agg.select(
+        *keys,
+        k.cast("long").alias("k_groups"),
+        N.cast("long").alias("n_total"),
+        F.when(ok, (ssb / (k - 1)) / (ssw / (N - k))).alias("bf_f"),
+    )

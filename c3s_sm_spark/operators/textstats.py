@@ -1376,3 +1376,48 @@ def goodturing_scores(pieces: DataFrame) -> DataFrame:
         F.when(n > 0, 1.0 - n1 / n).alias("coverage"),
         F.when(n > 0, v + n1 * (n1 - 1) / (2.0 * (n2 + 1))).alias("chao1"),
     )
+
+
+def zipf_fit(
+    freq: DataFrame,
+    keys: Sequence[str] = (),
+    rank_col: str = "rank",
+    cnt_col: str = "occurrences",
+) -> DataFrame:
+    """X145 Zipf's-law fit: OLS slope of ``log(count)`` on
+    ``log(rank)`` over a rank-frequency table — natural language sits
+    near slope -1 (Zipf 1949); template-stamped or synthetic corpora
+    drift flat (slope near 0, every "word" equally common) and
+    boilerplate-dominated crawls drift steep. The scale companion to
+    the X135 coverage estimates, fit from the ALREADY-ORACLED
+    ``token_freq`` top-k pieces — floats only here, no new witness
+    surface.
+
+    Emits per key group: ``n_ranks``, ``zipf_slope``, ``zipf_r2``
+    (goodness of the log-log line). Plain aggregate, no collect; null
+    below 2 ranks or with degenerate x-variance.
+    """
+    keys = list(keys)
+    x = F.log(F.col(rank_col).cast("double"))
+    y = F.log(F.col(cnt_col).cast("double"))
+    agg = freq.filter(
+        (F.col(rank_col) >= 1) & (F.col(cnt_col) >= 1)
+    ).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("__n")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") ** 2
+    vy = n * F.col("__syy") - F.col("__sy") ** 2
+    ok = (n >= 2) & (vx > 0)
+    return agg.select(
+        *keys,
+        n.cast("long").alias("n_ranks"),
+        F.when(ok, cov / vx).alias("zipf_slope"),
+        F.when(ok & (vy > 0), cov * cov / (vx * vy)).alias("zipf_r2"),
+    )

@@ -72,3 +72,79 @@ def test_flatline_pieces_brute_force(spark):
     )
     o2 = flatline_pieces(df2, ["k"], "ts", "v", tiebreak="eid").collect()[0]
     assert o2["max_run"] == 2 and o2["run_value"] == 7 and o2["t_run_start"] == 1
+
+
+def test_brown_forsythe_pieces_and_f(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.profile import (
+        brown_forsythe_pieces,
+        brown_forsythe_scores,
+    )
+
+    rng = np.random.default_rng(139)
+    a = [int(v) for v in rng.integers(-10, 11, 40)]     # tight spread
+    b = [int(v) for v in rng.integers(-200, 201, 40)]   # wide spread
+    rows = [("g", "a", v) for v in a] + [("g", "b", v) for v in b]
+    df = spark.createDataFrame(rows, "k string, grp string, v long")
+    p = {
+        r["grp"]: r.asDict()
+        for r in brown_forsythe_pieces(df, ["k"], "grp", "v").collect()
+    }
+    for name, vals in (("a", a), ("b", b)):
+        med = sorted(vals)[(len(vals) + 1) // 2 - 1]
+        ds = [abs(v - med) for v in vals]
+        assert p[name]["n"] == 40
+        assert p[name]["sd"] == sum(ds)
+        assert p[name]["sd2"] == sum(d * d for d in ds)
+    out = brown_forsythe_scores(
+        brown_forsythe_pieces(df, ["k"], "grp", "v"), ["k"]
+    ).collect()[0]
+    # reference F computed directly from the same deviations
+    meds = {n: sorted(v)[(len(v) + 1) // 2 - 1] for n, v in (("a", a), ("b", b))}
+    d_all = {n: [abs(x - meds[n]) for x in v] for n, v in (("a", a), ("b", b))}
+    grand = sum(sum(d) for d in d_all.values()) / 80
+    ssb = sum(40 * (sum(d) / 40 - grand) ** 2 for d in d_all.values())
+    ssw = sum(
+        sum((x - sum(d) / 40) ** 2 for x in d) for d in d_all.values()
+    )
+    want_f = (ssb / 1) / (ssw / 78)
+    assert out["bf_f"] == pytest.approx(want_f, rel=1e-9)
+    assert out["bf_f"] > 50  # 20x spread ratio is unmissable
+    # equal-spread control: F small
+    c = [int(v) for v in rng.integers(-50, 51, 40)]
+    d2 = [int(v) for v in rng.integers(-50, 51, 40)]
+    df2 = spark.createDataFrame(
+        [("g", "a", v) for v in c] + [("g", "b", v) for v in d2],
+        "k string, grp string, v long",
+    )
+    out2 = brown_forsythe_scores(
+        brown_forsythe_pieces(df2, ["k"], "grp", "v"), ["k"]
+    ).collect()[0]
+    assert out2["bf_f"] < 5
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.textstats import zipf_fit
+
+    # exact Zipf: cnt = round(C / rank)
+    rows = [("c", r, max(1, round(100000 / r))) for r in range(1, 201)]
+    df = spark.createDataFrame(rows, "k string, rank long, occurrences long")
+    out = zipf_fit(df, ["k"]).collect()[0]
+    assert out["n_ranks"] == 200
+    assert out["zipf_slope"] == pytest.approx(-1.0, abs=0.01)
+    assert out["zipf_r2"] > 0.9999
+    # flat (template-stamped) corpus: slope ~ 0
+    flat = spark.createDataFrame(
+        [("f", r, 500) for r in range(1, 101)], "k string, rank long, occurrences long"
+    )
+    o2 = zipf_fit(flat, ["k"]).collect()[0]
+    assert abs(o2["zipf_slope"]) < 1e-12
+    # degenerate: single rank -> nulls
+    one = spark.createDataFrame([("o", 1, 10)], "k string, rank long, occurrences long")
+    oo = zipf_fit(one, ["o" == "o" and "k"]).collect()[0]
+    assert oo["zipf_slope"] is None
