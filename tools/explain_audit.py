@@ -850,6 +850,54 @@ def main() -> None:
         )
     )
 
+    # 39. runs test (X141) / record stats (X140) / flatline (X144):
+    # the window-only DQ family — one key exchange each, no joins
+    from c3s_sm_spark.operators.profile import flatline_pieces
+    from c3s_sm_spark.operators.timeseries import (
+        record_stats_pieces,
+        runs_test_pieces,
+    )
+
+    base_v = ev.select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 10000).cast("long").alias("v"),
+    )
+    for label, frame in (
+        ("runs_test (X141)", runs_test_pieces(base_v, ["event_type"], "ts", "v", "event_id")),
+        ("record_stats (X140)", record_stats_pieces(base_v, ["event_type"], "ts", "v", "event_id")),
+        ("flatline (X144)", flatline_pieces(base_v, ["event_type"], "ts", "v", "event_id")),
+    ):
+        txt = plan_text(frame)
+        sections.append(
+            (
+                f"{label}: window-only, one key exchange",
+                txt,
+                {
+                    "no join": "Join" not in txt,
+                    "no pandas": "FlatMapGroupsInPandas" not in txt,
+                    "single shuffle": txt.count("Exchange (") == 1,
+                },
+            )
+        )
+
+    # 40. hurst (X136): windows + partial agg per m, no join
+    from c3s_sm_spark.operators.timeseries import hurst_rs_pieces
+
+    htxt = plan_text(
+        hurst_rs_pieces(base_v, ["event_type"], "ts", "v", (8, 16), "event_id")
+    )
+    sections.append(
+        (
+            "hurst_rs (X136): block windows + partial agg, no join",
+            htxt,
+            {
+                "no join": "Join" not in htxt,
+                "map-side partial agg": "partial" in htxt,
+                "windows": "Window" in htxt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
