@@ -3164,6 +3164,42 @@ def _q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brown_forsythe_pieces(ev, ["event_type"], "half", "v")
 
 
+def _q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147 Durbin-Watson serial-correlation pieces per event_type
+    (canonical (ts, event_id) order): exact BIGINT n / sum_v / sum_v2 /
+    sum of squared lag-1 differences; DW and rho1 derive caller-side.
+    CENTI-scaled values (squares enter the sums — see the overflow
+    contract in operators/timeseries.py:durbin_watson_pieces)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import durbin_watson_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return durbin_watson_pieces(
+        ev, ["event_type"], "ts", "v", tiebreak="event_id"
+    )
+
+
+def _q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X148 Grubbs extreme-deviate pieces per event_type: single
+    map-side-combinable aggregate (max|v − mean| is attained at the
+    group max or min, so g_num = max(n·max − sum, sum − n·min) needs
+    no window at all); G and the Gumbel expectation derive
+    caller-side. Centi-scaled values per the X147 overflow contract."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import grubbs_pieces
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return grubbs_pieces(ev, ["event_type"], "v")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3535,6 +3571,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatline": _q_flatline,
         # X146 (oracled): Brown-Forsythe variance-shift pieces:
         "brown_forsythe": _q_brown_forsythe,
+        # X147 (oracled): Durbin-Watson lag-1 autocorrelation pieces:
+        "durbin_watson": _q_durbin_watson,
+        # X148 (oracled): Grubbs extreme-deviate pieces (one agg, no
+        # window):
+        "grubbs": _q_grubbs,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5750,6 +5791,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(abs(v - med)) AS BIGINT) AS sd,
                CAST(sum(abs(v - med) * abs(v - med)) AS BIGINT) AS sd2
         FROM md GROUP BY event_type, half
+    """
+    # X147: identical lag-1 window + squared-difference sums
+    # (centi-scale keeps every square inside BIGINT)
+    d["durbin_watson"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+        dd AS (
+          SELECT event_type, v,
+                 v - lag(v) OVER (PARTITION BY event_type
+                                  ORDER BY ts, event_id) AS d
+          FROM s)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS sum_v,
+               CAST(sum(v * v) AS BIGINT) AS sum_v2,
+               CAST(coalesce(sum(d * d), 0) AS BIGINT) AS sum_d2
+        FROM dd GROUP BY event_type
+    """
+    # X148: one aggregate; the extreme deviation is exactly
+    # max(n*max - sum, sum - n*min)
+    d["grubbs"] = """
+        WITH s AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+        a AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sum_v,
+                 CAST(sum(v * v) AS BIGINT) AS sum_v2,
+                 CAST(max(v) AS BIGINT) AS max_v,
+                 CAST(min(v) AS BIGINT) AS min_v
+          FROM s GROUP BY event_type)
+        SELECT event_type, n, sum_v, sum_v2, max_v, min_v,
+               CAST(greatest(n * max_v - sum_v, sum_v - n * min_v)
+                    AS BIGINT) AS g_num,
+               CAST(CASE
+                      WHEN n * max_v - sum_v > sum_v - n * min_v THEN 1
+                      WHEN sum_v - n * min_v > n * max_v - sum_v THEN -1
+                      ELSE 0
+                    END AS INTEGER) AS side
+        FROM a
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

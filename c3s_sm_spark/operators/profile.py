@@ -28,6 +28,7 @@ Typed min/max without cross-engine string-formatting hazards:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -626,4 +627,84 @@ def brown_forsythe_scores(pieces: DataFrame, keys: Sequence[str]) -> DataFrame:
         k.cast("long").alias("k_groups"),
         N.cast("long").alias("n_total"),
         F.when(ok, (ssb / (k - 1)) / (ssw / (N - k))).alias("bf_f"),
+    )
+
+
+def grubbs_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """X148 Grubbs extreme-studentized-deviate pieces (Grubbs 1950):
+    is the single most extreme value in this group an OUTLIER relative
+    to a normal noise model — the classic one-outlier screen run on
+    every sensor batch / metric rollup before it poisons a mean (the
+    single-point companion to X143's Benford digit forensics and
+    X144's flatline detector).
+
+    The key exactness insight: ``max_t |v_t - vbar|`` is always
+    attained at the group max or min, so the whole test needs NO
+    window and NO second pass — one map-side-combinable groupBy
+    emitting exact BIGINTs: ``n``, ``sum_v``, ``sum_v2``, ``max_v``,
+    ``min_v``, and ``g_num = max(n*max_v - sum_v, sum_v - n*min_v)``
+    (``= n * max|v - vbar|``, exactly integral). ``G = g_num /
+    (n * s)`` and the extreme-value expectation derive caller-side in
+    :func:`grubbs_scores`.
+
+    Overflow contract: same centi-scale bound as X147 — ``sum_v2``
+    dominates, ``n * B^2 < 2^63`` with B = 5e4 holds to ~3.7e9 rows
+    per group.
+
+    Plan: ONE aggregate, no sort, no shuffle beyond the key exchange;
+    partial aggregation (map-side combine) applies to every piece.
+    """
+    keys = list(keys)
+    v = F.col("__v")
+    prepared = df.select(*keys, F.col(value_col).cast("long").alias("__v"))
+    agg = prepared.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sum_v"),
+        F.sum(v * v).cast("long").alias("sum_v2"),
+        F.max(v).cast("long").alias("max_v"),
+        F.min(v).cast("long").alias("min_v"),
+    )
+    hi = F.col("n") * F.col("max_v") - F.col("sum_v")
+    lo = F.col("sum_v") - F.col("n") * F.col("min_v")
+    return agg.select(
+        "*",
+        F.greatest(hi, lo).cast("long").alias("g_num"),
+        # which tail the suspect sits in: +1 high, -1 low, 0 exact tie
+        F.when(hi > lo, 1).when(lo > hi, -1).otherwise(0)
+        .cast("int")
+        .alias("side"),
+    )
+
+
+def grubbs_scores(pieces: DataFrame) -> DataFrame:
+    """G and its normal-theory expectation from :func:`grubbs_pieces`
+    — plain projection. ``G = (g_num/n) / s`` with the sample std
+    ``s^2 = (sum_v2 - sum_v^2/n) / (n-1)``; the expected maximum of n
+    standard normals ``E_max ~ sqrt(2 ln n) - (ln ln n + ln 4pi) /
+    (2 sqrt(2 ln n))`` (the Gumbel/Cramer asymptotic) gives the
+    distribution-calibrated excess ratio ``g_excess = G / E_max`` —
+    a >~1.3 reading flags the group for the exact follow-up. Null
+    when the group is constant or smaller than 3.
+    """
+    n = F.col("n").cast("double")
+    var = (
+        F.col("sum_v2").cast("double")
+        - F.col("sum_v").cast("double") ** 2 / n
+    ) / (n - 1.0)
+    ok = (F.col("n") >= 3) & (var > 0)
+    g = F.when(ok, F.col("g_num").cast("double") / n / F.sqrt(var))
+    ln_n = F.log(n)
+    emax = F.sqrt(2.0 * ln_n) - (
+        (F.log(ln_n) + math.log(4.0 * math.pi))
+        / (2.0 * F.sqrt(2.0 * ln_n))
+    )
+    return pieces.select(
+        "*",
+        g.alias("g_stat"),
+        F.when(ok, emax).alias("e_max"),
+        F.when(ok & (emax > 0), g / emax).alias("g_excess"),
     )

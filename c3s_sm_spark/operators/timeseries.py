@@ -3569,3 +3569,74 @@ def runs_test_scores(pieces: DataFrame) -> DataFrame:
         F.col("__z").alias("z"),
         F.when(F.col("__z").isNotNull(), p).alias("p_value"),
     ).drop("__z")
+
+
+def durbin_watson_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X147 Durbin-Watson serial-correlation pieces (Durbin & Watson
+    1950): is this series' NOISE autocorrelated — the standard
+    residual-diagnostics statistic every regression/forecast pipeline
+    reports next to its fit (ops twin: a rollup whose residuals trend
+    means the tier is hiding drift, not noise). Complements X136's
+    Hurst (long-range) and X141's runs test (sign patterns) with the
+    lag-1 second-moment read.
+
+    ``DW = sum_{t>=2} (v_t - v_{t-1})^2 / sum_t (v_t - vbar)^2``; DW~2
+    means no lag-1 autocorrelation, ->0 positive, ->4 negative, and
+    ``rho_hat ~ 1 - DW/2``. Emits per key, all exact BIGINT: ``n``,
+    ``sum_v``, ``sum_v2``, ``sum_d2`` (squared successive
+    differences). The ratio derives caller-side in
+    :func:`durbin_watson_scores` via the integer identity
+    ``den = sum_v2 - sum_v^2/n`` — no mean subtraction row-side, so
+    every piece is exact.
+
+    Overflow contract (why callers pass CENTI-scaled longs, not the
+    micro scale of X120/X139/X141: squares enter the sum here):
+    ``|v| <= B`` needs ``n * (2B)^2 < 2^63``, so B = 5e4 holds to
+    ~9e8 rows per key — far past any per-key series this engine
+    rolls up.
+
+    Plan: one key shuffle, one time sort — lag-1 diff in a single
+    window pass, then a map-side-combinable groupBy. Pure JVM.
+    """
+    keys = list(keys)
+    order_cols = [ts_col] + ([tiebreak] if tiebreak else [])
+    w_time = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    v = F.col("__v")
+    annotated = df.select(
+        *keys, F.col(value_col).cast("long").alias("__v"), *order_cols
+    ).select(
+        *keys, "__v",
+        (v - F.lag("__v").over(w_time)).alias("__d"),
+    )
+    d = F.col("__d")
+    return annotated.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v).cast("long").alias("sum_v"),
+        F.sum(v * v).cast("long").alias("sum_v2"),
+        F.coalesce(F.sum(d * d), F.lit(0)).cast("long").alias("sum_d2"),
+    )
+
+
+def durbin_watson_scores(pieces: DataFrame) -> DataFrame:
+    """DW statistic and the lag-1 autocorrelation read from
+    :func:`durbin_watson_pieces` — plain projection; null when the
+    series is constant (zero variance) or has fewer than 2 rows."""
+    n = F.col("n").cast("double")
+    den = F.col("sum_v2").cast("double") - (
+        F.col("sum_v").cast("double") ** 2 / n
+    )
+    ok = (F.col("n") >= 2) & (den > 0)
+    dw = F.when(ok, F.col("sum_d2").cast("double") / den)
+    return pieces.select(
+        "*",
+        dw.alias("dw"),
+        F.when(ok, 1.0 - dw / 2.0).alias("rho1"),
+    )

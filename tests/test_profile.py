@@ -148,3 +148,48 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     one = spark.createDataFrame([("o", 1, 10)], "k string, rank long, occurrences long")
     oo = zipf_fit(one, ["o" == "o" and "k"]).collect()[0]
     assert oo["zipf_slope"] is None
+
+
+def test_grubbs_pieces_brute_force_and_plant(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.profile import grubbs_pieces, grubbs_scores
+
+    rng = np.random.default_rng(149)
+    base = [int(v) for v in rng.integers(-100, 101, 60)]
+    vals = base + [5000]  # planted extreme high outlier
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "k string, v long"
+    )
+    out = grubbs_pieces(df, ["k"], "v").collect()[0]
+    n = len(vals)
+    assert out["n"] == n
+    assert out["sum_v"] == sum(vals)
+    assert out["sum_v2"] == sum(v * v for v in vals)
+    assert out["max_v"] == 5000 and out["min_v"] == min(vals)
+    want_gnum = max(
+        n * max(vals) - sum(vals), sum(vals) - n * min(vals)
+    )
+    assert out["g_num"] == want_gnum
+    assert out["side"] == 1
+    s = grubbs_scores(grubbs_pieces(df, ["k"], "v")).collect()[0]
+    mean = sum(vals) / n
+    sd = (sum((v - mean) ** 2 for v in vals) / (n - 1)) ** 0.5
+    want_g = max(abs(max(vals) - mean), abs(min(vals) - mean)) / sd
+    assert s["g_stat"] == pytest.approx(want_g, rel=1e-9)
+    assert s["g_excess"] > 1.3  # the plant screams
+    # clean control: excess ~<= 1.3; low-side plant flips the side
+    clean = spark.createDataFrame(
+        [("c", int(v)) for v in rng.normal(0, 50, 200)], "k string, v long"
+    )
+    sc = grubbs_scores(grubbs_pieces(clean, ["k"], "v")).collect()[0]
+    assert sc["g_excess"] < 1.6 and sc["g_stat"] > 0
+    lo = spark.createDataFrame(
+        [("l", v) for v in base + [-5000]], "k string, v long"
+    )
+    assert grubbs_pieces(lo, ["k"], "v").collect()[0]["side"] == -1
+    # degenerate: constant group -> null scores, n<3 -> null scores
+    flat = spark.createDataFrame([("f", 7)] * 5, "k string, v long")
+    sf = grubbs_scores(grubbs_pieces(flat, ["k"], "v")).collect()[0]
+    assert sf["g_stat"] is None and sf["g_excess"] is None

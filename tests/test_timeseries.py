@@ -2924,3 +2924,85 @@ def test_runs_test_alternating_vs_clustered(spark):
         "grp string, ts timestamp, eid long, v long",
     )
     assert runs_test_pieces(flat, ["grp"], "ts", "v", tiebreak="eid").count() == 0
+
+
+def test_durbin_watson_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import (
+        durbin_watson_pieces,
+        durbin_watson_scores,
+    )
+
+    rng = np.random.default_rng(151)
+    vals = [int(v) for v in rng.integers(-500, 501, 80)]
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, ts timestamp, eid long, v long"
+    )
+    out = durbin_watson_pieces(df, ["grp"], "ts", "v", tiebreak="eid")
+    r = out.collect()[0]
+    assert r["n"] == len(vals)
+    assert r["sum_v"] == sum(vals)
+    assert r["sum_v2"] == sum(v * v for v in vals)
+    assert r["sum_d2"] == sum(
+        (b - a) ** 2 for a, b in zip(vals, vals[1:])
+    )
+    s = durbin_watson_scores(out).collect()[0]
+    v = np.array(vals, dtype=float)
+    want = float(np.sum(np.diff(v) ** 2) / np.sum((v - v.mean()) ** 2))
+    assert s["dw"] == pytest.approx(want, rel=1e-12)
+    assert s["rho1"] == pytest.approx(1 - want / 2, rel=1e-9)
+
+
+def test_durbin_watson_reads_persistence(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        durbin_watson_pieces,
+        durbin_watson_scores,
+    )
+
+    rng = np.random.default_rng(157)
+    # AR(1) rho=0.9 random walk-ish: DW << 2; alternating: DW ~> 3
+    ar = [0.0]
+    for _ in range(399):
+        ar.append(0.9 * ar[-1] + rng.normal(0, 10))
+    alt = [(200 + i) * (1 if i % 2 else -1) for i in range(400)]
+    rows = [
+        ("ar", _ts("2024-01-01") + dt.timedelta(hours=i), i, int(x))
+        for i, x in enumerate(ar)
+    ] + [
+        ("alt", _ts("2024-01-01") + dt.timedelta(hours=i), i, x)
+        for i, x in enumerate(alt)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, ts timestamp, eid long, v long"
+    )
+    s = {
+        r["grp"]: r.asDict()
+        for r in durbin_watson_scores(
+            durbin_watson_pieces(df, ["grp"], "ts", "v", tiebreak="eid")
+        ).collect()
+    }
+    assert s["ar"]["dw"] < 1.0 and s["ar"]["rho1"] > 0.5
+    assert s["alt"]["dw"] > 3.0 and s["alt"]["rho1"] < -0.5
+    # degenerate: constant and single-row series -> null
+    deg = spark.createDataFrame(
+        [("flat", _ts("2024-01-01") + dt.timedelta(hours=i), i, 5)
+         for i in range(10)]
+        + [("solo", _ts("2024-01-01"), 0, 1)],
+        "grp string, ts timestamp, eid long, v long",
+    )
+    d = {
+        r["grp"]: r.asDict()
+        for r in durbin_watson_scores(
+            durbin_watson_pieces(deg, ["grp"], "ts", "v", tiebreak="eid")
+        ).collect()
+    }
+    assert d["flat"]["dw"] is None and d["solo"]["dw"] is None
+    assert d["flat"]["sum_d2"] == 0 and d["solo"]["sum_d2"] == 0
