@@ -3200,6 +3200,43 @@ def _q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grubbs_pieces(ev, ["event_type"], "v")
 
 
+def _q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X149 Kruskal-Wallis rank pieces pooled over ALL event types
+    (the k-group generalization of X120's two-sample rank_sum):
+    per-group exact BIGINT doubled rank sums over pooled midranks
+    plus the pooled tie-correction mass; H derives caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import kruskal_wallis_pieces
+
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ev = ev.withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    return kruskal_wallis_pieces(ev, "event_type", "v4")
+
+
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X150 Spearman rank-correlation pieces per event_type between
+    each user's activity (event count) and spend (exact 1e-4-unit
+    value sum): doubled-midrank second moments, all BIGINT; rho
+    derives caller-side (Pearson-on-midranks, tie-safe)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import spearman_pieces
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 10000).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("spend4"),
+        )
+    )
+    return spearman_pieces(per_user, ["event_type"], "n_ev", "spend4")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3576,6 +3613,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X148 (oracled): Grubbs extreme-deviate pieces (one agg, no
         # window):
         "grubbs": _q_grubbs,
+        # X149 (oracled): Kruskal-Wallis k-group rank pieces:
+        "kruskal_wallis": _q_kruskal_wallis,
+        # X150 (oracled): Spearman rank-correlation pieces:
+        "spearman": _q_spearman,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5834,6 +5875,65 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 0
                     END AS INTEGER) AS side
         FROM a
+    """
+    # X149: identical pooled midrank identity as rank_sum, grouped by
+    # event_type; pooled totals repeat per row (single-relation witness)
+    d["kruskal_wallis"] = """
+        WITH p AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 10000) AS BIGINT) AS v
+          FROM events WHERE value IS NOT NULL),
+        cnt_vg AS (
+          SELECT v, g, CAST(count(*) AS BIGINT) AS cg
+          FROM p GROUP BY v, g),
+        cnt_v AS (
+          SELECT v, CAST(sum(cg) AS BIGINT) AS c
+          FROM cnt_vg GROUP BY v),
+        r AS (
+          SELECT v, c,
+                 CAST(coalesce(sum(c) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS before
+          FROM cnt_v),
+        gl AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_total,
+                 CAST(sum(c * c * c - c) AS BIGINT) AS tie_sum
+          FROM cnt_v)
+        SELECT cnt_vg.g AS event_type,
+               CAST(sum(cg) AS BIGINT) AS n_g,
+               CAST(sum(cg * (2 * (before + 1) + c - 1)) AS BIGINT)
+                 AS rs2_g,
+               gl.n_total, gl.tie_sum
+        FROM cnt_vg JOIN r USING (v) CROSS JOIN gl
+        GROUP BY cnt_vg.g, gl.n_total, gl.tie_sum
+    """
+    # X150: doubled midrank = 2*rank + tie_count - 1 per event_type
+    # margin; second moments are exact BIGINTs on both engines
+    d["spearman"] = """
+        WITH per_user AS (
+          SELECT event_type,
+                 user_id,
+                 CAST(count(*) AS BIGINT) AS n_ev,
+                 CAST(coalesce(sum(CAST(round(value * 10000) AS BIGINT)),
+                               0) AS BIGINT) AS spend4
+          FROM events GROUP BY event_type, user_id),
+        ranked AS (
+          SELECT event_type,
+                 CAST(2 * rank() OVER (PARTITION BY event_type
+                                       ORDER BY n_ev)
+                      + count(*) OVER (PARTITION BY event_type, n_ev)
+                      - 1 AS BIGINT) AS rx2,
+                 CAST(2 * rank() OVER (PARTITION BY event_type
+                                       ORDER BY spend4)
+                      + count(*) OVER (PARTITION BY event_type, spend4)
+                      - 1 AS BIGINT) AS ry2
+          FROM per_user)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rx2 * ry2) AS BIGINT) AS sxy2,
+               CAST(sum(rx2 * rx2) AS BIGINT) AS sxx2,
+               CAST(sum(ry2 * ry2) AS BIGINT) AS syy2
+        FROM ranked GROUP BY event_type
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

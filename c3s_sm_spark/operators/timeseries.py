@@ -3640,3 +3640,162 @@ def durbin_watson_scores(pieces: DataFrame) -> DataFrame:
         dw.alias("dw"),
         F.when(ok, 1.0 - dw / 2.0).alias("rho1"),
     )
+
+
+def kruskal_wallis_pieces(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X149 Kruskal-Wallis rank pieces (Kruskal & Wallis 1952) — the
+    k-group generalization of :func:`rank_sum_pieces`: did the value
+    distribution shift across ANY of k variants/sources, tested on
+    ranks so heavy tails can't fake a shift. The engine ops read: one
+    test over all event types / sources at once instead of k(k-1)/2
+    pairwise rank-sums.
+
+    Exact integer witness (same midrank identity as X120): pooled
+    over ALL groups, every member of a tied value block contributes
+    doubled midrank ``2·minrank + c − 1``, so the per-group doubled
+    rank sum ``rs2_g`` is BIGINT-exact, as are the pooled ``n_total``
+    and the tie-correction mass ``tie_sum = Σ(c³ − c)``. H derives
+    caller-side in :func:`kruskal_wallis_scores`.
+
+    Scale shape: per-value counts (groupBy v — map-side combinable),
+    pooled cumulative counts via the two-phase
+    :func:`~c3s_sm_spark.operators.sampling.global_cumsum` (never a
+    one-task global window), one equi-join back on the value, one
+    groupBy(group). Output: one row per group ``(group, n_g, rs2_g,
+    n_total, tie_sum)`` — the pooled columns repeat per row so the
+    witness stays single-relation.
+    """
+    p = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).cast("long").alias("v"),
+    )
+    cnt_vg = p.groupBy("v", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    cnt_v = cnt_vg.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    from c3s_sm_spark.operators.sampling import global_cumsum
+
+    ranked = global_cumsum(cnt_v, "v", ["c"]).withColumnRenamed(
+        "cum_c", "before"
+    )
+    glob = ranked.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("long")
+        .alias("tie_sum"),
+    )
+    per_g = (
+        cnt_vg.join(ranked, "v")
+        .groupBy("__g")
+        .agg(
+            F.sum("cg").cast("long").alias("n_g"),
+            F.sum(
+                F.col("cg")
+                * (2 * (F.col("before") + 1) + F.col("c") - 1)
+            )
+            .cast("long")
+            .alias("rs2_g"),
+        )
+    )
+    return per_g.crossJoin(F.broadcast(glob)).select(
+        F.col("__g").alias(group_col), "n_g", "rs2_g", "n_total", "tie_sum"
+    )
+
+
+def kruskal_wallis_scores(pieces: DataFrame, group_col: str) -> DataFrame:
+    """H (tie-corrected) from :func:`kruskal_wallis_pieces` — one
+    tiny aggregate over the k-row pieces frame. ``H = [12/(N(N+1)) ·
+    Σ_g (rs2_g/2)²/n_g − 3(N+1)] / (1 − tie_sum/(N³−N))``; null when
+    N < 2, every value is tied (correction denominator 0), or any
+    group is empty. Output: one row ``(k, n_total, h_stat)``."""
+    n = F.col("n_total").cast("double")
+    ties = F.col("tie_sum").cast("double")
+    rsum = F.sum(
+        (F.col("rs2_g").cast("double") / 2.0) ** 2
+        / F.col("n_g").cast("double")
+    )
+    agg = pieces.groupBy("n_total", "tie_sum").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        rsum.alias("__rs"),
+    )
+    corr = 1.0 - ties / (n * n * n - n)
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("__rs") - 3.0 * (n + 1.0)
+    ok = (F.col("n_total") >= 2) & (corr > 0)
+    return agg.select(
+        "k",
+        "n_total",
+        F.when(ok, h_raw / corr).alias("h_stat"),
+    )
+
+
+def spearman_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """X150 Spearman rank-correlation pieces — the monotone-association
+    twin of Pearson: are two per-entity metrics (activity vs spend,
+    doc length vs quality, ...) monotonically related, robust to the
+    heavy tails and outliers that wreck a raw-moment correlation. The
+    tie-safe definition IS Pearson on midranks, so the witness emits
+    the exact integer rank moments and rho derives caller-side in
+    :func:`spearman_scores`.
+
+    Doubled midranks ``2·avgrank = 2·minrank + c − 1`` (the X120/X149
+    identity) keep every piece BIGINT: per key group, ``n``, ``sxy2 =
+    Σ rx2·ry2``, ``sxx2 = Σ rx2²``, ``syy2 = Σ ry2²`` (``Σrx2 = Σry2
+    = n(n+1)`` identically, so the first moments need no column).
+    Overflow: sums of (2n)² terms → ``4n³ < 2^63`` holds to n ≈ 1.3e6
+    rows PER KEY GROUP — this operator ranks pre-aggregated entities
+    (users, docs), not raw events, so the bound is generous.
+
+    Scale shape: midranks per key group via rank() + count() windows
+    partitioned on the keys (entity-level frames — orders of
+    magnitude below raw-event scale; for a single global group at
+    extreme entity counts, pre-aggregate to per-value count frames
+    and rank via global_cumsum as X149 does), then one groupBy.
+    """
+    keys = list(keys)
+    x, y = F.col("__x"), F.col("__y")
+    p = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+
+    def _r2(col: Column, name: str) -> Column:
+        wr = Window.partitionBy(*keys).orderBy(col)
+        wc = Window.partitionBy(*keys, col)
+        return (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wc) - 1
+        ).cast("long").alias(name)
+
+    ranked = p.select(*keys, _r2(x, "rx2"), _r2(y, "ry2"))
+    return ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("long").alias("sxy2"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("long").alias("sxx2"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("long").alias("syy2"),
+    )
+
+
+def spearman_scores(pieces: DataFrame) -> DataFrame:
+    """rho from :func:`spearman_pieces` — plain projection using the
+    rank-sum identity ``Σrx2 = Σry2 = n(n+1)``: ``rho = (n·sxy2 −
+    (n(n+1))²) / sqrt((n·sxx2 − (n(n+1))²)(n·syy2 − (n(n+1))²))``.
+    Null when either margin is constant (all-tied ranks) or n < 2."""
+    n = F.col("n").cast("double")
+    s1 = n * (n + 1.0)
+    cov = n * F.col("sxy2").cast("double") - s1 * s1
+    vx = n * F.col("sxx2").cast("double") - s1 * s1
+    vy = n * F.col("syy2").cast("double") - s1 * s1
+    ok = (F.col("n") >= 2) & (vx > 0) & (vy > 0)
+    return pieces.select(
+        "*",
+        F.when(ok, cov / F.sqrt(vx * vy)).alias("rho"),
+    )

@@ -3006,3 +3006,114 @@ def test_durbin_watson_reads_persistence(spark):
     }
     assert d["flat"]["dw"] is None and d["solo"]["dw"] is None
     assert d["flat"]["sum_d2"] == 0 and d["solo"]["sum_d2"] == 0
+
+
+def test_kruskal_wallis_brute_force_and_shift(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import (
+        kruskal_wallis_pieces,
+        kruskal_wallis_scores,
+    )
+
+    rng = np.random.default_rng(163)
+    # three groups, heavy ties, one shifted
+    ga = [int(v) for v in rng.integers(0, 30, 70)]
+    gb = [int(v) for v in rng.integers(0, 30, 50)]
+    gc = [int(v) + 15 for v in rng.integers(0, 30, 60)]
+    rows = [("a", v) for v in ga] + [("b", v) for v in gb] + [("c", v) for v in gc]
+    df = spark.createDataFrame(rows, "g string, v long")
+    pieces = {r["g"]: r for r in kruskal_wallis_pieces(df, "g", "v").collect()}
+
+    # brute force: pooled doubled midranks
+    pooled = sorted(v for _, v in rows)
+    first = {}
+    cnt = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i + 1)
+        cnt[v] = cnt.get(v, 0) + 1
+    r2 = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+    for name, vals in [("a", ga), ("b", gb), ("c", gc)]:
+        assert pieces[name]["n_g"] == len(vals)
+        assert pieces[name]["rs2_g"] == sum(r2[v] for v in vals)
+    n_tot = len(pooled)
+    tie = sum(c**3 - c for c in cnt.values())
+    assert pieces["a"]["n_total"] == n_tot and pieces["a"]["tie_sum"] == tie
+
+    # H against the textbook formula on the same midranks
+    s = kruskal_wallis_scores(
+        kruskal_wallis_pieces(df, "g", "v"), "g"
+    ).collect()[0]
+    rs = {g: sum(r2[v] for v in vals) / 2 for g, vals in
+          [("a", ga), ("b", gb), ("c", gc)]}
+    h_raw = 12.0 / (n_tot * (n_tot + 1)) * sum(
+        rs[g] ** 2 / len(vals) for g, vals in
+        [("a", ga), ("b", gb), ("c", gc)]
+    ) - 3 * (n_tot + 1)
+    want = h_raw / (1 - tie / (n_tot**3 - n_tot))
+    assert s["k"] == 3 and s["n_total"] == n_tot
+    assert s["h_stat"] == pytest.approx(want, rel=1e-12)
+    assert s["h_stat"] > 20  # the shifted group screams
+
+    # null case: identical constant groups -> all tied -> null H
+    flat = spark.createDataFrame(
+        [("a", 7)] * 5 + [("b", 7)] * 5, "g string, v long"
+    )
+    sf = kruskal_wallis_scores(
+        kruskal_wallis_pieces(flat, "g", "v"), "g"
+    ).collect()[0]
+    assert sf["h_stat"] is None
+
+
+def test_spearman_brute_force_and_direction(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import (
+        spearman_pieces,
+        spearman_scores,
+    )
+
+    def midranks2(vals):
+        pooled = sorted(vals)
+        first, cnt = {}, {}
+        for i, v in enumerate(pooled):
+            first.setdefault(v, i + 1)
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] - 1 for v in vals]
+
+    rng = np.random.default_rng(167)
+    xs = [int(v) for v in rng.integers(0, 40, 80)]  # ties guaranteed
+    ys = [x * 3 + int(e) for x, e in zip(xs, rng.integers(-25, 26, 80))]
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    p = spearman_pieces(df, ["g"], "x", "y").collect()[0]
+    rx2, ry2 = midranks2(xs), midranks2(ys)
+    assert p["n"] == 80
+    assert p["sxy2"] == sum(a * b for a, b in zip(rx2, ry2))
+    assert p["sxx2"] == sum(a * a for a in rx2)
+    assert p["syy2"] == sum(b * b for b in ry2)
+
+    s = spearman_scores(spearman_pieces(df, ["g"], "x", "y")).collect()[0]
+    n = 80.0
+    s1 = n * (n + 1)
+    cov = n * p["sxy2"] - s1 * s1
+    want = cov / ((n * p["sxx2"] - s1 * s1) * (n * p["syy2"] - s1 * s1)) ** 0.5
+    assert s["rho"] == pytest.approx(want, rel=1e-12)
+    assert s["rho"] > 0.8  # strong monotone plant
+
+    # perfect inverse, no ties -> exactly -1
+    inv = spark.createDataFrame(
+        [("k", i, 100 - i) for i in range(50)], "g string, x long, y long"
+    )
+    si = spearman_scores(spearman_pieces(inv, ["g"], "x", "y")).collect()[0]
+    assert si["rho"] == pytest.approx(-1.0, abs=1e-12)
+
+    # constant margin -> null rho
+    const = spark.createDataFrame(
+        [("k", i, 5) for i in range(10)], "g string, x long, y long"
+    )
+    sc = spearman_scores(spearman_pieces(const, ["g"], "x", "y")).collect()[0]
+    assert sc["rho"] is None
