@@ -3237,6 +3237,18 @@ def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_pieces(per_user, ["event_type"], "n_ev", "spend4")
 
 
+def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X151 Theil-Sen slope pieces over the per-user daily purchase
+    series (the shared _daily_purchase_v4 staging): the median
+    pairwise slope SELECTED as exact integer (dv, dt) middle pairs —
+    the robust trend magnitude companion to X127 mann_kendall."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import theil_sen_pieces
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    return theil_sen_pieces(daily, ["user_id"], "day", "v4")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3617,6 +3629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_wallis": _q_kruskal_wallis,
         # X150 (oracled): Spearman rank-correlation pieces:
         "spearman": _q_spearman,
+        # X151 (oracled): Theil-Sen median-slope selection pieces:
+        "theil_sen": _q_theil_sen,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5934,6 +5948,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(rx2 * rx2) AS BIGINT) AS sxx2,
                CAST(sum(ry2 * ry2) AS BIGINT) AS syy2
         FROM ranked GROUP BY event_type
+    """
+    # X151: identical pair join + (slope, dv, dt) rank selection; the
+    # double division is correctly-rounded IEEE on both engines and the
+    # integer tiebreak pins equal-slope pairs
+    d["theil_sen"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01',
+                                date_trunc('day', ts)) AS BIGINT) AS d,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, date_trunc('day', ts)),
+        pr AS (
+          SELECT a.user_id,
+                 b.v4 - a.v4 AS dv,
+                 b.d - a.d AS dt
+          FROM p a JOIN p b
+            ON a.user_id = b.user_id AND b.d > a.d),
+        r AS (
+          SELECT user_id, dv, dt,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY CAST(dv AS DOUBLE) / CAST(dt AS DOUBLE),
+                            dv, dt) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS np
+          FROM pr)
+        SELECT user_id,
+               CAST(max(np) AS BIGINT) AS n_pairs,
+               CAST(max(CASE WHEN rn = (np + 1) // 2 THEN dv END)
+                    AS BIGINT) AS dv_lo,
+               CAST(max(CASE WHEN rn = (np + 1) // 2 THEN dt END)
+                    AS BIGINT) AS dt_lo,
+               CAST(max(CASE WHEN rn = np // 2 + 1 THEN dv END)
+                    AS BIGINT) AS dv_hi,
+               CAST(max(CASE WHEN rn = np // 2 + 1 THEN dt END)
+                    AS BIGINT) AS dt_hi
+        FROM r
+        WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+        GROUP BY user_id
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

@@ -3799,3 +3799,92 @@ def spearman_scores(pieces: DataFrame) -> DataFrame:
         "*",
         F.when(ok, cov / F.sqrt(vx * vy)).alias("rho"),
     )
+
+
+def theil_sen_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X151 Theil-Sen slope pieces (Theil 1950 / Sen 1968) — the
+    robust trend magnitude that the Mann-Kendall test (X127) only
+    signs: the MEDIAN of all pairwise slopes, immune to outliers that
+    drag an OLS fit (X133 rolling_reg). This is the exact estimator
+    the reference's drought/trend consumers pair with MK over the
+    dekadal/monthly products; ops twin: "how fast is this metric
+    actually drifting", robust to spikes.
+
+    Exact witness without float medians: pairwise slope = dv/dt with
+    dv, dt exact BIGINTs (value deltas over integer day deltas). The
+    median is SELECTED, not computed — rank pairs by ``(dv/dt, dv,
+    dt)`` (the double division is correctly-rounded IEEE in every
+    engine, and the (dv, dt) tiebreak pins equal-slope pairs
+    deterministically) and emit the lower/upper middle pairs'
+    integers: ``(n_pairs, dv_lo, dt_lo, dv_hi, dt_hi)`` per key. The
+    slope derives caller-side in :func:`theil_sen_scores` as the
+    mean of the two exact fractions (equal fractions when n_pairs is
+    odd).
+
+    Scale shape: one self-join per key (keys-partitioned shuffle) —
+    pair count is quadratic in SERIES length, so this runs on
+    rolled-up tiers (30-365 points/key -> <=66k pairs/key), never raw
+    events; then one rank window + one groupBy. Keys with fewer than
+    2 points emit nothing (no pairs — callers see the key drop, the
+    same contract as rolling_reg's n<2 null).
+    """
+    keys = list(keys)
+    p = df.select(
+        *keys,
+        F.datediff(F.col(ts_col), F.lit("1970-01-01")).cast("long").alias("__d"),
+        F.col(value_col).cast("long").alias("__v"),
+    )
+    a = p.select(
+        *keys, F.col("__d").alias("__d1"), F.col("__v").alias("__v1")
+    )
+    b = p.select(
+        *keys, F.col("__d").alias("__d2"), F.col("__v").alias("__v2")
+    )
+    pairs = (
+        a.join(b, keys)
+        .where(F.col("__d2") > F.col("__d1"))
+        .select(
+            *keys,
+            (F.col("__v2") - F.col("__v1")).alias("dv"),
+            (F.col("__d2") - F.col("__d1")).alias("dt"),
+        )
+    )
+    slope = F.col("dv").cast("double") / F.col("dt").cast("double")
+    wk = Window.partitionBy(*keys)
+    wr = wk.orderBy(slope, F.col("dv"), F.col("dt"))
+    ranked = pairs.select(
+        *keys,
+        "dv",
+        "dt",
+        F.row_number().over(wr).alias("__rn"),
+        F.count(F.lit(1)).over(wk).alias("__np"),
+    )
+    lo = F.floor((F.col("__np") + 1) / 2)  # lower middle rank
+    hi = F.floor(F.col("__np") / 2) + 1  # upper middle rank (== lo when odd)
+    at_lo = F.col("__rn") == lo
+    at_hi = F.col("__rn") == hi
+    return (
+        ranked.where(at_lo | at_hi)
+        .groupBy(*keys)
+        .agg(
+            F.max("__np").cast("long").alias("n_pairs"),
+            F.max(F.when(at_lo, F.col("dv"))).cast("long").alias("dv_lo"),
+            F.max(F.when(at_lo, F.col("dt"))).cast("long").alias("dt_lo"),
+            F.max(F.when(at_hi, F.col("dv"))).cast("long").alias("dv_hi"),
+            F.max(F.when(at_hi, F.col("dt"))).cast("long").alias("dt_hi"),
+        )
+    )
+
+
+def theil_sen_scores(pieces: DataFrame) -> DataFrame:
+    """Sen's slope from :func:`theil_sen_pieces` — plain projection:
+    the mean of the two selected exact fractions (identical when
+    n_pairs is odd), in value units per day."""
+    lo = F.col("dv_lo").cast("double") / F.col("dt_lo").cast("double")
+    hi = F.col("dv_hi").cast("double") / F.col("dt_hi").cast("double")
+    return pieces.select("*", ((lo + hi) / 2.0).alias("sen_slope"))

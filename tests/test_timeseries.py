@@ -3117,3 +3117,66 @@ def test_spearman_brute_force_and_direction(spark):
     )
     sc = spearman_scores(spearman_pieces(const, ["g"], "x", "y")).collect()[0]
     assert sc["rho"] is None
+
+
+def test_theil_sen_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import (
+        theil_sen_pieces,
+        theil_sen_scores,
+    )
+    from fractions import Fraction
+
+    rng = np.random.default_rng(173)
+    # trend 70/day + heavy outliers that wreck OLS but not Sen
+    days = sorted(rng.choice(np.arange(60), size=31, replace=False))
+    vals = [int(70 * d + e) for d, e in zip(days, rng.integers(-40, 41, 31))]
+    vals[5] += 100000  # outlier
+    vals[20] -= 100000
+    rows = [
+        ("u", _ts("2024-01-01") + dt.timedelta(days=int(d)), v)
+        for d, v in zip(days, vals)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, day timestamp, v4 long")
+    out = theil_sen_scores(
+        theil_sen_pieces(df, ["user_id"], "day", "v4")
+    ).collect()[0]
+
+    # brute force: all pairwise slopes as exact fractions
+    pts = list(zip(days, vals))
+    slopes = sorted(
+        Fraction(v2 - v1, int(d2 - d1))
+        for i, (d1, v1) in enumerate(pts)
+        for d2, v2 in pts[i + 1:]
+    )
+    n = len(slopes)
+    assert out["n_pairs"] == n
+    want = (slopes[(n - 1) // 2] + slopes[n // 2]) / 2
+    # selection by double-rounded slope can only differ from the exact-
+    # fraction median inside a tie window of the rounding; on this data
+    # the orders agree, so the match is exact
+    assert out["sen_slope"] == pytest.approx(float(want), rel=1e-12)
+    assert 60 < out["sen_slope"] < 80  # outliers did not drag the slope
+    # the selected middle pairs are exact integers reproducing the median
+    got = (
+        Fraction(out["dv_lo"], out["dt_lo"])
+        + Fraction(out["dv_hi"], out["dt_hi"])
+    ) / 2
+    assert got == want
+
+    # even pair count: exactly 2 points -> 1 pair; 3 points -> 3 pairs
+    two = spark.createDataFrame(
+        [("a", _ts("2024-01-01"), 0), ("a", _ts("2024-01-03"), 10)],
+        "user_id string, day timestamp, v4 long",
+    )
+    r2 = theil_sen_scores(
+        theil_sen_pieces(two, ["user_id"], "day", "v4")
+    ).collect()[0]
+    assert r2["n_pairs"] == 1 and r2["sen_slope"] == pytest.approx(5.0)
+    # single point emits nothing (no pairs)
+    one = spark.createDataFrame(
+        [("a", _ts("2024-01-01"), 0)], "user_id string, day timestamp, v4 long"
+    )
+    assert theil_sen_pieces(one, ["user_id"], "day", "v4").count() == 0
