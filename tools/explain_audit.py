@@ -898,6 +898,89 @@ def main() -> None:
         )
     )
 
+    # 41. late-r4 stat family: DW/grubbs/spearman/theil-sen/kruskal
+    from c3s_sm_spark.operators.profile import grubbs_pieces
+    from c3s_sm_spark.operators.timeseries import (
+        durbin_watson_pieces,
+        kruskal_wallis_pieces,
+        spearman_pieces,
+        theil_sen_pieces,
+    )
+
+    dwtxt = plan_text(
+        durbin_watson_pieces(base_v, ["event_type"], "ts", "v", "event_id")
+    )
+    sections.append(
+        (
+            "durbin_watson (X147): lag window + agg reuse one key exchange",
+            dwtxt,
+            {
+                "no join": "Join" not in dwtxt,
+                "single shuffle": dwtxt.count("Exchange (") == 1,
+                "map-side partial agg": "partial" in dwtxt,
+            },
+        )
+    )
+    gtxt = plan_text(grubbs_pieces(base_v, ["event_type"], "v"))
+    sections.append(
+        (
+            "grubbs (X148): ONE aggregate, no window, no join",
+            gtxt,
+            {
+                "no join": "Join" not in gtxt,
+                "no window": "Window" not in gtxt,
+                "single shuffle": gtxt.count("Exchange (") == 1,
+                "map-side partial agg": "partial" in gtxt,
+            },
+        )
+    )
+    per_user = base_v.groupBy("event_type", "event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("a"),
+        F.sum("v").cast("long").alias("b"),
+    )
+    sptxt = plan_text(spearman_pieces(per_user, ["event_type"], "a", "b"))
+    sections.append(
+        (
+            "spearman (X150): key-partitioned rank windows, no join",
+            sptxt,
+            {
+                "no join": "Join" not in sptxt,
+                "windows": "Window" in sptxt,
+                "no pandas": "InPandas" not in sptxt,
+            },
+        )
+    )
+    daily_ts = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 10000).cast("long").alias("v4"),
+    )
+    tstxt = plan_text(theil_sen_pieces(daily_ts, ["user_id"], "day", "v4"))
+    sections.append(
+        (
+            "theil_sen (X151): keys-equi self-join + rank window (no cartesian)",
+            tstxt,
+            {
+                "equi join (no cartesian)": "CartesianProduct" not in tstxt
+                and "NestedLoop" not in tstxt,
+                "rank window": "Window" in tstxt,
+                "no pandas": "InPandas" not in tstxt,
+            },
+        )
+    )
+    kwtxt = plan_text(kruskal_wallis_pieces(base_v, "event_type", "v"))
+    sections.append(
+        (
+            "kruskal_wallis (X149): two-phase cumsum + broadcast pooled totals",
+            kwtxt,
+            {
+                "pooled totals broadcast": "Broadcast" in kwtxt,
+                "no pandas": "InPandas" not in kwtxt,
+                "no cartesian": "CartesianProduct" not in kwtxt,
+            },
+        )
+    )
+
     out = ["# PLANS — physical-plan audit (generated by tools/explain_audit.py)\n"]
     ok_all = True
     for name, txt, checks in sections:
