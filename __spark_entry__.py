@@ -3249,6 +3249,38 @@ def _q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_pieces(daily, ["user_id"], "day", "v4")
 
 
+def _q_page_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X152 Page CUSUM drift alarm per event_type over 1e-4-unit
+    values ((ts, event_id) canonical order): exact BIGINT one-sided
+    statistics via running sum − running min (s⁺ = C − min prefix C),
+    no-restart variant; stream_cusum is the bit-parity stateful twin."""
+    _prep(spark)
+    from c3s_sm_spark.operators.anomaly import page_cusum
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    )
+    return page_cusum(
+        ev,
+        ["event_type"],
+        "ts",
+        "v4",
+        target=100_000,
+        slack=20_000,
+        h=500_000,
+        tiebreak="event_id",
+    ).select(
+        "event_type",
+        F.col("event_id").cast("long").alias("event_id"),
+        "v4",
+        "s_plus",
+        "s_minus",
+        "alarm",
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3631,6 +3663,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman": _q_spearman,
         # X151 (oracled): Theil-Sen median-slope selection pieces:
         "theil_sen": _q_theil_sen,
+        # X152 (oracled): Page CUSUM drift alarm (running sum - running
+        # min, exact BIGINT; stream_cusum is the stateful twin):
+        "page_cusum": _q_page_cusum,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -5987,6 +6022,36 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
         GROUP BY user_id
+    """
+    # X152: identical running-sum/running-min identity; C_0 = 0 enters
+    # the min via least(0, ...)
+    d["page_cusum"] = """
+        WITH s AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 10000) AS BIGINT) AS v4
+          FROM events WHERE value IS NOT NULL),
+        c AS (
+          SELECT event_type, ts, event_id, v4,
+                 CAST(sum(v4 - 100000 - 20000) OVER w AS BIGINT) AS cp,
+                 CAST(sum(100000 - v4 - 20000) OVER w AS BIGINT) AS cm
+          FROM s
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        m AS (
+          SELECT event_type, event_id, v4,
+                 cp - least(0, min(cp) OVER w2) AS s_plus,
+                 cm - least(0, min(cm) OVER w2) AS s_minus
+          FROM c
+          WINDOW w2 AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type,
+               CAST(event_id AS BIGINT) AS event_id,
+               v4,
+               CAST(s_plus AS BIGINT) AS s_plus,
+               CAST(s_minus AS BIGINT) AS s_minus,
+               CAST(CASE WHEN s_plus > 500000 OR s_minus > 500000
+                         THEN 1 ELSE 0 END AS INTEGER) AS alarm
+        FROM m
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

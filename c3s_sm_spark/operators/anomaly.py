@@ -296,3 +296,79 @@ def cusum_scores(
             F.col("__nn").cast("long").alias("n"),
         )
     )
+
+
+def page_cusum(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    micro_col: str,
+    target: int,
+    slack: int,
+    h: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """X152 Page CUSUM drift monitor (Page 1954) — the ONLINE
+    change-of-mean alarm, complementing :func:`cusum_scores` (which
+    locates a single historical break offline): per observation, the
+    one-sided statistics ``s⁺ = max(0, s⁺ + (v − target − slack))``
+    (upward drift) and ``s⁻ = max(0, s⁻ + (target − v − slack))``
+    (downward), alarm when either exceeds ``h``. This is the detector
+    a live rollup tier runs against every per-source quality/volume
+    series; the streaming twin
+    :func:`~c3s_sm_spark.streaming.stateful.stream_cusum` carries the
+    identical integer state across micro-batches.
+
+    The recurrence is window-expressible exactly: with increments
+    ``x_k`` and prefix sums ``C_k`` (``C_0 = 0``), ``s⁺_k = C_k −
+    min_{0≤j≤k} C_j`` — a running sum and a running min, both exact
+    BIGINT in micro units, so batch and stream agree bit-for-bit and
+    every engine hashes identically. No-restart variant: the
+    statistic is NOT reset after an alarm (restart policy is
+    caller-side — resetting breaks both the window form and
+    replay-idempotence; consumers cut at the first ``alarm`` row per
+    key when they want the classical stopping time).
+
+    Output: input keys + ``ts`` (+ tiebreak) + ``s_plus``, ``s_minus``
+    (BIGINT) and ``alarm`` (int 0/1). Overflow: |C_k| <= n·(|v|max +
+    target + slack) — micro-unit series are safe past 1e12 rows/key.
+
+    Plan: ONE hash shuffle on ``keys``, one per-key sort serving all
+    four running aggregates — pure JVM window, no join, no pandas.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v = F.col(micro_col).cast("long")
+    x = v - F.lit(int(target)) - F.lit(int(slack))
+    y = F.lit(int(target)) - v - F.lit(int(slack))
+    out_cols = [*keys, ts_col] + ([tiebreak] if tiebreak else [])
+    # two chained Window operators over the SAME partitioning+ordering:
+    # Catalyst plans one Exchange + one Sort serving both
+    staged = df.select(
+        *out_cols,
+        v.alias(micro_col),
+        F.sum(x).over(w).cast("long").alias("__cp"),
+        F.sum(y).over(w).cast("long").alias("__cm"),
+    )
+    # min over j in 0..k of C_j == least(C_0 = 0, running min of C_1..k)
+    s_plus = F.col("__cp") - F.least(F.lit(0), F.min("__cp").over(w))
+    s_minus = F.col("__cm") - F.least(F.lit(0), F.min("__cm").over(w))
+    return staged.select(
+        *out_cols,
+        micro_col,
+        s_plus.cast("long").alias("s_plus"),
+        s_minus.cast("long").alias("s_minus"),
+    ).withColumn(
+        "alarm",
+        (
+            (F.col("s_plus") > F.lit(int(h)))
+            | (F.col("s_minus") > F.lit(int(h)))
+        ).cast("int"),
+    )

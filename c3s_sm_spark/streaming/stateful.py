@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -267,6 +268,120 @@ def stream_holt(
         _fold,
         outputStructType=out_schema,
         stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cp", LongType()),
+        StructField("cp_min", LongType()),
+        StructField("cm", LongType()),
+        StructField("cm_min", LongType()),
+        StructField("frontier_us", LongType()),
+    ]
+)
+
+
+def stream_cusum(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    micro_col: str = "vm",
+    target: int = 0,
+    slack: int = 0,
+    h: int = 0,
+) -> DataFrame:
+    """X152 streaming per-key Page CUSUM drift alarm — the stateful
+    twin of :func:`~c3s_sm_spark.operators.anomaly.page_cusum`,
+    carrying the EXACT INTEGER prefix-sum state ``(C⁺, min C⁺, C⁻,
+    min C⁻, frontier)`` across micro-batches. Because the statistic
+    is pure BIGINT arithmetic (``s⁺_k = C_k − min_{0≤j≤k} C_j`` in
+    micro units — no float ever enters), the stream is bit-identical
+    to the batch operator under ANY micro-batch slicing, with no
+    documented divergence case at all (unlike stream_holt's row-0
+    trend) — pinned in tests/test_streaming.py.
+
+    Same ingestion contracts as :func:`stream_ewma`: unique per-key
+    timestamps, cross-batch late rows dropped at the frontier
+    (equality-drop for idempotent replay), null ts/value dropped,
+    in-batch rows sorted per key before folding. No-restart variant
+    (see the batch docstring): alarms do not reset the statistic.
+
+    Output (append mode): ``(key, ts, vm, s_plus, s_minus, alarm)``
+    per accepted event.
+    """
+    out_schema = StructType(
+        [
+            StructField(key, points_stream.schema[key].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(micro_col, LongType()),
+            StructField("s_plus", LongType()),
+            StructField("s_minus", LongType()),
+            StructField("alarm", IntegerType()),
+        ]
+    )
+    target, slack, h = int(target), int(slack), int(h)
+
+    def _fold(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts = pd.to_datetime(pdf[ts_col])
+        keep = ts.notna() & pdf[micro_col].notna()
+        if state.exists:
+            cp, cp_min, cm, cm_min, frontier_us = state.get
+            frontier = pd.Timestamp(np.datetime64(frontier_us, "us"))
+            keep &= ts > frontier
+        else:
+            cp = cm = 0
+            cp_min = cm_min = 0  # C_0 = 0 participates in the min
+        pdf = pdf.loc[keep].sort_values(ts_col, kind="stable")
+        if not len(pdf):
+            return
+        v = pdf[micro_col].to_numpy(dtype=np.int64)
+        # exact integer prefix folds (object dtype avoided: int64 cum
+        # sums are the batch operator's own overflow contract)
+        xs = v - target - slack
+        ys = target - v - slack
+        cps = cp + np.cumsum(xs, dtype=np.int64)
+        cms = cm + np.cumsum(ys, dtype=np.int64)
+        cp_mins = np.minimum(np.minimum.accumulate(cps), cp_min)
+        cm_mins = np.minimum(np.minimum.accumulate(cms), cm_min)
+        s_plus = cps - cp_mins
+        s_minus = cms - cm_mins
+        frontier_us = int(
+            pd.to_datetime(pdf[ts_col]).to_numpy().astype("datetime64[us]").astype(np.int64).max()
+        )
+        state.update(
+            (
+                int(cps[-1]),
+                int(cp_mins[-1]),
+                int(cms[-1]),
+                int(cm_mins[-1]),
+                frontier_us,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                micro_col: v,
+                "s_plus": s_plus,
+                "s_minus": s_minus,
+                "alarm": ((s_plus > h) | (s_minus > h)).astype(np.int32),
+            }
+        )
+
+    return points_stream.groupBy(key).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

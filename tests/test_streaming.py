@@ -440,3 +440,68 @@ def test_stream_holt_split_first_pair_row0_caveat(spark, tmp_path):
     for k in got:
         if k != k0:
             assert got[k] == exp[k]  # bit-identical from row 1 on
+
+
+def test_stream_cusum_bit_parity_and_replay(spark, tmp_path):
+    """X152 streaming Page CUSUM must be bit-identical to the batch
+    operator under any micro-batch slicing — the state is exact BIGINT
+    prefix sums, so unlike stream_holt there is NO permitted divergence
+    row. Also pins the idempotent-replay frontier drop."""
+    from c3s_sm_spark.operators.anomaly import page_cusum
+    from c3s_sm_spark.streaming.stateful import stream_cusum
+
+    raw = (
+        gen_points_raw(spark, 6, start="2019-10-01", end="2019-11-30")
+        .where(F.col("version") == "v1")
+        .select("doc_id", "ts", F.col("v").cast("long").alias("vm"))
+        .cache()
+    )
+    in_dir = str(tmp_path / "in_c")
+    ck = str(tmp_path / "ck_cusum")
+    out_dir = str(tmp_path / "out_cusum")
+    early = raw.where(F.col("ts") < "2019-11-01")
+    late = raw.where(F.col("ts") >= "2019-11-01")
+    early.coalesce(1).write.parquet(in_dir, mode="overwrite")
+
+    TGT, SLK, H = 5000, 300, 20000
+
+    def _run():
+        stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+        q = (
+            stream_cusum(
+                stream, key="doc_id", ts_col="ts", micro_col="vm",
+                target=TGT, slack=SLK, h=H,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()
+    late.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+
+    got = {
+        (r["doc_id"], str(r["ts"])): (r["s_plus"], r["s_minus"], r["alarm"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["doc_id"], str(r["ts"])): (r["s_plus"], r["s_minus"], r["alarm"])
+        for r in page_cusum(
+            raw, ["doc_id"], "ts", "vm", target=TGT, slack=SLK, h=H
+        ).collect()
+    }
+    assert got == exp  # bit parity, every row, no caveat
+    assert len(got) == raw.count()
+    assert any(v[2] == 1 for v in got.values())  # something alarmed
+
+    # whole-file replay: frontier equality-drop keeps output unchanged
+    early.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+    assert spark.read.parquet(out_dir).count() == len(exp)
+    raw.unpersist()

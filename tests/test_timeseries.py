@@ -3180,3 +3180,63 @@ def test_theil_sen_brute_force(spark):
         [("a", _ts("2024-01-01"), 0)], "user_id string, day timestamp, v4 long"
     )
     assert theil_sen_pieces(one, ["user_id"], "day", "v4").count() == 0
+
+
+def test_page_cusum_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.anomaly import page_cusum
+
+    rng = np.random.default_rng(179)
+    # flat around 100, then shifted to 160: s_plus must alarm after
+    vals = [int(v) for v in rng.integers(80, 121, 40)] + [
+        int(v) for v in rng.integers(140, 181, 30)
+    ]
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, ts timestamp, eid long, vm long"
+    )
+    out = page_cusum(
+        df, ["grp"], "ts", "vm", target=100, slack=10, h=200, tiebreak="eid"
+    )
+    got = {r["eid"]: r for r in out.collect()}
+
+    sp = sm = 0
+    first_alarm = None
+    for i, v in enumerate(vals):
+        sp = max(0, sp + (v - 100 - 10))
+        sm = max(0, sm + (100 - v - 10))
+        assert got[i]["s_plus"] == sp and got[i]["s_minus"] == sm
+        want_alarm = 1 if (sp > 200 or sm > 200) else 0
+        assert got[i]["alarm"] == want_alarm
+        if want_alarm and first_alarm is None:
+            first_alarm = i
+    # the shift at index 40 is caught shortly after, never before
+    assert first_alarm is not None and 40 <= first_alarm <= 50
+
+
+def test_page_cusum_downward_and_plan(spark):
+    from c3s_sm_spark.operators.anomaly import page_cusum
+
+    vals = [100] * 20 + [40] * 15  # downward shift -> s_minus alarms
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(hours=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, ts timestamp, eid long, vm long"
+    )
+    out = page_cusum(
+        df, ["grp"], "ts", "vm", target=100, slack=5, h=100, tiebreak="eid"
+    )
+    rs = {r["eid"]: r for r in out.collect()}
+    assert rs[19]["alarm"] == 0 and rs[34]["alarm"] == 1
+    assert rs[34]["s_minus"] > 100 and rs[34]["s_plus"] == 0
+    # plan: single exchange serves both window passes (no second shuffle)
+    txt = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    ).split("== Initial Plan ==")[0]  # AQE echoes the pre-final plan too
+    assert txt.count("Exchange (") == 1 and "Join" not in txt
