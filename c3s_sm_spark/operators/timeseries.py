@@ -3888,3 +3888,62 @@ def theil_sen_scores(pieces: DataFrame) -> DataFrame:
     lo = F.col("dv_lo").cast("double") / F.col("dt_lo").cast("double")
     hi = F.col("dv_hi").cast("double") / F.col("dt_hi").cast("double")
     return pieces.select("*", ((lo + hi) / 2.0).alias("sen_slope"))
+
+
+def ljung_box_scores(pieces: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """X153 Ljung-Box portmanteau Q (Ljung & Box 1978) over
+    :func:`ccf_pieces` self-CCF output — "is this series white noise
+    across ALL lags 1..m at once", the standard residual-whiteness
+    gate a forecasting tier reports next to X147's single-lag DW. No
+    new witness surface: the variogram/ccf pieces already carry every
+    moment; this is pure caller-side derivation (the zipf_fit
+    pattern).
+
+    Per-lag autocorrelation is the matched-pairs Pearson ``rho_l =
+    (n_m·sxy − sx·sy) / sqrt((n_m·sxx − sx²)(n_m·syy − sy²))`` —
+    tie-free exact inputs, and on a regular grid the series length
+    recovers as ``n = n_matched + lag`` (pieces are self-describing;
+    the max over lags guards a trailing-gap lag). ``Q = n(n+2) Σ_l
+    rho_l²/(n−l)`` ~ chi²(m) under the null. Null when any lag is
+    degenerate (zero variance) or n <= max lag.
+
+    Input contract: ``pieces`` from ``ccf_pieces(s, s, keys, t, v, v,
+    lags=range(1, m+1))`` on a REGULAR time grid (daily tier / gap-
+    filled series — the engine's tiers are exactly that).
+    """
+    keys = list(keys)
+    nm = F.col("n_matched").cast("double")
+    cov = nm * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    vx = nm * F.col("sxx") - F.col("sx").cast("double") ** 2
+    vy = nm * F.col("syy") - F.col("sy").cast("double") ** 2
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    staged = pieces.select(
+        *keys,
+        "lag",
+        (F.col("n_matched") + F.col("lag")).cast("long").alias("__n"),
+        rho.alias("__rho"),
+    )
+    staged = staged.withColumn(
+        "__nk", F.max("__n").over(Window.partitionBy(*keys))
+    )
+    agg = staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lags"),
+        F.max("__n").alias("n_est"),
+        F.sum(
+            F.col("__rho") * F.col("__rho")
+            / (F.col("__nk") - F.col("lag")).cast("double")
+        ).alias("__s"),
+        F.count("__rho").alias("__ok"),
+    )
+    good = (F.col("__ok") == F.col("n_lags")) & (F.col("n_est") > 0)
+    return agg.select(
+        *keys,
+        "n_lags",
+        "n_est",
+        F.when(
+            good,
+            F.col("n_est").cast("double")
+            * (F.col("n_est").cast("double") + 2.0)
+            * F.col("__s"),
+        ).alias("q_stat"),
+    )

@@ -3240,3 +3240,48 @@ def test_page_cusum_downward_and_plan(spark):
         out._jdf.queryExecution(), "formatted"
     ).split("== Initial Plan ==")[0]  # AQE echoes the pre-final plan too
     assert txt.count("Exchange (") == 1 and "Join" not in txt
+
+
+def test_ljung_box_white_vs_ar(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import ccf_pieces, ljung_box_scores
+
+    rng = np.random.default_rng(181)
+    wn = [int(v) for v in rng.integers(-500, 501, 300)]
+    ar = [0.0]
+    for _ in range(299):
+        ar.append(0.85 * ar[-1] + rng.normal(0, 100))
+    rows = [("wn", t, v) for t, v in enumerate(wn)] + [
+        ("ar", t, int(v)) for t, v in enumerate(ar)
+    ]
+    df = spark.createDataFrame(rows, "grp string, t long, v long")
+    pieces = ccf_pieces(df, df, ["grp"], "t", "v", "v", lags=range(1, 8))
+    out = {r["grp"]: r for r in ljung_box_scores(pieces, ["grp"]).collect()}
+    assert out["wn"]["n_lags"] == 7 and out["wn"]["n_est"] == 300
+    # white noise: Q ~ chi2(7), P(Q > 30) ~ 1e-4; AR(0.85): Q explodes
+    assert out["wn"]["q_stat"] < 30
+    assert out["ar"]["q_stat"] > 300
+
+    # brute-force check of Q on the white-noise series
+    v = np.array(wn, dtype=float)
+    n = len(v)
+    q = 0.0
+    for lag in range(1, 8):
+        x, y = v[lag:], v[:-lag]
+        nm = len(x)
+        num = nm * (x * y).sum() - x.sum() * y.sum()
+        den = ((nm * (x * x).sum() - x.sum() ** 2)
+               * (nm * (y * y).sum() - y.sum() ** 2)) ** 0.5
+        rho = num / den
+        q += rho * rho / (n - lag)
+    q *= n * (n + 2)
+    assert out["wn"]["q_stat"] == pytest.approx(q, rel=1e-9)
+
+    # degenerate: constant series -> null Q
+    flat = spark.createDataFrame(
+        [("f", t, 5) for t in range(50)], "grp string, t long, v long"
+    )
+    fp = ccf_pieces(flat, flat, ["grp"], "t", "v", "v", lags=range(1, 4))
+    assert ljung_box_scores(fp, ["grp"]).collect()[0]["q_stat"] is None
