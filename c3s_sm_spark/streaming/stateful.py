@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -382,6 +383,142 @@ def stream_cusum(
         _fold,
         outputStructType=out_schema,
         stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_TOPK_STATE_SCHEMA = StructType(
+    [
+        StructField("items", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("errs", ArrayType(LongType())),
+        StructField("n_total", LongType()),
+        StructField("frontier_us", LongType()),
+    ]
+)
+
+
+def stream_topk(
+    points_stream: DataFrame,
+    key: str = "source",
+    ts_col: str = "ts",
+    item_col: str = "token",
+    k: int = 10,
+    capacity: int = 64,
+) -> DataFrame:
+    """X154 streaming per-key heavy hitters via the Space-Saving sketch
+    (Metwally et al. 2005) — the live twin of the batch
+    ``heavy_hitters`` / ``token_freq`` queries: which token/item ids
+    dominate each source RIGHT NOW, in O(capacity) state per key
+    regardless of stream length or vocabulary size.
+
+    Sketch semantics (batched mergeable variant): each micro-batch's
+    items are exact-counted first (pandas value_counts — no per-row
+    Python), then folded into the tracked set in deterministic order
+    (count DESC, item ASC): tracked items add exactly; new items take
+    a free slot, or evict the current minimum m and start at ``m +
+    c`` with error bound ``err = m`` recorded. Standard guarantees:
+    estimated count overshoots the true count by at most ``err`` <=
+    n_total/capacity, and any item with true count > n_total/capacity
+    is tracked. EXACTNESS contract: while a key has seen <= capacity
+    distinct items, every count is exact and ``err = 0`` — pinned
+    against the batch exact counts in tests/test_streaming.py.
+
+    Ingestion contracts match :func:`stream_ewma`: cross-batch rows at
+    or before the frontier are dropped (idempotent whole-file replay —
+    a re-fed batch must not double-count), null ts/item dropped.
+    Items are LongType ids (token ids, hashed terms); hash strings
+    upstream with ``xxhash64`` if needed.
+
+    Output (append mode): one SNAPSHOT per key per micro-batch that
+    touched it — the current top-``k`` rows ``(key, item, est, err,
+    n_total)``. ``n_total`` is monotone per key, so the latest
+    snapshot is the max-``n_total`` row group (how the parity test
+    reads it back).
+    """
+    if k < 1 or capacity < k:
+        raise ValueError(f"need 1 <= k <= capacity, got k={k}, capacity={capacity}")
+
+    out_schema = StructType(
+        [
+            StructField(key, points_stream.schema[key].dataType),
+            StructField("item", LongType()),
+            StructField("est", LongType()),
+            StructField("err", LongType()),
+            StructField("n_total", LongType()),
+        ]
+    )
+
+    def _fold(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts = pd.to_datetime(pdf[ts_col])
+        keep = ts.notna() & pdf[item_col].notna()
+        if state.exists:
+            items, counts, errs, n_total, frontier_us = state.get
+            sk = {
+                int(i): [int(c), int(e)]
+                for i, c, e in zip(items, counts, errs)
+            }
+            frontier = pd.Timestamp(np.datetime64(frontier_us, "us"))
+            keep &= ts > frontier
+        else:
+            sk = {}
+            n_total = 0
+        pdf = pdf.loc[keep]
+        if not len(pdf):
+            return
+        vc = pdf[item_col].astype("int64").value_counts()
+        # deterministic fold order: count DESC, item ASC
+        batch = sorted(
+            ((int(c), int(i)) for i, c in vc.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for c, item in batch:
+            n_total += c
+            if item in sk:
+                sk[item][0] += c
+            elif len(sk) < capacity:
+                sk[item] = [c, 0]
+            else:
+                m_item = min(sk, key=lambda j: (sk[j][0], j))
+                m = sk.pop(m_item)[0]
+                sk[item] = [m + c, m]
+        frontier_us = int(
+            pd.to_datetime(pdf[ts_col]).to_numpy().astype("datetime64[us]").astype(np.int64).max()
+        )
+        tracked = sorted(sk.items(), key=lambda t: (-t[1][0], t[0]))
+        state.update(
+            (
+                [i for i, _ in tracked],
+                [c for _, (c, _e) in tracked],
+                [e for _, (_c, e) in tracked],
+                int(n_total),
+                frontier_us,
+            )
+        )
+        top = tracked[:k]
+        kv = key_tuple[0]
+        yield pd.DataFrame(
+            {
+                key: [kv] * len(top),
+                "item": [i for i, _ in top],
+                "est": [c for _, (c, _e) in top],
+                "err": [e for _, (_c, e) in top],
+                "n_total": [int(n_total)] * len(top),
+            }
+        )
+
+    return points_stream.groupBy(key).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=_TOPK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -505,3 +505,127 @@ def test_stream_cusum_bit_parity_and_replay(spark, tmp_path):
     _run()
     assert spark.read.parquet(out_dir).count() == len(exp)
     raw.unpersist()
+
+
+def test_stream_topk_exact_under_capacity_and_replay(spark, tmp_path):
+    """X154 Space-Saving heavy hitters: while distinct items per key fit
+    the capacity, every estimate is EXACT with err=0 — pinned against
+    batch value counts across a 2-batch split; whole-file replay must
+    not double-count (frontier drop)."""
+    from c3s_sm_spark.streaming.stateful import stream_topk
+
+    raw = (
+        gen_points_raw(spark, 4, start="2019-10-01", end="2019-11-30")
+        .where(F.col("version") == "v1")
+        .select(
+            "doc_id", "ts",
+            # small item domain (20 ids) so capacity=64 never evicts
+            F.pmod(F.col("v").cast("long"), F.lit(20)).alias("item_id"),
+        )
+        .cache()
+    )
+    in_dir = str(tmp_path / "in_t")
+    ck = str(tmp_path / "ck_topk")
+    out_dir = str(tmp_path / "out_topk")
+    early = raw.where(F.col("ts") < "2019-11-01")
+    late = raw.where(F.col("ts") >= "2019-11-01")
+    early.coalesce(1).write.parquet(in_dir, mode="overwrite")
+
+    def _run():
+        stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+        q = (
+            stream_topk(
+                stream, key="doc_id", ts_col="ts", item_col="item_id",
+                k=5, capacity=64,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()
+    late.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+
+    snaps = spark.read.parquet(out_dir)
+    # latest snapshot per key = max n_total rows
+    latest = (
+        snaps.withColumn(
+            "mx", F.max("n_total").over(__import__("pyspark").sql.Window.partitionBy("doc_id"))
+        )
+        .where(F.col("n_total") == F.col("mx"))
+    )
+    got = {
+        (r["doc_id"], r["item"]): (r["est"], r["err"], r["n_total"])
+        for r in latest.collect()
+    }
+    # batch truth: exact counts over the full input, top-5 per key
+    exact = (
+        raw.groupBy("doc_id", "item_id").count()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("doc_id")
+                .orderBy(F.col("count").desc(), F.col("item_id").asc())
+            ),
+        )
+        .where(F.col("rn") <= 5)
+    )
+    totals = {r["doc_id"]: r["n"] for r in
+              raw.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    want = {
+        (r["doc_id"], r["item_id"]): (r["count"], 0, totals[r["doc_id"]])
+        for r in exact.collect()
+    }
+    assert got == want  # exact under capacity, correct totals
+    # replay: no double counting
+    early.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+    snaps2 = spark.read.parquet(out_dir)
+    assert snaps2.agg(F.max("n_total")).head()[0] == max(totals.values())
+    raw.unpersist()
+
+
+def test_stream_topk_eviction_bounds(spark, tmp_path):
+    """Over-capacity behavior: estimates overshoot by at most err, and
+    a true heavy hitter is tracked."""
+    import datetime as dt
+
+    from c3s_sm_spark.streaming.stateful import stream_topk
+
+    # 30 distinct items, capacity 8: item 999 is the planted hitter
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(300):
+        item = 999 if i % 3 == 0 else (i % 30)
+        rows.append(("k", t0 + dt.timedelta(seconds=i), item))
+    df = spark.createDataFrame(rows, "src string, ts timestamp, item_id long")
+    in_dir = str(tmp_path / "in_e")
+    ck = str(tmp_path / "ck_e")
+    out_dir = str(tmp_path / "out_e")
+    df.coalesce(1).write.parquet(in_dir, mode="overwrite")
+    stream = spark.readStream.schema(df.schema).parquet(in_dir)
+    q = (
+        stream_topk(stream, key="src", ts_col="ts", item_col="item_id",
+                    k=3, capacity=8)
+        .writeStream.foreachBatch(
+            lambda d, _eid: d.write.mode("append").parquet(out_dir)
+        )
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = {r["item"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert 999 in out  # the hitter survives eviction pressure
+    r = out[999]
+    true_c = sum(1 for i in range(300) if i % 3 == 0)
+    assert r["est"] >= true_c  # Space-Saving never undercounts
+    assert r["est"] - r["err"] <= true_c  # ... and overshoot <= err
+    assert r["n_total"] == 300
