@@ -3281,6 +3281,28 @@ def _q_page_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_swi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X155 SWI recursive exponential filter (pytesmo exp_filter — the
+    reference ecosystem's derived soil-moisture product) over each
+    user's purchase series, T=5 days. Rows-only by design (a
+    state-dependent float recursion has no ANSI-SQL twin; the holt
+    pattern): brute-force + running-mean-limit parity and the
+    streaming twin's bit-parity are pinned in pytest."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import swi_filter
+
+    daily = _daily_purchase_v4(spark, sf_dir).withColumn(
+        "v", F.col("v4").cast("double")
+    )
+    out = swi_filter(daily, ["user_id"], "day", "v", ctime_days=5.0)
+    return out.select(
+        "user_id",
+        "day",
+        F.round("swi", 4).alias("swi"),
+        F.round("swi_gain", 6).alias("swi_gain"),
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3666,6 +3688,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X152 (oracled): Page CUSUM drift alarm (running sum - running
         # min, exact BIGINT; stream_cusum is the stateful twin):
         "page_cusum": _q_page_cusum,
+        # X155 (rows-only): SWI gap-aware exponential filter (stream_swi
+        # is the bit-parity stateful twin):
+        "swi": _q_swi,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

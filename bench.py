@@ -184,6 +184,13 @@ HEADLINE = [
     "benford",
     "flatline",
     "brown_forsythe",
+    "durbin_watson",
+    "grubbs",
+    "kruskal_wallis",
+    "spearman",
+    "theil_sen",
+    "page_cusum",
+    "swi",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -3947,3 +3947,104 @@ def ljung_box_scores(pieces: DataFrame, keys: Sequence[str]) -> DataFrame:
             * F.col("__s"),
         ).alias("q_stat"),
     )
+
+
+def swi_filter(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    ctime_days: float,
+    out_col: str = "swi",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X155 Soil Water Index recursive exponential filter (Wagner 1999 /
+    Albergel 2008) — THE derived product of the reference's ecosystem:
+    pytesmo's ``exp_filter`` turns the surface-soil-moisture series the
+    reference's time-series tier serves into profile soil moisture at
+    characteristic time T. Engine reading: a gap-aware exponential
+    smoother whose effective alpha adapts to irregular sampling —
+    exactly what a telemetry tier wants when series have holes (plain
+    :func:`ewma` over-weights post-gap points).
+
+    Recurrence per key (ts-ordered): gain ``K_1 = 1``, ``SWI_1 =
+    v_1``; then ``K_n = K_{n-1} / (K_{n-1} + e^{-dt_n/T})`` with
+    ``dt_n`` the gap in days, ``SWI_n = SWI_{n-1} + K_n (v_n -
+    SWI_{n-1})``. Limit behavior pinned in tests: T -> inf gives the
+    exact running mean (K_n = 1/n), T -> 0 tracks the raw series.
+
+    Physical strategy: the :func:`ewma` shape — ``repartition(keys)``
+    + ``sortWithinPartitions`` + partition-level ``mapInPandas`` (one
+    Arrow stream per partition, each key's series complete and sorted
+    inside it — deterministic under any cluster partitioning). The
+    K-recursion is state-dependent (not a fixed-alpha ewm), so inside
+    the batch it folds in a per-series numpy loop: O(series length)
+    Python steps per KEY (not per raw point at corpus scale — this
+    runs on rolled-up tiers), the same trade stream_holt documents.
+    Null values are passed through untouched without advancing the
+    filter state (a null can't move SWI, and the next gap spans it).
+
+    Output: input columns + ``out_col`` (float64) + ``swi_gain``
+    (the final K is the streaming twin's carry-over, exposed so
+    :func:`~c3s_sm_spark.streaming.stateful.stream_swi` can pin
+    bit-parity).
+    """
+    import math
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if ctime_days <= 0:
+        raise ValueError(f"ctime_days must be > 0, got {ctime_days}")
+    keys = list(keys)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, DoubleType()), StructField("swi_gain", DoubleType())]
+    )
+    t_char = float(ctime_days)
+
+    def _swi_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+
+        def _fold(g: pd.DataFrame) -> pd.DataFrame:
+            t = (
+                pd.to_datetime(g[ts_col]).to_numpy().astype("datetime64[us]")
+                .astype(np.int64) / 86_400_000_000.0
+            )
+            v = g[value_col].to_numpy(dtype=np.float64)
+            swi = np.full(len(v), np.nan)
+            gain = np.full(len(v), np.nan)
+            s = k = None
+            last_t = None
+            for i in range(len(v)):
+                if np.isnan(v[i]):
+                    continue
+                if s is None:
+                    s, k = v[i], 1.0
+                else:
+                    e = math.exp(-(t[i] - last_t) / t_char)
+                    k = k / (k + e)
+                    s = s + k * (v[i] - s)
+                last_t = t[i]
+                swi[i], gain[i] = s, k
+            g = g.copy()
+            g[out_col] = swi
+            g["swi_gain"] = gain
+            return g
+
+        yield pd.concat(
+            [_fold(g) for _, g in pdf.groupby(keys, sort=False)],
+            ignore_index=True,
+        )
+
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        df.repartition(n, *keys)
+        .sortWithinPartitions(*keys, ts_col)
+        .mapInPandas(_swi_partition, schema=out_schema)
+    )

@@ -522,3 +522,114 @@ def stream_topk(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_SWI_STATE_SCHEMA = StructType(
+    [
+        StructField("swi", DoubleType()),
+        StructField("gain", DoubleType()),
+        StructField("last_t_us", LongType()),
+        StructField("frontier_us", LongType()),
+    ]
+)
+
+
+def stream_swi(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    ctime_days: float = 5.0,
+) -> DataFrame:
+    """X155 streaming SWI exponential filter — the stateful twin of
+    :func:`~c3s_sm_spark.operators.timeseries.swi_filter`, carrying
+    ``(swi, gain, last_t, frontier)`` across micro-batches: the live
+    profile-soil-moisture / gap-aware-smoothed surface a telemetry
+    tier serves between batch recomputes (the reference ecosystem's
+    pytesmo ``exp_filter`` applied on arrival).
+
+    Bit-parity: the recurrence is the identical float-op sequence in
+    timestamp order, and the gain K plus the last observation time are
+    exactly the sufficient state — so stream equals batch bit-for-bit
+    under ANY micro-batch slicing, from row 0, with no divergence
+    caveat (pinned in tests/test_streaming.py). Same ingestion
+    contracts as :func:`stream_ewma` (unique per-key timestamps,
+    frontier equality-drop for idempotent replay, in-batch per-key
+    sort); null values are dropped HERE (unlike the batch operator's
+    pass-through) because an append-mode stream has no reason to emit
+    a row the filter ignored.
+
+    Output (append mode): ``(key, ts, value, swi, swi_gain)``.
+    """
+    import math
+
+    if ctime_days <= 0:
+        raise ValueError(f"ctime_days must be > 0, got {ctime_days}")
+    t_char = float(ctime_days)
+
+    out_schema = StructType(
+        [
+            StructField(key, points_stream.schema[key].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("swi", DoubleType()),
+            StructField("swi_gain", DoubleType()),
+        ]
+    )
+
+    def _fold(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = parts[0] if len(parts) == 1 else pd.concat(parts, ignore_index=True)
+        ts = pd.to_datetime(pdf[ts_col])
+        keep = ts.notna() & pdf[value_col].notna()
+        if state.exists:
+            s, k, last_t_us, frontier_us = state.get
+            frontier = pd.Timestamp(np.datetime64(frontier_us, "us"))
+            keep &= ts > frontier
+        else:
+            s = k = last_t_us = None
+        pdf = pdf.loc[keep].sort_values(ts_col, kind="stable")
+        if not len(pdf):
+            return
+        t_us = (
+            pd.to_datetime(pdf[ts_col]).to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        out_s = np.empty(len(v))
+        out_k = np.empty(len(v))
+        for i in range(len(v)):
+            # identical float-op ORDER as the batch fold: day floats
+            # derive from the same int64 microseconds / 86_400e6
+            ti = t_us[i] / 86_400_000_000.0
+            if s is None:
+                s, k = v[i], 1.0
+            else:
+                e = math.exp(-(ti - last_t_us / 86_400_000_000.0) / t_char)
+                k = k / (k + e)
+                s = s + k * (v[i] - s)
+            last_t_us = int(t_us[i])
+            out_s[i], out_k[i] = s, k
+        state.update((float(s), float(k), int(last_t_us), int(t_us.max())))
+        yield pd.DataFrame(
+            {
+                key: pdf[key].to_numpy(),
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: v,
+                "swi": out_s,
+                "swi_gain": out_k,
+            }
+        )
+
+    return points_stream.groupBy(key).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=_SWI_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

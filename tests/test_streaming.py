@@ -629,3 +629,57 @@ def test_stream_topk_eviction_bounds(spark, tmp_path):
     assert r["est"] >= true_c  # Space-Saving never undercounts
     assert r["est"] - r["err"] <= true_c  # ... and overshoot <= err
     assert r["n_total"] == 300
+
+
+def test_stream_swi_bit_parity(spark, tmp_path):
+    """X155 streaming SWI must be bit-identical to the batch operator
+    under a 2-batch split — (swi, gain, last_t) is the exact sufficient
+    state of the recurrence."""
+    from c3s_sm_spark.operators.timeseries import swi_filter
+    from c3s_sm_spark.streaming.stateful import stream_swi
+
+    raw = (
+        gen_points_raw(spark, 5, start="2019-10-01", end="2019-11-30")
+        .where(F.col("version") == "v1")
+        .select("doc_id", "ts", F.col("v").cast("double").alias("value"))
+        .cache()
+    )
+    in_dir = str(tmp_path / "in_s")
+    ck = str(tmp_path / "ck_swi")
+    out_dir = str(tmp_path / "out_swi")
+    early = raw.where(F.col("ts") < "2019-11-01")
+    late = raw.where(F.col("ts") >= "2019-11-01")
+    early.coalesce(1).write.parquet(in_dir, mode="overwrite")
+
+    def _run():
+        stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+        q = (
+            stream_swi(
+                stream, key="doc_id", ts_col="ts", value_col="value",
+                ctime_days=5.0,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()
+    late.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+
+    got = {
+        (r["doc_id"], str(r["ts"])): (r["swi"], r["swi_gain"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    exp = {
+        (r["doc_id"], str(r["ts"])): (r["swi"], r["swi_gain"])
+        for r in swi_filter(raw, ["doc_id"], "ts", "value", ctime_days=5.0).collect()
+    }
+    assert got == exp  # bit parity, every row
+    assert len(got) == raw.count()
+    raw.unpersist()

@@ -3285,3 +3285,72 @@ def test_ljung_box_white_vs_ar(spark):
     )
     fp = ccf_pieces(flat, flat, ["grp"], "t", "v", "v", lags=range(1, 4))
     assert ljung_box_scores(fp, ["grp"]).collect()[0]["q_stat"] is None
+
+
+def test_swi_filter_brute_force_and_limits(spark):
+    import math
+
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import swi_filter
+
+    rng = np.random.default_rng(191)
+    # irregular sampling: some gaps of several days
+    ts = [0]
+    for _ in range(59):
+        ts.append(ts[-1] + int(rng.integers(1, 5)))
+    vals = [float(v) for v in rng.uniform(0, 50, 60)]
+    rows = [
+        ("g", _ts("2024-01-01") + dt.timedelta(days=t), v)
+        for t, v in zip(ts, vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = {
+        str(r["ts"]): (r["swi"], r["swi_gain"])
+        for r in swi_filter(df, ["k"], "ts", "v", ctime_days=5.0).collect()
+    }
+    # brute force
+    s = k = last = None
+    for t, v in zip(ts, vals):
+        if s is None:
+            s, k = v, 1.0
+        else:
+            e = math.exp(-(t - last) / 5.0)
+            k = k / (k + e)
+            s = s + k * (v - s)
+        last = t
+        key = str(dt.datetime(2024, 1, 1) + dt.timedelta(days=t))
+        assert out[key][0] == pytest.approx(s, rel=1e-12)
+        assert out[key][1] == pytest.approx(k, rel=1e-12)
+
+    # T -> inf: K_n = 1/n exactly -> SWI is the running mean
+    big = swi_filter(df, ["k"], "ts", "v", ctime_days=1e12)
+    got = [
+        (r["swi"], r["swi_gain"])
+        for r in big.orderBy("ts").collect()
+    ]
+    for n, (sv, kv) in enumerate(got, 1):
+        assert sv == pytest.approx(sum(vals[:n]) / n, rel=1e-9)
+        assert kv == pytest.approx(1.0 / n, rel=1e-9)
+
+    # T -> 0: tracks the raw series (K = 1)
+    small = swi_filter(df, ["k"], "ts", "v", ctime_days=1e-6)
+    for r, v in zip(small.orderBy("ts").collect(), vals):
+        assert r["swi"] == pytest.approx(v, rel=1e-12)
+
+    # nulls pass through without advancing the filter
+    withnull = spark.createDataFrame(
+        [
+            ("g", _ts("2024-01-01"), 10.0),
+            ("g", _ts("2024-01-02"), None),
+            ("g", _ts("2024-01-03"), 20.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    rs = swi_filter(withnull, ["k"], "ts", "v", ctime_days=5.0).orderBy("ts").collect()
+    assert rs[1]["swi"] is None
+    # the day-3 gap is 2 days (spanning the null), not 1
+    e = math.exp(-2.0 / 5.0)
+    k = 1.0 / (1.0 + e)
+    assert rs[2]["swi"] == pytest.approx(10.0 + k * 10.0, rel=1e-12)
