@@ -3303,6 +3303,21 @@ def _q_swi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 Welch two-sample t pieces, click vs view values (1e-4
+    units, same staging as rank_sum): one exact-BIGINT aggregate; t /
+    Welch df / Cohen's d derive caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.profile import welch_pieces
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    )
+    return welch_pieces(ev, "event_type", "v4", "click", "view")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3691,6 +3706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # X155 (rows-only): SWI gap-aware exponential filter (stream_swi
         # is the bit-parity stateful twin):
         "swi": _q_swi,
+        # X156 (oracled): Welch two-sample t pieces (one aggregate):
+        "welch_t": _q_welch_t,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6077,6 +6094,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN s_plus > 500000 OR s_minus > 500000
                          THEN 1 ELSE 0 END AS INTEGER) AS alarm
         FROM m
+    """
+    # X156: identical conditional-sum pieces; every column cast BIGINT
+    d["welch_t"] = """
+        WITH p AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 event_type = 'click' AS ia
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'view'))
+        SELECT CAST(count(CASE WHEN ia THEN 1 END) AS BIGINT) AS n_a,
+               CAST(coalesce(sum(CASE WHEN ia THEN v END), 0) AS BIGINT)
+                 AS sum_a,
+               CAST(coalesce(sum(CASE WHEN ia THEN v * v END), 0)
+                    AS BIGINT) AS sum2_a,
+               CAST(count(CASE WHEN NOT ia THEN 1 END) AS BIGINT) AS n_b,
+               CAST(coalesce(sum(CASE WHEN NOT ia THEN v END), 0)
+                    AS BIGINT) AS sum_b,
+               CAST(coalesce(sum(CASE WHEN NOT ia THEN v * v END), 0)
+                    AS BIGINT) AS sum2_b
+        FROM p
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

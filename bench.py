@@ -191,6 +191,7 @@ HEADLINE = [
     "theil_sen",
     "page_cusum",
     "swi",
+    "welch_t",
     "text_quality",
     "lang_id",
     "quality_select",

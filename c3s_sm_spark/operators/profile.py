@@ -708,3 +708,62 @@ def grubbs_scores(pieces: DataFrame) -> DataFrame:
         F.when(ok, emax).alias("e_max"),
         F.when(ok & (emax > 0), g / emax).alias("g_excess"),
     )
+
+
+def welch_pieces(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X156 Welch two-sample t pieces — the parametric location test
+    completing the two-sample family (X120 rank_sum: rank location;
+    X121 ks: any ECDF divergence; X146 brown_forsythe: variance;
+    this: mean difference under unequal variances, the default "did
+    the metric move between variants" test). One map-side-combinable
+    aggregate; all pieces exact BIGINT (same centi/1e-4 scaling
+    contract as the callers'): ``(n_a, sum_a, sum2_a, n_b, sum_b,
+    sum2_b)`` in a single row. t, the Welch-Satterthwaite df and
+    Cohen's d derive caller-side in :func:`welch_scores`.
+    """
+    p = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("ia"),
+    )
+    va = F.when(F.col("ia"), F.col("v"))
+    vb = F.when(~F.col("ia"), F.col("v"))
+    return p.agg(
+        F.count(va).cast("long").alias("n_a"),
+        F.coalesce(F.sum(va), F.lit(0)).cast("long").alias("sum_a"),
+        F.coalesce(F.sum(va * va), F.lit(0)).cast("long").alias("sum2_a"),
+        F.count(vb).cast("long").alias("n_b"),
+        F.coalesce(F.sum(vb), F.lit(0)).cast("long").alias("sum_b"),
+        F.coalesce(F.sum(vb * vb), F.lit(0)).cast("long").alias("sum2_b"),
+    )
+
+
+def welch_scores(pieces: DataFrame) -> DataFrame:
+    """t statistic, Welch-Satterthwaite degrees of freedom and Cohen's
+    d from :func:`welch_pieces` — plain projection. Null when either
+    group has n < 2 or zero variance."""
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("sum_a").cast("double") / na
+    mb = F.col("sum_b").cast("double") / nb
+    va = (F.col("sum2_a").cast("double") - F.col("sum_a").cast("double") * ma) / (na - 1)
+    vb = (F.col("sum2_b").cast("double") - F.col("sum_b").cast("double") * mb) / (nb - 1)
+    se2 = va / na + vb / nb
+    ok = (F.col("n_a") >= 2) & (F.col("n_b") >= 2) & (se2 > 0)
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dof = F.when(
+        ok & (va > 0) & (vb > 0),
+        se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)),
+    )
+    sp = F.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    d = F.when(ok & (sp > 0), (ma - mb) / sp)
+    return pieces.select(
+        "*",
+        t.alias("t_stat"),
+        dof.alias("welch_df"),
+        d.alias("cohens_d"),
+    )

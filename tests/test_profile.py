@@ -193,3 +193,44 @@ def test_grubbs_pieces_brute_force_and_plant(spark):
     flat = spark.createDataFrame([("f", 7)] * 5, "k string, v long")
     sf = grubbs_scores(grubbs_pieces(flat, ["k"], "v")).collect()[0]
     assert sf["g_stat"] is None and sf["g_excess"] is None
+
+
+def test_welch_pieces_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.profile import welch_pieces, welch_scores
+
+    rng = np.random.default_rng(193)
+    a = [int(v) for v in rng.normal(100, 20, 80)]
+    b = [int(v) for v in rng.normal(130, 40, 50)]  # shifted + wider
+    rows = (
+        [("a", v) for v in a]
+        + [("b", v) for v in b]
+        + [("c", 999)]  # third group must be excluded
+    )
+    df = spark.createDataFrame(rows, "g string, v long")
+    p = welch_pieces(df, "g", "v", "a", "b").collect()[0]
+    assert p["n_a"] == 80 and p["sum_a"] == sum(a)
+    assert p["sum2_a"] == sum(v * v for v in a)
+    assert p["n_b"] == 50 and p["sum_b"] == sum(b)
+    assert p["sum2_b"] == sum(v * v for v in b)
+
+    s = welch_scores(welch_pieces(df, "g", "v", "a", "b")).collect()[0]
+    va = np.var(a, ddof=1)
+    vb = np.var(b, ddof=1)
+    se2 = va / 80 + vb / 50
+    want_t = (np.mean(a) - np.mean(b)) / np.sqrt(se2)
+    want_df = se2**2 / ((va / 80) ** 2 / 79 + (vb / 50) ** 2 / 49)
+    assert s["t_stat"] == pytest.approx(want_t, rel=1e-12)
+    assert s["welch_df"] == pytest.approx(want_df, rel=1e-12)
+    assert s["t_stat"] < -4  # the shift is detected
+    sp = np.sqrt((79 * va + 49 * vb) / 128)
+    assert s["cohens_d"] == pytest.approx((np.mean(a) - np.mean(b)) / sp, rel=1e-12)
+
+    # degenerate: constant groups -> null t
+    flat = spark.createDataFrame(
+        [("a", 5)] * 4 + [("b", 5)] * 4, "g string, v long"
+    )
+    sf = welch_scores(welch_pieces(flat, "g", "v", "a", "b")).collect()[0]
+    assert sf["t_stat"] is None and sf["welch_df"] is None
