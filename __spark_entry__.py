@@ -3318,6 +3318,22 @@ def _q_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch_pieces(ev, "event_type", "v4", "click", "view")
 
 
+def _q_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 Cramér-von Mises two-sample pieces, click vs view on the
+    user_id%10 slice (the pettitt/hurst slice pattern — keeps
+    sum_cd2 <= N·(nm)² comfortably inside BIGINT at any sf): one
+    exact integer, T derives caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import cvm_pieces
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & (F.col("user_id") % 10 == 0))
+        .withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    )
+    return cvm_pieces(ev, "event_type", "v4", "click", "view")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3708,6 +3724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "swi": _q_swi,
         # X156 (oracled): Welch two-sample t pieces (one aggregate):
         "welch_t": _q_welch_t,
+        # X157 (oracled): Cramér-von Mises integrated-ECDF pieces:
+        "cvm": _q_cvm,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6113,6 +6131,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(sum(CASE WHEN NOT ia THEN v * v END), 0)
                     AS BIGINT) AS sum2_b
         FROM p
+    """
+    # X157: identical inclusive-cumulative ECDF integers on the same
+    # user slice; ONE BIGINT out
+    d["cvm"] = """
+        WITH p AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 event_type = 'click' AS ia
+          FROM events
+          WHERE value IS NOT NULL AND user_id % 10 = 0
+            AND event_type IN ('click', 'view')),
+        counts AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM p GROUP BY v),
+        cum AS (
+          SELECT v, ca, cb,
+                 CAST(sum(ca) OVER w AS BIGINT) AS inc_a,
+                 CAST(sum(cb) OVER w AS BIGINT) AS inc_b
+          FROM counts
+          WINDOW w AS (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b
+          FROM counts)
+        SELECT tot.n_a, tot.n_b,
+               CAST(sum((ca + cb)
+                        * (inc_a * tot.n_b - inc_b * tot.n_a)
+                        * (inc_a * tot.n_b - inc_b * tot.n_a)) AS BIGINT)
+                 AS sum_cd2
+        FROM cum CROSS JOIN tot
+        GROUP BY tot.n_a, tot.n_b
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

@@ -192,6 +192,7 @@ HEADLINE = [
     "page_cusum",
     "swi",
     "welch_t",
+    "cvm",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -4048,3 +4048,83 @@ def swi_filter(
         .sortWithinPartitions(*keys, ts_col)
         .mapInPandas(_swi_partition, schema=out_schema)
     )
+
+
+
+
+def cvm_pieces(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X157 Cramér-von Mises two-sample pieces — the INTEGRATED
+    ECDF-divergence test completing the two-sample family: X120
+    rank_sum sees location, X121 ks sees the single worst ECDF gap,
+    X156 welch_t sees means; CvM weighs divergence over the WHOLE
+    distribution, catching spread/shape drift a max-gap statistic
+    dilutes.
+
+    ECDF form (tie-canonical — on tied data the classical rank form
+    silently inflates, measured +5x on a 25-value domain): ``T =
+    (nm/N²) Σ_x (F_a(x) − F_b(x))²`` summed over pooled OBSERVATIONS,
+    i.e. each distinct value weighted by its multiplicity. With the
+    X121 integers ``D_v = inc_a(v)·n_b − inc_b(v)·n_a`` (inclusive
+    cumulative counts — ECDF differences between observed values are
+    constant) the whole witness is ONE exact BIGINT: ``sum_cd2 = Σ_v
+    c_v · D_v²``; ``T = sum_cd2/(n_a n_b N²)`` derives caller-side in
+    :func:`cvm_scores`.
+
+    Overflow contract: ``sum_cd2 <= N·(n_a·n_b)²`` — comfortable to
+    ~5e3 x 5e3 samples; the driver witness runs a user-slice (the
+    pettitt/hurst pattern), full-corpus runs pre-aggregate or
+    subsample first.
+
+    Scale shape: identical to :func:`ks_pieces` — per-value counts,
+    one two-phase :func:`~c3s_sm_spark.operators.sampling.
+    global_cumsum`, broadcast totals, one final aggregate.
+    """
+    p = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("ia"),
+    )
+    counts = p.groupBy("v").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    from c3s_sm_spark.operators.sampling import global_cumsum
+
+    cum = global_cumsum(counts, "v", ["ca", "cb"])
+    totals = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    inc_a = F.col("cum_ca") + F.col("ca")
+    inc_b = F.col("cum_cb") + F.col("cb")
+    d = inc_a * F.col("n_b") - inc_b * F.col("n_a")
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum((F.col("ca") + F.col("cb")) * d * d)
+            .cast("long")
+            .alias("sum_cd2")
+        )
+    )
+
+
+def cvm_scores(pieces: DataFrame) -> DataFrame:
+    """T from :func:`cvm_pieces` — plain projection: ``T =
+    sum_cd2/(n_a·n_b·N²)`` with N = n_a+n_b (the two-sample CvM
+    criterion; T > ~0.46 rejects at 5% under the limiting null).
+    Null when either sample is empty."""
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    nn = na + nb
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return pieces.select(
+        "*",
+        F.when(
+            ok, F.col("sum_cd2").cast("double") / (na * nb * nn * nn)
+        ).alias("t_stat"),
+    )

