@@ -3334,6 +3334,33 @@ def _q_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cvm_pieces(ev, "event_type", "v4", "click", "view")
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 salted skew-join witness: documents (Zipf-hot source, ~70%
+    one value) joined to a per-source dimension through the
+    salt-replicated join — the oracle runs the PLAIN SQL join, so the
+    hash match proves exact pair-preservation under salting."""
+    _prep(spark)
+    from c3s_sm_spark.operators.salting import salted_join
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.length("text").cast("long").alias("len")
+    )
+    dim = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("src_docs"),
+        F.sum("len").cast("long").alias("src_len_sum"),
+    )
+    out = salted_join(docs, dim, ["source"], id_col="doc_id", n_salts=8)
+    return out.select(
+        "doc_id",
+        "source",
+        "src_docs",
+        # doc longer than its source mean, in exact integer arithmetic
+        (F.col("len") * F.col("src_docs") > F.col("src_len_sum"))
+        .cast("int")
+        .alias("above_mean"),
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3726,6 +3753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_t": _q_welch_t,
         # X157 (oracled): Cramér-von Mises integrated-ECDF pieces:
         "cvm": _q_cvm,
+        # X158 (oracled): salted skew-join == plain join witness:
+        "salted_join": _q_salted_join,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6164,6 +6193,23 @@ def oracle_sql() -> dict[str, str]:
                  AS sum_cd2
         FROM cum CROSS JOIN tot
         GROUP BY tot.n_a, tot.n_b
+    """
+    # X158: the ORACLE is the plain unsalted join — hash equality IS
+    # the salting-correctness proof
+    d["salted_join"] = """
+        WITH docs AS (
+          SELECT doc_id, source,
+                 CAST(length(text) AS BIGINT) AS len
+          FROM documents),
+        dim AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS src_docs,
+                 CAST(sum(len) AS BIGINT) AS src_len_sum
+          FROM docs GROUP BY source)
+        SELECT docs.doc_id, docs.source, dim.src_docs,
+               CAST(CASE WHEN docs.len * dim.src_docs > dim.src_len_sum
+                         THEN 1 ELSE 0 END AS INTEGER) AS above_mean
+        FROM docs JOIN dim USING (source)
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

@@ -193,6 +193,7 @@ HEADLINE = [
     "swi",
     "welch_t",
     "cvm",
+    "salted_join",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -76,3 +76,47 @@ def salted_agg(
     ]
     partial = with_salt(df, id_col, n_salts, "__salt").groupBy(*keys, "__salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """X158 salted equi-join for skewed keys — the join-side companion
+    to :func:`salted_agg` (which covers aggregation skew): when the
+    big side's join keys are Zipf-hot (70% one source) and the small
+    side is too large or too row-multiplying to broadcast, a plain
+    shuffle join sends every hot-key row to ONE reducer. Salting
+    spreads them: the big side gets a deterministic salt from its own
+    row id, the small side is REPLICATED once per salt value
+    (explode over ``sequence(0, n_salts-1)``), and the join keys
+    become ``(keys..., salt)`` — hot groups fan out over ``n_salts``
+    tasks at the cost of an ``n_salts``-fold copy of the small side,
+    exactly the classic skew-join trade.
+
+    Results are EXACTLY the plain join's rows (salt is a join-key
+    refinement on the big side and a full cross on the small side —
+    every original pair meets exactly once); the driver witness
+    oracles this against the unsalted SQL join. ``how`` supports
+    ``inner`` and ``left`` (a left row's salt exists on the replicated
+    side, so match-or-null semantics are preserved per salt).
+
+    AQE's runtime skew-join split handles sort-merge joins it can
+    see; explicit salting is for the plans AQE can't re-split
+    (broadcast-ineligible dimension under a hot fact, pre-shuffle
+    bucketing, deterministic layout for resume) — the same rationale
+    as salted_agg's note.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    keys = list(keys)
+    b = with_salt(big, id_col, n_salts, "__salt")
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(n_salts) - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = b.join(s, [*keys, "__salt"], how)
+    return out.drop("__salt")

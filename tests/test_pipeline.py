@@ -859,3 +859,41 @@ def test_daily_tier_fused_bit_parity(spark):
         fused._jdf.queryExecution(), "formatted"
     ).split("== Initial Plan ==")[0]
     assert "Exchange (" not in txt and "Join" not in txt
+
+
+def test_salted_join_equals_plain_join(spark):
+    """X158: the salted join must produce EXACTLY the plain join's rows
+    (inner and left), and spread a hot key over the salt domain."""
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.operators.salting import salted_join, with_salt
+
+    # Zipf-hot: 80% of rows share key 'hot'; dim covers only some keys
+    rows = [(f"id{i}", "hot" if i % 5 else f"cold{i % 7}", i) for i in range(500)]
+    big = spark.createDataFrame(rows, "rid string, k string, v long")
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold1", 2), ("cold3", 3)], "k string, w int"
+    )
+
+    for how in ("inner", "left"):
+        got = {
+            tuple(r)
+            for r in salted_join(big, dim, ["k"], id_col="rid", n_salts=8, how=how)
+            .select("rid", "k", "v", "w")
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in big.join(dim, "k", how).select("rid", "k", "v", "w").collect()
+        }
+        assert got == want and len(got) > 0
+
+    # spread: the hot key's rows land in >= 6 of 8 salt groups
+    spread = (
+        with_salt(big.where(F.col("k") == "hot"), "rid", 8, "s")
+        .groupBy("s").count().count()
+    )
+    assert spread >= 6
+
+    with __import__("pytest").raises(ValueError):
+        salted_join(big, dim, ["k"], id_col="rid", how="full")
