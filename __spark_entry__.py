@@ -3361,6 +3361,30 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X159 Kendall tau-b pieces per event_type between each user's
+    activity (event count) and spend (exact 1e-4-unit sum) — the
+    concordance companion to X150 spearman on the same staging;
+    exact integer (s, tie-mass) pieces, tau-b caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import kendall_pieces
+
+    per_user = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ev"),
+            F.coalesce(
+                F.sum(F.round(F.col("value") * 10000).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("spend4"),
+        )
+    )
+    return kendall_pieces(per_user, ["event_type"], "n_ev", "spend4")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3755,6 +3779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cvm": _q_cvm,
         # X158 (oracled): salted skew-join == plain join witness:
         "salted_join": _q_salted_join,
+        # X159 (oracled): Kendall tau-b concordance pieces:
+        "kendall": _q_kendall,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6210,6 +6236,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN docs.len * dim.src_docs > dim.src_len_sum
                          THEN 1 ELSE 0 END AS INTEGER) AS above_mean
         FROM docs JOIN dim USING (source)
+    """
+    # X159: identical lexicographic pair-halving + integer sign sums
+    d["kendall"] = """
+        WITH per_user AS (
+          SELECT event_type,
+                 user_id,
+                 CAST(count(*) AS BIGINT) AS n_ev,
+                 CAST(coalesce(sum(CAST(round(value * 10000) AS BIGINT)),
+                               0) AS BIGINT) AS spend4
+          FROM events GROUP BY event_type, user_id),
+        pr AS (
+          SELECT a.event_type,
+                 CAST(CASE
+                   WHEN (a.n_ev < b.n_ev AND a.spend4 < b.spend4)
+                     OR (a.n_ev > b.n_ev AND a.spend4 > b.spend4) THEN 1
+                   WHEN (a.n_ev < b.n_ev AND a.spend4 > b.spend4)
+                     OR (a.n_ev > b.n_ev AND a.spend4 < b.spend4) THEN -1
+                   ELSE 0 END AS BIGINT) AS sg
+          FROM per_user a JOIN per_user b
+            ON a.event_type = b.event_type
+           AND (a.n_ev < b.n_ev
+                OR (a.n_ev = b.n_ev AND a.spend4 < b.spend4))),
+        sagg AS (
+          SELECT event_type, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+          FROM pr GROUP BY event_type),
+        nn AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM per_user GROUP BY event_type),
+        tx AS (
+          SELECT event_type,
+                 CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS tx
+          FROM (SELECT event_type, n_ev,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM per_user GROUP BY event_type, n_ev)
+          GROUP BY event_type),
+        ty AS (
+          SELECT event_type,
+                 CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS ty
+          FROM (SELECT event_type, spend4,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM per_user GROUP BY event_type, spend4)
+          GROUP BY event_type)
+        SELECT nn.event_type, nn.n,
+               CAST(coalesce(sagg.s, 0) AS BIGINT) AS s,
+               tx.tx, ty.ty
+        FROM nn LEFT JOIN sagg USING (event_type)
+        JOIN tx USING (event_type) JOIN ty USING (event_type)
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

@@ -194,6 +194,7 @@ HEADLINE = [
     "welch_t",
     "cvm",
     "salted_join",
+    "kendall",
     "text_quality",
     "lang_id",
     "quality_select",

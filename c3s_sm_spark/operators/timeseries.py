@@ -4128,3 +4128,91 @@ def cvm_scores(pieces: DataFrame) -> DataFrame:
             ok, F.col("sum_cd2").cast("double") / (na * nb * nn * nn)
         ).alias("t_stat"),
     )
+
+
+def kendall_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """X159 Kendall tau-b pieces — the concordance companion to X150
+    Spearman: does the ORDER of one per-entity metric predict the
+    order of the other, counted pair-by-pair (robust, and with a
+    direct probabilistic reading: P(concordant) − P(discordant)).
+    Spearman weights by rank distance; tau-b counts inversions —
+    reporting both is the standard practice for monotone association.
+
+    Exact BIGINT pieces per key group: ``n``, ``s`` = Σ_{i<j}
+    sign(Δx)·sign(Δy) (concordant − discordant), ``tx`` = Σ over
+    x-tie groups of c(c−1)/2, ``ty`` likewise (tau-b = s /
+    sqrt((n0−tx)(n0−ty)) with n0 = n(n−1)/2 derives caller-side in
+    :func:`kendall_scores`).
+
+    Scale shape: one keys-equi self-join (the X151 theil_sen pattern
+    — quadratic in GROUP size, so this ranks pre-aggregated entities,
+    never raw events) for ``s``; the tie masses come from two cheap
+    per-value groupBys, no join. All integer arithmetic.
+    """
+    keys = list(keys)
+    p = df.select(
+        *keys,
+        F.col(x_col).cast("long").alias("__x"),
+        F.col(y_col).cast("long").alias("__y"),
+    )
+    a = p.select(*keys, F.col("__x").alias("__x1"), F.col("__y").alias("__y1"))
+    b = p.select(*keys, F.col("__x").alias("__x2"), F.col("__y").alias("__y2"))
+    # i<j without a row id: order pairs lexicographically and halve via
+    # strict inequality on the (x, y) tuple — pairs tied on BOTH x and
+    # y contribute sign 0 anyway, so dropping them is exact
+    pairs = a.join(b, keys).where(
+        (F.col("__x1") < F.col("__x2"))
+        | ((F.col("__x1") == F.col("__x2")) & (F.col("__y1") < F.col("__y2")))
+    )
+    sgn = F.signum(
+        (F.col("__x2") - F.col("__x1")).cast("double")
+    ) * F.signum((F.col("__y2") - F.col("__y1")).cast("double"))
+    s = pairs.groupBy(*keys).agg(
+        F.sum(sgn).cast("long").alias("s")
+    )
+    n = p.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def _ties(col: str, out: str) -> DataFrame:
+        return (
+            p.groupBy(*keys, col)
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .groupBy(*keys)
+            .agg(
+                F.sum(F.expr("(__c * (__c - 1)) div 2"))
+                .cast("long")
+                .alias(out)
+            )
+        )
+
+    return (
+        n.join(s, keys, "left")
+        .join(_ties("__x", "tx"), keys)
+        .join(_ties("__y", "ty"), keys)
+        .select(
+            *keys,
+            "n",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
+            "tx",
+            "ty",
+        )
+    )
+
+
+def kendall_scores(pieces: DataFrame) -> DataFrame:
+    """tau-b from :func:`kendall_pieces` — plain projection: ``tau_b =
+    s / sqrt((n0 − tx)(n0 − ty))`` with ``n0 = n(n−1)/2``. Null when a
+    margin is fully tied or n < 2."""
+    n = F.col("n").cast("double")
+    n0 = n * (n - 1.0) / 2.0
+    dx = n0 - F.col("tx").cast("double")
+    dy = n0 - F.col("ty").cast("double")
+    ok = (F.col("n") >= 2) & (dx > 0) & (dy > 0)
+    return pieces.select(
+        "*",
+        F.when(ok, F.col("s").cast("double") / F.sqrt(dx * dy)).alias("tau_b"),
+    )

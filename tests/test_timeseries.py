@@ -3404,3 +3404,49 @@ def test_cvm_pieces_brute_force(spark):
     else:
         ref = cramervonmises_2samp(a, b, method="asymptotic")
         assert s["t_stat"] == pytest.approx(ref.statistic, rel=1e-9)
+
+
+def test_kendall_pieces_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import kendall_pieces, kendall_scores
+
+    rng = np.random.default_rng(229)
+    xs = [int(v) for v in rng.integers(0, 20, 70)]  # heavy ties
+    ys = [x * 2 + int(e) for x, e in zip(xs, rng.integers(-8, 9, 70))]
+    df = spark.createDataFrame(
+        [("k", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    p = kendall_pieces(df, ["g"], "x", "y").collect()[0]
+
+    n = len(xs)
+    s = sum(
+        int(np.sign(xs[j] - xs[i])) * int(np.sign(ys[j] - ys[i]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tx = sum(c * (c - 1) // 2 for c in Counter(xs).values())
+    ty = sum(c * (c - 1) // 2 for c in Counter(ys).values())
+    assert (p["n"], p["s"], p["tx"], p["ty"]) == (n, s, tx, ty)
+
+    sc = kendall_scores(kendall_pieces(df, ["g"], "x", "y")).collect()[0]
+    n0 = n * (n - 1) / 2
+    want = s / ((n0 - tx) * (n0 - ty)) ** 0.5
+    assert sc["tau_b"] == pytest.approx(want, rel=1e-12)
+    assert sc["tau_b"] > 0.6  # monotone plant
+
+    # perfect inverse without ties -> exactly -1
+    inv = spark.createDataFrame(
+        [("k", i, 100 - i) for i in range(40)], "g string, x long, y long"
+    )
+    si = kendall_scores(kendall_pieces(inv, ["g"], "x", "y")).collect()[0]
+    assert si["tau_b"] == pytest.approx(-1.0, abs=1e-12)
+    # fully tied margin -> null
+    flat = spark.createDataFrame(
+        [("k", 7, i) for i in range(10)], "g string, x long, y long"
+    )
+    sf = kendall_scores(kendall_pieces(flat, ["g"], "x", "y")).collect()[0]
+    assert sf["tau_b"] is None and sf["s"] == 0
