@@ -3385,6 +3385,22 @@ def _q_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kendall_pieces(per_user, ["event_type"], "n_ev", "spend4")
 
 
+def _q_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 QQ decile-shift profile, click vs view (1e-4 units):
+    exact type-1 order statistics of both samples at deciles 1..9 via
+    the cumulative-count machinery — WHERE the distribution moved,
+    all BIGINT, no interpolation."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import qq_shift_pieces
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull())
+        .withColumn("v4", F.round(F.col("value") * 10000).cast("long"))
+    )
+    return qq_shift_pieces(ev, "event_type", "v4", "click", "view")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3781,6 +3797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         # X159 (oracled): Kendall tau-b concordance pieces:
         "kendall": _q_kendall,
+        # X160 (oracled): QQ decile-shift profile (exact order stats):
+        "qq_shift": _q_qq_shift,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6283,6 +6301,44 @@ def oracle_sql() -> dict[str, str]:
                tx.tx, ty.ty
         FROM nn LEFT JOIN sagg USING (event_type)
         JOIN tx USING (event_type) JOIN ty USING (event_type)
+    """
+    # X160: identical inclusive-range quantile selection; ceil via
+    # integer (q*n + Q - 1) // Q
+    d["qq_shift"] = """
+        WITH p AS (
+          SELECT CAST(round(value * 10000) AS BIGINT) AS v,
+                 event_type = 'click' AS ia
+          FROM events
+          WHERE value IS NOT NULL AND event_type IN ('click', 'view')),
+        counts AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS BIGINT) AS cb
+          FROM p GROUP BY v),
+        cum AS (
+          SELECT v, ca, cb,
+                 CAST(coalesce(sum(ca) OVER w, 0) - ca AS BIGINT) AS bca,
+                 CAST(coalesce(sum(cb) OVER w, 0) - cb AS BIGINT) AS bcb
+          FROM counts
+          WINDOW w AS (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b FROM counts),
+        probes AS (
+          SELECT CAST(q AS INTEGER) AS q,
+                 CAST((q * tot.n_a + 9) // 10 AS BIGINT) AS k_a,
+                 CAST((q * tot.n_b + 9) // 10 AS BIGINT) AS k_b
+          FROM generate_series(1, 9) AS t(q) CROSS JOIN tot),
+        pa AS (
+          SELECT q, k_a, v AS q_a FROM cum JOIN probes
+            ON bca < k_a AND k_a <= bca + ca),
+        pb AS (
+          SELECT q, k_b, v AS q_b FROM cum JOIN probes
+            ON bcb < k_b AND k_b <= bcb + cb)
+        SELECT pa.q, pa.k_a, pa.q_a, pb.k_b, pb.q_b,
+               CAST(pb.q_b - pa.q_a AS BIGINT) AS shift
+        FROM pa JOIN pb USING (q)
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

@@ -195,6 +195,7 @@ HEADLINE = [
     "cvm",
     "salted_join",
     "kendall",
+    "qq_shift",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -4216,3 +4216,90 @@ def kendall_scores(pieces: DataFrame) -> DataFrame:
         "*",
         F.when(ok, F.col("s").cast("double") / F.sqrt(dx * dy)).alias("tau_b"),
     )
+
+
+def qq_shift_pieces(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_quantiles: int = 10,
+) -> DataFrame:
+    """X160 quantile-quantile shift profile — WHERE in the distribution
+    did the metric move: the exact q-th order statistics of two samples
+    side by side (type-1 / ceiling quantiles, no interpolation — pure
+    integer selection, so the witness is exact on any engine). The
+    drill-down companion to the two-sample family: X121/X157 say THAT
+    the distributions differ, this says the shift lives in (e.g.) the
+    upper deciles — the classic A/B drill-down and drift-localization
+    read.
+
+    For q = 1..n_quantiles−1 the selected position is ``k_q =
+    ceil(q·n/Q)``; the sample value covering position k is the
+    distinct value whose inclusive cumulative-count range
+    ``(before, before+c]`` contains k. Output: one row per q —
+    ``(q, k_a, q_a, k_b, q_b, shift)`` with ``shift = q_b − q_a``,
+    all exact BIGINT.
+
+    Scale shape: per-value counts + ONE two-phase
+    :func:`~c3s_sm_spark.operators.sampling.global_cumsum`; the
+    quantile probe is a broadcast join of the (Q−1)-row position
+    frame against the distinct-value cum frame — no sort of raw data,
+    no percentile_approx, no interpolation ambiguity.
+    """
+    if n_quantiles < 2:
+        raise ValueError(f"n_quantiles must be >= 2, got {n_quantiles}")
+    p = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).cast("long").alias("v"),
+        (F.col(group_col) == group_a).alias("ia"),
+    )
+    counts = p.groupBy("v").agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(~F.col("ia"), 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    from c3s_sm_spark.operators.sampling import global_cumsum
+
+    cum = global_cumsum(counts, "v", ["ca", "cb"])
+    totals = counts.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    spark = df.sparkSession
+    qs = spark.range(1, int(n_quantiles)).select(
+        F.col("id").cast("int").alias("q")
+    )
+    # ceil(q*n/Q) in pure integer arithmetic: (q*n + Q - 1) div Q
+    qq = int(n_quantiles)
+    probes = qs.crossJoin(F.broadcast(totals)).select(
+        "q",
+        F.expr(f"(q * n_a + {qq} - 1) div {qq}").cast("long").alias("k_a"),
+        F.expr(f"(q * n_b + {qq} - 1) div {qq}").cast("long").alias("k_b"),
+    )
+    pa = (
+        cum.join(
+            F.broadcast(probes),
+            (F.col("cum_ca") < F.col("k_a"))
+            & (F.col("k_a") <= F.col("cum_ca") + F.col("ca")),
+        )
+        .select("q", "k_a", F.col("v").alias("q_a"))
+    )
+    pb = (
+        cum.join(
+            F.broadcast(probes),
+            (F.col("cum_cb") < F.col("k_b"))
+            & (F.col("k_b") <= F.col("cum_cb") + F.col("cb")),
+        )
+        .select("q", "k_b", F.col("v").alias("q_b"))
+    )
+    return (
+        pa.join(pb, "q")
+        .select(
+            "q",
+            "k_a",
+            "q_a",
+            "k_b",
+            "q_b",
+            (F.col("q_b") - F.col("q_a")).cast("long").alias("shift"),
+        )
+    )

@@ -3450,3 +3450,35 @@ def test_kendall_pieces_brute_force(spark):
     )
     sf = kendall_scores(kendall_pieces(flat, ["g"], "x", "y")).collect()[0]
     assert sf["tau_b"] is None and sf["s"] == 0
+
+
+def test_qq_shift_brute_force(spark):
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import qq_shift_pieces
+
+    rng = np.random.default_rng(233)
+    a = [int(v) for v in rng.integers(0, 100, 83)]  # awkward sizes
+    b = [int(v) + 30 for v in rng.integers(0, 100, 57)]
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b] + [("z", -1)],
+        "g string, v long",
+    )
+    out = {r["q"]: r for r in
+           qq_shift_pieces(df, "g", "v", "a", "b").collect()}
+    sa, sb = sorted(a), sorted(b)
+    assert len(out) == 9
+    for q in range(1, 10):
+        ka = -(-q * len(a) // 10)  # ceil
+        kb = -(-q * len(b) // 10)
+        r = out[q]
+        assert (r["k_a"], r["k_b"]) == (ka, kb)
+        assert r["q_a"] == sa[ka - 1]
+        assert r["q_b"] == sb[kb - 1]
+        assert r["shift"] == sb[kb - 1] - sa[ka - 1]
+    # the planted +30 shift shows up across deciles
+    assert all(out[q]["shift"] >= 10 for q in range(2, 9))
+
+    with pytest.raises(ValueError):
+        qq_shift_pieces(df, "g", "v", "a", "b", n_quantiles=1)
