@@ -3401,6 +3401,68 @@ def _q_qq_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return qq_shift_pieces(ev, "event_type", "v4", "click", "view")
 
 
+def _q_rle_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161 per-doc token run-length profile: n_tokens / n_runs /
+    max_run / rle_excess — the adjacent-repeat (RLE-compressibility)
+    read, all exact BIGINT from ONE aggregate fold per row (zero
+    shuffle, zero Python)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import rle_profile
+
+    return rle_profile(_docs(spark, sf_dir))
+
+
+def _q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 vocabulary drift between consecutive ingest buckets of 50
+    docs: distinct-token-set sizes + overlap (Jaccard pieces, all
+    BIGINT) — WHEN did the corpus composition shift."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import vocab_drift
+
+    return vocab_drift(_docs(spark, sf_dir), bucket_size=50)
+
+
+def _q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163 exact quantile normalization of per-event values across
+    event types (batch-effect correction): each row's value replaced
+    by the pooled order statistic at its within-group relative rank —
+    type-1 selection, all BIGINT, never a corpus-sized window (count
+    frame + one global_cumsum + boundary/probe LOCF). Witness slice:
+    users < 40 keeps the row set driver-sized."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import quantile_normalize
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("value").isNotNull() & (F.col("user_id") < 40))
+        .select(
+            "event_type",
+            F.round(F.col("value") * 10000).cast("long").alias("v4"),
+            "event_id",
+        )
+    )
+    return quantile_normalize(ev, "event_type", "v4", "event_id")
+
+
+def _q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 banded DTW distance (Sakoe-Chiba w=14) between the
+    per-user daily purchase series of users 0..11, all 66 pairs —
+    integer min-plus DP, exact at any parallelism. Rows-only by
+    design (a min-plus DP recursion has no ANSI-SQL twin); pinned
+    bit-exactly against a pure-Python brute-force reference in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import dtw_distances
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 12)
+    users = [r[0] for r in daily.select("user_id").distinct().collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in users for b in users if a < b],
+        "key_a long, key_b long",
+    )
+    return dtw_distances(daily, "user_id", "day", "v4", pairs, radius=14)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3799,6 +3861,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall": _q_kendall,
         # X160 (oracled): QQ decile-shift profile (exact order stats):
         "qq_shift": _q_qq_shift,
+        # X161 (oracled): per-doc token run-length (RLE) profile:
+        "rle_tokens": _q_rle_tokens,
+        # X162 (oracled): consecutive-bucket vocabulary-drift pieces:
+        "vocab_drift": _q_vocab_drift,
+        # X163 (oracled): exact cross-group quantile normalization:
+        "quantile_norm": _q_quantile_norm,
+        # X164 (rows-only): banded DTW distances (integer min-plus DP):
+        "dtw": _q_dtw,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6339,6 +6409,88 @@ def oracle_sql() -> dict[str, str]:
         SELECT pa.q, pa.k_a, pa.q_a, pb.k_b, pb.q_b,
                CAST(pb.q_b - pa.q_a AS BIGINT) AS shift
         FROM pa JOIN pb USING (q)
+    """
+    # X161: unnest + lag gaps-and-islands twin of the aggregate fold
+    d["rle_tokens"] = r"""
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split(
+                        regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+                 END AS ws
+          FROM documents),
+        t AS (
+          SELECT doc_id, unnest(ws) AS tok,
+                 generate_subscripts(ws, 1) AS ord FROM w),
+        m AS (
+          SELECT doc_id, ord,
+                 CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY ord)
+                           IS DISTINCT FROM tok THEN 1 ELSE 0 END AS brk
+          FROM t),
+        g AS (
+          SELECT doc_id, ord,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY ord
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS rid
+          FROM m),
+        runs AS (SELECT doc_id, rid, count(*) AS rlen
+                 FROM g GROUP BY doc_id, rid),
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+                       CAST(max(rlen) AS BIGINT) AS max_run
+                FROM runs GROUP BY doc_id)
+        SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+               CAST(coalesce(agg.n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(coalesce(agg.max_run, 0) AS BIGINT) AS max_run,
+               CAST(len(w.ws) - coalesce(agg.n_runs, 0) AS BIGINT)
+                 AS rle_excess
+        FROM w LEFT JOIN agg USING (doc_id)
+    """
+    # X162: identical distinct-(bucket, token) sets + adjacent self-join
+    d["vocab_drift"] = r"""
+        WITH w AS (
+          SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split(
+                        regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+                 END AS ws
+          FROM documents),
+        d AS (SELECT DISTINCT bucket, unnest(ws) AS token FROM w),
+        sizes AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_set
+                  FROM d GROUP BY bucket),
+        inter AS (
+          SELECT a.bucket, CAST(count(*) AS BIGINT) AS overlap
+          FROM d a JOIN d b ON a.token = b.token
+                           AND b.bucket = a.bucket + 1
+          GROUP BY a.bucket)
+        SELECT s.bucket, s.bucket + 1 AS next_bucket,
+               s.n_set AS n_prev, n2.n_set AS n_next,
+               CAST(coalesce(i.overlap, 0) AS BIGINT) AS overlap
+        FROM sizes s JOIN sizes n2 ON n2.bucket = s.bucket + 1
+        LEFT JOIN inter i ON i.bucket = s.bucket
+    """
+    # X163: window-rank twin of the two-phase rank + LOCF probe plan;
+    # the pooled order statistic joins on the SAME ceil position
+    d["quantile_norm"] = """
+        WITH s AS (
+          SELECT event_type,
+                 CAST(round(value * 10000) AS BIGINT) AS v4, event_id
+          FROM events WHERE value IS NOT NULL AND user_id < 40),
+        r AS (
+          SELECT event_type, event_id, v4,
+                 CAST(row_number() OVER (PARTITION BY event_type
+                                         ORDER BY v4, event_id)
+                      AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS ns,
+                 count(*) OVER () AS np
+          FROM s),
+        o AS (
+          SELECT v4 AS pv,
+                 row_number() OVER (ORDER BY v4, event_id) AS pos
+          FROM s)
+        SELECT r.event_type, r.event_id, r.v4, r.rn,
+               CAST((r.rn * r.np + r.ns - 1) // r.ns AS BIGINT) AS k,
+               CAST(o.pv AS BIGINT) AS nv
+        FROM r JOIN o ON o.pos = (r.rn * r.np + r.ns - 1) // r.ns
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

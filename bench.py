@@ -196,6 +196,10 @@ HEADLINE = [
     "salted_join",
     "kendall",
     "qq_shift",
+    "rle_tokens",
+    "vocab_drift",
+    "quantile_norm",
+    "dtw",
     "text_quality",
     "lang_id",
     "quality_select",

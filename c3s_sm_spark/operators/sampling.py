@@ -1087,3 +1087,181 @@ def block_bootstrap_pieces(
             F.sum(F.col("__w") * F.col("__v")).cast("long").alias("wsum"),
         )
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X163 exact quantile normalization across groups — the classic
+    batch-effect correction: replace every value by the POOLED
+    distribution's order statistic at the same relative rank, so each
+    group's marginal distribution becomes identical (microarray
+    normalization, cross-scraper score calibration, judge-score
+    de-biasing across annotator pools). Type-1 (ceiling) order
+    statistics, pure integer selection — no interpolation, so the
+    witness is exact on any engine at any parallelism.
+
+    For a row at within-group rank ``r`` of ``n_g`` (total order
+    ``(value, tiebreak)``), the target pooled position is ``k =
+    ceil(r·N/n_g)`` (N = pooled row count) and the normalized value is
+    the pooled k-th order statistic. Emits the input row plus ``rn``,
+    ``k`` and ``nv`` (all BIGINT).
+
+    Scale shape — never a corpus-sized window:
+
+    1. Within-group ranks decompose into a per-``(group, value)`` count
+       frame (map-side combined shuffle), an EXCLUSIVE running sum per
+       group over that frame (window partitioned by group — the frame
+       is distinct-value-sized, not row-sized), and a tie-local
+       ``row_number`` partitioned by ``(group, value)`` (tie-mass-
+       sized). A hot GROUP never serializes its rows into one task.
+    2. The pooled lookup is the boundary/probe union-tag LOCF: pooled
+       distinct values with exclusive cumulative counts (ONE
+       :func:`global_cumsum`) become boundary rows at position
+       ``cum+1``; data rows probe at position ``k``; one
+       ``repartitionByRange`` over ``(position, boundary-first)`` + a
+       per-partition backward window + associative per-partition
+       carries (the :func:`~c3s_sm_spark.operators.timeseries.
+       asof_join_scalable` pattern) resolve every probe without a
+       range join or a single-task sort.
+
+    Overflow contract: ``r·N`` is computed in DECIMAL(38,0), so the
+    int64 product bound does not cap corpus size; ``k <= N`` always
+    fits BIGINT.
+    """
+    from pyspark.sql import Window
+
+    g, v, tb = group_col, value_col, tiebreak_col
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism * 4
+    src = df.select(
+        F.col(g).alias("__g"),
+        F.col(v).cast("long").alias("__v"),
+        F.col(tb).alias("__tb"),
+    )
+
+    # -- step 1: exact within-group rank without a group-sized window
+    counts_g = src.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wg = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before_g = counts_g.select(
+        "__g",
+        "__v",
+        F.coalesce(F.sum("__c").over(wg), F.lit(0)).cast("long").alias("__bef"),
+    )
+    wt = Window.partitionBy("__g", "__v").orderBy("__tb")
+    ranked = (
+        src.withColumn("__tie", F.row_number().over(wt).cast("long"))
+        .join(before_g, ["__g", "__v"])
+        .withColumn("rn", (F.col("__bef") + F.col("__tie")).cast("long"))
+        .drop("__tie", "__bef")
+    )
+
+    totals_g = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng")
+    )
+    n_pool = src.count()
+    probes = ranked.join(F.broadcast(totals_g), "__g").select(
+        "__g",
+        "__v",
+        "__tb",
+        "rn",
+        F.expr(
+            f"CAST((CAST(rn AS DECIMAL(38,0)) * {n_pool} + __ng - 1)"
+            " div __ng AS BIGINT)"
+        ).alias("k"),
+    )
+
+    # -- step 2: pooled order statistic at k via boundary/probe LOCF
+    counts_p = src.groupBy("__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    cum_p = global_cumsum(counts_p, "__v", ["__c"], n_partitions=n)
+    p_types = {f.name: f.dataType for f in probes.schema.fields}
+    bounds = cum_p.select(
+        (F.col("cum___c") + 1).alias("__pos"),
+        F.lit(1).alias("__is_b"),
+        F.col("__v").alias("__bv"),
+        *[
+            F.lit(None).cast(p_types[c]).alias(c)
+            for c in ("__g", "__v", "rn", "k", "__tb")
+        ],
+    )
+    probe_rows = probes.select(
+        F.col("k").alias("__pos"),
+        F.lit(0).alias("__is_b"),
+        F.lit(None).cast("long").alias("__bv"),
+        "__g",
+        "__v",
+        "rn",
+        "k",
+        "__tb",
+    )
+    u = (
+        bounds.unionByName(probe_rows)
+        .repartitionByRange(n, F.col("__pos").asc(), F.col("__is_b").desc())
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wl = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__pos").asc(), F.col("__is_b").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = u.withColumn(
+        "__loc", F.last("__bv", ignorenulls=True).over(wl)
+    )
+    # associative per-partition carry: last boundary value in each pid
+    summ = {
+        r["__pid"]: r["__last"]
+        for r in u.groupBy("__pid")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("__is_b") == 1,
+                    F.struct(F.col("__pos"), F.col("__bv")),
+                )
+            ).alias("__s")
+        )
+        .select("__pid", F.col("__s.__bv").alias("__last"))
+        .collect()
+    }
+    carry: dict[int, int | None] = {}
+    running = None
+    for pid in sorted(summ):
+        carry[pid] = running
+        if summ[pid] is not None:
+            running = summ[pid]
+    # pids with no prior boundary are simply absent (map lookup -> null);
+    # unreachable for probes anyway — the pos=1 boundary sorts first
+    entries = [
+        F.lit(x) for pid, val in carry.items() if val is not None
+        for x in (pid, val)
+    ]
+    cmap = (
+        F.create_map(*entries)
+        if entries
+        else F.lit(None).cast("map<int,bigint>")
+    )
+    return (
+        local.filter(F.col("__is_b") == 0)
+        .select(
+            F.col("__g").alias(g),
+            F.col("__tb").alias(tb),
+            F.col("__v").alias(v),
+            "rn",
+            "k",
+            F.coalesce(F.col("__loc"), cmap[F.col("__pid")])
+            .cast("long")
+            .alias("nv"),
+        )
+    )

@@ -1421,3 +1421,122 @@ def zipf_fit(
         F.when(ok, cov / vx).alias("zipf_slope"),
         F.when(ok & (vy > 0), cov * cov / (vx * vy)).alias("zipf_r2"),
     )
+
+
+def rle_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """X161 per-doc token run-length profile: how much of a document is
+    immediate word-level repetition — the run-length-encoding
+    compressibility read ("the the the", stuttered boilerplate, padded
+    token streams). Complements :func:`repetition_score` (repeated
+    bigrams ANYWHERE in the doc) with the ADJACENT-repeat signal: a
+    doc whose ``n_runs`` is far below ``n_tokens`` is literally
+    RLE-compressible, the classic symptom of generation loops and
+    template stamping.
+
+    Emits per doc, all exact BIGINT: ``n_tokens``, ``n_runs``
+    (maximal blocks of equal adjacent tokens), ``max_run`` (longest
+    block), ``rle_excess = n_tokens - n_runs`` (tokens a run-length
+    coder would delete — 0 on repeat-free text).
+
+    Scale shape: ONE ``aggregate`` fold over the words array per row —
+    pure Column expressions, JVM codegen, zero shuffle, zero Python;
+    the plan is a scan + project at any corpus size. (The DuckDB
+    oracle reproduces it via unnest + lag gaps-and-islands; same
+    integers.)
+    """
+    staged = docs.select("doc_id", words_col(text_col).alias("__ws"))
+    # one fold computes (runs, current-run length, max-run) together:
+    # acc = (prev token, n_runs so far, current run len, max run len)
+    fold = F.expr(
+        """
+        aggregate(
+          __ws,
+          struct(CAST(NULL AS STRING) AS prev, CAST(0 AS BIGINT) AS runs,
+                 CAST(0 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS mx),
+          (a, x) -> struct(
+            x,
+            a.runs + CASE WHEN a.prev IS NOT NULL AND x = a.prev
+                          THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END,
+            CASE WHEN a.prev IS NOT NULL AND x = a.prev
+                 THEN a.cur + 1 ELSE CAST(1 AS BIGINT) END,
+            greatest(a.mx,
+                     CASE WHEN a.prev IS NOT NULL AND x = a.prev
+                          THEN a.cur + 1 ELSE CAST(1 AS BIGINT) END)),
+          a -> struct(a.runs, a.mx))
+        """
+    )
+    return staged.select(
+        "doc_id",
+        F.size("__ws").cast("long").alias("n_tokens"),
+        fold.getField("runs").alias("n_runs"),
+        fold.getField("mx").alias("max_run"),
+        (F.size("__ws").cast("long") - fold.getField("runs")).alias(
+            "rle_excess"
+        ),
+    )
+
+
+def vocab_drift(
+    docs: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    bucket_size: int = 50,
+) -> DataFrame:
+    """X162 vocabulary drift between CONSECUTIVE ingest buckets: the
+    Jaccard overlap of the distinct-token sets of bucket ``b`` and
+    ``b+1`` — is the crawl's vocabulary stable over ingest time, or
+    did the corpus composition jump (new domain dumped in, a scraper
+    format change, a language shift)? :func:`novelty_curve` reads
+    FIRST sightings against all history; this is the local
+    bucket-to-bucket read that localizes WHEN the shift happened —
+    drift localization for the data-mixing dashboard.
+
+    Emits one row per adjacent pair, all exact BIGINT pieces:
+    ``(bucket, next_bucket, n_prev, n_next, overlap)`` with
+    ``jaccard = overlap / (n_prev + n_next - overlap)`` left to the
+    caller (the witness stays integer).
+
+    Scale shape: distinct ``(bucket, token)`` (one shuffle, map-side
+    combined), per-bucket sizes (tiny), and ONE self-equi-join on
+    ``token`` restricted to ``b+1 = b'`` — token-hash partitioned,
+    never pairwise across the corpus. Bucket count is
+    ``n_docs / bucket_size``, so every downstream frame is small.
+    """
+    toks = (
+        docs.select(
+            # integer `div`, not float division: exact at any doc_id
+            F.expr(f"CAST({order_col} AS BIGINT) div {int(bucket_size)}")
+            .cast("long")
+            .alias("bucket"),
+            F.explode(words_col(text_col)).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_set")
+    )
+    nxt = toks.select(
+        (F.col("bucket") - 1).alias("bucket"), F.col("token")
+    )
+    inter = (
+        toks.join(nxt, ["bucket", "token"])
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    pairs = (
+        sizes.alias("a")
+        .join(
+            sizes.withColumnRenamed("n_set", "n_next")
+            .withColumn("bucket", F.col("bucket") - 1)
+            .alias("b"),
+            "bucket",
+        )
+        .join(inter, "bucket", "left")
+    )
+    return pairs.select(
+        F.col("bucket"),
+        (F.col("bucket") + 1).alias("next_bucket"),
+        F.col("n_set").alias("n_prev"),
+        F.col("n_next"),
+        F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+    )

@@ -4303,3 +4303,162 @@ def qq_shift_pieces(
             (F.col("q_b") - F.col("q_a")).cast("long").alias("shift"),
         )
     )
+
+
+def dtw_distances(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    pairs: DataFrame,
+    radius: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X164 banded Dynamic Time Warping distance between pairs of
+    series (Sakoe & Chiba 1978) — THE classic elastic similarity for
+    time series: two series that trace the same shape slightly out of
+    phase get a small distance where Euclidean alignment punishes
+    every lag. The shape-matching companion to the correlation family
+    (X150/X159 measure monotone association at FIXED alignment; DTW
+    measures shape identity under local time warps) — retrieval,
+    clustering, and "which sensors behave alike, phase-shifted?".
+
+    Cost is ``|a_i − b_j|`` on integer (micro-unit) values and the DP
+    is pure integer min-plus, so the distance is EXACT — bit-stable
+    across engines and partitionings (no float accumulation). The
+    Sakoe-Chiba band ``|i − j| <= w`` with ``w = max(radius, |n−m|)``
+    (always feasible) bounds work per pair to ``O(w·(n+m))``;
+    ``radius=None`` runs the full ``O(n·m)`` grid.
+
+    Inputs: ``df`` holds the observations; ``pairs (key_a, key_b)``
+    names which DTW cells to compute — the caller controls the pair
+    budget (all-pairs within a shortlist, LSH candidates, a probe set
+    vs a catalog), exactly like the verify stage of the near-dup
+    suite: DTW is never the corpus-wide plan, it is the exact-rerank
+    stage AFTER blocking.
+
+    Scale shape: series assembly is one ``collect_list`` shuffle per
+    key (a key's series must fit a task — the same per-series contract
+    as :func:`ewma`/:func:`lttb` and the reference's per-cell reads);
+    two equi-joins attach both series to each pair (AQE broadcasts the
+    series frame when the shortlist is small); the DP runs in ONE
+    anti-diagonal-vectorized numpy kernel per pair via ``mapInPandas``
+    (Arrow-batched, no per-row Python in the inner loop). Emits
+    ``(key_a, key_b, n_a, n_b, band, dtw)`` — all BIGINT.
+    """
+    ser = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).cast("long").alias("v"),
+            ).alias("__s"),
+        )
+        .groupBy("__k")
+        .agg(
+            F.expr("transform(array_sort(collect_list(__s)), x -> x.v)")
+            .alias("__vals")
+        )
+    )
+    ka, kb = pairs.columns[0], pairs.columns[1]
+    joined = (
+        pairs.select(
+            F.col(ka).alias("key_a"), F.col(kb).alias("key_b")
+        )
+        .join(
+            ser.select(
+                F.col("__k").alias("key_a"), F.col("__vals").alias("__va")
+            ),
+            "key_a",
+        )
+        .join(
+            ser.select(
+                F.col("__k").alias("key_b"), F.col("__vals").alias("__vb")
+            ),
+            "key_b",
+        )
+        .select("key_a", "key_b", "__va", "__vb")
+    )
+    if n_partitions:
+        joined = joined.repartition(n_partitions)
+
+    rad = radius
+    INF = 1 << 62
+
+    def _dtw_one(a, b):
+        import numpy as np
+
+        n, m = len(a), len(b)
+        w = m + n if rad is None else max(int(rad), abs(n - m))
+        # DP over the cost grid, vectorized along anti-diagonals:
+        # cells on diagonal d (= i + j) depend only on d-1 and d-2.
+        # dp[i][j] = c + min(dp[i-1][j], dp[i][j-1], dp[i-1][j-1]),
+        # dp[0][0] = c00. Anti-diagonal d holds i in [lo, hi], j = d - i.
+        dp_prev = None   # diagonal d-1, aligned to its own lo
+        dp_prev2 = None  # diagonal d-2
+        lo_prev = lo_prev2 = 0
+        out = INF
+        for d in range(0, n + m - 1):
+            lo = max(0, d - (m - 1))
+            hi = min(n - 1, d)
+            i = np.arange(lo, hi + 1, dtype=np.int64)
+            j = d - i
+            cur = np.full(len(i), INF, dtype=np.int64)
+            band = np.abs(i - j) <= w
+            if band.any():
+                c = np.abs(a[i[band]] - b[j[band]])
+                if d == 0:
+                    best = np.zeros(1, dtype=np.int64)
+                else:
+                    # predecessor lookups, each aligned by offset:
+                    def _pick(dpd, lod, ii):
+                        r = np.full(len(ii), INF, dtype=np.int64)
+                        if dpd is not None:
+                            idx = ii - lod
+                            ok = (idx >= 0) & (idx < len(dpd))
+                            r[ok] = dpd[idx[ok]]
+                        return r
+
+                    ib = i[band]
+                    up = _pick(dp_prev, lo_prev, ib - 1)      # (i-1, j)
+                    left = _pick(dp_prev, lo_prev, ib)        # (i, j-1)
+                    diag = _pick(dp_prev2, lo_prev2, ib - 1)  # (i-1, j-1)
+                    best = np.minimum(np.minimum(up, left), diag)
+                cur[band] = np.where(
+                    best >= INF, INF, c + best
+                )
+            dp_prev2, lo_prev2 = dp_prev, lo_prev
+            dp_prev, lo_prev = cur, lo
+            if d == n + m - 2:
+                out = int(cur[-1]) if hi == n - 1 else int(cur[0])
+        return out, w
+
+    def _dtw_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = []
+            for ka_, kb_, va, vb in zip(
+                pdf["key_a"], pdf["key_b"], pdf["__va"], pdf["__vb"]
+            ):
+                a = np.asarray(va, dtype=np.int64)
+                b = np.asarray(vb, dtype=np.int64)
+                if len(a) == 0 or len(b) == 0:
+                    continue
+                dist, w = _dtw_one(a, b)
+                res.append((ka_, kb_, len(a), len(b), w, dist))
+            if res:
+                yield pd.DataFrame(
+                    res,
+                    columns=["key_a", "key_b", "n_a", "n_b", "band", "dtw"],
+                )
+
+    out_schema = (
+        f"key_a {joined.schema['key_a'].dataType.simpleString()}, "
+        f"key_b {joined.schema['key_b'].dataType.simpleString()}, "
+        "n_a bigint, n_b bigint, band bigint, dtw bigint"
+    )
+    return joined.mapInPandas(_dtw_partition, schema=out_schema)

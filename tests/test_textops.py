@@ -3179,3 +3179,113 @@ def test_goodturing_saturated_vs_open_vocabulary(spark):
     # chao1 for all-hapax: V + V(V-1)/2 — the estimator says "barely
     # scratched": 100 + 4950
     assert s["open"]["chao1"] == pytest.approx(5050.0)
+
+
+def test_rle_profile_brute_force(spark):
+    import re
+
+    from c3s_sm_spark.operators.textstats import rle_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b b c"),
+            (1, "x"),
+            (2, ""),
+            (3, "   "),
+            (4, "go go go go stop go go"),
+            (5, "no repeats at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in rle_profile(docs).collect()}
+    for d in docs.collect():
+        ws = (
+            re.sub(r"\s+", " ", d["text"].strip()).split(" ")
+            if d["text"].strip()
+            else []
+        )
+        runs = mx = cur = 0
+        prev = None
+        for w in ws:
+            if w == prev:
+                cur += 1
+            else:
+                runs += 1
+                cur = 1
+            mx = max(mx, cur)
+            prev = w
+        g = got[d["doc_id"]]
+        assert (
+            g["n_tokens"], g["n_runs"], g["max_run"], g["rle_excess"]
+        ) == (len(ws), runs, mx, len(ws) - runs), d["doc_id"]
+    # the planted repeats
+    assert got[0]["max_run"] == 3 and got[0]["rle_excess"] == 3
+    assert got[4]["max_run"] == 4 and got[4]["n_runs"] == 3
+    assert got[5]["rle_excess"] == 0
+    assert got[2]["n_tokens"] == 0 and got[2]["max_run"] == 0
+
+
+def test_vocab_drift_brute_force(spark):
+    import collections
+    import re
+
+    from c3s_sm_spark.operators.textstats import vocab_drift
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i + 1) % 7} common shift{i // 10}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_drift(docs, bucket_size=10)
+    sets = collections.defaultdict(set)
+    for i, t in rows:
+        sets[i // 10].update(re.sub(r"\s+", " ", t.strip()).split(" "))
+    exp = {
+        b: (len(sets[b]), len(sets[b + 1]), len(sets[b] & sets[b + 1]))
+        for b in sorted(sets)
+        if b + 1 in sets
+    }
+    got = {
+        r["bucket"]: (r["n_prev"], r["n_next"], r["overlap"])
+        for r in out.collect()
+    }
+    assert got == exp
+    # the shiftN token changes every bucket, the rest are shared
+    assert all(ov < na for na, _, ov in got.values())
+
+
+def test_quantile_normalize_brute_force(spark):
+    from c3s_sm_spark.operators.sampling import quantile_normalize
+
+    rows = [
+        # group a: low values (with ties); group b: shifted high
+        ("a", 1, 100), ("a", 1, 101), ("a", 2, 102), ("a", 5, 103),
+        ("a", 5, 104), ("b", 10, 200), ("b", 11, 201), ("b", 11, 202),
+        ("b", 20, 203),
+    ]
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    out = quantile_normalize(df, "g", "v", "id", n_partitions=4)
+    got = {(r["g"], r["id"]): (r["rn"], r["k"], r["nv"]) for r in out.collect()}
+    pool = sorted((v, i) for _, v, i in rows)
+    n = len(pool)
+    by_g = {}
+    for g, v, i in rows:
+        by_g.setdefault(g, []).append((v, i))
+    exp = {}
+    for g, vals in by_g.items():
+        vs = sorted(vals)
+        ng = len(vs)
+        for r, (v, i) in enumerate(vs, start=1):
+            k = -(-r * n // ng)
+            exp[(g, i)] = (r, k, pool[k - 1][0])
+    assert got == exp
+    # marginals normalized: each group's nv multiset is the pooled
+    # order statistics at its own rank grid — ranks map monotonically
+    assert got[("a", 104)][2] >= got[("a", 100)][2]
+    # parallelism invariance
+    out2 = quantile_normalize(
+        df.repartition(7), "g", "v", "id", n_partitions=2
+    )
+    assert {
+        (r["g"], r["id"]): (r["rn"], r["k"], r["nv"]) for r in out2.collect()
+    } == exp

@@ -3482,3 +3482,76 @@ def test_qq_shift_brute_force(spark):
 
     with pytest.raises(ValueError):
         qq_shift_pieces(df, "g", "v", "a", "b", n_quantiles=1)
+
+
+def _dtw_ref(A, B, radius=None):
+    INF = float("inf")
+    n, m = len(A), len(B)
+    w = n + m if radius is None else max(radius, abs(n - m))
+    dp = [[INF] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            if abs(i - j) > w:
+                continue
+            c = abs(A[i] - B[j])
+            if i == 0 and j == 0:
+                dp[i][j] = c
+            else:
+                best = min(
+                    dp[i - 1][j] if i > 0 else INF,
+                    dp[i][j - 1] if j > 0 else INF,
+                    dp[i - 1][j - 1] if i > 0 and j > 0 else INF,
+                )
+                if best < INF:
+                    dp[i][j] = c + best
+    return dp[n - 1][m - 1], w
+
+
+def test_dtw_brute_force(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import dtw_distances
+
+    rng = np.random.default_rng(164)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    # uneven lengths (17..60) force w = max(radius, |n-m|) feasibility
+    for k in range(6):
+        vals = [int(v) for v in rng.integers(-500, 500, 17 + 9 * k)]
+        series[k] = vals
+        rows += [
+            (k, base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+        ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in series for b in series if a <= b],
+        "key_a long, key_b long",
+    )
+    for radius in (2, None):
+        got = {
+            (r["key_a"], r["key_b"]): (r["n_a"], r["n_b"], r["band"], r["dtw"])
+            for r in dtw_distances(
+                df, "k", "ts", "v", pairs, radius=radius
+            ).collect()
+        }
+        assert len(got) == 21
+        for (a, b), (na, nb, w, dist) in got.items():
+            ref, wref = _dtw_ref(series[a], series[b], radius)
+            assert (na, nb) == (len(series[a]), len(series[b]))
+            assert w == wref and dist == ref, (a, b, radius)
+    # identity: dtw(x, x) == 0 under any band
+    assert all(got[(k, k)][3] == 0 for k in series)
+    # warp-invariance: a stuttered copy of the same shape has dtw 0
+    stut = []
+    for i, v in enumerate(series[0]):
+        stut += [(10, base + dt.timedelta(days=2 * i), v),
+                 (10, base + dt.timedelta(days=2 * i + 1), v)]
+    df2 = spark.createDataFrame(
+        rows + stut, "k long, ts timestamp, v long"
+    )
+    p2 = spark.createDataFrame([(0, 10)], "key_a long, key_b long")
+    r2 = dtw_distances(df2, "k", "ts", "v", p2).collect()[0]
+    assert r2["dtw"] == 0 and r2["n_b"] == 2 * r2["n_a"]
