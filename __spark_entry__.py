@@ -3463,6 +3463,31 @@ def _q_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dtw_distances(daily, "user_id", "day", "v4", pairs, radius=14)
 
 
+def _q_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165 trending tokens: per-ingest-bucket top-20 token ranks with
+    the previous bucket's count/rank attached (sentinels 0/-1 for new
+    entrants) — the rank-trajectory read; all BIGINT, ranks under the
+    deterministic (count DESC, token ASC) total order."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import trending_tokens
+
+    return trending_tokens(_docs(spark, sf_dir), bucket_size=50, top_k=20)
+
+
+def _q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166 integer SAD matrix profile (window 7, exclusion 3) over the
+    per-user daily purchase series, users < 25: per-subsequence nearest
+    -neighbor distance + index — motif/discord discovery. Rows-only by
+    design (the all-pairs min over subsequences has no tractable
+    ANSI-SQL twin); pinned bit-exactly against a brute-force Python
+    reference in tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import matrix_profile_sad
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 25)
+    return matrix_profile_sad(daily, ["user_id"], "day", "v4", window=7)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3869,6 +3894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_norm": _q_quantile_norm,
         # X164 (rows-only): banded DTW distances (integer min-plus DP):
         "dtw": _q_dtw,
+        # X165 (oracled): per-bucket trending-token rank trajectories:
+        "trending_tokens": _q_trending_tokens,
+        # X166 (rows-only): integer SAD matrix profile (motifs/discords):
+        "matrix_profile": _q_matrix_profile,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6491,6 +6520,36 @@ def oracle_sql() -> dict[str, str]:
                CAST((r.rn * r.np + r.ns - 1) // r.ns AS BIGINT) AS k,
                CAST(o.pv AS BIGINT) AS nv
         FROM r JOIN o ON o.pos = (r.rn * r.np + r.ns - 1) // r.ns
+    """
+    # X165: identical window ranks under (cnt DESC, token ASC); the
+    # previous-bucket join keeps the FULL rank frame on the right
+    d["trending_tokens"] = r"""
+        WITH w AS (
+          SELECT CAST(doc_id // 50 AS BIGINT) AS bucket,
+                 CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                      ELSE string_split(
+                        regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')
+                 END AS ws
+          FROM documents),
+        c AS (
+          SELECT bucket, unnest(ws) AS token FROM w),
+        counts AS (
+          SELECT bucket, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM c GROUP BY bucket, token),
+        ranked AS (
+          SELECT bucket, token, cnt,
+                 CAST(row_number() OVER (PARTITION BY bucket
+                                         ORDER BY cnt DESC, token ASC)
+                      AS BIGINT) AS rnk
+          FROM counts)
+        SELECT t.bucket, t.token, t.cnt, t.rnk,
+               CAST(coalesce(p.cnt, 0) AS BIGINT) AS prev_cnt,
+               CAST(coalesce(p.rnk, -1) AS BIGINT) AS prev_rank
+        FROM ranked t
+        LEFT JOIN ranked p
+          ON p.bucket = t.bucket - 1 AND p.token = t.token
+        WHERE t.rnk <= 20
+          AND t.bucket - 1 IN (SELECT DISTINCT bucket FROM counts)
     """
     # X143: identical arithmetic leading digit + per-group total
     d["benford"] = """

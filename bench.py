@@ -200,6 +200,8 @@ HEADLINE = [
     "vocab_drift",
     "quantile_norm",
     "dtw",
+    "trending_tokens",
+    "matrix_profile",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -1540,3 +1540,77 @@ def vocab_drift(
         F.col("n_next"),
         F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
     )
+
+
+def trending_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    bucket_size: int = 50,
+    top_k: int = 20,
+) -> DataFrame:
+    """X165 per-bucket trending tokens: the rank TRAJECTORY of each
+    token across consecutive ingest buckets — the "what's rising"
+    dashboard read on a token stream. :func:`vocab_drift` measures how
+    much the vocabulary SET moved; this names WHICH tokens moved:
+    for every bucket's top-``top_k`` tokens (total order ``count DESC,
+    token ASC`` — deterministic at any parallelism), attach the
+    token's count and rank in the PREVIOUS bucket (sentinels 0 / -1
+    when absent — a new entrant).
+
+    Emits ``(bucket, token, cnt, rnk, prev_cnt, prev_rank)`` — all
+    exact BIGINT.
+
+    Scale shape: token counts per bucket (one map-side-combined
+    shuffle); ranks via a window partitioned BY BUCKET over the count
+    frame — bounded by distinct tokens per bucket, never by row
+    count; top-k filter cuts the left side to ``k`` rows per bucket
+    before the single adjacent-bucket equi-join on ``(bucket,
+    token)`` (the right side stays the full per-bucket count frame so
+    a token falling OUT of the top-k still reports its true previous
+    rank).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.expr(f"CAST({order_col} AS BIGINT) div {int(bucket_size)}")
+            .cast("long")
+            .alias("bucket"),
+            F.explode(words_col(text_col)).alias("token"),
+        )
+        .groupBy("bucket", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("cnt").desc(), F.col("token").asc()
+    )
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
+    top = ranked.filter(F.col("rnk") <= int(top_k))
+    prev = ranked.select(
+        (F.col("bucket") + 1).alias("bucket"),
+        "token",
+        F.col("cnt").alias("prev_cnt"),
+        F.col("rnk").alias("prev_rank"),
+    )
+    # only buckets whose PREDECESSOR exists (first bucket has no
+    # "previous" — and bucket numbering need not start at 0)
+    has_prev = counts.select(
+        (F.col("bucket") + 1).alias("bucket")
+    ).distinct()
+    return (
+        top.join(prev, ["bucket", "token"], "left")
+        .join(has_prev, "bucket", "left_semi")
+        .select(
+            "bucket",
+            "token",
+            "cnt",
+            "rnk",
+            F.coalesce(F.col("prev_cnt"), F.lit(0)).cast("long")
+            .alias("prev_cnt"),
+            F.coalesce(F.col("prev_rank"), F.lit(-1)).cast("long")
+            .alias("prev_rank"),
+        )
+    )

@@ -4462,3 +4462,130 @@ def dtw_distances(
         "n_a bigint, n_b bigint, band bigint, dtw bigint"
     )
     return joined.mapInPandas(_dtw_partition, schema=out_schema)
+
+
+def matrix_profile_sad(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window: int = 7,
+    exclusion: int | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X166 integer matrix profile (SAD variant) per key — the
+    all-subsequence self-similarity read behind motif AND discord
+    discovery (Yeh et al. 2016, "Matrix Profile I"): for every length-
+    ``window`` subsequence of a key's (time-ordered) series, the
+    minimal sum-of-absolute-differences to ANY other subsequence of
+    the same series outside a trivial-match exclusion zone
+    (``|i − j| <= exclusion``, default ``window // 2``). Low profile
+    values = repeated motifs (template stamping, copy-paste telemetry);
+    the profile MAXIMUM is the series' top discord — its least-similar,
+    most anomalous window (the classic unsupervised anomaly read).
+
+    The canonical matrix profile z-normalizes under Euclidean
+    distance; this variant keeps the raw integer SAD so the witness is
+    EXACT (pure |·| and min over int64 — bit-stable at any parallelism
+    and in any engine). Emits per subsequence start: ``(keys, idx,
+    start_ts, mp, mp_idx)`` — profile value and the position of the
+    nearest neighbor (ties break to the smallest index).
+
+    Scale shape: one shuffle on ``keys``, then a sorted partition-level
+    numpy kernel (the :func:`ewma`/:func:`lttb` per-series contract —
+    a key's series fits a task). The kernel is diagonal-vectorized:
+    for each offset ``d`` the elementwise gaps ``|a_t − a_{t+d}|``
+    roll into all window SADs of that diagonal via one cumulative sum
+    — O(n²) work per series but O(n) numpy passes, no Python inner
+    loop over cells.
+    """
+    keys = list(keys)
+    src = df.select(*keys, ts_col, value_col)
+
+    def _mp_one(v):
+        import numpy as np
+
+        n = len(v)
+        m = int(window)
+        excl = m // 2 if exclusion is None else int(exclusion)
+        n_sub = n - m + 1
+        if n_sub < 1:
+            return None, None
+        INF = 1 << 62
+        mp = np.full(n_sub, INF, dtype=np.int64)
+        mpi = np.full(n_sub, -1, dtype=np.int64)
+        for d in range(excl + 1, n_sub):
+            e = np.abs(v[: n - d] - v[d:])
+            # rolling window-m sums of e -> SAD(i, i+d) for all i
+            c = np.concatenate(([0], np.cumsum(e)))
+            sad = c[m:] - c[:-m]            # length n - d - m + 1
+            k = len(sad)
+            if k <= 0:
+                continue
+            i = np.arange(k)
+            j = i + d
+            # forward direction: neighbor at larger index
+            upd = sad < mp[i]
+            mp[i] = np.where(upd, sad, mp[i])
+            mpi[i] = np.where(upd, j, mpi[i])
+            # backward: neighbor at smaller index; ties keep smaller j
+            upd = (sad < mp[j]) | ((sad == mp[j]) & (i < mpi[j]))
+            mp[j] = np.where(upd, sad, mp[j])
+            mpi[j] = np.where(upd, i, mpi[j])
+        return mp, mpi
+
+    def _mp_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        out = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[value_col].to_numpy(dtype=np.int64)
+            mp, mpi = _mp_one(v)
+            if mp is None:
+                continue
+            # no admissible neighbor (series shorter than the exclusion
+            # zone allows): NULL, never the INF sentinel
+            mp_out = pd.array(mp, dtype="Int64")
+            mp_out[mpi == -1] = None
+            sub = pd.DataFrame(
+                {
+                    "idx": np.arange(len(mp), dtype=np.int64),
+                    "start_ts": g[ts_col].iloc[: len(mp)].to_numpy(),
+                    "mp": mp_out,
+                    "mp_idx": mpi,
+                }
+            )
+            for c, val in zip(keys, kv):
+                sub[c] = val
+            out.append(sub[[*keys, "idx", "start_ts", "mp", "mp_idx"]])
+        if out:
+            yield pd.concat(out, ignore_index=True)
+
+    key_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in keys
+    )
+    ts_type = src.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{key_types}, idx bigint, start_ts {ts_type}, "
+        "mp bigint, mp_idx bigint"
+    )
+    part = (
+        src.repartition(n_partitions, *keys)
+        if n_partitions
+        else src.repartition(*keys)
+    )
+    return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
+        _mp_partition, schema=out_schema
+    )

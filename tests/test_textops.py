@@ -3289,3 +3289,45 @@ def test_quantile_normalize_brute_force(spark):
     assert {
         (r["g"], r["id"]): (r["rn"], r["k"], r["nv"]) for r in out2.collect()
     } == exp
+
+
+def test_trending_tokens_brute_force(spark):
+    import collections
+    import re
+
+    from c3s_sm_spark.operators.textstats import trending_tokens
+
+    rows = [
+        # vocabulary rotates so ranks genuinely move between buckets
+        (i, " ".join(
+            [f"w{j}" for j in range(i % 5)]
+            + ["hot"] * (3 if i >= 20 else 1)
+            + ["base base"]
+        ))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = trending_tokens(docs, bucket_size=10, top_k=4)
+    cnts = collections.defaultdict(collections.Counter)
+    for i, t in rows:
+        cnts[i // 10].update(re.sub(r"\s+", " ", t.strip()).split(" "))
+    exp = {}
+    for b in sorted(cnts):
+        if b - 1 not in cnts:
+            continue
+        order = sorted(cnts[b].items(), key=lambda kv: (-kv[1], kv[0]))
+        porder = sorted(cnts[b - 1].items(), key=lambda kv: (-kv[1], kv[0]))
+        pranks = {t: (i + 1, c) for i, (t, c) in enumerate(porder)}
+        for r, (t, c) in enumerate(order, start=1):
+            if r <= 4:
+                pr, pc = pranks.get(t, (-1, 0))
+                exp[(b, t)] = (c, r, pc, pr)
+    got = {
+        (r["bucket"], r["token"]): (
+            r["cnt"], r["rnk"], r["prev_cnt"], r["prev_rank"]
+        )
+        for r in out.collect()
+    }
+    assert got == exp
+    # "hot" rises into the top ranks after doc 20
+    assert got[(2, "hot")][1] < got[(2, "hot")][3]

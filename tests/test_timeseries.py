@@ -3555,3 +3555,56 @@ def test_dtw_brute_force(spark):
     p2 = spark.createDataFrame([(0, 10)], "key_a long, key_b long")
     r2 = dtw_distances(df2, "k", "ts", "v", p2).collect()[0]
     assert r2["dtw"] == 0 and r2["n_b"] == 2 * r2["n_a"]
+
+
+def test_matrix_profile_brute_force(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import matrix_profile_sad
+
+    rng = np.random.default_rng(166)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for k in range(4):
+        v = [int(x) for x in rng.integers(-100, 100, 30 + 5 * k)]
+        v[20:27] = v[3:10]  # plant a motif
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    # a too-short series must emit nothing, not crash
+    rows += [(99, base, 1), (99, base + dt.timedelta(days=1), 2)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    out = matrix_profile_sad(df, ["k"], "ts", "v", window=7)
+    got = {
+        (r["k"], r["idx"]): (r["mp"], r["mp_idx"]) for r in out.collect()
+    }
+    m, excl = 7, 3
+    exp = {}
+    for k, v in series.items():
+        a = np.asarray(v, dtype=np.int64)
+        ns = len(a) - m + 1
+        for i in range(ns):
+            best, bj = None, -1
+            for j in range(ns):
+                if abs(i - j) <= excl:
+                    continue
+                sad = int(np.abs(a[i:i + m] - a[j:j + m]).sum())
+                if best is None or sad < best:  # first win = smallest j
+                    best, bj = sad, j
+            exp[(k, i)] = (best, bj)
+    assert got == exp
+    assert not any(k == 99 for k, _ in got)
+    # the planted motif: windows 3 and 20 are mutual nearest neighbors
+    assert got[(0, 3)] == (0, 20) and got[(0, 20)] == (0, 3)
+    # parallelism invariance
+    got2 = {
+        (r["k"], r["idx"]): (r["mp"], r["mp_idx"])
+        for r in matrix_profile_sad(
+            df.repartition(13), ["k"], "ts", "v", window=7, n_partitions=3
+        ).collect()
+    }
+    assert got2 == got
