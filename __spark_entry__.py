@@ -3488,6 +3488,23 @@ def _q_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matrix_profile_sad(daily, ["user_id"], "day", "v4", window=7)
 
 
+def _q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X167 Kleinberg burst detection (s=1.5, gamma=0.2, min_count=5)
+    over ingest buckets of 25 docs: 2-state binomial-cost automaton
+    per token, Viterbi-decoded into maximal burst runs with Kleinberg
+    weights. The synthetic corpus's vocabulary rotation is mild, so
+    the witness runs a sensitive operating point (low entry toll) to
+    keep a non-trivial row set. Rows-only by design (a Viterbi
+    recursion has no ANSI-SQL twin); decode pinned against a
+    pure-Python reference in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import burst_detect
+
+    return burst_detect(
+        _docs(spark, sf_dir), bucket_size=25, s=1.5, gamma=0.2, min_count=5
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3898,6 +3915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_tokens": _q_trending_tokens,
         # X166 (rows-only): integer SAD matrix profile (motifs/discords):
         "matrix_profile": _q_matrix_profile,
+        # X167 (rows-only): Kleinberg burst detection on token streams:
+        "burst_detect": _q_burst_detect,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

@@ -202,6 +202,7 @@ HEADLINE = [
     "dtw",
     "trending_tokens",
     "matrix_profile",
+    "burst_detect",
     "text_quality",
     "lang_id",
     "quality_select",

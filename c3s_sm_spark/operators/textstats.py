@@ -1614,3 +1614,179 @@ def trending_tokens(
             .alias("prev_rank"),
         )
     )
+
+
+def burst_detect(
+    docs: DataFrame,
+    text_col: str = "text",
+    order_col: str = "doc_id",
+    bucket_size: int = 50,
+    s: float = 2.0,
+    gamma: float = 1.0,
+    min_count: int = 5,
+) -> DataFrame:
+    """X167 Kleinberg burst detection (Kleinberg 2002, "Bursty and
+    Hierarchical Structure in Streams", the batched/enumerating
+    variant) — THE named algorithm for "when did this token burst":
+    a 2-state automaton per token over ingest buckets, base state
+    emitting at the token's corpus rate ``p0``, burst state at
+    ``p1 = s·p0``, binomial emission costs, an entry toll
+    ``gamma·ln(B)`` (B = bucket count), Viterbi-decoded; maximal
+    burst-state runs come out as ``(token, start_bucket, end_bucket,
+    n_bursty, weight)`` with ``weight`` = total emission-cost saving
+    (Kleinberg's burst weight — the ranking key).
+
+    The trend family reads counts and ranks (:func:`trending_tokens`);
+    this is the MODEL-based read that separates "rose because the
+    corpus grew" from "rose faster than the base rate explains" — the
+    standard event-detection primitive on token streams.
+
+    Scale shape: per-``(bucket, token)`` counts (one map-side-combined
+    shuffle); per-bucket totals broadcast back; the per-token
+    timeline (gap-filled with zero-count buckets — the automaton
+    needs silence too) is vocabulary × B rows, shuffled ONCE on token
+    into a sorted-partition Viterbi kernel (series length = B, tiny).
+    ``min_count`` prunes the long tail before the timeline build.
+
+    Decode is deterministic: float costs are evaluated in fixed
+    bucket order and ties prefer the base state, so output is
+    identical at any parallelism (pinned vs a pure-Python reference).
+    """
+    toks = docs.select(
+        F.expr(f"CAST({order_col} AS BIGINT) div {int(bucket_size)}")
+        .cast("long")
+        .alias("bucket"),
+        F.explode(words_col(text_col)).alias("token"),
+    )
+    counts = toks.groupBy("bucket", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    bucket_tot = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tok_tot = counts.groupBy("token").agg(
+        F.sum("k").cast("long").alias("k_tot")
+    ).filter(F.col("k_tot") >= int(min_count))
+    # gap-filled timeline: every surviving token x every bucket
+    grid = tok_tot.crossJoin(F.broadcast(bucket_tot)).join(
+        counts, ["token", "bucket"], "left"
+    ).select(
+        "token",
+        "bucket",
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+        "n",
+        "k_tot",
+    )
+
+    s_, g_ = float(s), float(gamma)
+
+    def _viterbi(ks, ns, k_tot, n_tot, n_buckets):
+        import math
+
+        p0 = k_tot / n_tot
+        p1 = min(s_ * p0, 1.0 - 1e-9)
+        toll = g_ * math.log(n_buckets) if n_buckets > 1 else 0.0
+        INF = float("inf")
+
+        def cost(k, n, p):
+            return -(
+                math.lgamma(n + 1)
+                - math.lgamma(k + 1)
+                - math.lgamma(n - k + 1)
+                + k * math.log(p)
+                + (n - k) * math.log1p(-p)
+            )
+
+        d0, d1 = 0.0, INF
+        back = []
+        c1s = []
+        c0s = []
+        for k, n in zip(ks, ns):
+            c0 = cost(k, n, p0)
+            c1 = cost(k, n, p1)
+            c0s.append(c0)
+            c1s.append(c1)
+            # ties prefer base state / staying put — deterministic
+            f0 = d0 if d0 <= d1 else d1
+            b0 = 0 if d0 <= d1 else 1
+            e1 = d0 + toll
+            f1 = d1 if d1 <= e1 else e1
+            b1 = 1 if d1 <= e1 else 0
+            back.append((b0, b1))
+            d0, d1 = f0 + c0, f1 + c1
+        state = 0 if d0 <= d1 else 1
+        states = []
+        for t in range(len(ks) - 1, -1, -1):
+            states.append(state)
+            state = back[t][state]
+        states.reverse()
+        bursts = []
+        start = None
+        for t, st in enumerate(states):
+            if st == 1 and start is None:
+                start = t
+            if st == 0 and start is not None:
+                bursts.append((start, t - 1))
+                start = None
+        if start is not None:
+            bursts.append((start, len(states) - 1))
+        return [
+            (
+                a,
+                b,
+                b - a + 1,
+                sum(c0s[t] - c1s[t] for t in range(a, b + 1)),
+            )
+            for a, b in bursts
+        ]
+
+    n_total_row = bucket_tot.agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("nb")
+    ).collect()[0]
+    n_tot, n_buckets = int(n_total_row["nt"]), int(n_total_row["nb"])
+
+    def _burst_partition(batches):
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        out = []
+        for token, g in pdf.groupby("token", sort=False):
+            buckets = g["bucket"].tolist()
+            res = _viterbi(
+                g["k"].tolist(),
+                g["n"].tolist(),
+                int(g["k_tot"].iloc[0]),
+                n_tot,
+                n_buckets,
+            )
+            for a, b, nb, wt in res:
+                out.append(
+                    (token, buckets[a], buckets[b], nb, wt)
+                )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "token", "start_bucket", "end_bucket",
+                    "n_bursty", "weight",
+                ],
+            )
+
+    return (
+        grid.repartition("token")
+        .sortWithinPartitions("token", "bucket")
+        .mapInPandas(
+            _burst_partition,
+            schema=(
+                "token string, start_bucket bigint, end_bucket bigint, "
+                "n_bursty bigint, weight double"
+            ),
+        )
+    )

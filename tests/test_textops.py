@@ -3331,3 +3331,89 @@ def test_trending_tokens_brute_force(spark):
     assert got == exp
     # "hot" rises into the top ranks after doc 20
     assert got[(2, "hot")][1] < got[(2, "hot")][3]
+
+
+def test_burst_detect_reference(spark):
+    import collections
+    import math
+
+    from c3s_sm_spark.operators.textstats import burst_detect
+
+    rows = []
+    i = 0
+    for b in range(8):
+        for d in range(10):
+            text = "alpha beta gamma delta"
+            if b in (4, 5):
+                text += " boom boom boom boom boom"
+            elif d == 0:
+                text += " boom"  # base-rate presence outside the burst
+            rows.append((i, text))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = burst_detect(docs, bucket_size=10, min_count=3)
+    got = sorted(
+        (r["token"], r["start_bucket"], r["end_bucket"], r["n_bursty"],
+         round(r["weight"], 9))
+        for r in out.collect()
+    )
+
+    # pure-Python reference: identical automaton, identical formulas
+    cnts = collections.defaultdict(collections.Counter)
+    for j, t in rows:
+        cnts[j // 10].update(t.split(" "))
+    buckets = sorted(cnts)
+    nb = len(buckets)
+    ns = {b: sum(cnts[b].values()) for b in buckets}
+    n_tot = sum(ns.values())
+    vocab = collections.Counter()
+    for b in buckets:
+        vocab.update(cnts[b])
+
+    def cost(k, n, p):
+        return -(
+            math.lgamma(n + 1) - math.lgamma(k + 1)
+            - math.lgamma(n - k + 1)
+            + k * math.log(p) + (n - k) * math.log1p(-p)
+        )
+
+    exp = []
+    for tok, ktot in vocab.items():
+        if ktot < 3:
+            continue
+        p0 = ktot / n_tot
+        p1 = min(2.0 * p0, 1.0 - 1e-9)
+        toll = math.log(nb)
+        INF = float("inf")
+        d0, d1 = 0.0, INF
+        back, c0s, c1s = [], [], []
+        for b in buckets:
+            k, n = cnts[b][tok], ns[b]
+            c0, c1 = cost(k, n, p0), cost(k, n, p1)
+            c0s.append(c0)
+            c1s.append(c1)
+            f0, b0 = (d0, 0) if d0 <= d1 else (d1, 1)
+            e1 = d0 + toll
+            f1, b1 = (d1, 1) if d1 <= e1 else (e1, 0)
+            back.append((b0, b1))
+            d0, d1 = f0 + c0, f1 + c1
+        st = 0 if d0 <= d1 else 1
+        states = []
+        for t in range(nb - 1, -1, -1):
+            states.append(st)
+            st = back[t][st]
+        states.reverse()
+        start = None
+        for t, s_ in enumerate(states + [0]):
+            if s_ == 1 and start is None:
+                start = t
+            if s_ == 0 and start is not None:
+                exp.append(
+                    (tok, buckets[start], buckets[t - 1], t - start,
+                     round(sum(c0s[x] - c1s[x]
+                               for x in range(start, t)), 9))
+                )
+                start = None
+    assert got == sorted(exp)
+    # exactly the planted burst, nothing else
+    assert got == [("boom", 4, 5, 2, got[0][4])] and got[0][4] > 0
