@@ -3505,6 +3505,22 @@ def _q_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X168 greedy binary-segmentation changepoints (max 3 splits,
+    min segment 5) over the per-user daily purchase series, users <
+    40: exact integer CUSUM contrast, deterministic greedy order.
+    Rows-only by design (greedy recursion has no ANSI-SQL twin);
+    pinned against a pure-Python reference in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import binseg_changepoints
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 40)
+    return binseg_changepoints(
+        daily, ["user_id"], "day", "v4", max_changes=3, min_size=5
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3917,6 +3933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matrix_profile": _q_matrix_profile,
         # X167 (rows-only): Kleinberg burst detection on token streams:
         "burst_detect": _q_burst_detect,
+        # X168 (rows-only): binary-segmentation changepoints:
+        "binseg": _q_binseg,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

@@ -203,6 +203,7 @@ HEADLINE = [
     "trending_tokens",
     "matrix_profile",
     "burst_detect",
+    "binseg",
     "text_quality",
     "lang_id",
     "quality_select",

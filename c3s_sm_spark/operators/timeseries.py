@@ -4589,3 +4589,128 @@ def matrix_profile_sad(
     return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
         _mp_partition, schema=out_schema
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    max_changes: int = 3,
+    min_size: int = 5,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X168 greedy binary-segmentation changepoint detection (Scott &
+    Knott 1974 lineage; the workhorse behind `ruptures`-style BinSeg)
+    — the MULTIPLE-changepoint extension of the X139 Pettitt single
+    split: recursively split the series at the position maximizing the
+    exact integer CUSUM contrast ``score(t) = |n_seg·S_t − t·S_seg|``
+    (``= t·(n_seg−t)·|mean_left − mean_right|`` — cross-multiplied, so
+    the decision never touches a float), greedily taking the
+    highest-scoring split across all current segments until
+    ``max_changes`` splits are found or no segment admits a split with
+    both sides ``>= min_size`` and score > 0.
+
+    Emits one row per detected changepoint: ``(keys, cp_rank``
+    (detection order, 1-based)``, idx`` (global 0-based index of the
+    first right-side observation)``, cp_ts`` (its timestamp)``,
+    score)`` — all BIGINT, fully deterministic (score ties break to
+    the smallest index; equal-score segments split in left-to-right
+    order).
+
+    Overflow contract: ``n_seg·S_t`` needs ``n·|S| < 2^63`` — with
+    1e-4-unit values this holds to ~1e5-point series at 1e9-scale
+    sums; larger series should pre-aggregate (daily tiers) first,
+    exactly like the other quadratic-sensitive witnesses.
+
+    Scale shape: one shuffle on ``keys``, then a sorted-partition
+    numpy kernel (prefix sums + vectorized argmax per segment; the
+    greedy loop runs ``max_changes`` times over a segment list of the
+    same size) — the :func:`ewma`/:func:`lttb` per-series contract.
+    Rows-only (a greedy recursion has no ANSI-SQL twin); pinned
+    against a pure-Python reference in tests/test_timeseries.py.
+    """
+    keys = list(keys)
+    src = df.select(*keys, ts_col, value_col)
+    mc, ms = int(max_changes), int(min_size)
+
+    def _binseg_one(v):
+        import numpy as np
+
+        n = len(v)
+        pre = np.concatenate(([0], np.cumsum(v)))  # pre[i] = sum v[:i]
+
+        def best_split(a, b):
+            # best t in (a, b): left = [a, t), right = [t, b)
+            lo, hi = a + ms, b - ms
+            if lo > hi:
+                return None
+            t = np.arange(lo, hi + 1, dtype=np.int64)
+            s_seg = pre[b] - pre[a]
+            n_seg = b - a
+            s_t = pre[t] - pre[a]
+            score = np.abs(n_seg * s_t - (t - a) * s_seg)
+            k = int(np.argmax(score))  # first max = smallest t
+            sc = int(score[k])
+            return (sc, int(t[k])) if sc > 0 else None
+
+        segs = [(0, n)]
+        found = []
+        for _ in range(mc):
+            cands = []
+            for si, (a, b) in enumerate(segs):
+                r = best_split(a, b)
+                if r is not None:
+                    cands.append((r[0], -si, r[1], si))
+            if not cands:
+                break
+            # max score; ties -> leftmost segment (max -si = min si)
+            sc, _, t, si = max(cands)
+            a, b = segs[si]
+            segs[si : si + 1] = [(a, t), (t, b)]
+            found.append((t, sc))
+        return found
+
+    def _binseg_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        out = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[value_col].to_numpy(dtype=np.int64)
+            ts = g[ts_col].to_numpy()
+            for rank, (t, sc) in enumerate(_binseg_one(v), start=1):
+                out.append((*kv, rank, t, ts[t], sc))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[*keys, "cp_rank", "idx", "cp_ts", "score"],
+            )
+
+    key_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in keys
+    )
+    ts_type = src.schema[ts_col].dataType.simpleString()
+    out_schema = (
+        f"{key_types}, cp_rank bigint, idx bigint, "
+        f"cp_ts {ts_type}, score bigint"
+    )
+    part = (
+        src.repartition(n_partitions, *keys)
+        if n_partitions
+        else src.repartition(*keys)
+    )
+    return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
+        _binseg_partition, schema=out_schema
+    )

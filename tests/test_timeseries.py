@@ -3608,3 +3608,94 @@ def test_matrix_profile_brute_force(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_binseg_changepoints_brute_force(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import binseg_changepoints
+
+    rng = np.random.default_rng(168)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for k in range(5):
+        v = (
+            [int(x) for x in rng.integers(0, 40, 30)]
+            + [int(x) for x in rng.integers(200, 240, 25)]
+            + ([int(x) for x in rng.integers(500, 540, 20)]
+               if k % 2 == 0 else [])
+        )
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    # a series too short to split must emit nothing
+    rows += [(99, base + dt.timedelta(days=i), i) for i in range(8)]
+    series[99] = list(range(8))
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    out = binseg_changepoints(
+        df, ["k"], "ts", "v", max_changes=3, min_size=5
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["k"], []).append(
+            (r["cp_rank"], r["idx"], r["score"])
+        )
+    for k in got:
+        got[k].sort()
+
+    def ref(v, mc=3, ms=5):
+        pre = [0]
+        for x in v:
+            pre.append(pre[-1] + x)
+
+        def best(a, b):
+            cands = [
+                (abs((b - a) * (pre[t] - pre[a])
+                     - (t - a) * (pre[b] - pre[a])), -t)
+                for t in range(a + ms, b - ms + 1)
+            ]
+            if not cands:
+                return None
+            sc, nt = max(cands)
+            return (sc, -nt) if sc > 0 else None
+
+        segs = [(0, len(v))]
+        found = []
+        for _ in range(mc):
+            cands = []
+            for si, (a, b) in enumerate(segs):
+                r = best(a, b)
+                if r:
+                    cands.append((r[0], -si, r[1], si))
+            if not cands:
+                break
+            sc, _, t, si = max(cands)
+            a, b = segs[si]
+            segs[si:si + 1] = [(a, t), (t, b)]
+            found.append((t, sc))
+        return [(i + 1, t, sc) for i, (t, sc) in enumerate(found)]
+
+    for k, v in series.items():
+        assert got.get(k, []) == sorted(ref(v)), k
+    # ref(len-8 series, min_size=5) admits no split
+    assert 99 not in got
+    # the planted level shifts are recovered
+    for k in (0, 2, 4):
+        idxs = {t for _, t, _ in got[k]}
+        assert any(abs(t - 30) <= 1 for t in idxs)
+        assert any(abs(t - 55) <= 1 for t in idxs)
+    # parallelism invariance
+    got2 = {}
+    for r in binseg_changepoints(
+        df.repartition(11), ["k"], "ts", "v",
+        max_changes=3, min_size=5, n_partitions=2,
+    ).collect():
+        got2.setdefault(r["k"], []).append(
+            (r["cp_rank"], r["idx"], r["score"])
+        )
+    for k in got2:
+        got2[k].sort()
+    assert got2 == got
