@@ -3521,6 +3521,26 @@ def _q_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X169 Holt-Winters additive seasonal smoothing (period 7,
+    alpha/beta/gamma = 0.3/0.1/0.2) over per-user daily purchase sums,
+    users < 30, keys shorter than two weekly seasons dropped
+    explicitly. Rows-only by design (triple recursion, no ANSI-SQL
+    twin); pinned against a pure-Python reference in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import holt_winters_seasonal
+
+    daily = (
+        _daily_purchase_v4(spark, sf_dir)
+        .filter(F.col("user_id") < 30)
+        .withColumn("v", F.col("v4").cast("double") / 10000.0)
+    )
+    return holt_winters_seasonal(
+        daily, ["user_id"], "day", "v", period=7
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3935,6 +3955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detect": _q_burst_detect,
         # X168 (rows-only): binary-segmentation changepoints:
         "binseg": _q_binseg,
+        # X169 (rows-only): Holt-Winters additive seasonal smoothing:
+        "holt_winters": _q_holt_winters,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

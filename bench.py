@@ -204,6 +204,7 @@ HEADLINE = [
     "matrix_profile",
     "burst_detect",
     "binseg",
+    "holt_winters",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -3699,3 +3699,79 @@ def test_binseg_changepoints_brute_force(spark):
     for k in got2:
         got2[k].sort()
     assert got2 == got
+
+
+def test_holt_winters_seasonal_reference(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import holt_winters_seasonal
+
+    rng = np.random.default_rng(169)
+    base = dt.datetime(2024, 1, 1)
+    m = 7
+    rows, series = [], {}
+    for k in range(3):
+        n = 5 * m + k  # ragged lengths
+        season = [float(20.0 * np.sin(2 * np.pi * i / m)) for i in range(m)]
+        v = [
+            float(100.0 + 0.5 * t + season[t % m] + rng.normal(0, 2))
+            for t in range(n)
+        ]
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=t), x) for t, x in enumerate(v)
+        ]
+    rows += [(99, base + dt.timedelta(days=t), 1.0) for t in range(m)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = holt_winters_seasonal(
+        df, ["k"], "ts", "v", period=m, alpha=0.3, beta=0.1, gamma=0.2
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["k"], []).append(
+            (r["ts"], r["hw_level"], r["hw_trend"], r["hw_season"],
+             r["hw_fitted"])
+        )
+    for k in got:
+        got[k].sort()
+    assert 99 not in got  # < 2 seasons -> dropped, not silently fit
+
+    a, b, g = 0.3, 0.1, 0.2
+    for k, v in series.items():
+        m1 = sum(v[:m]) / m
+        m2 = sum(v[m:2 * m]) / m
+        l_prev, b_prev = m1, (m2 - m1) / m
+        s_hist = [x - m1 for x in v[:m]]
+        exp = []
+        for t, x in enumerate(v):
+            s_m = s_hist[t % m]
+            fit = l_prev + b_prev + s_m if t >= m else l_prev + s_m
+            if t < m:
+                exp.append((l_prev, b_prev, s_m, fit))
+                continue
+            l_t = a * (x - s_m) + (1 - a) * (l_prev + b_prev)
+            b_t = b * (l_t - l_prev) + (1 - b) * b_prev
+            s_t = g * (x - l_t) + (1 - g) * s_m
+            exp.append((l_t, b_t, s_t, fit))
+            s_hist[t % m] = s_t
+            l_prev, b_prev = l_t, b_t
+        rowsk = got[k]
+        assert len(rowsk) == len(v)
+        for (ts, lv, tr, se, fi), (el, eb, es, ef) in zip(rowsk, exp):
+            assert lv == pytest.approx(el, rel=1e-12)
+            assert tr == pytest.approx(eb, rel=1e-12)
+            assert se == pytest.approx(es, rel=1e-12, abs=1e-9)
+            assert fi == pytest.approx(ef, rel=1e-12)
+        # the smoother tracks the planted trend+season: in-sample
+        # one-step error is far below the seasonal amplitude
+        errs = [abs(fi - x) for (_, _, _, _, fi), x in
+                zip(rowsk[m:], v[m:])]
+        assert sum(errs) / len(errs) < 8.0
+
+    with pytest.raises(ValueError):
+        holt_winters_seasonal(df, ["k"], "ts", "v", period=1)
+    with pytest.raises(ValueError):
+        holt_winters_seasonal(df, ["k"], "ts", "v", period=7, alpha=0.0)
