@@ -1496,12 +1496,18 @@ def vocab_drift(
     ``jaccard = overlap / (n_prev + n_next - overlap)`` left to the
     caller (the witness stays integer).
 
-    Scale shape: distinct ``(bucket, token)`` (one shuffle, map-side
-    combined), per-bucket sizes (tiny), and ONE self-equi-join on
-    ``token`` restricted to ``b+1 = b'`` — token-hash partitioned,
-    never pairwise across the corpus. Bucket count is
-    ``n_docs / bucket_size``, so every downstream frame is small.
+    Scale shape — the distinct ``(bucket, token)`` frame is consumed
+    EXACTLY ONCE (a naive sizes + self-join formulation scans the
+    corpus 3x; Catalyst does not reuse the branches): one distinct
+    shuffle, one ``lead(bucket)`` window per token (a token's bucket
+    list is at most the bucket count — never a hot partition), then
+    ONE ``groupBy(bucket)`` emitting set size and next-bucket overlap
+    together, and a bucket-count-sized self-join at the end. Every
+    post-distinct frame is vocabulary- or bucket-sized, never
+    corpus-sized.
     """
+    from pyspark.sql import Window
+
     toks = (
         docs.select(
             # integer `div`, not float division: exact at any doc_id
@@ -1512,33 +1518,38 @@ def vocab_drift(
         )
         .distinct()
     )
-    sizes = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_set")
+    w = Window.partitionBy("token").orderBy("bucket")
+    flagged = toks.withColumn(
+        "__hit",
+        F.when(
+            F.lead("bucket").over(w) == F.col("bucket") + 1, F.lit(1)
+        ).otherwise(F.lit(0)),
     )
-    nxt = toks.select(
-        (F.col("bucket") - 1).alias("bucket"), F.col("token")
-    )
-    inter = (
-        toks.join(nxt, ["bucket", "token"])
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
-    )
-    pairs = (
-        sizes.alias("a")
+    # lazy localCheckpoint: the bucket-count-sized frame feeds BOTH
+    # sides of the adjacent self-join — without it each side re-runs
+    # the whole scan+distinct+window chain (measured 4 parquet scans
+    # vs 2). Lazy, so no extra job: the first action materializes it
+    # and the second consumer reads the pinned partitions.
+    per_bucket = flagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_set"),
+        F.sum("__hit").cast("long").alias("overlap"),
+    ).localCheckpoint(eager=False)
+    return (
+        per_bucket.alias("a")
         .join(
-            sizes.withColumnRenamed("n_set", "n_next")
-            .withColumn("bucket", F.col("bucket") - 1)
-            .alias("b"),
+            per_bucket.select(
+                (F.col("bucket") - 1).alias("bucket"),
+                F.col("n_set").alias("n_next"),
+            ).alias("b"),
             "bucket",
         )
-        .join(inter, "bucket", "left")
-    )
-    return pairs.select(
-        F.col("bucket"),
-        (F.col("bucket") + 1).alias("next_bucket"),
-        F.col("n_set").alias("n_prev"),
-        F.col("n_next"),
-        F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+        .select(
+            F.col("bucket"),
+            (F.col("bucket") + 1).alias("next_bucket"),
+            F.col("n_set").alias("n_prev"),
+            F.col("n_next"),
+            F.col("overlap"),
+        )
     )
 
 
