@@ -1138,11 +1138,16 @@ def quantile_normalize(
     g, v, tb = group_col, value_col, tiebreak_col
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism * 4
+    # lazy localCheckpoint: five consumers below (group counts, tie
+    # ranks, group totals, the pooled count, pooled value counts) would
+    # each re-run the source scan; the pin makes it one pass. At
+    # 10^12 rows this materialization is a written intermediate table,
+    # the same contract as asof_join_scalable's union pin.
     src = df.select(
         F.col(g).alias("__g"),
         F.col(v).cast("long").alias("__v"),
         F.col(tb).alias("__tb"),
-    )
+    ).localCheckpoint(eager=False)
 
     # -- step 1: exact within-group rank without a group-sized window
     counts_g = src.groupBy("__g", "__v").agg(

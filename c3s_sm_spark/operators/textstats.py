@@ -1596,9 +1596,13 @@ def trending_tokens(
     w = Window.partitionBy("bucket").orderBy(
         F.col("cnt").desc(), F.col("token").asc()
     )
+    # lazy localCheckpoint: three consumers below (top-k filter,
+    # previous-bucket side, predecessor-existence set) would otherwise
+    # each re-run the corpus scan + count shuffle + rank window
+    # (measured 3 parquet scans); after the pin the corpus is read once
     ranked = counts.withColumn(
         "rnk", F.row_number().over(w).cast("long")
-    )
+    ).localCheckpoint(eager=False)
     top = ranked.filter(F.col("rnk") <= int(top_k))
     prev = ranked.select(
         (F.col("bucket") + 1).alias("bucket"),
@@ -1608,7 +1612,7 @@ def trending_tokens(
     )
     # only buckets whose PREDECESSOR exists (first bucket has no
     # "previous" — and bucket numbering need not start at 0)
-    has_prev = counts.select(
+    has_prev = ranked.select(
         (F.col("bucket") + 1).alias("bucket")
     ).distinct()
     return (
@@ -1669,11 +1673,14 @@ def burst_detect(
         .alias("bucket"),
         F.explode(words_col(text_col)).alias("token"),
     )
+    # lazy localCheckpoint: bucket totals, token totals, and the grid
+    # join all derive from this one count frame — without the pin each
+    # consumer re-reads the corpus (measured 3 parquet scans)
     counts = toks.groupBy("bucket", "token").agg(
         F.count(F.lit(1)).cast("long").alias("k")
-    )
-    bucket_tot = toks.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    ).localCheckpoint(eager=False)
+    bucket_tot = counts.groupBy("bucket").agg(
+        F.sum("k").cast("long").alias("n")
     )
     tok_tot = counts.groupBy("token").agg(
         F.sum("k").cast("long").alias("k_tot")

@@ -4359,6 +4359,9 @@ def dtw_distances(
             F.expr("transform(array_sort(collect_list(__s)), x -> x.v)")
             .alias("__vals")
         )
+        # lazy localCheckpoint: the series frame feeds BOTH pair joins —
+        # without the pin the assembly shuffle runs twice (2 scans)
+        .localCheckpoint(eager=False)
     )
     ka, kb = pairs.columns[0], pairs.columns[1]
     joined = (
