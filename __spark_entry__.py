@@ -3541,6 +3541,31 @@ def _q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 isotonic regression (PAVA) per user over the daily purchase
+    series: the monotone least-squares fit as exact integer blocks
+    (blk_sum/blk_n pieces — the fitted level is rational, never a
+    float witness). Rows-only by design (while-merge recursion);
+    pinned against an exact-Fraction PAVA reference in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import isotonic_blocks
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 40)
+    return isotonic_blocks(daily, ["user_id"], "day", "v4")
+
+
+def _q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 Dickey-Fuller unit-root pieces (drift form) per user over
+    the daily purchase series: exact BIGINT OLS pieces of the
+    delta-vs-lag regression; gamma/t derive caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import dickey_fuller_pieces
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    return dickey_fuller_pieces(daily, ["user_id"], "day", "v4")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3957,6 +3982,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binseg": _q_binseg,
         # X169 (rows-only): Holt-Winters additive seasonal smoothing:
         "holt_winters": _q_holt_winters,
+        # X170 (rows-only): isotonic regression (PAVA) exact blocks:
+        "isotonic": _q_isotonic,
+        # X171 (oracled): Dickey-Fuller unit-root OLS pieces:
+        "dickey_fuller": _q_dickey_fuller,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6579,6 +6608,28 @@ def oracle_sql() -> dict[str, str]:
                CAST((r.rn * r.np + r.ns - 1) // r.ns AS BIGINT) AS k,
                CAST(o.pv AS BIGINT) AS nv
         FROM r JOIN o ON o.pos = (r.rn * r.np + r.ns - 1) // r.ns
+    """
+    # X171: identical lag-window OLS pieces (drift form); the filter
+    # keeps only rows with a lagged predecessor
+    d["dickey_fuller"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        l AS (
+          SELECT user_id, v4 AS y,
+                 lag(v4) OVER (PARTITION BY user_id ORDER BY day) AS y1
+          FROM p)
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y1) AS BIGINT) AS s_y1,
+               CAST(sum(y1*y1) AS BIGINT) AS s_y1sq,
+               CAST(sum(y - y1) AS BIGINT) AS s_dy,
+               CAST(sum((y - y1)*(y - y1)) AS BIGINT) AS s_dy2,
+               CAST(sum(y1*(y - y1)) AS BIGINT) AS s_y1dy
+        FROM l WHERE y1 IS NOT NULL GROUP BY user_id
     """
     # X165: identical window ranks under (cnt DESC, token ASC); the
     # previous-bucket join keeps the FULL rank frame on the right

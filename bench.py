@@ -205,6 +205,8 @@ HEADLINE = [
     "burst_detect",
     "binseg",
     "holt_winters",
+    "isotonic",
+    "dickey_fuller",
     "text_quality",
     "lang_id",
     "quality_select",

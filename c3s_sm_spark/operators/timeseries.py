@@ -4838,3 +4838,171 @@ def holt_winters_seasonal(
     return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
         _hw_partition, schema=out_schema
     )
+
+
+def isotonic_blocks(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X170 isotonic regression per key via Pool-Adjacent-Violators
+    (PAVA; Ayer et al. 1955, Barlow & Brunk 1972) — the
+    monotone-nondecreasing least-squares fit, THE calibration
+    primitive (monotone quality-score calibration, dose-response,
+    drift-free cumulative trend fits). Emits the fitted step function
+    as its maximal constant BLOCKS in exact integer pieces — the
+    fitted level is ``blk_sum / blk_n``, a rational the caller
+    derives, so the witness never contains a float: per block
+    ``(keys, blk_idx, start_idx, end_idx, blk_sum, blk_n)`` (indices
+    0-based over the key's time order, inclusive).
+
+    PAVA merges adjacent blocks while a violation exists
+    (``mean_prev > mean_next``), decided here by the exact
+    cross-multiplication ``sum_prev * n_next > sum_next * n_prev`` —
+    no float enters any decision, so the block structure is
+    bit-stable at any parallelism and identical to an infinite-
+    precision solver. Overflow contract: ``|block sum| * block count
+    < 2^63`` (1e-4-unit daily sums: safe beyond 1e6-point series).
+
+    Scale shape: one shuffle on ``keys``, then the sorted-partition
+    stack kernel (O(n) amortized per series — each element is pushed
+    and merged at most once); the :func:`ewma`/:func:`lttb`
+    per-series contract. Rows-only (a while-merge recursion has no
+    ANSI-SQL twin); pinned against sklearn-semantics brute force in
+    tests/test_timeseries.py.
+    """
+    keys = list(keys)
+    src = df.select(*keys, ts_col, value_col)
+
+    def _pava_one(v):
+        # stack of [sum, n, start]
+        blocks: list[list[int]] = []
+        for i, x in enumerate(v):
+            blocks.append([int(x), 1, i])
+            while len(blocks) >= 2:
+                s2, n2, st2 = blocks[-1]
+                s1, n1, st1 = blocks[-2]
+                if s1 * n2 > s2 * n1:  # mean_prev > mean_next: pool
+                    blocks[-2:] = [[s1 + s2, n1 + n2, st1]]
+                else:
+                    break
+        return blocks
+
+    def _pava_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        out = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[value_col].to_numpy(np.int64)
+            blocks = _pava_one(v)
+            nxt_starts = [b[2] for b in blocks[1:]] + [len(v)]
+            for bi, ((s, n, st), nx) in enumerate(
+                zip(blocks, nxt_starts)
+            ):
+                out.append((*kv, bi, st, nx - 1, s, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    *keys, "blk_idx", "start_idx", "end_idx",
+                    "blk_sum", "blk_n",
+                ],
+            )
+
+    key_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in keys
+    )
+    out_schema = (
+        f"{key_types}, blk_idx bigint, start_idx bigint, "
+        "end_idx bigint, blk_sum bigint, blk_n bigint"
+    )
+    part = (
+        src.repartition(n_partitions, *keys)
+        if n_partitions
+        else src.repartition(*keys)
+    )
+    return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
+        _pava_partition, schema=out_schema
+    )
+
+
+def dickey_fuller_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X171 Dickey-Fuller unit-root test pieces (Dickey & Fuller
+    1979, no-lag DRIFT form — intercept included via centered OLS
+    pieces) — the standard "is this series
+    stationary or a random walk?" screen that decides whether a
+    per-source metric can be modeled by level statistics at all (the
+    stationarity gate in front of the X53/X130/X147 family): regress
+    ``Δy_t`` on ``y_{t-1}``; ``gamma ~ 0`` means unit root (random
+    walk), ``gamma < 0`` means mean-reverting.
+
+    Emits the exact BIGINT OLS pieces per key — ``n`` (usable lagged
+    observations), ``s_y1``, ``s_y1sq``, ``s_dy``, ``s_dy2``,
+    ``s_y1dy`` — the float ``gamma = (n·s_y1dy − s_y1·s_dy) /
+    (n·s_y1sq − s_y1²)`` and its t-statistic live in
+    :func:`dickey_fuller_scores`, outside the witness. Overflow
+    contract: ``n·Σy²`` must fit int64 (1e-4-unit daily sums:
+    safe to ~1e4-point series at 1e5-unit levels; pre-scale or
+    pre-aggregate beyond).
+
+    Scale shape: ONE shuffle on ``keys`` shared by the lag window and
+    the aggregate — pure JVM expressions, no Python. Oracled (lag
+    window + cast sums have an exact ANSI twin).
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    v = F.col(value_col).cast("long")
+    staged = df.select(
+        *keys, ts_col, v.alias("__y")
+    ).withColumn("__y1", F.lag("__y").over(w))
+    y1, dy = F.col("__y1"), F.col("__y") - F.col("__y1")
+    # single-observation keys drop entirely (no lagged row), matching
+    # the oracle's WHERE y1 IS NOT NULL — never an n=0 null row
+    return staged.filter(y1.isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y1).cast("long").alias("s_y1"),
+        F.sum(y1 * y1).cast("long").alias("s_y1sq"),
+        F.sum(dy).cast("long").alias("s_dy"),
+        F.sum(dy * dy).cast("long").alias("s_dy2"),
+        F.sum(y1 * dy).cast("long").alias("s_y1dy"),
+    )
+
+
+def dickey_fuller_scores(pieces: DataFrame) -> DataFrame:
+    """gamma + t-statistic from :func:`dickey_fuller_pieces` — plain
+    float projection (t < ~-2.86 rejects the unit root at 5% for the
+    drift form). Null when degenerate (n < 3 or zero variance)."""
+    n = F.col("n").cast("double")
+    sxx = n * F.col("s_y1sq") - F.col("s_y1") * F.col("s_y1")
+    sxy = n * F.col("s_y1dy") - F.col("s_y1") * F.col("s_dy")
+    syy = n * F.col("s_dy2") - F.col("s_dy") * F.col("s_dy")
+    gamma = sxy / sxx
+    # residual SS (scaled): (syy - gamma*sxy) / n; SE^2 = s2 / (sxx/n)
+    s2 = (syy - gamma * sxy) / (n * (n - 2))
+    ok = (F.col("n") >= 3) & (sxx > 0)
+    return pieces.select(
+        "*",
+        F.when(ok, gamma).alias("gamma"),
+        F.when(
+            ok & (s2 > 0), gamma / F.sqrt(s2 * n / sxx)
+        ).alias("t_stat"),
+    )

@@ -3775,3 +3775,129 @@ def test_holt_winters_seasonal_reference(spark):
         holt_winters_seasonal(df, ["k"], "ts", "v", period=1)
     with pytest.raises(ValueError):
         holt_winters_seasonal(df, ["k"], "ts", "v", period=7, alpha=0.0)
+
+
+def test_isotonic_blocks_brute_force(spark):
+    import datetime as dt
+    from fractions import Fraction
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import isotonic_blocks
+
+    rng = np.random.default_rng(170)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for k in range(4):
+        v = [int(x) for x in np.cumsum(rng.integers(-30, 40, 40 + k))]
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    # planted: strictly decreasing series pools into ONE block
+    series[9] = [50, 40, 30, 20, 10]
+    rows += [
+        (9, base + dt.timedelta(days=i), x)
+        for i, x in enumerate(series[9])
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    got = {}
+    for r in isotonic_blocks(df, ["k"], "ts", "v").collect():
+        got.setdefault(r["k"], []).append(
+            (r["blk_idx"], r["start_idx"], r["end_idx"],
+             r["blk_sum"], r["blk_n"])
+        )
+    for k in got:
+        got[k].sort()
+
+    def pava_ref(v):
+        blocks = []
+        for i, x in enumerate(v):
+            blocks.append([x, 1, i])
+            while len(blocks) >= 2 and Fraction(
+                blocks[-2][0], blocks[-2][1]
+            ) > Fraction(blocks[-1][0], blocks[-1][1]):
+                s2, n2, _ = blocks.pop()
+                blocks[-1][0] += s2
+                blocks[-1][1] += n2
+        out = []
+        for bi, (s, n, st) in enumerate(blocks):
+            nx = (blocks[bi + 1][2] - 1 if bi + 1 < len(blocks)
+                  else len(v) - 1)
+            out.append((bi, st, nx, s, n))
+        return out
+
+    for k, v in series.items():
+        assert got[k] == pava_ref(v), k
+        means = [Fraction(s, n) for _, _, _, s, n in got[k]]
+        assert all(a <= b for a, b in zip(means, means[1:]))
+        assert sum(n for *_, n in got[k]) == len(v)
+    assert got[9] == [(0, 0, 4, 150, 5)]
+    # parallelism invariance
+    got2 = {}
+    for r in isotonic_blocks(
+        df.repartition(7), ["k"], "ts", "v", n_partitions=3
+    ).collect():
+        got2.setdefault(r["k"], []).append(
+            (r["blk_idx"], r["start_idx"], r["end_idx"],
+             r["blk_sum"], r["blk_n"])
+        )
+    for k in got2:
+        got2[k].sort()
+    assert got2 == got
+
+
+def test_dickey_fuller_vs_numpy_ols(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import (
+        dickey_fuller_pieces,
+        dickey_fuller_scores,
+    )
+
+    rng = np.random.default_rng(171)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    # k=0: random walk (unit root, t near 0); k=1: strongly
+    # mean-reverting AR(1) (t very negative)
+    walk = np.cumsum(rng.integers(-50, 51, 80))
+    ar = [0.0]
+    for _ in range(79):
+        ar.append(0.2 * ar[-1] + float(rng.normal(0, 30)))
+    series[0] = [int(x) for x in walk]
+    series[1] = [int(round(x)) for x in ar]
+    for k, v in series.items():
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    rows += [(9, base, 7)]  # single-point key: must drop, not n=0
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    out = {
+        r["k"]: r
+        for r in dickey_fuller_scores(
+            dickey_fuller_pieces(df, ["k"], "ts", "v")
+        ).collect()
+    }
+    assert 9 not in out
+    for k, v in series.items():
+        y = np.asarray(v, dtype=float)
+        y1, dy = y[:-1], np.diff(y)
+        X = np.column_stack([np.ones_like(y1), y1])
+        beta, *_ = np.linalg.lstsq(X, dy, rcond=None)
+        gamma = float(beta[1])
+        resid = dy - X @ beta
+        s2 = float(resid @ resid) / (len(dy) - 2)
+        se = float(
+            np.sqrt(s2 / ((y1 - y1.mean()) @ (y1 - y1.mean())))
+        )
+        r = out[k]
+        assert r["n"] == len(dy)
+        assert r["gamma"] == pytest.approx(gamma, rel=1e-9)
+        assert r["t_stat"] == pytest.approx(gamma / se, rel=1e-7)
+    # the planted regimes separate cleanly: the random walk keeps the
+    # unit root, the AR(0.2) rejects it hard
+    assert out[0]["t_stat"] > -2.86
+    assert out[1]["t_stat"] < -4
