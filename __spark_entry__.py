@@ -3566,6 +3566,39 @@ def _q_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dickey_fuller_pieces(daily, ["user_id"], "day", "v4")
 
 
+def _q_lb_keogh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X172 LB_Keogh lower bounds (radius 14) for the same 66 user
+    pairs as the `dtw` witness — the O(n) pruning stage in front of
+    the exact DP, block-then-verify applied to elastic similarity.
+    Rows-only; the lb <= dtw invariant and a brute-force envelope
+    reference are pinned in tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import dtw_lb_keogh
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 12)
+    users = [r[0] for r in daily.select("user_id").distinct().collect()]
+    pairs = spark.createDataFrame(
+        [(a, b) for a in users for b in users if a < b],
+        "key_a long, key_b long",
+    )
+    return dtw_lb_keogh(daily, "user_id", "day", "v4", pairs, radius=14)
+
+
+def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X173 split-conformal interval pieces (alpha=0.2) over the
+    seasonal-naive (lag-7) forecaster on per-user daily purchase
+    sums: exact type-1 order statistic of absolute residuals at the
+    conformal rank ceil(0.8*(n+1)) — distribution-free >=80%
+    coverage, all BIGINT."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import conformal_pieces
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    return conformal_pieces(
+        daily, ["user_id"], "day", "v4", season_lag=7, alpha=0.2
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -3986,6 +4019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic": _q_isotonic,
         # X171 (oracled): Dickey-Fuller unit-root OLS pieces:
         "dickey_fuller": _q_dickey_fuller,
+        # X172 (rows-only): LB_Keogh DTW pruning bounds:
+        "lb_keogh": _q_lb_keogh,
+        # X173 (oracled): split-conformal interval pieces:
+        "conformal": _q_conformal,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6608,6 +6645,46 @@ def oracle_sql() -> dict[str, str]:
                CAST((r.rn * r.np + r.ns - 1) // r.ns AS BIGINT) AS k,
                CAST(o.pv AS BIGINT) AS nv
         FROM r JOIN o ON o.pos = (r.rn * r.np + r.ns - 1) // r.ns
+    """
+    # X173: identical lag-7 residuals + inclusive-range rank selection;
+    # 800000/1e6 is alpha=0.2 exactly
+    d["conformal"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        l AS (
+          SELECT user_id, v4,
+                 lag(v4, 7) OVER (PARTITION BY user_id ORDER BY day)
+                   AS yl
+          FROM p),
+        r AS (SELECT user_id, abs(v4 - yl) AS r
+              FROM l WHERE yl IS NOT NULL),
+        counts AS (SELECT user_id, r, CAST(count(*) AS BIGINT) AS c
+                   FROM r GROUP BY 1, 2),
+        cum AS (
+          SELECT user_id, r, c,
+                 CAST(coalesce(sum(c) OVER (
+                     PARTITION BY user_id ORDER BY r
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 0) - c AS BIGINT) AS bef
+          FROM counts),
+        tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_resid
+                FROM counts GROUP BY 1),
+        probes AS (
+          SELECT user_id, n_resid,
+                 CAST(least(n_resid,
+                   (800000 * (n_resid + 1) + 999999) // 1000000)
+                   AS BIGINT) AS k
+          FROM tot)
+        SELECT c.user_id, p2.n_resid, p2.k,
+               CAST(c.r AS BIGINT) AS q_hat,
+               CAST(c.bef + c.c AS BIGINT) AS n_covered
+        FROM cum c JOIN probes p2
+          ON c.user_id = p2.user_id
+         AND c.bef < p2.k AND p2.k <= c.bef + c.c
     """
     # X171: identical lag-window OLS pieces (drift form); the filter
     # keeps only rows with a lagged predecessor

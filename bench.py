@@ -207,6 +207,8 @@ HEADLINE = [
     "holt_winters",
     "isotonic",
     "dickey_fuller",
+    "lb_keogh",
+    "conformal",
     "text_quality",
     "lang_id",
     "quality_select",

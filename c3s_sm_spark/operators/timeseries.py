@@ -5006,3 +5006,198 @@ def dickey_fuller_scores(pieces: DataFrame) -> DataFrame:
             ok & (s2 > 0), gamma / F.sqrt(s2 * n / sxx)
         ).alias("t_stat"),
     )
+
+
+def dtw_lb_keogh(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    pairs: DataFrame,
+    radius: int = 14,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X172 LB_Keogh lower bound (Keogh & Ratanamahatana 2005) for
+    banded DTW — the PRUNING stage in front of :func:`dtw_distances`,
+    completing the block-then-verify pattern the dedup suite uses:
+    the bound is O(n) per pair vs the DP's O(w·(n+m)), and
+    ``lb <= dtw`` always (same band ``w = max(radius, |n−m|)``), so
+    filtering candidate pairs on ``lb <= threshold`` before the exact
+    kernel discards most of a large pair budget without ever running
+    the DP on them — exactly how MinHash banding fronts the exact
+    Jaccard verify.
+
+    ``LB(a, b) = Σ_i max(0, a_i − U_i, L_i − a_i)`` where ``U_i/L_i``
+    are the max/min of ``b`` over the index window ``[i−w, i+w]``
+    (positions beyond ``b``'s end clamp into the window; every DTW
+    path must match ``a_i`` to SOME ``b_j`` with ``|i−j| <= w`` and
+    costs are nonnegative, which is the whole proof — it holds for
+    ragged lengths because the band is widened to ``|n−m|`` exactly
+    like the DP's). Pure integer arithmetic — exact at any
+    parallelism. Emits ``(key_a, key_b, n_a, n_b, band, lb)``.
+
+    Asymmetric by construction (envelope on ``b``); callers wanting
+    the tighter symmetric bound run it both ways and take the max.
+    Rows-only (pinned: brute-force envelope reference AND the
+    ``lb <= dtw`` invariant against :func:`dtw_distances` in pytest).
+    """
+    ser = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(value_col).cast("long").alias("v"),
+            ).alias("__s"),
+        )
+        .groupBy("__k")
+        .agg(
+            F.expr("transform(array_sort(collect_list(__s)), x -> x.v)")
+            .alias("__vals")
+        )
+        .localCheckpoint(eager=False)
+    )
+    ka, kb = pairs.columns[0], pairs.columns[1]
+    joined = (
+        pairs.select(F.col(ka).alias("key_a"), F.col(kb).alias("key_b"))
+        .join(
+            ser.select(
+                F.col("__k").alias("key_a"), F.col("__vals").alias("__va")
+            ),
+            "key_a",
+        )
+        .join(
+            ser.select(
+                F.col("__k").alias("key_b"), F.col("__vals").alias("__vb")
+            ),
+            "key_b",
+        )
+        .select("key_a", "key_b", "__va", "__vb")
+    )
+    if n_partitions:
+        joined = joined.repartition(n_partitions)
+    rad = int(radius)
+
+    def _lb_one(a, b):
+        import numpy as np
+
+        n, m = len(a), len(b)
+        w = max(rad, abs(n - m))
+        # U/L over b's sliding [i-w, i+w] window, clamped to [0, m)
+        lo = np.clip(np.arange(n) - w, 0, m - 1)
+        hi = np.clip(np.arange(n) + w + 1, 1, m)
+        # prefix-extrema trick: window extrema via cummax from both ends
+        # (O(n·w) naive is fine for witness sizes; use stride windows)
+        U = np.empty(n, dtype=np.int64)
+        L = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            seg = b[lo[i]:hi[i]]
+            U[i] = seg.max()
+            L[i] = seg.min()
+        over = np.maximum(a - U, 0)
+        under = np.maximum(L - a, 0)
+        return int(np.maximum(over, under).sum()), w
+
+    def _lb_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = []
+            for ka_, kb_, va, vb in zip(
+                pdf["key_a"], pdf["key_b"], pdf["__va"], pdf["__vb"]
+            ):
+                a = np.asarray(va, dtype=np.int64)
+                b = np.asarray(vb, dtype=np.int64)
+                if len(a) == 0 or len(b) == 0:
+                    continue
+                lb, w = _lb_one(a, b)
+                res.append((ka_, kb_, len(a), len(b), w, lb))
+            if res:
+                yield pd.DataFrame(
+                    res,
+                    columns=["key_a", "key_b", "n_a", "n_b", "band", "lb"],
+                )
+
+    out_schema = (
+        f"key_a {joined.schema['key_a'].dataType.simpleString()}, "
+        f"key_b {joined.schema['key_b'].dataType.simpleString()}, "
+        "n_a bigint, n_b bigint, band bigint, lb bigint"
+    )
+    return joined.mapInPandas(_lb_partition, schema=out_schema)
+
+
+def conformal_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    season_lag: int = 7,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """X173 conformal prediction-interval pieces (split-conformal
+    calibration, Vovk et al. 2005; Lei et al. 2018) over the
+    seasonal-naive forecaster — the distribution-free interval the
+    X74 backtest family lacks: nonconformity scores are the absolute
+    seasonal-naive residuals ``r_t = |v_t − v_{t−lag}|``, and the
+    interval half-width is the exact type-1 order statistic of the
+    scores at rank ``k = ceil((1−alpha)·(n+1))`` (clamped to n —
+    the finite-sample conformal correction), guaranteeing ≥(1−alpha)
+    marginal coverage without any distributional assumption.
+
+    Emits per key, all exact BIGINT: ``n_resid``, ``k``, ``q_hat``
+    (the half-width, in value units), ``n_covered`` (scores ≤ q_hat —
+    the in-sample coverage witness, ≥ k by construction).
+
+    Scale shape: one key shuffle shared by the lag window and the
+    per-``(key, score)`` count frame; the rank selection runs over
+    the count frame (distinct-score-sized window per key, never
+    row-sized) — the :func:`qq_shift_pieces` machinery applied per
+    key. Oracled (windows + order statistics have an ANSI twin).
+    """
+    keys = list(keys)
+    if not (0 < alpha < 1):
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.select(*keys, ts_col, v.alias("__y"))
+        .withColumn("__yl", F.lag("__y", season_lag).over(w))
+        .filter(F.col("__yl").isNotNull())
+        .select(*keys, F.abs(F.col("__y") - F.col("__yl")).alias("__r"))
+    )
+    counts = staged.groupBy(*keys, "__r").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    wc = (
+        Window.partitionBy(*keys)
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "__bef", F.coalesce(F.sum("__c").over(wc), F.lit(0)).cast("long")
+    )
+    totals = counts.groupBy(*keys).agg(
+        F.sum("__c").cast("long").alias("n_resid")
+    )
+    # k = ceil((1-alpha)(n+1)) = (num*(n+1) + den - 1) div den with
+    # alpha expressed exactly as a fraction over 10^6
+    num = int(round((1.0 - alpha) * 1_000_000))
+    kk = F.least(
+        F.col("n_resid"),
+        F.expr(
+            f"CAST(({num} * (n_resid + 1) + {1_000_000 - 1}) "
+            f"div {1_000_000} AS BIGINT)"
+        ),
+    ).alias("__kq")  # internal name: must never collide with a key col
+    probes = totals.select(*keys, "n_resid", kk)
+    hit = cum.join(probes, keys).filter(
+        (F.col("__bef") < F.col("__kq"))
+        & (F.col("__kq") <= F.col("__bef") + F.col("__c"))
+    )
+    return hit.select(
+        *keys, "n_resid", F.col("__kq").alias("k"),
+        F.col("__r").alias("q_hat"),
+        (F.col("__bef") + F.col("__c")).alias("n_covered"),
+    )

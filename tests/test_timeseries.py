@@ -3901,3 +3901,108 @@ def test_dickey_fuller_vs_numpy_ols(spark):
     # unit root, the AR(0.2) rejects it hard
     assert out[0]["t_stat"] > -2.86
     assert out[1]["t_stat"] < -4
+
+
+def test_lb_keogh_bounds_dtw(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        dtw_distances,
+        dtw_lb_keogh,
+    )
+
+    rng = np.random.default_rng(172)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for k in range(6):
+        v = [int(x) for x in rng.integers(-500, 500, 20 + 8 * k)]
+        if k == 5:  # level-shifted: the envelope bound must see it
+            v = [x + 50000 for x in v]
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in series for b in series if a != b],
+        "key_a long, key_b long",
+    )
+    lb = {
+        (r["key_a"], r["key_b"]): (r["band"], r["lb"])
+        for r in dtw_lb_keogh(
+            df, "k", "ts", "v", pairs, radius=3
+        ).collect()
+    }
+    dd = {
+        (r["key_a"], r["key_b"]): (r["band"], r["dtw"])
+        for r in dtw_distances(
+            df, "k", "ts", "v", pairs, radius=3
+        ).collect()
+    }
+    assert len(lb) == len(dd) == 30
+    # THE invariant: same band, lb never exceeds the exact distance
+    for p in lb:
+        assert lb[p][0] == dd[p][0]
+        assert lb[p][1] <= dd[p][1], p
+    # brute-force envelope reference
+    for (a, b), (w, val) in lb.items():
+        A, B = series[a], series[b]
+        n, m = len(A), len(B)
+        ww = max(3, abs(n - m))
+        tot = 0
+        for i, x in enumerate(A):
+            seg = B[max(0, i - ww):min(m, i + ww + 1)]
+            tot += max(0, x - max(seg), min(seg) - x)
+        assert (ww, tot) == (w, val), (a, b)
+    # the bound is non-trivial: every pair against the level-shifted
+    # series 5 shows a large positive bound (so a threshold filter
+    # would prune them all without running the DP)
+    for p, (_, val) in lb.items():
+        if 5 in p:
+            assert val > 100_000, p
+        else:
+            assert val < 100_000, p
+
+
+def test_conformal_pieces_reference(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import conformal_pieces
+
+    rng = np.random.default_rng(173)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for g in range(5):
+        v = [int(x) for x in rng.integers(-500, 500, 15 + 9 * g)]
+        series[g] = v
+        rows += [
+            (g, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    rows += [(99, base + dt.timedelta(days=i), i) for i in range(7)]
+    df = spark.createDataFrame(rows, "g long, ts timestamp, v long")
+    out = {
+        r["g"]: r
+        for r in conformal_pieces(
+            df, ["g"], "ts", "v", season_lag=7, alpha=0.2
+        ).collect()
+    }
+    assert 99 not in out  # no lag-7 residuals at all
+    for g, v in series.items():
+        r = [abs(v[t] - v[t - 7]) for t in range(7, len(v))]
+        n = len(r)
+        kk = min(n, -(-8 * (n + 1) // 10))
+        q = sorted(r)[kk - 1]
+        cov = sum(1 for x in r if x <= q)
+        gg = out[g]
+        assert (
+            gg["n_resid"], gg["k"], gg["q_hat"], gg["n_covered"]
+        ) == (n, kk, q, cov), g
+        # finite-sample conformal guarantee witness
+        assert gg["n_covered"] >= gg["k"]
+    with pytest.raises(ValueError):
+        conformal_pieces(df, ["g"], "ts", "v", alpha=1.5)
