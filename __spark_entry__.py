@@ -3599,6 +3599,46 @@ def _q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X174 Croston intermittent-demand smoothing (alpha=0.1) over the
+    per-user daily purchase series gap-filled with zero days, users <
+    20 — size/interval states + demand-rate forecast. Rows-only
+    (order-recursive); pinned against a pure-Python reference in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.gapfill import gap_fill
+    from c3s_sm_spark.operators.timeseries import croston_smooth
+
+    daily = (
+        _daily_purchase_v4(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .withColumnRenamed("day", "ts")
+    )
+    # zero-fill the calendar so the series is genuinely intermittent
+    lo, hi = daily.agg(F.min("ts"), F.max("ts")).collect()[0]
+    filled = gap_fill(
+        daily, keys=["user_id"], ts_col="ts", freq="daily",
+        start=str(lo), end=str(hi),
+    )
+    src = filled.select(
+        "user_id",
+        F.col("ts"),
+        F.coalesce(F.col("v4"), F.lit(0)).cast("double").alias("v"),
+    )
+    return croston_smooth(src, ["user_id"], "ts", "v", alpha=0.1)
+
+
+def _q_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 augmented Dickey-Fuller pieces (one lagged difference,
+    drift form) per user over the daily purchase series — exact
+    BIGINT normal-equation sums; gamma/phi/t derive caller-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import adf_pieces
+
+    daily = _daily_purchase_v4(spark, sf_dir)
+    return adf_pieces(daily, ["user_id"], "day", "v4")
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4023,6 +4063,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lb_keogh": _q_lb_keogh,
         # X173 (oracled): split-conformal interval pieces:
         "conformal": _q_conformal,
+        # X174 (rows-only): Croston intermittent-demand smoothing:
+        "croston": _q_croston,
+        # X175 (oracled): augmented Dickey-Fuller OLS pieces:
+        "adf": _q_adf,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6645,6 +6689,33 @@ def oracle_sql() -> dict[str, str]:
                CAST((r.rn * r.np + r.ns - 1) // r.ns AS BIGINT) AS k,
                CAST(o.pv AS BIGINT) AS nv
         FROM r JOIN o ON o.pos = (r.rn * r.np + r.ns - 1) // r.ns
+    """
+    # X175: identical double-lag windows + cast normal-equation sums
+    d["adf"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        l AS (
+          SELECT user_id, v4 AS v,
+                 lag(v4) OVER w AS y,
+                 lag(v4, 2) OVER w AS y2
+          FROM p
+          WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS s_y,
+               CAST(sum(y - y2) AS BIGINT) AS s_d,
+               CAST(sum(v - y) AS BIGINT) AS s_z,
+               CAST(sum(y*y) AS BIGINT) AS s_yy,
+               CAST(sum((y - y2)*(y - y2)) AS BIGINT) AS s_dd,
+               CAST(sum(y*(y - y2)) AS BIGINT) AS s_yd,
+               CAST(sum(y*(v - y)) AS BIGINT) AS s_yz,
+               CAST(sum((y - y2)*(v - y)) AS BIGINT) AS s_dz,
+               CAST(sum((v - y)*(v - y)) AS BIGINT) AS s_zz
+        FROM l WHERE y2 IS NOT NULL GROUP BY user_id
     """
     # X173: identical lag-7 residuals + inclusive-range rank selection;
     # 800000/1e6 is alpha=0.2 exactly

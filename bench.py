@@ -209,6 +209,8 @@ HEADLINE = [
     "dickey_fuller",
     "lb_keogh",
     "conformal",
+    "croston",
+    "adf",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -5201,3 +5201,191 @@ def conformal_pieces(
         F.col("__r").alias("q_hat"),
         (F.col("__bef") + F.col("__c")).alias("n_covered"),
     )
+
+
+def croston_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X174 Croston's method (Croston 1972) per key — THE forecasting
+    baseline for INTERMITTENT series, which every smoother in the
+    :func:`ewma`/:func:`holt_smooth`/:func:`holt_winters_seasonal`
+    ladder handles badly: when most observations are zero (sparse
+    purchases, sporadic sensor events, rare-token counts per bucket),
+    plain exponential smoothing decays toward zero between demands
+    and spikes on each one. Croston separates the signal into demand
+    SIZE and demand INTERVAL, each exponentially smoothed only at
+    demand points:
+
+    on ``v_t > 0``:  ``z = alpha*v_t + (1-alpha)*z`` (size),
+                     ``p = alpha*q + (1-alpha)*p`` (interval, q =
+                     periods since the previous demand), ``q = 1``;
+    on ``v_t = 0``:  states hold, ``q += 1``.
+
+    Initialization: first demand sets ``z = v``, ``p = its period
+    index + 1`` (periods from series start, the classic convention).
+    Appends ``cr_size``, ``cr_interval``, ``cr_forecast = z/p`` (the
+    per-period demand rate; NULL before the first demand). Negative
+    values raise — Croston is defined for nonnegative demand.
+
+    Physical strategy is :func:`ewma`'s sorted-partition recurrence;
+    deterministic at any parallelism. Rows-only (order-recursive);
+    pinned against a pure-Python reference in pytest.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if not (0 < alpha <= 1):
+        raise ValueError(f"need 0<alpha<=1, got {alpha}")
+    keys = list(keys)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("cr_size", DoubleType()),
+            StructField("cr_interval", DoubleType()),
+            StructField("cr_forecast", DoubleType()),
+        ]
+    )
+
+    def _croston_one(v):
+        n = len(v)
+        zs = np.full(n, np.nan)
+        ps = np.full(n, np.nan)
+        z = p = None
+        q = 0
+        for t in range(n):
+            x = float(v[t])
+            if x < 0:
+                raise ValueError(
+                    "croston_smooth: negative demand encountered"
+                )
+            q += 1
+            if x > 0:
+                if z is None:
+                    z, p = x, float(q)
+                else:
+                    z = alpha * x + (1 - alpha) * z
+                    p = alpha * q + (1 - alpha) * p
+                q = 0
+            if z is not None:
+                zs[t], ps[t] = z, p
+        return zs, ps
+
+    def _croston_partition(batches):
+        import pandas as pd
+
+        parts = [p_ for p_ in batches if len(p_)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        zs = np.full(len(pdf), np.nan)
+        ps = np.full(len(pdf), np.nan)
+        for _, idx in pdf.groupby(keys, sort=False).indices.items():
+            gz, gp = _croston_one(
+                pdf[value_col].to_numpy(np.float64)[idx]
+            )
+            zs[idx], ps[idx] = gz, gp
+        # nullable Float64 so pre-first-demand rows arrive as NULL,
+        # not NaN (Spark distinguishes them)
+        mask = np.isnan(zs)
+        for c, arr in (
+            ("cr_size", zs),
+            ("cr_interval", ps),
+            ("cr_forecast", zs / ps),
+        ):
+            col = pd.array(arr, dtype="Float64")
+            col[mask] = pd.NA
+            pdf[c] = col
+        yield pdf
+
+    part = (
+        df.repartition(n_partitions, *keys)
+        if n_partitions
+        else df.repartition(*keys)
+    )
+    return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
+        _croston_partition, schema=out_schema
+    )
+
+
+def adf_pieces(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """X175 AUGMENTED Dickey-Fuller pieces (one lagged difference,
+    drift form): ``Δy_t = c + γ·y_{t−1} + φ·Δy_{t−1} + ε`` — the form
+    practitioners actually run when the series is autocorrelated (the
+    plain X171 DF over-rejects there; the Δy lag soaks up the serial
+    correlation). Emits the exact BIGINT normal-equation sums per
+    key — ``n, s_y, s_d, s_z, s_yy, s_dd, s_yd, s_yz, s_dz, s_zz``
+    with y = y_{t−1}, d = Δy_{t−1}, z = Δy_t — γ̂/φ̂/t solve
+    caller-side in :func:`adf_scores` via the centered 2-regressor
+    closed form. Rows with either lag missing drop (the first TWO
+    observations of each key), matching the oracle's NOT NULL filter.
+
+    Scale shape: ONE key shuffle shared by both lag windows and the
+    aggregate — pure JVM expressions. Oracled.
+    """
+    keys = list(keys)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    v = F.col(value_col).cast("long")
+    staged = (
+        df.select(*keys, ts_col, v.alias("__v"))
+        .withColumn("__y", F.lag("__v").over(w))
+        .withColumn("__y2", F.lag("__v", 2).over(w))
+        .filter(F.col("__y2").isNotNull())
+    )
+    y = F.col("__y")                       # y_{t-1}
+    z = F.col("__v") - F.col("__y")        # dy_t
+    d = F.col("__y") - F.col("__y2")       # dy_{t-1}
+    return staged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s_y"),
+        F.sum(d).cast("long").alias("s_d"),
+        F.sum(z).cast("long").alias("s_z"),
+        F.sum(y * y).cast("long").alias("s_yy"),
+        F.sum(d * d).cast("long").alias("s_dd"),
+        F.sum(y * d).cast("long").alias("s_yd"),
+        F.sum(y * z).cast("long").alias("s_yz"),
+        F.sum(d * z).cast("long").alias("s_dz"),
+        F.sum(z * z).cast("long").alias("s_zz"),
+    )
+
+
+def adf_scores(pieces: DataFrame) -> DataFrame:
+    """γ̂, φ̂ and γ's t-statistic from :func:`adf_pieces` — centered
+    two-regressor OLS closed form, plain float projection (t < ~-2.86
+    rejects the unit root at 5%, drift form). Null when degenerate
+    (n < 4 or singular design)."""
+    n = F.col("n").cast("double")
+    syy = n * F.col("s_yy") - F.col("s_y") * F.col("s_y")
+    sdd = n * F.col("s_dd") - F.col("s_d") * F.col("s_d")
+    syd = n * F.col("s_yd") - F.col("s_y") * F.col("s_d")
+    syz = n * F.col("s_yz") - F.col("s_y") * F.col("s_z")
+    sdz = n * F.col("s_dz") - F.col("s_d") * F.col("s_z")
+    szz = n * F.col("s_zz") - F.col("s_z") * F.col("s_z")
+    det = syy * sdd - syd * syd
+    gamma = (sdd * syz - syd * sdz) / det
+    phi = (syy * sdz - syd * syz) / det
+    # SS_res (n-scaled) = szz - gamma*syz - phi*sdz; s2 = SS/(n(n-3))
+    s2 = (szz - gamma * syz - phi * sdz) / (n * (n - 3))
+    ok = (F.col("n") >= 4) & (det > 0)
+    return pieces.select(
+        "*",
+        F.when(ok, gamma).alias("gamma"),
+        F.when(ok, phi).alias("phi"),
+        F.when(
+            ok & (s2 > 0), gamma / F.sqrt(s2 * n * sdd / det)
+        ).alias("t_stat"),
+    )

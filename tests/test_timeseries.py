@@ -4006,3 +4006,117 @@ def test_conformal_pieces_reference(spark):
         assert gg["n_covered"] >= gg["k"]
     with pytest.raises(ValueError):
         conformal_pieces(df, ["g"], "ts", "v", alpha=1.5)
+
+
+def test_croston_reference(spark):
+    import datetime as dt
+
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import croston_smooth
+
+    base = dt.datetime(2024, 1, 1)
+    series = {
+        1: [0, 0, 5, 0, 0, 0, 3, 0, 2, 0, 0, 4],
+        2: [7, 7, 7, 7],          # dense: reduces to plain EWMA, p=1
+        3: [0, 0, 0],             # never demands: all NULL
+    }
+    rows = [
+        (k, base + dt.timedelta(days=i), float(x))
+        for k, v in series.items()
+        for i, x in enumerate(v)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {}
+    for r in croston_smooth(df, ["k"], "ts", "v", alpha=0.2).collect():
+        out.setdefault(r["k"], []).append(
+            (r["ts"], r["cr_size"], r["cr_interval"], r["cr_forecast"])
+        )
+    for k in out:
+        out[k].sort()
+    a = 0.2
+    for k, v in series.items():
+        z = p = None
+        q = 0
+        exp = []
+        for x in v:
+            q += 1
+            if x > 0:
+                if z is None:
+                    z, p = float(x), float(q)
+                else:
+                    z = a * x + (1 - a) * z
+                    p = a * q + (1 - a) * p
+                q = 0
+            exp.append(
+                (z, p, None if z is None else z / p)
+            )
+        got = out[k]
+        assert len(got) == len(v)
+        for (_, gz, gp, gf), (ez, ep, ef) in zip(got, exp):
+            if ez is None:
+                assert (gz, gp, gf) == (None, None, None)
+            else:
+                assert gz == pytest.approx(ez, rel=1e-12)
+                assert gp == pytest.approx(ep, rel=1e-12)
+                assert gf == pytest.approx(ef, rel=1e-12)
+    # dense series: interval settles at 1, forecast tracks EWMA of sizes
+    assert out[2][-1][2] == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        croston_smooth(df, ["k"], "ts", "v", alpha=0.0)
+    # negative demand raises inside the kernel
+    neg = spark.createDataFrame(
+        [(1, base, -1.0)], "k long, ts timestamp, v double"
+    )
+    with pytest.raises(Exception, match="negative demand"):
+        croston_smooth(neg, ["k"], "ts", "v").collect()
+
+
+def test_adf_vs_numpy_ols(spark):
+    import datetime as dt
+
+    import numpy as np
+    import numpy.linalg as la
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import adf_pieces, adf_scores
+
+    rng = np.random.default_rng(175)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    walk = np.cumsum(rng.integers(-50, 51, 90))
+    ar = [0.0]
+    for _ in range(89):
+        ar.append(0.3 * ar[-1] + float(rng.normal(0, 40)))
+    series[0] = [int(x) for x in walk]
+    series[1] = [int(round(x)) for x in ar]
+    for k, v in series.items():
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    rows += [(9, base, 1), (9, base + dt.timedelta(days=1), 2)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    out = {
+        r["k"]: r
+        for r in adf_scores(adf_pieces(df, ["k"], "ts", "v")).collect()
+    }
+    assert 9 not in out  # needs >= 3 observations to form one row
+    for k, v in series.items():
+        y = np.asarray(v, float)
+        z = np.diff(y)
+        Z, Y1, D = z[1:], y[1:-1], z[:-1]
+        X = np.column_stack([np.ones_like(Y1), Y1, D])
+        beta, *_ = la.lstsq(X, Z, rcond=None)
+        resid = Z - X @ beta
+        s2 = float(resid @ resid) / (len(Z) - 3)
+        se_g = float(np.sqrt(s2 * la.inv(X.T @ X)[1, 1]))
+        r = out[k]
+        assert r["n"] == len(Z)
+        assert r["gamma"] == pytest.approx(float(beta[1]), rel=1e-9)
+        assert r["phi"] == pytest.approx(float(beta[2]), rel=1e-9)
+        assert r["t_stat"] == pytest.approx(
+            float(beta[1]) / se_g, rel=1e-7
+        )
+    # regimes separate: random walk keeps the unit root, AR rejects
+    assert out[0]["t_stat"] > -2.86
+    assert out[1]["t_stat"] < -4
