@@ -3613,6 +3613,9 @@ def _q_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         _daily_purchase_v4(spark, sf_dir)
         .filter(F.col("user_id") < 20)
         .withColumnRenamed("day", "ts")
+        # pin: the bounds collect, gap_fill's left side AND its
+        # distinct-keys side all consume this frame
+        .localCheckpoint(eager=False)
     )
     # zero-fill the calendar so the series is genuinely intermittent
     lo, hi = daily.agg(F.min("ts"), F.max("ts")).collect()[0]

@@ -5167,9 +5167,12 @@ def conformal_pieces(
         .filter(F.col("__yl").isNotNull())
         .select(*keys, F.abs(F.col("__y") - F.col("__yl")).alias("__r"))
     )
+    # lazy localCheckpoint: the cumulative frame and the per-key totals
+    # both derive from this count frame — the pin makes the corpus
+    # read once (same discipline as the rest of the family)
     counts = staged.groupBy(*keys, "__r").agg(
         F.count(F.lit(1)).cast("long").alias("__c")
-    )
+    ).localCheckpoint(eager=False)
     wc = (
         Window.partitionBy(*keys)
         .orderBy("__r")
