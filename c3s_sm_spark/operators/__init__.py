@@ -37,10 +37,31 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     validation_scores,
     value_histogram,
 )
+from c3s_sm_spark.operators.sampling import (  # noqa: F401
+    quantile_normalize,
+)
 from c3s_sm_spark.operators.textstats import (  # noqa: F401
+    burst_detect,
     characteristic_terms,
     chunk_documents,
+    rle_profile,
     source_divergence,
+    trending_tokens,
+    vocab_drift,
     vocab_growth,
     vocab_growth_approx,
+)
+from c3s_sm_spark.operators.timeseries import (  # noqa: F401
+    adf_pieces,
+    adf_scores,
+    binseg_changepoints,
+    conformal_pieces,
+    croston_smooth,
+    dickey_fuller_pieces,
+    dickey_fuller_scores,
+    dtw_distances,
+    dtw_lb_keogh,
+    holt_winters_seasonal,
+    isotonic_blocks,
+    matrix_profile_sad,
 )
