@@ -3642,6 +3642,23 @@ def _q_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adf_pieces(daily, ["user_id"], "day", "v4")
 
 
+def _q_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X176 OPTIMAL changepoint segmentation via PELT (L2 cost,
+    penalty 3e11 micro^2, min segment 3) over per-user daily purchase
+    sums, users < 30 — exact-Fraction cost comparisons, provably the
+    global optimum (vs binseg's greedy). Rows-only; pinned vs an
+    exhaustive segmentation search AND an unpruned O(n^2) DP in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import pelt_changepoints
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 30)
+    return pelt_changepoints(
+        daily, ["user_id"], "day", "v4",
+        penalty_num=300_000_000_000, min_size=3,
+    )
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4070,6 +4087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "croston": _q_croston,
         # X175 (oracled): augmented Dickey-Fuller OLS pieces:
         "adf": _q_adf,
+        # X176 (rows-only): PELT optimal changepoint segmentation:
+        "pelt": _q_pelt,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

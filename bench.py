@@ -211,6 +211,7 @@ HEADLINE = [
     "conformal",
     "croston",
     "adf",
+    "pelt",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -64,4 +64,5 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     holt_winters_seasonal,
     isotonic_blocks,
     matrix_profile_sad,
+    pelt_changepoints,
 )

@@ -5392,3 +5392,151 @@ def adf_scores(pieces: DataFrame) -> DataFrame:
             ok & (s2 > 0), gamma / F.sqrt(s2 * n * sdd / det)
         ).alias("t_stat"),
     )
+
+
+def pelt_changepoints(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    penalty_num: int = 1,
+    penalty_den: int = 1,
+    min_size: int = 2,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X176 OPTIMAL mean-shift changepoint segmentation via PELT
+    (Killick, Fearnhead & Eckley 2012) — the exact-optimal companion
+    to the greedy X168 :func:`binseg_changepoints`: minimizes
+    ``Σ_segments cost(seg) + beta·(#changepoints)`` with the L2 cost
+    ``cost(a,b) = Σy² − (Σy)²/n`` over ALL segmentations (binseg can
+    miss the optimum; PELT cannot), in amortized O(n) per series via
+    inequality pruning of candidate split points.
+
+    Every comparison is EXACT: costs are rationals with denominator
+    ``Π n_seg``, so the kernel compares Python ``Fraction``s
+    (arbitrary precision) and the optimal segmentation is bit-stable
+    at any parallelism — no float ever decides a split. The penalty
+    is likewise a rational ``penalty_num/penalty_den`` in SQUARED
+    value units (for micro-unit inputs, scale accordingly — e.g.
+    BIC-style ``beta = 2·sigma²·ln n`` computed by the caller).
+
+    Emits one row per segment: ``(keys, seg_idx, start_idx, end_idx,
+    seg_sum, seg_n)`` — exact BIGINT pieces (the fitted level is
+    ``seg_sum/seg_n``), so a no-changepoint series returns exactly
+    one row. Rows-only (optimal DP recursion); pinned against a
+    brute-force O(2^n) exhaustive-segmentation reference on short
+    series plus an O(n²) unpruned DP on longer ones in pytest.
+
+    Scale shape: the :func:`ewma` sorted-partition contract — one key
+    shuffle, per-series kernel; PELT's pruning keeps the candidate
+    set small under frequent changes (worst case O(n²) on
+    change-free series, the documented PELT bound).
+    """
+    from fractions import Fraction
+
+    keys = list(keys)
+    if penalty_den <= 0 or penalty_num < 0:
+        raise ValueError("penalty must be a nonnegative rational")
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1, got {min_size}")
+    src = df.select(*keys, ts_col, value_col)
+    beta = Fraction(int(penalty_num), int(penalty_den))
+    ms = int(min_size)
+
+    def _pelt_one(v):
+        n = len(v)
+        pre = [0] * (n + 1)
+        pre2 = [0] * (n + 1)
+        for i, x in enumerate(v):
+            xi = int(x)
+            pre[i + 1] = pre[i] + xi
+            pre2[i + 1] = pre2[i] + xi * xi
+
+        def cost(a, b):  # segment [a, b)
+            s = pre[b] - pre[a]
+            return Fraction(pre2[b] - pre2[a]) - Fraction(s * s, b - a)
+
+        # F[t] = optimal cost of v[:t] + beta per changepoint added
+        F_ = [None] * (n + 1)
+        F_[0] = -beta
+        prev = [0] * (n + 1)
+        cands = [0]
+        for t in range(ms, n + 1):
+            best = None
+            arg = None
+            for s in cands:
+                if t - s < ms:
+                    continue
+                c = F_[s] + beta + cost(s, t)
+                # ties -> earliest split (deterministic)
+                if best is None or c < best:
+                    best, arg = c, s
+            F_[t] = best
+            prev[t] = arg
+            # PELT pruning: s can never be optimal again if even
+            # without future penalty it already exceeds F[t]
+            cands = [
+                s
+                for s in cands
+                if s + ms > t or F_[s] + cost(s, t) <= best
+            ]
+            cands.append(t)
+        # backtrack
+        bounds = []
+        t = n
+        while t > 0:
+            s = prev[t]
+            bounds.append((s, t))
+            t = s
+        bounds.reverse()
+        return bounds, pre
+
+    def _pelt_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        out = []
+        for kv, g in pdf.groupby(keys, sort=False):
+            kv = kv if isinstance(kv, tuple) else (kv,)
+            v = g[value_col].to_numpy(np.int64)
+            if len(v) < ms:
+                continue
+            bounds, pre = _pelt_one(v)
+            for si, (a, b) in enumerate(bounds):
+                out.append(
+                    (*kv, si, a, b - 1, pre[b] - pre[a], b - a)
+                )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    *keys, "seg_idx", "start_idx", "end_idx",
+                    "seg_sum", "seg_n",
+                ],
+            )
+
+    key_types = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in src.schema.fields
+        if f.name in keys
+    )
+    out_schema = (
+        f"{key_types}, seg_idx bigint, start_idx bigint, "
+        "end_idx bigint, seg_sum bigint, seg_n bigint"
+    )
+    part = (
+        src.repartition(n_partitions, *keys)
+        if n_partitions
+        else src.repartition(*keys)
+    )
+    return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
+        _pelt_partition, schema=out_schema
+    )

@@ -4120,3 +4120,115 @@ def test_adf_vs_numpy_ols(spark):
     # regimes separate: random walk keeps the unit root, AR rejects
     assert out[0]["t_stat"] > -2.86
     assert out[1]["t_stat"] < -4
+
+
+def test_pelt_optimality(spark):
+    import datetime as dt
+    from fractions import Fraction
+    from itertools import combinations
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import (
+        binseg_changepoints,
+        pelt_changepoints,
+    )
+
+    rng = np.random.default_rng(176)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for k in range(4):  # short: exhaustive-checkable
+        v = [int(x) for x in rng.integers(0, 30, 10)]
+        if k % 2 == 0:
+            v = v[:5] + [x + 200 for x in v[5:]]
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    for k in range(10, 13):  # longer: unpruned-DP-checkable
+        v = [int(x) for x in rng.integers(0, 50, 60)]
+        v = (v[:20] + [x + 300 for x in v[20:40]]
+             + [x + 100 for x in v[40:]])
+        series[k] = v
+        rows += [
+            (k, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v long")
+    beta = Fraction(5000)
+    got = {}
+    for r in pelt_changepoints(
+        df, ["k"], "ts", "v", penalty_num=5000, min_size=2
+    ).collect():
+        got.setdefault(r["k"], []).append(
+            (r["seg_idx"], r["start_idx"], r["end_idx"],
+             r["seg_sum"], r["seg_n"])
+        )
+    for k in got:
+        got[k].sort()
+
+    def segcost(v, a, b):
+        s = sum(v[a:b])
+        s2 = sum(x * x for x in v[a:b])
+        return Fraction(s2) - Fraction(s * s, b - a)
+
+    def total(v, bounds):
+        return (sum(segcost(v, a, b) for a, b in bounds)
+                + beta * (len(bounds) - 1))
+
+    # exhaustive optimum on the short series
+    for k in (0, 1, 2, 3):
+        v = series[k]
+        n = len(v)
+        best = None
+        for r_ in range(0, n):
+            for cps in combinations(range(2, n - 1), r_):
+                pts = [0] + list(cps) + [n]
+                if any(b - a < 2 for a, b in zip(pts, pts[1:])):
+                    continue
+                c = total(v, list(zip(pts, pts[1:])))
+                if best is None or c < best:
+                    best = c
+        gb = [(a, b + 1) for _, a, b, _, _ in got[k]]
+        assert total(v, gb) == best, k
+
+    # unpruned O(n^2) DP agreement + planted shifts on the long ones
+    def dp_ref(v, ms=2):
+        n = len(v)
+        F_ = [None] * (n + 1)
+        F_[0] = -beta
+        prev = [0] * (n + 1)
+        for t in range(ms, n + 1):
+            best = arg = None
+            for s in [0] + list(range(ms, t - ms + 1)):
+                if F_[s] is None:
+                    continue
+                c = F_[s] + beta + segcost(v, s, t)
+                if best is None or c < best:
+                    best, arg = c, s
+            F_[t], prev[t] = best, arg
+        t, out = n, []
+        while t > 0:
+            out.append((prev[t], t))
+            t = prev[t]
+        return sorted(out)
+
+    for k in (10, 11, 12):
+        v = series[k]
+        gb = sorted((a, b + 1) for _, a, b, _, _ in got[k])
+        assert total(v, gb) == total(v, dp_ref(v)), k
+        starts = sorted(a for a, _ in gb)
+        assert any(abs(s - 20) <= 1 for s in starts)
+        assert any(abs(s - 40) <= 1 for s in starts)
+        # segments partition the series; sums are consistent
+        assert sum(n_ for *_, n_ in got[k]) == len(v)
+        # PELT's optimum is never worse than binseg's greedy cuts
+        bs = {
+            r["idx"]
+            for r in binseg_changepoints(
+                df.filter(f"k = {k}"), ["k"], "ts", "v",
+                max_changes=2, min_size=2,
+            ).collect()
+        }
+        pts = [0] + sorted(bs) + [len(v)]
+        bs_bounds = list(zip(pts, pts[1:]))
+        assert total(v, gb) <= total(v, bs_bounds)
