@@ -3659,6 +3659,35 @@ def _q_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_whittaker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 Whittaker-Eilers smoothing (lambda=10) over the per-user
+    daily purchase series gap-filled onto the daily calendar, users <
+    15 — missing days get weight 0 and are interpolated by the
+    curvature penalty (the remote-sensing reconstruction read, the
+    reference's own product domain). Rows-only (linear-system solve);
+    pinned against a dense normal-equations reference in
+    tests/test_timeseries.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.gapfill import gap_fill
+    from c3s_sm_spark.operators.timeseries import whittaker_smooth
+
+    daily = (
+        _daily_purchase_v4(spark, sf_dir)
+        .filter(F.col("user_id") < 15)
+        .withColumnRenamed("day", "ts")
+        .localCheckpoint(eager=False)
+    )
+    lo, hi = daily.agg(F.min("ts"), F.max("ts")).collect()[0]
+    filled = gap_fill(
+        daily, keys=["user_id"], ts_col="ts", freq="daily",
+        start=str(lo), end=str(hi),
+    )
+    src = filled.select(
+        "user_id", "ts", (F.col("v4").cast("double") / 10000.0).alias("v")
+    )
+    return whittaker_smooth(src, ["user_id"], "ts", "v", lam=10.0)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4089,6 +4118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adf": _q_adf,
         # X176 (rows-only): PELT optimal changepoint segmentation:
         "pelt": _q_pelt,
+        # X177 (rows-only): Whittaker-Eilers gap-tolerant smoothing:
+        "whittaker": _q_whittaker,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

@@ -212,6 +212,7 @@ HEADLINE = [
     "croston",
     "adf",
     "pelt",
+    "whittaker",
     "text_quality",
     "lang_id",
     "quality_select",

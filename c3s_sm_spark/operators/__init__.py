@@ -65,4 +65,5 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     isotonic_blocks,
     matrix_profile_sad,
     pelt_changepoints,
+    whittaker_smooth,
 )

@@ -4232,3 +4232,63 @@ def test_pelt_optimality(spark):
         pts = [0] + sorted(bs) + [len(v)]
         bs_bounds = list(zip(pts, pts[1:]))
         assert total(v, gb) <= total(v, bs_bounds)
+
+
+def test_whittaker_smooth_reference(spark):
+    import datetime as dt
+
+    import numpy as np
+
+    from c3s_sm_spark.operators.timeseries import whittaker_smooth
+
+    rng = np.random.default_rng(177)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for k in range(3):
+        n = 50 + 10 * k
+        y = (100 + 30 * np.sin(np.arange(n) / 6.0)
+             + rng.normal(0, 8, n))
+        y[10] = np.nan
+        y[25] = np.nan
+        series[k] = y
+        rows += [
+            (k, base + dt.timedelta(days=i),
+             None if np.isnan(x) else float(x))
+            for i, x in enumerate(y)
+        ]
+    # under 3 observed points: pass-through, nulls stay null
+    rows += [(9, base, 5.0), (9, base + dt.timedelta(days=1), None)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {}
+    for r in whittaker_smooth(df, ["k"], "ts", "v", lam=10.0).collect():
+        got.setdefault(r["k"], []).append((r["ts"], r["wh_smooth"]))
+    for k in got:
+        got[k].sort()
+    for k, y in series.items():
+        n = len(y)
+        w = (~np.isnan(y)).astype(float)
+        D = np.zeros((n - 2, n))
+        idx = np.arange(n - 2)
+        D[idx, idx] = 1
+        D[idx, idx + 1] = -2
+        D[idx, idx + 2] = 1
+        z = np.linalg.solve(
+            np.diag(w) + 10.0 * (D.T @ D), w * np.nan_to_num(y)
+        )
+        gz = np.array([x for _, x in got[k]], dtype=float)
+        assert np.allclose(gz, z, rtol=1e-10, atol=1e-10), k
+        assert not np.isnan(gz).any()  # gaps interpolated
+        # curvature strictly reduced vs the raw series
+        filled = np.nan_to_num(y, nan=float(np.nanmean(y)))
+        assert (np.abs(np.diff(gz, 2)).sum()
+                < np.nansum(np.abs(np.diff(filled, 2))))
+    assert [x for _, x in got[9]] == [5.0, None]
+    # parallelism invariance: identical bits
+    got2 = {}
+    for r in whittaker_smooth(
+        df.repartition(5), ["k"], "ts", "v", lam=10.0, n_partitions=2
+    ).collect():
+        got2.setdefault(r["k"], []).append((r["ts"], r["wh_smooth"]))
+    for k in got2:
+        got2[k].sort()
+    assert got2 == got
