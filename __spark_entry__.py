@@ -3688,6 +3688,18 @@ def _q_whittaker(spark: SparkSession, sf_dir: str) -> DataFrame:
     return whittaker_smooth(src, ["user_id"], "ts", "v", lam=10.0)
 
 
+def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X178 Hampel despiker (half-window 3, k=3) over per-user daily
+    purchase sums, users < 30: centered-window median + MAD in exact
+    doubled/quadrupled integers — flags and replacements are pure
+    BIGINT decisions, fully JVM-side."""
+    _prep(spark)
+    from c3s_sm_spark.operators.timeseries import hampel_filter
+
+    daily = _daily_purchase_v4(spark, sf_dir).filter(F.col("user_id") < 30)
+    return hampel_filter(daily, ["user_id"], "day", "v4", half_window=3, k=3)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4120,6 +4132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt": _q_pelt,
         # X177 (rows-only): Whittaker-Eilers gap-tolerant smoothing:
         "whittaker": _q_whittaker,
+        # X178 (oracled): Hampel rolling-MAD despiker:
+        "hampel": _q_hampel,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,
@@ -6742,6 +6756,42 @@ def oracle_sql() -> dict[str, str]:
                CAST((r.rn * r.np + r.ns - 1) // r.ns AS BIGINT) AS k,
                CAST(o.pv AS BIGINT) AS nv
         FROM r JOIN o ON o.pos = (r.rn * r.np + r.ns - 1) // r.ns
+    """
+    # X178: identical list-window median/MAD in doubled integers
+    d["hampel"] = """
+        WITH p AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                 CAST(sum(CAST(round(value*10000) AS BIGINT)) AS BIGINT)
+                   AS v4
+          FROM events
+          WHERE event_type = 'purchase' AND user_id < 30 GROUP BY 1, 2),
+        w AS (
+          SELECT user_id, day, v4,
+                 list(v4) OVER (PARTITION BY user_id ORDER BY day
+                                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS arr
+          FROM p),
+        s AS (SELECT user_id, day, v4, list_sort(arr) AS a,
+                     len(arr) AS n FROM w),
+        m AS (SELECT *, CASE WHEN n % 2 = 1 THEN 2 * a[n//2 + 1]
+                             ELSE a[n//2] + a[n//2 + 1] END AS med2
+              FROM s),
+        d AS (SELECT *, list_sort(
+                 list_transform(a, x -> abs(2*x - med2))) AS dv
+              FROM m),
+        f AS (SELECT user_id, day, v4, CAST(n AS BIGINT) AS n_win,
+                     CAST(med2 AS BIGINT) AS med2,
+                     CAST(CASE WHEN n % 2 = 1 THEN 2 * dv[n//2 + 1]
+                          ELSE dv[n//2] + dv[n//2 + 1] END AS BIGINT)
+                       AS mad4
+              FROM d)
+        SELECT user_id, day, v4, n_win, med2, mad4,
+               CAST(CASE WHEN 2*abs(2*v4 - med2) > 3*mad4
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_out,
+               CAST(CASE WHEN 2*abs(2*v4 - med2) > 3*mad4
+                    THEN med2 ELSE 2*v4 END AS BIGINT) AS rep2
+        FROM f
     """
     # X175: identical double-lag windows + cast normal-equation sums
     d["adf"] = """

@@ -213,6 +213,7 @@ HEADLINE = [
     "adf",
     "pelt",
     "whittaker",
+    "hampel",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -61,6 +61,7 @@ from c3s_sm_spark.operators.timeseries import (  # noqa: F401
     dickey_fuller_scores,
     dtw_distances,
     dtw_lb_keogh,
+    hampel_filter,
     holt_winters_seasonal,
     isotonic_blocks,
     matrix_profile_sad,

@@ -5629,3 +5629,87 @@ def whittaker_smooth(
     return part.sortWithinPartitions(*keys, ts_col).mapInPandas(
         _wh_partition, schema=out_schema
     )
+
+
+def hampel_filter(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    half_window: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """X178 Hampel identifier / despiker per key (Hampel 1974; the
+    standard robust spike filter in sensor QC pipelines): a point is
+    an outlier when it deviates from its centered-window median by
+    more than ``k`` window-MADs — robust where a z-score despiker is
+    wrecked by the very spikes it hunts (the median and MAD ignore
+    them).
+
+    EVERY decision is exact integer arithmetic on (micro-unit)
+    values: the window median is carried DOUBLED (``med2 = a + b``,
+    the :func:`rolling_median2` convention), per-window absolute
+    deviations ``|2x − med2| = 2|x − med|`` are exact BIGINTs, their
+    doubled median is ``mad4 = 4·MAD``, and the flag compares
+    ``2·|2x_t − med2| > k·mad4`` — cross-multiplied, no float
+    anywhere, so flags and replacements hash bit-stably on any
+    engine. Emits ``n_win``, ``med2``, ``mad4``, ``is_out`` (0/1)
+    and ``rep2`` (= ``med2`` when flagged else ``2·x`` — the doubled
+    despiked series).
+
+    Scale shape: ONE key shuffle; the centered window materializes
+    ``2·half_window+1`` values per row (`collect_list` over the
+    frame) and everything after is `array_sort` + higher-order
+    Column functions — JVM-side, memory O(window) per row, the same
+    bound as the exact rolling median. Degenerate windows (MAD = 0,
+    e.g. constant neighborhoods) flag any deviation from the median,
+    the classic Hampel convention. Oracled (DuckDB list windows).
+    """
+    keys = list(keys)
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(-half_window, half_window)
+    )
+    v = F.col(value_col).cast("long")
+
+    def med2_of(arr, n):
+        mid = (n / 2).cast("int")
+        return F.when(
+            n % 2 == 1, 2 * F.element_at(arr, mid + 1)
+        ).otherwise(F.element_at(arr, mid) + F.element_at(arr, mid + 1))
+
+    out = (
+        df.withColumn("__arr", F.array_sort(F.collect_list(v).over(w)))
+        .withColumn("n_win", F.size("__arr").cast("long"))
+        .withColumn(
+            "med2", med2_of(F.col("__arr"), F.col("n_win")).cast("long")
+        )
+        .withColumn(
+            "__dev",
+            F.array_sort(
+                F.transform(
+                    "__arr", lambda x: F.abs(2 * x - F.col("med2"))
+                )
+            ),
+        )
+        .withColumn(
+            "mad4", med2_of(F.col("__dev"), F.col("n_win")).cast("long")
+        )
+        .withColumn(
+            "is_out",
+            (2 * F.abs(2 * v - F.col("med2")) > F.lit(int(k)) * F.col("mad4"))
+            .cast("long"),
+        )
+        .withColumn(
+            "rep2",
+            F.when(F.col("is_out") == 1, F.col("med2"))
+            .otherwise(2 * v)
+            .cast("long"),
+        )
+    )
+    return out.drop("__arr", "__dev")

@@ -4292,3 +4292,71 @@ def test_whittaker_smooth_reference(spark):
     for k in got2:
         got2[k].sort()
     assert got2 == got
+
+
+def test_hampel_filter_reference(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pytest
+
+    from c3s_sm_spark.operators.timeseries import hampel_filter
+
+    rng = np.random.default_rng(178)
+    base = dt.datetime(2024, 1, 1)
+    rows, series = [], {}
+    for g in range(3):
+        v = [int(x) for x in rng.integers(100, 120, 40)]
+        v[10] = 5000
+        v[30] = -4000  # planted spikes
+        series[g] = v
+        rows += [
+            (g, base + dt.timedelta(days=i), x) for i, x in enumerate(v)
+        ]
+    # constant series: MAD 0, any deviation flags (classic convention)
+    series[9] = [50] * 10 + [51] + [50] * 5
+    rows += [
+        (9, base + dt.timedelta(days=i), x)
+        for i, x in enumerate(series[9])
+    ]
+    df = spark.createDataFrame(rows, "g long, ts timestamp, v long")
+    got = {}
+    for r in hampel_filter(
+        df, ["g"], "ts", "v", half_window=3, k=3
+    ).collect():
+        got.setdefault(r["g"], []).append(
+            (r["ts"], r["n_win"], r["med2"], r["mad4"],
+             r["is_out"], r["rep2"])
+        )
+    for g in got:
+        got[g].sort()
+
+    def ref(v, h=3, k=3):
+        n = len(v)
+        out = []
+        for t in range(n):
+            wnd = sorted(v[max(0, t - h):min(n, t + h + 1)])
+            m = len(wnd)
+            med2 = (2 * wnd[m // 2] if m % 2 == 1
+                    else wnd[m // 2 - 1] + wnd[m // 2])
+            devs = sorted(abs(2 * x - med2) for x in wnd)
+            mad4 = (2 * devs[m // 2] if m % 2 == 1
+                    else devs[m // 2 - 1] + devs[m // 2])
+            iso = 1 if 2 * abs(2 * v[t] - med2) > k * mad4 else 0
+            out.append((m, med2, mad4, iso, med2 if iso else 2 * v[t]))
+        return out
+
+    for g, v in series.items():
+        assert [x[1:] for x in got[g]] == ref(v), g
+    for g in (0, 1, 2):
+        flags = [x[4] for x in got[g]]
+        # both planted spikes flagged; false-positive rate stays low
+        assert flags[10] == 1 and flags[30] == 1
+        assert sum(flags) <= 6
+        # replacements pull the spikes back to the local level
+        assert abs(got[g][10][5] / 2 - 110) < 20
+    # constant-series convention: the lone 51 is the only flag
+    f9 = [x[4] for x in got[9]]
+    assert f9[10] == 1 and sum(f9) == 1
+    with pytest.raises(ValueError):
+        hampel_filter(df, ["g"], "ts", "v", half_window=0)
