@@ -633,3 +633,171 @@ def stream_swi(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HAMPEL_STATE_SCHEMA = StructType(
+    [
+        StructField("buf_ts_us", ArrayType(LongType())),
+        StructField("buf_v", ArrayType(LongType())),
+        StructField("n_unemitted", LongType()),
+        StructField("total_seen", LongType()),
+        StructField("frontier_us", LongType()),
+    ]
+)
+
+
+def stream_hampel(
+    points_stream: DataFrame,
+    key: str = "doc_id",
+    ts_col: str = "ts",
+    micro_col: str = "vm",
+    half_window: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """X178 streaming Hampel despiker — the stateful twin of
+    :func:`~c3s_sm_spark.operators.timeseries.hampel_filter`. The
+    batch operator's window is CENTERED, so the stream holds each row
+    until ``half_window`` successors have arrived, then emits its
+    flag/replacement computed over exactly the batch window — every
+    decision is the same doubled/quadrupled-integer arithmetic, so
+    emitted rows are BIT-IDENTICAL to the batch operator under any
+    micro-batch slicing. The documented divergence is structural, not
+    numeric: the LAST ``half_window`` rows of each key remain pending
+    (a stream cannot know the series ended; the batch operator emits
+    them with right-truncated windows) — pinned in
+    tests/test_streaming.py as parity on all-but-the-pending-tail.
+
+    State per key: the tail buffer (pending rows + ``half_window``
+    rows of emitted left context — at most ``2·half_window`` rows),
+    the pending count, total rows seen, and the usual frontier for
+    the cross-batch late-row drop (same ingestion contracts as
+    :func:`stream_ewma`).
+
+    Output (append mode): ``(key, ts, vm, n_win, med2, mad4, is_out,
+    rep2)`` per emitted (fully-contexted) row.
+    """
+    if half_window < 1:
+        raise ValueError(f"half_window must be >= 1, got {half_window}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    h, kk = int(half_window), int(k)
+    out_schema = StructType(
+        [
+            StructField(key, points_stream.schema[key].dataType),
+            StructField(ts_col, TimestampType()),
+            StructField(micro_col, LongType()),
+            StructField("n_win", LongType()),
+            StructField("med2", LongType()),
+            StructField("mad4", LongType()),
+            StructField("is_out", LongType()),
+            StructField("rep2", LongType()),
+        ]
+    )
+
+    def _fold(key_tuple, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = (
+            parts[0]
+            if len(parts) == 1
+            else pd.concat(parts, ignore_index=True)
+        )
+        ts = pd.to_datetime(pdf[ts_col])
+        keep = ts.notna() & pdf[micro_col].notna()
+        if state.exists:
+            buf_ts, buf_v, n_un, total, frontier_us = state.get
+            buf_ts = list(buf_ts)
+            buf_v = list(buf_v)
+            frontier = pd.Timestamp(np.datetime64(frontier_us, "us"))
+            keep &= ts > frontier
+        else:
+            buf_ts, buf_v, n_un, total = [], [], 0, 0
+        pdf = pdf.loc[keep].sort_values(ts_col, kind="stable")
+        if not len(pdf):
+            return
+        new_ts = (
+            pd.to_datetime(pdf[ts_col])
+            .to_numpy()
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        new_v = pdf[micro_col].to_numpy(dtype=np.int64)
+        full_ts = buf_ts + new_ts.tolist()
+        full_v = buf_v + new_v.tolist()
+        total_new = total + len(new_v)
+        L = len(full_v)
+        n_un_full = n_un + len(new_v)
+        # rows emittable now: unemitted rows with >= h successors
+        first_un = L - n_un_full  # in-buffer index of earliest pending
+        rows = []
+        emitted = 0
+        # global index of full[i] is total_new - L + i; left bound of
+        # the batch window is max(0, g - h) -> in-buffer via offset
+        off = total_new - L
+        for i in range(first_un, L - h):
+            g = off + i
+            lo = max(0, g - h) - off
+            wnd = sorted(full_v[lo:i + h + 1])
+            m = len(wnd)
+            med2 = (
+                2 * wnd[m // 2]
+                if m % 2 == 1
+                else wnd[m // 2 - 1] + wnd[m // 2]
+            )
+            dv = sorted(abs(2 * x - med2) for x in wnd)
+            mad4 = (
+                2 * dv[m // 2]
+                if m % 2 == 1
+                else dv[m // 2 - 1] + dv[m // 2]
+            )
+            iso = 1 if 2 * abs(2 * full_v[i] - med2) > kk * mad4 else 0
+            rows.append(
+                (
+                    full_ts[i],
+                    full_v[i],
+                    m,
+                    med2,
+                    mad4,
+                    iso,
+                    med2 if iso else 2 * full_v[i],
+                )
+            )
+            emitted += 1
+        n_un_new = n_un_full - emitted  # = min(n_un_full, h)
+        keep_n = min(L, n_un_new + h)
+        state.update(
+            (
+                full_ts[L - keep_n:],
+                full_v[L - keep_n:],
+                int(n_un_new),
+                int(total_new),
+                int(max(full_ts)),
+            )
+        )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    key: [key_tuple[0]] * len(rows),
+                    ts_col: np.array(
+                        [r[0] for r in rows], dtype="datetime64[us]"
+                    ),
+                    micro_col: [r[1] for r in rows],
+                    "n_win": [r[2] for r in rows],
+                    "med2": [r[3] for r in rows],
+                    "mad4": [r[4] for r in rows],
+                    "is_out": [r[5] for r in rows],
+                    "rep2": [r[6] for r in rows],
+                }
+            )
+
+    return points_stream.groupBy(key).applyInPandasWithState(
+        _fold,
+        outputStructType=out_schema,
+        stateStructType=_HAMPEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -683,3 +683,83 @@ def test_stream_swi_bit_parity(spark, tmp_path):
     assert got == exp  # bit parity, every row
     assert len(got) == raw.count()
     raw.unpersist()
+
+
+def test_stream_hampel_bit_parity_and_replay(spark, tmp_path):
+    """X178 streaming Hampel: emitted rows must be bit-identical to
+    the batch hampel_filter (integer decisions, centered window
+    buffered until half_window successors arrive); the documented
+    divergence is only structural — the last half_window rows per key
+    stay pending. Whole-file replay must not re-emit (frontier
+    drop)."""
+    from c3s_sm_spark.operators.timeseries import hampel_filter
+    from c3s_sm_spark.streaming.stateful import stream_hampel
+
+    raw = (
+        gen_points_raw(spark, 5, start="2019-10-01", end="2019-11-30")
+        .where(F.col("version") == "v1")
+        .select("doc_id", "ts", F.col("v").cast("long").alias("vm"))
+        .cache()
+    )
+    H = 3
+    in_dir = str(tmp_path / "in_h")
+    ck = str(tmp_path / "ck_hampel")
+    out_dir = str(tmp_path / "out_hampel")
+    early = raw.where(F.col("ts") < "2019-11-01")
+    late = raw.where(F.col("ts") >= "2019-11-01")
+    early.coalesce(1).write.parquet(in_dir, mode="overwrite")
+
+    def _run():
+        stream = spark.readStream.schema(raw.schema).parquet(in_dir)
+        q = (
+            stream_hampel(
+                stream, key="doc_id", ts_col="ts", micro_col="vm",
+                half_window=H, k=3,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    _run()
+    late.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+
+    got = {
+        (r["doc_id"], str(r["ts"])): (
+            r["n_win"], r["med2"], r["mad4"], r["is_out"], r["rep2"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = hampel_filter(
+        raw, ["doc_id"], "ts", "vm", half_window=H, k=3
+    ).collect()
+    # per-key last H rows are legitimately pending in the stream
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for r in batch:
+        by_key[r["doc_id"]].append(r)
+    exp = {}
+    pend = 0
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r["ts"])
+        for r in rows[:-H]:
+            exp[(r["doc_id"], str(r["ts"]))] = (
+                r["n_win"], r["med2"], r["mad4"], r["is_out"], r["rep2"]
+            )
+        pend += min(H, len(rows))
+    assert got == exp  # bit parity on every emitted row
+    assert len(got) == raw.count() - pend
+    assert any(v[3] == 1 for v in got.values())  # something flagged
+
+    # whole-file replay: nothing re-emitted
+    early.coalesce(1).write.parquet(in_dir, mode="append")
+    _run()
+    assert spark.read.parquet(out_dir).count() == len(exp)
+    raw.unpersist()
