@@ -3700,6 +3700,24 @@ def _q_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hampel_filter(daily, ["user_id"], "day", "v4", half_window=3, k=3)
 
 
+def _q_local_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X179 Smith-Waterman local alignment (match 2 / mismatch -1 /
+    gap -1) over token sequences for all pairs of docs 0..24 — the
+    paraphrase-tolerant text-reuse verifier behind the exact-span
+    family; integer max-plus DP, exact at any parallelism. Rows-only
+    (DP recursion); pinned against a brute-force reference with the
+    documented tie rule (+ a 40-pair fuzz) in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import local_align_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 25)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(25) for b in range(25) if a < b],
+        "id_a long, id_b long",
+    )
+    return local_align_pairs(docs, pairs)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4134,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "whittaker": _q_whittaker,
         # X178 (oracled): Hampel rolling-MAD despiker:
         "hampel": _q_hampel,
+        # X179 (rows-only): Smith-Waterman token-sequence alignment:
+        "local_align": _q_local_align,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

@@ -214,6 +214,7 @@ HEADLINE = [
     "pelt",
     "whittaker",
     "hampel",
+    "local_align",
     "text_quality",
     "lang_id",
     "quality_select",

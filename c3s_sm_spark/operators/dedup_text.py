@@ -1242,3 +1242,159 @@ def incremental_exact_dedup(
     if not new_keys.isEmpty():
         ledger.append(new_keys, summary={"op": "incremental_exact_dedup"})
     return survivors
+
+
+def local_align_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X179 Smith-Waterman LOCAL alignment over token sequences (Smith
+    & Waterman 1981) — the exact text-reuse verifier the span family
+    lacks: :func:`strip_duplicate_spans`/winnowing find EXACT shared
+    spans; local alignment scores reuse that survived paraphrase-level
+    edits (insertions, deletions, substitutions), the plagiarism-
+    detection / near-translation read. Like every pairwise verifier
+    here, it is the stage AFTER blocking: ``pairs`` names the
+    candidate (id_a, id_b) set (winnow overlaps, LSH candidates, a
+    probe set) — never the corpus-wide plan.
+
+    ``H[i][j] = max(0, H[i−1][j−1] + s(aᵢ,bⱼ), H[i−1][j] + gap,
+    H[i][j−1] + gap)`` with integer ``match/mismatch/gap`` scores —
+    pure int64 max-plus, so the best score is exact at any
+    parallelism. Tokens are pre-hashed JVM-side (xxhash64 per token)
+    so the kernel compares 8-byte ints, not strings; a hash collision
+    scoring a false match has probability ~n·m/2^64 per pair —
+    negligible at any candidate budget. Emits ``(id_a, id_b, n_a,
+    n_b, score, end_a, end_b)`` — the best local score and its
+    1-based end positions (ties: smallest (i+j), then smallest i —
+    deterministic).
+
+    Scale shape: identical to :func:`~c3s_sm_spark.operators.
+    timeseries.dtw_distances` — one token-hash projection + grouped
+    series assembly is replaced by a per-doc array build (zero
+    shuffle beyond the two pair joins), and the DP runs anti-
+    diagonal-vectorized in one mapInPandas kernel.
+    """
+    if gap > 0 or mismatch > match:
+        raise ValueError("need gap <= 0 and mismatch <= match")
+    from c3s_sm_spark.operators.textstats import words_col
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            words_col(text_col), lambda x: F.xxhash64(x)
+        ).alias("__h"),
+    ).localCheckpoint(eager=False)
+    ka, kb = pairs.columns[0], pairs.columns[1]
+    joined = (
+        pairs.select(F.col(ka).alias("id_a"), F.col(kb).alias("id_b"))
+        .join(
+            toks.select(F.col("__id").alias("id_a"), F.col("__h").alias("__ha")),
+            "id_a",
+        )
+        .join(
+            toks.select(F.col("__id").alias("id_b"), F.col("__h").alias("__hb")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "__ha", "__hb")
+    )
+    if n_partitions:
+        joined = joined.repartition(n_partitions)
+    M, X, G = int(match), int(mismatch), int(gap)
+
+    def _sw_one(a, b):
+        import numpy as np
+
+        n, m = len(a), len(b)
+        best = 0
+        bi = bj = 0
+        dp_prev = None
+        dp_prev2 = None
+        lo_prev = lo_prev2 = 0
+        for d in range(0, n + m - 1):
+            lo = max(0, d - (m - 1))
+            hi = min(n - 1, d)
+            L = hi - lo + 1
+            av = a[lo:hi + 1]
+            bv = b[d - hi:d - lo + 1][::-1]
+            s = np.where(av == bv, M, X).astype(np.int64)
+
+            def _pick(dpd, lod, i0):
+                r = np.full(L, np.int64(-1) << 40, dtype=np.int64)
+                if dpd is not None:
+                    src_lo = i0 - lod
+                    s0 = max(0, src_lo)
+                    e0 = min(len(dpd), src_lo + L)
+                    if e0 > s0:
+                        r[s0 - src_lo:e0 - src_lo] = dpd[s0:e0]
+                return r
+
+            up = _pick(dp_prev, lo_prev, lo - 1)      # (i-1, j)
+            left = _pick(dp_prev, lo_prev, lo)        # (i, j-1)
+            diag = _pick(dp_prev2, lo_prev2, lo - 1)  # (i-1, j-1)
+            # Smith-Waterman's ZERO boundary: cells in the first row
+            # (i=0) or first column (j=0) take H[i-1][j-1] = 0 from
+            # the implicit boundary, not -inf — without this the
+            # match credit of boundary-started alignments is lost.
+            # (up/left boundary zeros never matter: 0 + gap <= 0.)
+            if lo == 0:
+                diag[0] = 0          # i = 0
+            if hi == d:
+                diag[-1] = 0         # j = d - i = 0
+            cur = np.maximum(
+                0,
+                np.maximum(
+                    np.maximum(up + G, left + G), diag + s
+                ),
+            )
+            mx = int(cur.max())
+            if mx > best:
+                # ties within the diagonal: smallest i = first argmax?
+                # i increases along the slice, so argmax gives smallest i
+                pos = int(np.argmax(cur))
+                best = mx
+                bi = lo + pos + 1
+                bj = d - (lo + pos) + 1
+            dp_prev2, lo_prev2 = dp_prev, lo_prev
+            dp_prev, lo_prev = cur, lo
+        return best, bi, bj
+
+    def _sw_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = []
+            for ia, ib, ha, hb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["__ha"], pdf["__hb"]
+            ):
+                a = np.asarray(ha, dtype=np.int64)
+                b = np.asarray(hb, dtype=np.int64)
+                if len(a) == 0 or len(b) == 0:
+                    res.append((ia, ib, len(a), len(b), 0, 0, 0))
+                    continue
+                sc, ea, eb = _sw_one(a, b)
+                res.append((ia, ib, len(a), len(b), sc, ea, eb))
+            if res:
+                yield pd.DataFrame(
+                    res,
+                    columns=[
+                        "id_a", "id_b", "n_a", "n_b",
+                        "score", "end_a", "end_b",
+                    ],
+                )
+
+    out_schema = (
+        f"id_a {joined.schema['id_a'].dataType.simpleString()}, "
+        f"id_b {joined.schema['id_b'].dataType.simpleString()}, "
+        "n_a bigint, n_b bigint, score bigint, end_a bigint, end_b bigint"
+    )
+    return joined.mapInPandas(_sw_partition, schema=out_schema)

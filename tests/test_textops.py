@@ -3417,3 +3417,81 @@ def test_burst_detect_reference(spark):
     assert got == sorted(exp)
     # exactly the planted burst, nothing else
     assert got == [("boom", 4, 5, 2, got[0][4])] and got[0][4] > 0
+
+
+def _sw_ref(A, B, M=2, X=-1, G=-1):
+    """Reference Smith-Waterman with the operator's tie rule: best
+    score, ties to smallest (i+j), then smallest i."""
+    n, m = len(A), len(B)
+    H = [[0] * (m + 1) for _ in range(n + 1)]
+    best = (0, 0, 0)  # (score, end_i, end_j)
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = M if A[i - 1] == B[j - 1] else X
+            h = max(0, H[i - 1][j - 1] + s, H[i - 1][j] + G,
+                    H[i][j - 1] + G)
+            H[i][j] = h
+            if h > best[0] or (
+                h == best[0] and h > 0
+                and (i + j, i) < (best[1] + best[2], best[1])
+            ):
+                best = (h, i, j)
+    return best
+
+
+def test_local_align_pairs_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.dedup_text import local_align_pairs
+
+    docs_data = [
+        (0, "the quick brown fox jumps over the lazy dog near the "
+            "river bank today"),
+        (1, "yesterday the quick brown wolf jumps over the lazy dog "
+            "near a river"),
+        (2, "completely unrelated text about spark query planning"),
+        (3, "the quick brown fox jumps over the lazy dog near the "
+            "river bank today"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(docs_data, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(5) if a < b],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_a"], r["n_b"], r["score"], r["end_a"], r["end_b"]
+        )
+        for r in local_align_pairs(docs, pairs).collect()
+    }
+    texts = {i: (t.split() if t else []) for i, t in docs_data}
+    for (a, b), (na, nb, sc, ea, eb) in got.items():
+        assert (na, nb) == (len(texts[a]), len(texts[b]))
+        assert (sc, ea, eb) == _sw_ref(texts[a], texts[b]), (a, b)
+    # exact duplicate: perfect chain, score 2*n ending at (n, n)
+    n0 = len(texts[0])
+    assert got[(0, 3)][2:] == (2 * n0, n0, n0)
+    # paraphrased reuse scores high but below the exact dup
+    assert 10 < got[(0, 1)][2] < 2 * n0
+    # unrelated: no alignment survives the mismatch penalty
+    assert got[(0, 2)][2] <= 4
+    # empty doc: score 0
+    assert got[(0, 4)][2] == 0
+
+    # fuzz vs reference (small alphabet forces heavy tie traffic)
+    rng = np.random.default_rng(179)
+    rows, ps = [], []
+    for t in range(40):
+        A = [str(x) for x in rng.integers(0, 8, rng.integers(1, 25))]
+        B = [str(x) for x in rng.integers(0, 8, rng.integers(1, 25))]
+        rows += [(2 * t, " ".join(A)), (2 * t + 1, " ".join(B))]
+        ps.append((2 * t, 2 * t + 1))
+    d2 = spark.createDataFrame(rows, "doc_id long, text string")
+    p2 = spark.createDataFrame(ps, "id_a long, id_b long")
+    texts2 = {i: t.split() for i, t in rows}
+    for r in local_align_pairs(d2, p2).collect():
+        ref = _sw_ref(texts2[r["id_a"]], texts2[r["id_b"]])
+        assert (r["score"], r["end_a"], r["end_b"]) == ref, (
+            r["id_a"], r["id_b"]
+        )
