@@ -3718,6 +3718,18 @@ def _q_local_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_align_pairs(docs, pairs)
 
 
+def _q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X180 TextTiling segmentation pieces (blocks of 10 tokens):
+    per-gap adjacent-block bag-overlap + Hearst depth scores, all
+    exact BIGINT; zero-shuffle per-row kernel. Rows-only (climb
+    recursion); pinned vs a pure-Python reference with a planted
+    two-topic document in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import texttiling_pieces
+
+    return texttiling_pieces(_docs(spark, sf_dir), block_tokens=10)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4154,6 +4166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hampel": _q_hampel,
         # X179 (rows-only): Smith-Waterman token-sequence alignment:
         "local_align": _q_local_align,
+        # X180 (rows-only): TextTiling topic-segmentation pieces:
+        "texttiling": _q_texttiling,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

@@ -215,6 +215,7 @@ HEADLINE = [
     "whittaker",
     "hampel",
     "local_align",
+    "texttiling",
     "text_quality",
     "lang_id",
     "quality_select",

@@ -8,6 +8,7 @@ from c3s_sm_spark.operators.calendar import (  # noqa: F401
     window_start,
 )
 from c3s_sm_spark.operators.dedup import keep_latest, keep_top_k  # noqa: F401
+from c3s_sm_spark.operators.dedup_text import local_align_pairs  # noqa: F401
 from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
 from c3s_sm_spark.operators.intervals import (  # noqa: F401
     interval_join,
@@ -46,6 +47,7 @@ from c3s_sm_spark.operators.textstats import (  # noqa: F401
     chunk_documents,
     rle_profile,
     source_divergence,
+    texttiling_pieces,
     trending_tokens,
     vocab_drift,
     vocab_growth,

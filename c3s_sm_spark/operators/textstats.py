@@ -1808,3 +1808,103 @@ def burst_detect(
             ),
         )
     )
+
+
+def texttiling_pieces(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 10,
+) -> DataFrame:
+    """X180 TextTiling topic-segmentation pieces (Hearst 1997) — the
+    classic lexical-cohesion segmenter: slice a document into
+    ``block_tokens``-token blocks, score every internal gap by the
+    lexical similarity of its adjacent blocks, and measure each gap's
+    DEPTH (how far similarity drops relative to the nearest peaks on
+    both sides). Deep valleys are topic boundaries — the semantic
+    upgrade to fixed-size context-window chunking
+    (:func:`chunk_documents`): split WHERE THE TOPIC SHIFTS, not at
+    an arbitrary token count.
+
+    Exact-integer variant: block similarity is the bag-overlap
+    ``sim = Σ_t min(count_left(t), count_right(t))`` (not Hearst's
+    float cosine), and the depth is ``(lpeak − sim) + (rpeak − sim)``
+    with peaks found by the classic monotone climb — every emitted
+    number is a BIGINT, bit-stable anywhere. Emits one row per
+    internal gap: ``(id, gap_idx, token_pos, sim, depth)``;
+    thresholding (Hearst's mean−σ/2 cutoff, a top-k, or a fixed
+    depth) is the caller's policy, outside the witness.
+
+    Scale shape: a pure PER-ROW kernel — tokens never leave their
+    document, so the plan is scan → mapInPandas with ZERO shuffles at
+    any corpus size (the :func:`~c3s_sm_spark.operators.multimodal`
+    batch shape). Rows-only (a climb recursion per gap has no
+    ANSI-SQL twin); pinned against a pure-Python reference in
+    tests/test_textops.py.
+    """
+    if block_tokens < 1:
+        raise ValueError(f"block_tokens must be >= 1, got {block_tokens}")
+    w = int(block_tokens)
+    src = docs.select(
+        F.col(id_col).alias("__id"), words_col(text_col).alias("__ws")
+    )
+    id_type = src.schema["__id"].dataType.simpleString()
+
+    def _tile_one(ws):
+        from collections import Counter
+
+        blocks = [
+            Counter(ws[i:i + w]) for i in range(0, len(ws), w)
+        ]
+        nb = len(blocks)
+        if nb < 2:
+            return []
+        sims = [
+            sum(
+                min(c, blocks[g + 1][t])
+                for t, c in blocks[g].items()
+            )
+            for g in range(nb - 1)
+        ]
+        out = []
+        for g in range(len(sims)):
+            lp = sims[g]
+            i = g
+            while i > 0 and sims[i - 1] >= lp:
+                lp = sims[i - 1]
+                i -= 1
+            rp = sims[g]
+            i = g
+            while i < len(sims) - 1 and sims[i + 1] >= rp:
+                rp = sims[i + 1]
+                i += 1
+            out.append(
+                (g, (g + 1) * w, sims[g], (lp - sims[g]) + (rp - sims[g]))
+            )
+        return out
+
+    def _tile_partition(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = []
+            for did, ws in zip(pdf["__id"], pdf["__ws"]):
+                for g, pos, sim, depth in _tile_one(list(ws)):
+                    res.append((did, g, pos, sim, depth))
+            if res:
+                yield pd.DataFrame(
+                    res,
+                    columns=[
+                        id_col, "gap_idx", "token_pos", "sim", "depth"
+                    ],
+                )
+
+    return src.mapInPandas(
+        _tile_partition,
+        schema=(
+            f"{id_col} {id_type}, gap_idx bigint, token_pos bigint, "
+            "sim bigint, depth bigint"
+        ),
+    )

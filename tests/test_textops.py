@@ -3495,3 +3495,67 @@ def test_local_align_pairs_brute_force(spark):
         assert (r["score"], r["end_a"], r["end_b"]) == ref, (
             r["id_a"], r["id_b"]
         )
+
+
+def test_texttiling_pieces_reference(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.textstats import texttiling_pieces
+
+    rng = np.random.default_rng(180)
+    # two-topic doc: disjoint vocabularies, switch at token 50
+    topic_a = [f"alpha{i}" for i in range(6)]
+    topic_b = [f"beta{i}" for i in range(6)]
+    doc0 = " ".join(
+        [topic_a[int(x)] for x in rng.integers(0, 6, 50)]
+        + [topic_b[int(x)] for x in rng.integers(0, 6, 50)]
+    )
+    doc1 = " ".join([topic_a[int(x)] for x in rng.integers(0, 6, 73)])
+    docs = spark.createDataFrame(
+        [(0, doc0), (1, doc1), (2, "tiny doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in texttiling_pieces(docs, block_tokens=10).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["gap_idx"], r["token_pos"], r["sim"], r["depth"])
+        )
+    for k in got:
+        got[k].sort()
+
+    def ref(ws, w=10):
+        from collections import Counter
+
+        blocks = [Counter(ws[i:i + w]) for i in range(0, len(ws), w)]
+        if len(blocks) < 2:
+            return []
+        sims = [
+            sum(min(c, blocks[g + 1][t]) for t, c in blocks[g].items())
+            for g in range(len(blocks) - 1)
+        ]
+        out = []
+        for g in range(len(sims)):
+            lp, i = sims[g], g
+            while i > 0 and sims[i - 1] >= lp:
+                lp = sims[i - 1]
+                i -= 1
+            rp, i = sims[g], g
+            while i < len(sims) - 1 and sims[i + 1] >= rp:
+                rp = sims[i + 1]
+                i += 1
+            out.append(
+                (g, (g + 1) * w, sims[g],
+                 (lp - sims[g]) + (rp - sims[g]))
+            )
+        return out
+
+    assert got[0] == ref(doc0.split())
+    assert got[1] == ref(doc1.split())
+    assert 2 not in got and 3 not in got  # < 2 blocks: nothing
+    # the topic switch (token 50, gap_idx 4) is the deepest valley:
+    # the cross-topic block pair shares no vocabulary at all
+    d0 = got[0]
+    deepest = max(d0, key=lambda x: x[3])
+    assert deepest[1] == 50 and deepest[2] == 0
+    # the single-topic doc has no comparably deep valley
+    assert max(x[3] for x in got[1]) < deepest[3]
