@@ -3730,6 +3730,23 @@ def _q_texttiling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return texttiling_pieces(_docs(spark, sf_dir), block_tokens=10)
 
 
+def _q_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181 longest-common-subsequence lengths (difflib-ratio core)
+    over token sequences for the same 300 doc pairs as the
+    local_align witness — total ordered overlap vs SW's best local
+    region. Rows-only (DP recursion); pinned vs brute-force DP with
+    a 40-pair fuzz in tests/test_textops.py."""
+    _prep(spark)
+    from c3s_sm_spark.operators.dedup_text import lcs_pairs
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 25)
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(25) for b in range(25) if a < b],
+        "id_a long, id_b long",
+    )
+    return lcs_pairs(docs, pairs)
+
+
 def _q_cluster_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X73 corpus clustering (spherical k-means via the IVF trainer,
     k=8): per-vector cluster + cosine cohesion. Rows-only by design
@@ -4168,6 +4185,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_align": _q_local_align,
         # X180 (rows-only): TextTiling topic-segmentation pieces:
         "texttiling": _q_texttiling,
+        # X181 (rows-only): LCS lengths (difflib-ratio core):
+        "lcs": _q_lcs,
         # demoted by the late-r4 rotation (see window-policy comment):
         "pattern_counts": _q_pattern_counts,
         "token_invariant": _q_token_invariant,

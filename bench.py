@@ -216,6 +216,7 @@ HEADLINE = [
     "hampel",
     "local_align",
     "texttiling",
+    "lcs",
     "text_quality",
     "lang_id",
     "quality_select",

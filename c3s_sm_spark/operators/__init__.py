@@ -8,7 +8,10 @@ from c3s_sm_spark.operators.calendar import (  # noqa: F401
     window_start,
 )
 from c3s_sm_spark.operators.dedup import keep_latest, keep_top_k  # noqa: F401
-from c3s_sm_spark.operators.dedup_text import local_align_pairs  # noqa: F401
+from c3s_sm_spark.operators.dedup_text import (  # noqa: F401
+    lcs_pairs,
+    local_align_pairs,
+)
 from c3s_sm_spark.operators.gapfill import gap_fill  # noqa: F401
 from c3s_sm_spark.operators.intervals import (  # noqa: F401
     interval_join,

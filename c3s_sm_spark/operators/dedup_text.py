@@ -1398,3 +1398,123 @@ def local_align_pairs(
         "n_a bigint, n_b bigint, score bigint, end_a bigint, end_b bigint"
     )
     return joined.mapInPandas(_sw_partition, schema=out_schema)
+
+
+def lcs_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """X181 longest-common-subsequence length over token sequences —
+    the difflib/`SequenceMatcher` family's similarity core: the
+    longest ORDER-PRESERVING (not necessarily contiguous) shared
+    token sequence. Complements the pair-verify ladder: exact Jaccard
+    ignores order entirely, winnowing/strip_spans need contiguous
+    spans, Smith-Waterman (:func:`local_align_pairs`) scores ONE best
+    local region — LCS measures total ordered overlap across the
+    whole pair, the classic "how much of A survives, in order, in B"
+    diff metric. ``ratio = 2·lcs/(n_a+n_b)`` (difflib's ratio)
+    derives caller-side; the witness stays integer.
+
+    Same kernel family as :func:`local_align_pairs`: tokens pre-hashed
+    JVM-side, anti-diagonal-vectorized integer max DP
+    (``L[i][j] = max(L[i−1][j], L[i][j−1], L[i−1][j−1] + eq)`` —
+    monotone, so the zero boundary is just 0), exact at any
+    parallelism. Emits ``(id_a, id_b, n_a, n_b, lcs)``. Pairs name
+    the candidate set — the blocked-verify contract as everywhere.
+    """
+    from c3s_sm_spark.operators.textstats import words_col
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.transform(
+            words_col(text_col), lambda x: F.xxhash64(x)
+        ).alias("__h"),
+    ).localCheckpoint(eager=False)
+    ka, kb = pairs.columns[0], pairs.columns[1]
+    joined = (
+        pairs.select(F.col(ka).alias("id_a"), F.col(kb).alias("id_b"))
+        .join(
+            toks.select(
+                F.col("__id").alias("id_a"), F.col("__h").alias("__ha")
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col("__id").alias("id_b"), F.col("__h").alias("__hb")
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "__ha", "__hb")
+    )
+    if n_partitions:
+        joined = joined.repartition(n_partitions)
+
+    def _lcs_one(a, b):
+        import numpy as np
+
+        n, m = len(a), len(b)
+        dp_prev = None
+        dp_prev2 = None
+        lo_prev = lo_prev2 = 0
+        last = 0
+        for d in range(0, n + m - 1):
+            lo = max(0, d - (m - 1))
+            hi = min(n - 1, d)
+            L = hi - lo + 1
+            av = a[lo:hi + 1]
+            bv = b[d - hi:d - lo + 1][::-1]
+            eq = (av == bv).astype(np.int64)
+
+            def _pick(dpd, lod, i0):
+                r = np.zeros(L, dtype=np.int64)  # zero boundary
+                if dpd is not None:
+                    src_lo = i0 - lod
+                    s0 = max(0, src_lo)
+                    e0 = min(len(dpd), src_lo + L)
+                    if e0 > s0:
+                        r[s0 - src_lo:e0 - src_lo] = dpd[s0:e0]
+                return r
+
+            up = _pick(dp_prev, lo_prev, lo - 1)
+            left = _pick(dp_prev, lo_prev, lo)
+            diag = _pick(dp_prev2, lo_prev2, lo - 1)
+            cur = np.maximum(np.maximum(up, left), diag + eq)
+            dp_prev2, lo_prev2 = dp_prev, lo_prev
+            dp_prev, lo_prev = cur, lo
+            if d == n + m - 2:
+                last = int(cur[0])
+        return last
+
+    def _lcs_partition(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            res = []
+            for ia, ib, ha, hb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["__ha"], pdf["__hb"]
+            ):
+                a = np.asarray(ha, dtype=np.int64)
+                b = np.asarray(hb, dtype=np.int64)
+                lcs = (
+                    0 if len(a) == 0 or len(b) == 0 else _lcs_one(a, b)
+                )
+                res.append((ia, ib, len(a), len(b), lcs))
+            if res:
+                yield pd.DataFrame(
+                    res,
+                    columns=["id_a", "id_b", "n_a", "n_b", "lcs"],
+                )
+
+    out_schema = (
+        f"id_a {joined.schema['id_a'].dataType.simpleString()}, "
+        f"id_b {joined.schema['id_b'].dataType.simpleString()}, "
+        "n_a bigint, n_b bigint, lcs bigint"
+    )
+    return joined.mapInPandas(_lcs_partition, schema=out_schema)

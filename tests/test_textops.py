@@ -3559,3 +3559,48 @@ def test_texttiling_pieces_reference(spark):
     assert deepest[1] == 50 and deepest[2] == 0
     # the single-topic doc has no comparably deep valley
     assert max(x[3] for x in got[1]) < deepest[3]
+
+
+def test_lcs_pairs_brute_force(spark):
+    import numpy as np
+
+    from c3s_sm_spark.operators.dedup_text import lcs_pairs
+
+    def lcs_ref(A, B):
+        n, m = len(A), len(B)
+        dp = [[0] * (m + 1) for _ in range(n + 1)]
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                dp[i][j] = max(
+                    dp[i - 1][j], dp[i][j - 1],
+                    dp[i - 1][j - 1] + (1 if A[i - 1] == B[j - 1] else 0),
+                )
+        return dp[n][m]
+
+    rng = np.random.default_rng(181)
+    rows, ps = [], []
+    for t in range(40):
+        A = [str(x) for x in rng.integers(0, 6, rng.integers(1, 25))]
+        B = [str(x) for x in rng.integers(0, 6, rng.integers(1, 25))]
+        rows += [(2 * t, " ".join(A)), (2 * t + 1, " ".join(B))]
+        ps.append((2 * t, 2 * t + 1))
+    # anchors: identical pair, disjoint pair, empty side
+    rows += [(100, "a b c d e"), (101, "a b c d e"),
+             (102, "x y z"), (103, "")]
+    ps += [(100, 101), (100, 102), (100, 103)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(ps, "id_a long, id_b long")
+    texts = {i: (t.split() if t else []) for i, t in rows}
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["lcs"])
+        for r in lcs_pairs(docs, pairs).collect()
+    }
+    assert len(got) == len(ps)
+    for (a, b), (na, nb, lcs) in got.items():
+        assert (na, nb) == (len(texts[a]), len(texts[b]))
+        assert lcs == lcs_ref(texts[a], texts[b]), (a, b)
+    assert got[(100, 101)][2] == 5    # identical
+    assert got[(100, 102)][2] == 0    # disjoint vocab
+    assert got[(100, 103)][2] == 0    # empty side
+    # LCS bounds: never exceeds either length
+    assert all(v[2] <= min(v[0], v[1]) for v in got.values())
