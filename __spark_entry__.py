@@ -3866,17 +3866,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "novelty": _q_novelty,
         "rank_blend": _q_rank_blend,
-        # ---- rows-only by design (no ANSI-SQL oracle; pytest-pinned) ----
+        # r5 rotation (VERDICT r4 task 1): the two structurally-err
+        # rows-only singles minhash_lsh (X3) and ann_ivf (X8) move to
+        # tail-top — a rows-only row can only ever return
+        # `err: no_oracle`, zero hard signal, while an oracled row
+        # contributes rows+schema+hash. Promoted in their place:
+        # rollup_daily (A1 — restores the daily tier's DIRECT driver
+        # hash, /root/reference/src/c3s_sm/const.py:42-46) and
+        # time_weighted (X38 — never driver-checked before). Family
+        # coverage holds: near-dup keeps ngram_jaccard + dedup_corpus +
+        # neardup_clusters + embedding_neardup in-window; ANN keeps
+        # embedding_topk. Both demoted rows stay recall/pytest-pinned
+        # and in the full mirror.
+        "rollup_daily": _q_rollup_daily,
+        "time_weighted": _q_time_weighted,
+        # (oracled — window position 50)
+        "vocab_growth": _q_vocab_growth,
+        # ---- beyond the ~50-row gate window ----
+        # rows-only by design (no ANSI-SQL oracle; pytest-pinned)
         # flagship rows-only singles (X3 LSH dedup, X8 IVF ANN):
         "minhash_lsh": _q_minhash_lsh,
         "ann_ivf": _q_ann_ivf,
-        # (oracled, not rows-only — sits here so it lands at window
-        # position 50, the slot dedup_corpus_lsh vacated)
-        "vocab_growth": _q_vocab_growth,
-        # ---- beyond the ~50-row gate window ----
-        # tail-top: the two r4 point-in-time ops that did not fit the
-        # 50-row window — oracled, mirror-checked, pytest-pinned:
-        "time_weighted": _q_time_weighted,
         "counter_rate": _q_counter_rate,
         "ohlc": _q_ohlc,
         "value_hist": _q_value_hist,
@@ -3895,7 +3905,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated INTO the window above; their families' remaining rows
         # and the demoted duplicates live here) — oracled +
         # mirror-checked, pytest-pinned:
-        "rollup_daily": _q_rollup_daily,
         "dedup_corpus_lsh": _q_dedup_corpus_lsh,
         "lag_corr": _q_lag_corr,
         # X55 exact-integer tf-idf terms and X57 source drift (oracled);
