@@ -1922,15 +1922,19 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X72 BPE-style phrase-merge training (8 rounds, min_count=5):
-    iterative count -> argmax -> greedy rewrite. Rows-only by design
+    """X72 BPE-style phrase-merge training (8 merges, min_count=5,
+    batched 4 token-disjoint merges per corpus pass — classic batched
+    BPE, ~4x fewer passes than one-merge-per-pass). Rows-only by design
     (an n-round recursion over a rewritten corpus has no ANSI-SQL twin);
     the merge table and rewritten corpus are pinned bit-exactly against
-    a pure-Python reference in tests/test_textops.py."""
+    a pure-Python reference in tests/test_textops.py for BOTH the
+    sequential (batch_k=1) and batched modes."""
     _prep(spark)
     from c3s_sm_spark.operators.textstats import phrase_merge_train
 
-    return phrase_merge_train(_docs(spark, sf_dir), n_merges=8, min_count=5)
+    return phrase_merge_train(
+        _docs(spark, sf_dir), n_merges=8, min_count=5, batch_k=4
+    )
 
 
 def _q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,13 +1,22 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
 The Spark-side architecture is real and tested — schema, partition-aware
-``mapInPandas`` batch shape, Arrow binary transfer, deterministic fake
-featurization — while the actual media decode is STUBBED (image/audio
-libraries are not in this container): :func:`decode_image` raises
-``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic hash-derived feature vector stands in for the decoder so
-the distributed plumbing (batching, schema, ordering) is exercised
-end-to-end.
+``mapInPandas`` batch shape, Arrow binary transfer — and since r5 the
+decode itself is real too for the repo's OWN container formats
+(r4 verdict task 7): ``RB01`` raw bitmaps and ``RV01`` raw videos, both
+pure-numpy parse/compute/re-encode with explicit little-endian layout,
+so :func:`extract_features` / :func:`resize_images` /
+:func:`sample_frames` exercise a genuine decode-compute-encode path
+end-to-end. FOREIGN formats (JPEG/H.264/...) remain loudly stubbed —
+the container has no media libraries — behind ``fake=True``'s
+deterministic hash-derived stand-ins.
+
+Container layouts (little-endian):
+
+- bitmap: ``b"RB01" | u16 w | u16 h | u8 c | w*h*c pixel bytes``
+  (row-major uint8, like an un-ASCII'd PPM)
+- video:  ``b"RV01" | u16 w | u16 h | u8 c | u16 n_frames | frames``
+  (each frame w*h*c bytes, concatenated)
 """
 
 from __future__ import annotations
@@ -23,6 +32,85 @@ MEDIA_SCHEMA = (
 )
 FEATURE_DIM = 16
 
+_BMP_MAGIC = b"RB01"
+_VID_MAGIC = b"RV01"
+
+
+# ----------------------------------------------------- raw container codecs
+
+
+def encode_bitmap(arr: np.ndarray) -> bytes:
+    """Encode an (h, w, c) or (h, w) uint8 array as an RB01 bitmap."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if w > 0xFFFF or h > 0xFFFF or c > 0xFF:
+        raise ValueError(f"bitmap too large for RB01 header: {arr.shape}")
+    return (
+        _BMP_MAGIC
+        + np.array([w, h], dtype="<u2").tobytes()
+        + bytes([c])
+        + arr.tobytes()
+    )
+
+
+def decode_bitmap(payload: bytes) -> np.ndarray:
+    """Decode an RB01 bitmap to an (h, w, c) uint8 array — pure numpy,
+    validated: wrong magic or truncated pixels raise, they don't wrap."""
+    if payload[:4] != _BMP_MAGIC:
+        raise ValueError("not an RB01 bitmap")
+    w, h = (int(x) for x in np.frombuffer(payload, "<u2", count=2, offset=4))
+    c = payload[8]
+    need = w * h * c
+    if len(payload) - 9 != need:
+        raise ValueError(
+            f"RB01 payload length {len(payload) - 9} != {w}x{h}x{c}"
+        )
+    return np.frombuffer(payload, np.uint8, count=need, offset=9).reshape(
+        h, w, c
+    )
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """Encode an (n, h, w, c) uint8 array as an RV01 raw video."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    if w > 0xFFFF or h > 0xFFFF or c > 0xFF or n > 0xFFFF:
+        raise ValueError(f"video too large for RV01 header: {frames.shape}")
+    return (
+        _VID_MAGIC
+        + np.array([w, h], dtype="<u2").tobytes()
+        + bytes([c])
+        + np.array([n], dtype="<u2").tobytes()
+        + frames.tobytes()
+    )
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """Decode an RV01 video to an (n, h, w, c) uint8 array."""
+    if payload[:4] != _VID_MAGIC:
+        raise ValueError("not an RV01 video")
+    w, h = (int(x) for x in np.frombuffer(payload, "<u2", count=2, offset=4))
+    c = payload[8]
+    n = int(np.frombuffer(payload, "<u2", count=1, offset=9)[0])
+    need = n * h * w * c
+    if len(payload) - 11 != need:
+        raise ValueError(
+            f"RV01 payload length {len(payload) - 11} != {n}x{h}x{w}x{c}"
+        )
+    return np.frombuffer(payload, np.uint8, count=need, offset=11).reshape(
+        n, h, w, c
+    )
+
+
+def _doc_rng(doc_id: str) -> np.random.Generator:
+    """Platform-stable per-doc RNG: PCG64 seeded from the doc hash."""
+    seed = int.from_bytes(
+        hashlib.sha256(str(doc_id).encode()).digest()[:8], "little"
+    )
+    return np.random.Generator(np.random.PCG64(seed))
+
 
 def attach_fake_media(docs: DataFrame) -> DataFrame:
     """Derive a deterministic opaque binary payload + metadata per doc —
@@ -36,17 +124,124 @@ def attach_fake_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs an image library not present here.
+def attach_bitmap_media(
+    docs: DataFrame, min_side: int = 8, max_side: int = 48
+) -> DataFrame:
+    """Derive a REAL (decodable) RB01 bitmap payload per doc: dimensions
+    and pixels are PCG64-generated from the doc hash, so the corpus is
+    deterministic at any parallelism and every byte round-trips through
+    :func:`decode_bitmap` exactly. ``mapInPandas`` (numpy per batch)."""
+    import pandas as pd
 
-    ``fake=True`` returns a deterministic FEATURE_DIM-float vector derived
-    from the payload hash — stable across runs/partitions, so tests can
-    assert exact values through the full Spark path.
+    span = max_side - min_side + 1
+
+    def _gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, ws, hs = [], [], []
+            for d in pdf["doc_id"]:
+                rng = _doc_rng(d)
+                w = min_side + int(rng.integers(span))
+                h = min_side + int(rng.integers(span))
+                img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payloads.append(encode_bitmap(img))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "media_type": "image/rb01",
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id")).mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+def attach_video_media(
+    docs: DataFrame, side: int = 16, max_frames: int = 60
+) -> DataFrame:
+    """REAL (decodable) RV01 video payload per doc — deterministic frame
+    count and pixels, same PCG64-from-hash scheme as
+    :func:`attach_bitmap_media`."""
+    import pandas as pd
+
+    def _gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads, ws, hs = [], [], []
+            for d in pdf["doc_id"]:
+                rng = _doc_rng(d)
+                n = 1 + int(rng.integers(max_frames))
+                frames = rng.integers(
+                    0, 256, size=(n, side, side, 1), dtype=np.uint8
+                )
+                payloads.append(encode_video(frames))
+                ws.append(side)
+                hs.append(side)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "media_type": "video/rv01",
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id")).mapInPandas(
+        _gen, schema=MEDIA_SCHEMA
+    )
+
+
+def bitmap_features(img: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM real image statistics from decoded pixels: shape
+    (w, h, c normalized), global mean/std/min/max, luminance mean, and
+    an 8-bin histogram of channel 0 — all pure numpy, exactly
+    reproducible for the pytest pin."""
+    h, w, c = img.shape
+    px = img.astype(np.float64)
+    lum = px.mean(axis=2)
+    hist = np.bincount(img[:, :, 0].ravel() >> 5, minlength=8).astype(
+        np.float64
+    )
+    hist /= hist.sum()
+    return np.concatenate(
+        [
+            [w / 65535.0, h / 65535.0, c / 255.0],
+            [px.mean() / 255.0, px.std() / 255.0],
+            [px.min() / 255.0, px.max() / 255.0],
+            [lum.mean() / 255.0],
+            hist,
+        ]
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Feature vector for an image payload.
+
+    RB01 payloads take the REAL path regardless of ``fake``: numpy
+    header parse + pixel statistics (:func:`bitmap_features`) — an
+    actual decode-compute path, not a hash. Foreign formats (JPEG, ...)
+    need media libraries this container lacks: they raise
+    ``NotImplementedError`` unless ``fake=True``, which returns the
+    deterministic hash-derived stand-in vector (stable across
+    runs/partitions, so tests assert exact values through the full
+    Spark path).
     """
+    if payload[:4] == _BMP_MAGIC:
+        return bitmap_features(decode_bitmap(payload))
     if not fake:
         raise NotImplementedError(
-            "media decoding requires an image/audio library not available "
-            "in this environment; pass fake=True for the deterministic stub"
+            "media decoding beyond the RB01 raw container requires an "
+            "image/audio library not available in this environment; pass "
+            "fake=True for the deterministic stub"
         )
     h = hashlib.sha256(payload).digest()
     # explicit little-endian: native-endian frombuffer would decode
@@ -107,10 +302,18 @@ def resize_images(
     import pandas as pd
 
     def _resize_one(payload: bytes) -> bytes:
+        if payload[:4] == _BMP_MAGIC:
+            # REAL path: decode -> nearest-neighbor resample -> re-encode
+            img = decode_bitmap(payload)
+            h, w = img.shape[:2]
+            yi = (np.arange(target_h) * h) // target_h
+            xi = (np.arange(target_w) * w) // target_w
+            return encode_bitmap(img[yi][:, xi])
         if not fake:
             raise NotImplementedError(
-                "image resize requires an image library not available in "
-                "this environment; pass fake=True for the deterministic stub"
+                "resizing beyond the RB01 raw container requires an image "
+                "library not available in this environment; pass fake=True "
+                "for the deterministic stub"
             )
         tag = f"{target_w}x{target_h}".encode()
         return hashlib.sha256(payload + tag).digest()
@@ -149,15 +352,25 @@ def sample_frames(
                 continue
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if not fake:
-                    raise NotImplementedError(
-                        "frame extraction requires a video library not "
-                        "available here; pass fake=True for the stub"
-                    )
                 if payload is None or len(payload) == 0:
                     # a null/zero-byte payload has no frames — skip it
                     # rather than IndexError the whole stage
                     continue
+                if bytes(payload[:4]) == _VID_MAGIC:
+                    # REAL path: parse the container, slice the sampled
+                    # frames, re-encode each as an RB01 bitmap
+                    vid = decode_video(payload)
+                    for i in list(range(0, len(vid), every_n))[:max_frames]:
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(encode_bitmap(vid[i]))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "frame extraction beyond the RV01 raw container "
+                        "requires a video library not available here; pass "
+                        "fake=True for the stub"
+                    )
                 n_total = (payload[0] % 100) + 1  # deterministic "video length"
                 sampled = list(range(0, n_total, every_n))[:max_frames]
                 for i in sampled:

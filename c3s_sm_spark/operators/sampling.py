@@ -1108,8 +1108,11 @@ def quantile_normalize(
     For a row at within-group rank ``r`` of ``n_g`` (total order
     ``(value, tiebreak)``), the target pooled position is ``k =
     ceil(r·N/n_g)`` (N = pooled row count) and the normalized value is
-    the pooled k-th order statistic. Emits the input row plus ``rn``,
-    ``k`` and ``nv`` (all BIGINT).
+    the pooled k-th order statistic. Emits ``(group, tiebreak, value)``
+    plus ``rn``, ``k`` and ``nv`` (all BIGINT) — NOT the full input
+    row: other input columns are projected away (ADVICE r4); callers
+    needing them join back on ``(group, tiebreak)``, which is unique
+    by the tiebreak contract.
 
     Scale shape — never a corpus-sized window:
 

@@ -973,6 +973,7 @@ def phrase_merge_train(
     min_count: int = 2,
     text_col: str = "text",
     return_corpus: bool = False,
+    batch_k: int = 1,
 ) -> DataFrame:
     """BPE-style phrase-merge training at word granularity (the
     word2phrase / tokenizer-induction loop): for ``n_merges`` rounds,
@@ -988,8 +989,8 @@ def phrase_merge_train(
     ``return_corpus=True`` returns the rewritten corpus
     ``(doc_id, toks)`` after all merges instead.
 
-    Scale shape (the honest BPE cost): ``n_merges`` corpus passes, each
-    a map-side-combinable pair count + a TakeOrdered(1) argmax + an
+    Scale shape (the honest BPE cost): one corpus pass per ROUND, each a
+    map-side-combinable pair count + a TakeOrdered argmax + an
     Arrow-batched rewrite (``mapInPandas``, no per-row Python in the
     count path). Pair counts are computed on OVERLAPPING adjacency
     (standard counting; the rewrite is non-overlapping greedy — same
@@ -998,11 +999,25 @@ def phrase_merge_train(
     lineage stays O(1) and memory holds ONE corpus copy; a 100 TB run
     swaps the localCheckpoint for a per-round snapshot-table write, the
     same trade documented at pack_sequences.
+
+    ``batch_k`` (classic batched BPE, r4 verdict task 5): each round
+    applies up to ``batch_k`` TOKEN-DISJOINT merges from one pair count,
+    cutting the corpus passes ~``batch_k``-fold. Selection is greedy
+    over the round's top ``4 * batch_k`` candidates in the same total
+    order, skipping any pair sharing a token with one already accepted
+    this round — disjointness makes the one-pass combined rewrite equal
+    to applying the accepted merges sequentially, so determinism is
+    preserved. ``pair_cnt`` for a batched merge is its count in the
+    round's ONE pass (sequential mode recounts after every merge) —
+    ranks can differ from ``batch_k=1`` for interacting pairs; the
+    default stays exact-sequential.
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if batch_k < 1:
+        raise ValueError(f"batch_k must be >= 1, got {batch_k}")
     spark = docs.sparkSession
     cur = (
         docs.select("doc_id", words_col(text_col).alias("toks"))
@@ -1018,7 +1033,8 @@ def phrase_merge_train(
         "slice(toks, 2, size(toks) - 1))"
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rnd in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        take = min(batch_k, n_merges - len(merges))
         top = (
             cur.filter(F.size("toks") >= 2)
             .select(F.explode(pair_arr).alias("p"))
@@ -1027,28 +1043,45 @@ def phrase_merge_train(
             .agg(F.count(F.lit(1)).alias("c"))
             .filter(F.col("c") >= min_count)
             .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
-            .limit(1)
+            # bounded overfetch: each accepted pair blocks <= 2 tokens,
+            # so 4*take candidates nearly always yield `take` disjoint
+            # ones; a shallower yield just means an extra (cheap) round.
+            # take=1 degenerates to the exact-sequential TakeOrdered(1).
+            .limit(4 * take)
             .collect()
         )
         if not top:
             break
-        w1, w2, c = top[0]["w1"], top[0]["w2"], int(top[0]["c"])
-        merges.append((rnd, w1, w2, c))
-        fused = w1 + "_" + w2
+        used: set[str] = set()
+        table: dict[tuple[str, str], str] = {}
+        for r in top:
+            if len(table) >= take:
+                break
+            w1, w2 = r["w1"], r["w2"]
+            if w1 in used or w2 in used:
+                continue
+            merges.append((len(merges) + 1, w1, w2, int(r["c"])))
+            table[(w1, w2)] = w1 + "_" + w2
+            used.add(w1)
+            used.add(w2)
 
-        def _rewrite(batches, _w1=w1, _w2=w2, _f=fused):
+        def _rewrite(batches, _t=dict(table)):
             for pdf in batches:
                 if len(pdf):
                     pdf["toks"] = pdf["toks"].map(
-                        lambda arr: _merge_once(list(arr), _w1, _w2, _f)
+                        lambda arr: _merge_batch(list(arr), _t)
                     )
                 yield pdf
 
-        # only docs that can possibly hold the pair cross into Python;
-        # the rest pass through JVM-side untouched (array_contains is a
-        # superset of adjacency — non-adjacent holders rewrite to
-        # themselves, which is correct and rare)
-        may = F.array_contains("toks", w1) & F.array_contains("toks", w2)
+        # only docs that can possibly hold some accepted pair cross into
+        # Python; the rest pass through JVM-side untouched
+        # (array_contains is a superset of adjacency — non-adjacent
+        # holders rewrite to themselves, which is correct and rare)
+        may = F.lit(False)
+        for w1, w2 in table:
+            may = may | (
+                F.array_contains("toks", w1) & F.array_contains("toks", w2)
+            )
         nxt = (
             cur.where(may)
             .mapInPandas(_rewrite, schema=cur.schema)
@@ -1067,11 +1100,18 @@ def phrase_merge_train(
 
 def _merge_once(arr: list, w1: str, w2: str, fused: str) -> list:
     """Greedy left-to-right non-overlapping fuse of adjacent (w1, w2)."""
+    return _merge_batch(arr, {(w1, w2): fused})
+
+
+def _merge_batch(arr: list, table: dict) -> list:
+    """Greedy left-to-right non-overlapping fuse of every adjacent pair
+    in ``table`` (token-disjoint pairs: at most one can match at any
+    position, so one pass equals sequential application)."""
     out = []
     i, n = 0, len(arr)
     while i < n:
-        if i + 1 < n and arr[i] == w1 and arr[i + 1] == w2:
-            out.append(fused)
+        if i + 1 < n and (arr[i], arr[i + 1]) in table:
+            out.append(table[(arr[i], arr[i + 1])])
             i += 2
         else:
             out.append(arr[i])
@@ -1701,7 +1741,11 @@ def burst_detect(
     def _viterbi(ks, ns, k_tot, n_tot, n_buckets):
         import math
 
-        p0 = k_tot / n_tot
+        # clamp p0 away from 1 alongside p1 (ADVICE r4): a degenerate
+        # single-token corpus gives p0 == 1.0, and cost() would then
+        # compute (n-k)*log1p(-1) = 0 * -inf = NaN, silently corrupting
+        # every Viterbi cost instead of degrading gracefully
+        p0 = min(k_tot / n_tot, 1.0 - 1e-9)
         p1 = min(s_ * p0, 1.0 - 1e-9)
         toll = g_ * math.log(n_buckets) if n_buckets > 1 else 0.0
         INF = float("inf")

@@ -4345,6 +4345,15 @@ def dtw_distances(
     anti-diagonal-vectorized numpy kernel per pair via ``mapInPandas``
     (Arrow-batched, no per-row Python in the inner loop). Emits
     ``(key_a, key_b, n_a, n_b, band, dtw)`` — all BIGINT.
+
+    Row contract (ADVICE r4): a requested pair is silently DROPPED from
+    the output when either key is absent from ``df`` or has an empty
+    series — DTW to an empty series is undefined, and the inner series
+    joins have nothing to attach (callers that count pair outputs must
+    anti-join against the result to find the casualties; same contract
+    as :func:`dtw_lb_keogh`, and deliberately UNLIKE
+    :func:`local_align_pairs`, whose alignment score to an empty doc is
+    well-defined as 0 and emitted).
     """
     ser = (
         df.select(
@@ -5040,6 +5049,8 @@ def dtw_lb_keogh(
     the tighter symmetric bound run it both ways and take the max.
     Rows-only (pinned: brute-force envelope reference AND the
     ``lb <= dtw`` invariant against :func:`dtw_distances` in pytest).
+    Row contract: pairs with a missing/empty series are silently
+    dropped, same as :func:`dtw_distances` (see its docstring).
     """
     ser = (
         df.select(
@@ -5263,9 +5274,13 @@ def croston_smooth(
         q = 0
         for t in range(n):
             x = float(v[t])
-            if x < 0:
+            if x < 0 or x != x:  # x != x is the import-free NaN test
+                # NaN passed both the x<0 and x>0 checks and was
+                # silently a zero-demand period, skewing cr_interval
+                # (ADVICE r4) — the operator's strictness contract says
+                # undefined demand is an input error, like negatives
                 raise ValueError(
-                    "croston_smooth: negative demand encountered"
+                    "croston_smooth: negative or NaN demand encountered"
                 )
             q += 1
             if x > 0:
@@ -5589,6 +5604,13 @@ def whittaker_smooth(
     def _wh_one(y, w):
         n = len(y)
         if int(w.sum()) < 3:
+            return np.where(w > 0, y, np.nan)
+        if lam == 0.0 and int(w.sum()) < n:
+            # lam=0 with missing values makes A = diag(w) singular (a
+            # zero-weight row has no penalty term to constrain it);
+            # np.linalg.solve would raise an opaque LinAlgError inside
+            # the executor (ADVICE r4). lam=0 means "no smoothing", so
+            # pass observed values through and leave gaps NaN.
             return np.where(w > 0, y, np.nan)
         # D2: (n-2) x n second-difference matrix
         D = np.zeros((n - 2, n))

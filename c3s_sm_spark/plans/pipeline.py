@@ -39,6 +39,7 @@ import os
 import time
 import uuid
 
+import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,6 +60,15 @@ _LINEAGE_COLS = (
     "n_months int, n_rows bigint, wall_s double, finished_at double, "
     "status string, note string"
 )
+#: tail-table shape (only ever used to build EMPTY frames — truncate and
+#: overwrite-to-empty commits, which write no data files, so the string
+#: doc_id here never conflicts with a long-keyed pipeline's tail files)
+_TAIL_SCHEMA = "doc_id string, ts timestamp, v_mean double, pmonth string, kb int"
+#: point reads decode blobs ON THE DRIVER below this blob count (one
+#: blob = up to codecs.CHUNK points, so 512 blobs ~ 4.2M points — far
+#: past any real single-key tier series); beyond it, or when the caller
+#: forces it, the decode runs distributed via unpack_series
+_LOCAL_DECODE_MAX_BLOBS = 512
 _METRICS_COLS = (
     "run_id string, tier string, pmonth string, n_rows bigint, n_points bigint, "
     "ts_min timestamp, ts_max timestamp, written_at double"
@@ -110,6 +120,25 @@ class TierPipeline:
             t: SnapshotTable(os.path.join(base_dir, f"{t}_packed"), ["bucket"])
             for t in TIERS
         }
+        # LSM-style unpacked tail per packed tier (r4 verdict task 3):
+        # incremental pack APPENDS delta rows here instead of re-encoding
+        # whole hash buckets — a 10% key delta hash-spreads over every
+        # bucket, so bucket-grain repack degenerated to a full repack's
+        # cost. The tail is month-partitioned (refresh recomputes whole
+        # months, so every delta month arrives complete and the tail
+        # write is an idempotent month overwrite); kb stays a DATA column
+        # for parquet row-group pushdown — the tail is bounded small by
+        # the fold policy, so partition-level kb dirs would only bloat
+        # file counts. Gorilla/Prometheus hot-block + sealed-block shape.
+        self.tails = {
+            t: SnapshotTable(os.path.join(base_dir, f"{t}_tail"), ["pmonth"])
+            for t in TIERS
+        }
+        #: fold (full repack + tail truncate) once the tail holds more
+        #: than this fraction of the packed table's bytes — unpacked
+        #: parquet runs ~3x the packed size per row, so 0.5 means the
+        #: tail folds at roughly 1/6 of the rows
+        self.tail_fold_frac = 0.5
         self.lineage = SnapshotTable(os.path.join(base_dir, "lineage"))
         self.metrics = SnapshotTable(os.path.join(base_dir, "metrics"))
         # F6: stamp each tier table with the reference's per-product
@@ -366,32 +395,67 @@ class TierPipeline:
 
     # ---------------------------------------------------------------- packed
 
-    def pack_tier(self, tier: str, incremental: bool = True) -> str | None:
+    def _table_bytes(self, tbl: SnapshotTable) -> int:
+        """On-disk bytes of a table's current snapshot (manifest walk +
+        stat; Iceberg manifests carry file sizes, this layer stats)."""
+        return sum(
+            os.path.getsize(os.path.join(tbl.root, f)) for f in tbl._files()
+        )
+
+    def _truncate_tail(self, tier: str, summary: dict | None = None) -> None:
+        """Drop every tail row after a fold (the packed table is current
+        again). Runs AFTER the packed commit: a crash in between leaves a
+        harmless stale tail — point_read only consults tail months that
+        the packed manifest still masks, and the next incremental pack's
+        month overwrite replaces any month it re-touches."""
+        tail = self.tails[tier]
+        if tail.head() is None or not tail._files():
+            return
+        empty = self.spark.createDataFrame([], _TAIL_SCHEMA)
+        # replace_values=[()] — the zero-length prefix matches EVERY
+        # partition, so the commit drops all tail files; an empty df
+        # alone would replace nothing (the dynamic replace set is
+        # derived from written files, and there are none)
+        tail.overwrite_partitions(
+            empty,
+            {"op": "fold_truncate", **(summary or {})},
+            replace_values=[()],
+        )
+
+    def pack_tier(
+        self, tier: str, incremental: bool = True, fold: bool | None = None
+    ) -> str | None:
         """Materialize the packed-series form of a tier (delta-of-delta ts
         + Gorilla-XOR values, chunked), bucketed by key hash for pruned
         point reads.
 
-        Incremental by default: the tier's snapshot delta since the last
-        pack names the touched KEYS, and only their hash buckets are
-        re-packed and partition-overwritten — a chunk's boundaries depend
-        on the key's whole series, so the bucket (not the month) is the
-        repack grain. A retention drop (``delete_partitions``) or an
-        expired high-water mark degrades to a full repack; a
-        rewrite-only window (compaction) advances the recorded source
-        snapshot with a data-free commit so the point-read staleness
-        guard keeps serving the packed form.
+        Incremental by default — LSM-shaped (r4 verdict task 3): the
+        tier's snapshot delta since the last pack is APPENDED (as an
+        idempotent month-partition overwrite) to the tier's unpacked
+        ``tail`` table, and the packed table advances its recorded source
+        snapshot with a data-free commit whose summary lists the
+        ``masked_months`` — months whose packed blobs are superseded by
+        tail rows. No re-encoding happens on the incremental path at all.
+        Re-encoding is paid only at FOLD time (full repack + tail
+        truncate), triggered when the tail outgrows
+        ``tail_fold_frac`` of the packed bytes, on ``fold=True``, or on
+        ``incremental=False`` — the amortized write shape of Gorilla /
+        Prometheus (hot unpacked head, sealed compressed blocks).
 
-        Scale shape: tier tables are hive-partitioned ``(pmonth, kb)``
-        with ``kb`` the same key hash as the packed ``bucket``, so the
-        member scan for the touched buckets is a PARTITION-PRUNED read —
-        touched/n_buckets of the tier's files, not all of them. Touched
-        buckets come from two metadata-cheap places: the delta rows'
-        ``kb`` partition values (added data) and the ``kb`` path segment
-        of every file REMOVED by an overwrite in the window — a caller's
-        ``overwrite_partitions`` that drops a key entirely leaves no
-        added row for it, but its old file's path still names the bucket
-        whose packed series must stop serving the superseded rows
-        (ADVICE r2; zero I/O, the manifest diff alone names the bucket).
+        Why not repack touched hash buckets (the pre-r5 design): a
+        realistic delta (new month for a spread of keys) hash-lands in
+        ~every bucket, so bucket-grain repack re-encoded the whole table
+        while wearing an "incremental" label — measured at full-repack
+        cost for a 10% key delta. Month-masking works because refresh
+        recomputes WHOLE months (``replace_grain=1``): every delta month
+        arrives complete, so "packed minus masked months, plus tail" is
+        exactly the tier. A retention drop (``delete_partitions``)
+        degrades to a fold (months vanished below the mask's horizon); a
+        rewrite-only window (compaction) advances the source snapshot
+        with a data-free commit carrying the mask forward. Months named
+        ONLY by removed files (a caller overwrite that drops keys with no
+        replacement rows) still enter the mask — the dropped file's
+        ``pmonth`` path segment names them at zero I/O (ADVICE r2).
         """
         tbl = self.tiers[tier]
         ptbl = self.packed[tier]
@@ -403,96 +467,122 @@ class TierPipeline:
         # pack_series output always names the key column 'doc_id'
         bucket_of = self._kb("doc_id")
         prev_src = None
+        prev_sum: dict = {}
         if incremental and ptbl.head() is not None:
-            prev_src = ptbl._manifest(ptbl.head())["summary"].get(
-                "src_snapshot"
-            )
+            prev_sum = ptbl._manifest(ptbl.head())["summary"]
+            prev_src = prev_sum.get("src_snapshot")
         snaps = tbl.snapshots()
         chain_ids = [m["snapshot_id"] for m in snaps]
         if prev_src is not None and prev_src in chain_ids and prev_src != head:
             window = snaps[chain_ids.index(prev_src) + 1 :]
             if any(m["operation"] == "delete_partitions" for m in window):
-                prev_src = None  # rows vanished: bucket delta can't see it
-        if prev_src is not None and prev_src in chain_ids:
+                prev_src = None  # rows vanished: month delta can't see it
+        if prev_src is not None and prev_src in chain_ids and not fold:
             if prev_src == head:
                 return ptbl.head()  # already current
             delta = tbl.read_incremental(self.spark, prev_src, head)
-            buckets: set[int] = set()
+            months: set[str] = set()
             if delta is not None:
-                buckets |= {
-                    int(r["kb"])
-                    for r in delta.select("kb").distinct().collect()
+                months |= {
+                    r["m"]
+                    for r in delta.select(
+                        F.col("pmonth").alias("m")
+                    ).distinct().collect()
                 }
-            # buckets named only by removed files (keys superseded by an
-            # overwrite, no replacement row): read the kb path segment of
-            # each file an overwrite dropped vs its parent manifest
+            # months named only by removed files (keys superseded by an
+            # overwrite, no replacement row): read the pmonth path
+            # segment of each file an overwrite dropped vs its parent
             for i in range(chain_ids.index(prev_src) + 1, len(snaps)):
                 m = snaps[i]
                 if m["operation"] == "compact":
                     continue
                 parent = set(snaps[i - 1]["files"]) if i > 0 else set()
                 for f in parent - set(m["files"]):
-                    kb = tbl._partition_of(f, ["kb"])[0]
-                    if kb is not None:
-                        buckets.add(int(kb))
-            if not buckets:
+                    pm = tbl._partition_of(f, ["pmonth"])[0]
+                    if pm is not None:
+                        months.add(pm)
+            key_type = (
+                tbl.read(self.spark).schema[self.key].dataType.simpleString()
+            )
+            if not months:
                 # rewrite-only window (compact): data unchanged — record
-                # the new source snapshot without touching any file
+                # the new source snapshot without touching any file; the
+                # mask (and the tail rows it points at) carries forward
                 empty = self.spark.createDataFrame(
-                    [],
-                    self.packed_schema(
-                        tbl.read(self.spark)
-                        .schema[self.key]
-                        .dataType.simpleString()
-                    ),
+                    [], self.packed_schema(key_type)
                 )
                 return ptbl.overwrite_partitions(
-                    empty, {"tier": tier, "src_snapshot": head, "noop": True}
+                    empty,
+                    {
+                        "tier": tier,
+                        "src_snapshot": head,
+                        "noop": True,
+                        "masked_months": prev_sum.get("masked_months", []),
+                    },
                 )
-            blist = sorted(buckets)
-            # file-pruned: kb is a partition column of the tier table and
-            # the predicate is a bare attribute IN-list, so it lands in
-            # the scan's PartitionFilters (no cast to defeat pruning)
-            members = tbl.read(self.spark).where(F.col("kb").isin(blist))
-            # repartition by bucket before the partitioned write: without
-            # it every pack task spills a sliver into every touched
-            # bucket dir (tasks x buckets tiny files — measured 1264
-            # files for 2k packed rows, costing ~3 s of driver file
-            # listing PER point read). One file per bucket per commit is
-            # the layout the bucket-pruned read wants; packed blobs are
-            # compact, so this shuffle moves little data.
-            packed = (
-                pack_series(members, key=self.key, ts_col="ts", val_col="v_mean")
-                .withColumn("bucket", bucket_of)
-                .repartition("bucket")
-            )
-            # static replace set: a touched bucket that packs to ZERO
-            # rows (all its keys superseded) must still drop its old
-            # packed partition — dynamic overwrite alone would keep it
-            return ptbl.overwrite_partitions(
-                packed,
-                {
-                    "tier": tier,
-                    "src_snapshot": head,
-                    "mode": "incremental",
-                    "repacked_buckets": len(blist),
-                },
-                replace_values=[(b,) for b in blist],
-            )
+            masked = sorted(set(prev_sum.get("masked_months", [])) | months)
+            if fold is None:
+                # pre-append tail size: the threshold crossing lags one
+                # pack call, which only delays the fold by one delta
+                fold = self._table_bytes(
+                    self.tails[tier]
+                ) > self.tail_fold_frac * max(self._table_bytes(ptbl), 1)
+            if not fold:
+                if delta is not None:
+                    tail_df = delta.select(
+                        F.col(self.key).cast(key_type).alias("doc_id"),
+                        "ts",
+                        "v_mean",
+                        "pmonth",
+                        F.col("kb").cast("int"),
+                    ).repartition(F.col("pmonth"))
+                else:
+                    tail_df = self.spark.createDataFrame([], _TAIL_SCHEMA)
+                # month-grain overwrite, replace_values covering months
+                # with NO delta rows (overwrite-to-empty): their old tail
+                # rows are superseded even though nothing replaces them
+                self.tails[tier].overwrite_partitions(
+                    tail_df,
+                    {"op": "tail_append", "src_snapshot": head},
+                    replace_values=[(m,) for m in sorted(months)],
+                )
+                empty = self.spark.createDataFrame(
+                    [], self.packed_schema(key_type)
+                )
+                return ptbl.overwrite_partitions(
+                    empty,
+                    {
+                        "tier": tier,
+                        "src_snapshot": head,
+                        "mode": "tail_append",
+                        "masked_months": masked,
+                        "delta_months": len(months),
+                    },
+                )
         df = tbl.read(self.spark)
-        # one file per bucket (see the incremental branch note above)
+        # one shuffle keyed on bucket before the partitioned write:
+        # without it every pack task spills a sliver into every bucket
+        # dir (tasks x buckets tiny files — measured 1264 files for 2k
+        # packed rows, costing ~3 s of driver file listing PER point
+        # read). One file per bucket per commit is the layout the
+        # bucket-pruned read wants; packed blobs are compact, so this
+        # shuffle moves little data.
         packed = (
             pack_series(df, key=self.key, ts_col="ts", val_col="v_mean")
             .withColumn("bucket", bucket_of)
             .repartition("bucket")
         )
         # replace_grain=0: a FULL repack supersedes every existing packed
-        # partition, including buckets the new pack writes no rows for
-        return ptbl.overwrite_partitions(
+        # partition, including buckets the new pack writes no rows for.
+        # No masked_months in the summary: the fresh pack IS the tier.
+        snap = ptbl.overwrite_partitions(
             packed,
             {"tier": tier, "src_snapshot": head, "mode": "full"},
             replace_grain=0,
         )
+        # after the packed commit (crash ordering: see _truncate_tail)
+        self._truncate_tail(tier, {"folded_into": snap})
+        return snap
 
     @staticmethod
     def packed_schema(key_type: str = "string") -> str:
@@ -506,12 +596,126 @@ class TierPipeline:
         # kb is physical layout (key-hash partition level), not schema
         return self.tiers[tier].read(self.spark).drop("kb")
 
+    def _read_packed_local(
+        self, packed: DataFrame, tier: str, key_value, masked: list[str]
+    ):
+        """Collect pruned packed blobs AND the key's masked-month tail
+        rows in ONE Spark job (tagged union with per-branch limits),
+        decode + mask + merge on the DRIVER with the same numpy codecs;
+        returns a pandas frame, or None past either cap (the
+        ``limit(cap+1)`` probes bound the collect itself, so a
+        pathological key cannot flood the driver — the caller then
+        degrades to the distributed decode). A point read's blob set is
+        bounded by construction (one key, bucket- and sidecar-pruned)
+        and its tail rows likewise (one key, masked months only); the
+        distributed path pays a ~200 ms fixed Python-worker + Arrow
+        round trip per read (r4 bench: 337 ms packed vs 129 ms unpacked
+        — nearly all fixed cost), and a separate tail collect would pay
+        a second job's scheduling on every between-fold read.
+        """
+        import pandas as pd
+
+        from c3s_sm_spark.functions.codecs import decode_ts, decode_vals
+
+        tail_cap = _LOCAL_DECODE_MAX_BLOBS * 1024  # ~ same point budget
+        sel = packed.select(
+            "doc_id",
+            "ts_blob",
+            "v_blob",
+            F.lit(None).cast("timestamp").alias("ts"),
+            F.lit(None).cast("double").alias("v_mean"),
+        ).limit(_LOCAL_DECODE_MAX_BLOBS + 1)
+        if masked:
+            t = self._tail_rows(tier, key_value, masked)
+            if t is not None:
+                sel = sel.unionByName(
+                    t.select(
+                        "doc_id",
+                        F.lit(None).cast("binary").alias("ts_blob"),
+                        F.lit(None).cast("binary").alias("v_blob"),
+                        "ts",
+                        "v_mean",
+                    ).limit(tail_cap + 1)
+                )
+        rows = sel.collect()
+        blobs = [r for r in rows if r["ts_blob"] is not None]
+        tails = [r for r in rows if r["ts_blob"] is None]
+        if len(blobs) > _LOCAL_DECODE_MAX_BLOBS or len(tails) > tail_cap:
+            return None
+        frames = [
+            pd.DataFrame(
+                {
+                    "doc_id": r["doc_id"],
+                    "ts": decode_ts(bytes(r["ts_blob"])).view(
+                        "datetime64[us]"
+                    ),
+                    "v_mean": decode_vals(bytes(r["v_blob"])),
+                }
+            )
+            for r in blobs
+        ]
+        pdf = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype=object),
+                    "ts": pd.Series([], dtype="datetime64[us]"),
+                    "v_mean": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+        if masked:
+            pdf = pdf[~pdf["ts"].dt.strftime("%Y-%m").isin(masked)]
+            if tails:
+                tail_pdf = pd.DataFrame(
+                    {
+                        "doc_id": [r["doc_id"] for r in tails],
+                        "ts": pd.to_datetime(
+                            [r["ts"] for r in tails]
+                        ).astype("datetime64[us]"),
+                        # _tail_rows already coalesced NULL -> NaN
+                        "v_mean": np.array(
+                            [r["v_mean"] for r in tails], dtype=np.float64
+                        ),
+                    }
+                )
+                pdf = pd.concat([pdf, tail_pdf], ignore_index=True)
+        return pdf
+
+    def _tail_rows(
+        self, tier: str, key_value, masked: list[str]
+    ) -> DataFrame | None:
+        """The tail rows for one key within the masked months, pruned to
+        the month partitions and (via parquet row-group stats on the kb
+        data column) the key's hash bucket. None when the tail is empty.
+        The ``pmonth`` IN-list matters beyond pruning: a crash between a
+        fold's packed commit and its tail truncate leaves stale tail rows
+        for UNMASKED months, which this filter keeps invisible."""
+        tail = self.tails[tier]
+        if tail.head() is None or not tail._files():
+            return None
+        tdf = tail.read(self.spark)
+        key_lit = F.lit(key_value).cast(tdf.schema["doc_id"].dataType)
+        return tdf.where(
+            F.col("pmonth").isin(masked)
+            & (F.col("kb") == self._kb(key_lit))
+            & (F.col("doc_id") == key_value)
+        ).select(
+            "doc_id",
+            "ts",
+            # packed blobs store an all-null window as NaN (pandas
+            # float64 coercion); the tail must agree
+            F.coalesce(F.col("v_mean"), F.lit(float("nan"))).alias("v_mean"),
+        )
+
     def point_read(
         self,
         key_value: str,
         tier: str = "daily",
         start: str | None = None,
         end: str | None = None,
+        local_decode: bool | None = None,
     ) -> DataFrame:
         """S5 point time-series query: one key's series, time-ordered,
         optionally restricted to ``[start, end]``.
@@ -520,8 +724,13 @@ class TierPipeline:
         scan, then the ``(ts_min, ts_max)`` sidecar columns drop whole
         blobs BEFORE any decode (SURVEY.md §4 — min/max pruning instead
         of a custom Catalyst rule for packed columns), then the exact
-        ``ts`` predicate trims the decoded edge chunks. Falls back to the
-        tier rows when no packed table exists.
+        ``ts`` predicate trims the decoded edge chunks; months superseded
+        since the last fold are masked out of the decode and served from
+        the unpacked tail instead (see :meth:`pack_tier`). The decode
+        itself runs on the driver for normal-sized series
+        (``local_decode`` auto; see :meth:`_decode_packed`) — pass
+        ``False`` to force the distributed ``unpack_series`` path. Falls
+        back to the tier rows when no packed table exists.
         """
         try:
             ptbl = self.packed[tier]
@@ -533,9 +742,10 @@ class TierPipeline:
             # moves on and the packed table would silently serve OLD data
             # — fall back to the (always-current) tier rows until the
             # next pack_tier()
-            packed_src = ptbl._manifest(head)["summary"].get("src_snapshot")
-            if packed_src != self.tiers[tier].head():
+            psum = ptbl._manifest(head)["summary"]
+            if psum.get("src_snapshot") != self.tiers[tier].head():
                 raise FileNotFoundError("packed table is stale")
+            masked = list(psum.get("masked_months", []))
             packed = ptbl.read(self.spark)
             # cast the literal to the stored key dtype BEFORE hashing:
             # xxhash64 hashes int and long differently, so an int32-sized
@@ -550,7 +760,34 @@ class TierPipeline:
                 packed = packed.where(F.col("ts_max") >= F.lit(start))
             if end is not None:
                 packed = packed.where(F.col("ts_min") <= F.lit(end))
-            out = unpack_series(packed)
+            key_type = packed.schema["doc_id"].dataType.simpleString()
+            out_schema = f"doc_id {key_type}, ts timestamp, v_mean double"
+            out = None
+            if local_decode is not False:
+                # driver-side assembly: one Spark job collects blobs +
+                # tail rows, then decode + mask + merge happen in
+                # pandas, ONE createDataFrame — the distributed variant
+                # pays a Spark job for the union and another for the
+                # masked filter on every read
+                pdf = self._read_packed_local(packed, tier, key_value, masked)
+                if pdf is not None:
+                    if len(pdf):
+                        out = self.spark.createDataFrame(
+                            pdf, schema=out_schema
+                        )
+                    else:
+                        out = self.spark.createDataFrame([], out_schema)
+            if out is None:
+                # distributed decode (caller-forced, or past the local
+                # caps): same semantics, Spark-side mask + tail union
+                out = unpack_series(packed)
+                if masked:
+                    out = out.where(
+                        ~F.date_format("ts", "yyyy-MM").isin(masked)
+                    )
+                    tail_out = self._tail_rows(tier, key_value, masked)
+                    if tail_out is not None:
+                        out = out.unionByName(tail_out)
         except FileNotFoundError:
             # kb partition predicate: the fallback point read file-prunes
             # to the key's bucket (1/n_buckets of the tier) before the
@@ -733,6 +970,7 @@ class TierPipeline:
             "lineage": self.lineage,
             "metrics": self.metrics,
             **{f"{t}_packed": p for t, p in self.packed.items()},
+            **{f"{t}_tail": p for t, p in self.tails.items()},
         }
         for name, tbl in bookkeeping.items():
             if tbl.head() is None:

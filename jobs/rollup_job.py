@@ -78,7 +78,7 @@ def cmd_rollup(args) -> None:
 
 def cmd_pack(args) -> None:
     p = _pipeline(args)
-    snap = p.pack_tier(args.tier)
+    snap = p.pack_tier(args.tier, fold=True if args.fold else None)
     print(json.dumps({"tier": args.tier, "snapshot": snap}))
 
 
@@ -163,6 +163,12 @@ def main(argv: list[str] | None = None) -> None:
 
     s = sub.add_parser("pack", help="materialize packed-series tier")
     s.add_argument("--tier", default="daily", choices=list(TIERS))
+    s.add_argument(
+        "--fold",
+        action="store_true",
+        help="force a full repack + tail truncate instead of the "
+        "incremental tail append",
+    )
     s.set_defaults(fn=cmd_pack)
 
     s = sub.add_parser("read", help="point time-series read")

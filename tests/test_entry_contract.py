@@ -119,3 +119,21 @@ def test_mean4_formula_is_decimal_exact_half_up():
         assert got_f == exp, (sm, n, got_f, exp)
 
     check()
+
+
+def test_registry_invariant_every_query_oracled_or_pinned():
+    """r4 verdict task 8: the registry invariant is ENFORCED, not
+    asserted — every ``queries()`` entry must have an ``oracle_sql()``
+    twin, or (rows-only) a grep-able pytest pin: its name or one of its
+    imported operators must appear somewhere under tests/. Runs the
+    same check as ``tools/gen_registry.py`` (which refuses to write
+    REGISTRY.md on violation)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ))
+    import gen_registry
+
+    bad = gen_registry.check_invariant(
+        entrymod.queries(), entrymod.oracle_sql()
+    )
+    assert bad == [], f"rows-only queries with no pytest pin: {bad}"

@@ -221,9 +221,26 @@ def test_packed_point_read_range_prunes_chunks(spark, tmp_path, raw_points, monk
     assert len(got) == len(exp) > 0
     for g, e in zip(got, exp):
         assert g["ts"] == e["ts"] and g["v_mean"] == e["v_mean"]
-    # the sidecar predicate must appear in the plan (pre-decode pruning)
-    plan = p.point_read(key, "daily", start="2019-11-01", end="2019-11-30")._jdf.queryExecution().toString()
+    # the sidecar predicate must appear in the plan (pre-decode pruning).
+    # local_decode=False keeps the decode distributed so the packed scan
+    # is visible in the final plan; the default (driver-local) path runs
+    # the SAME pruned scan inside its bounded collect
+    plan = (
+        p.point_read(
+            key, "daily", start="2019-11-01", end="2019-11-30",
+            local_decode=False,
+        )
+        ._jdf.queryExecution()
+        .toString()
+    )
     assert "ts_min" in plan and "ts_max" in plan
+    # and the driver-local decode agrees with the distributed decode
+    dist = p.point_read(
+        key, "daily", start="2019-11-01", end="2019-11-30", local_decode=False
+    ).collect()
+    assert [(r["ts"], r["v_mean"]) for r in got] == [
+        (r["ts"], r["v_mean"]) for r in dist
+    ]
 
 
 def test_packed_point_read_matches_tier(spark, tmp_path, raw_points):
@@ -544,17 +561,19 @@ def test_table_properties_stamped_and_relational(spark, tmp_path, raw_points):
     assert p2.tiers["daily"].properties()["temporal_sampling"] == "DAILY"
 
 
-def test_pack_tier_incremental_repacks_only_touched_buckets(
+def test_pack_tier_incremental_appends_tail_not_reencode(
     spark, tmp_path, raw_points
 ):
-    """After a refresh that touched a few keys, pack_tier must overwrite
-    only those keys' hash buckets — and read back identically to the
-    tier rows."""
+    """After a refresh that touched a few keys, the incremental pack
+    must APPEND the delta to the unpacked tail (masking the delta months
+    out of the packed blobs) without re-encoding any packed file — and
+    every key must read back identically to the tier rows."""
     p = TierPipeline(spark, str(tmp_path / "tp"))
     p.ingest(raw_points)
     p.refresh()
     s1 = p.pack_tier("daily")
     assert p.packed["daily"]._manifest(s1)["summary"]["mode"] == "full"
+    packed_files_before = set(p.packed["daily"]._files(s1))
     # late arrivals: TWO docs only, in a brand-new month (2020-01) so the
     # refresh delta contains just those docs' rows
     late = (
@@ -566,8 +585,13 @@ def test_pack_tier_incremental_repacks_only_touched_buckets(
     p.refresh()
     s2 = p.pack_tier("daily")
     man = p.packed["daily"]._manifest(s2)["summary"]
-    assert man["mode"] == "incremental"
-    assert 1 <= man["repacked_buckets"] <= 2
+    assert man["mode"] == "tail_append"
+    assert man["masked_months"] == ["2020-01"]
+    # zero re-encoding: the packed data files are untouched
+    assert set(p.packed["daily"]._files(s2)) == packed_files_before
+    # the tail holds only the delta month's rows
+    tail_rows = p.tails["daily"].read(spark)
+    assert {r["pmonth"] for r in tail_rows.select("pmonth").distinct().collect()} == {"2020-01"}
     # parity: every key (touched or not) reads back equal to tier rows
     for key in ("doc0000000001", "doc0000000002", "doc0000000007"):
         got = {
@@ -584,6 +608,64 @@ def test_pack_tier_incremental_repacks_only_touched_buckets(
     # re-pack with no new data: data-free commit, still served packed
     s3 = p.pack_tier("daily")
     assert s3 == s2  # already current -> no new snapshot
+    # an explicit fold re-encodes everything and truncates the tail
+    s4 = p.pack_tier("daily", fold=True)
+    man4 = p.packed["daily"]._manifest(s4)["summary"]
+    assert man4["mode"] == "full" and "masked_months" not in man4
+    assert not p.tails["daily"]._files()
+    for key in ("doc0000000001", "doc0000000007"):
+        got = {
+            (str(r["ts"]), round(r["v_mean"], 9))
+            for r in p.point_read(key, "daily").collect()
+        }
+        exp = {
+            (str(r["ts"]), round(r["v_mean"], 9))
+            for r in p.read_tier("daily")
+            .where(F.col("doc_id") == key)
+            .collect()
+        }
+        assert got == exp and got
+
+
+def test_pack_tier_auto_folds_when_tail_outgrows_packed(
+    spark, tmp_path, raw_points
+):
+    """The fold policy: once the tail's bytes exceed tail_fold_frac of
+    the packed bytes, the next incremental pack runs a full repack and
+    truncates the tail."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points.where(F.col("ts") < "2019-11-01"))
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    # big delta (the remaining months, all keys) -> tail would exceed
+    # the fold fraction; force the threshold low to make it certain
+    p.tail_fold_frac = 0.01
+    p.ingest(raw_points.where(F.col("ts") >= "2019-11-01"))
+    p.refresh(["daily"])
+    s2 = p.pack_tier("daily")  # first incremental: tail was empty at
+    # decision time (pre-append sizing), so this one appends
+    assert p.packed["daily"]._manifest(s2)["summary"]["mode"] == "tail_append"
+    late = (
+        raw_points.where(F.col("doc_id") == "doc0000000001")
+        .where(F.col("ts") < "2019-10-05")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 95 DAYS"))
+    )
+    p.ingest(late)
+    p.refresh(["daily"])
+    s3 = p.pack_tier("daily")  # now the tail is over-threshold -> fold
+    man = p.packed["daily"]._manifest(s3)["summary"]
+    assert man["mode"] == "full"
+    assert not p.tails["daily"]._files()
+    key = "doc0000000001"
+    got = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.point_read(key, "daily").collect()
+    }
+    exp = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.read_tier("daily").where(F.col("doc_id") == key).collect()
+    }
+    assert got == exp and got
 
 
 def test_tier_layout_is_month_and_key_bucket(spark, tmp_path, raw_points):
@@ -611,12 +693,14 @@ def test_tier_layout_is_month_and_key_bucket(spark, tmp_path, raw_points):
     assert one.select("kb").distinct().collect()[0]["kb"] == kbs[0]
 
 
-def test_pack_tier_repacks_buckets_of_overwrite_dropped_keys(
+def test_pack_tier_masks_months_of_overwrite_dropped_keys(
     spark, tmp_path, raw_points
 ):
-    """ADVICE r2: a caller-level tier overwrite whose new files no longer
-    contain some key must still repack that key's bucket — the removed
-    files' kb path segments name it even though no added row does."""
+    """ADVICE r2 (tail edition): a caller-level tier overwrite whose new
+    files no longer contain some key must still stop the packed form
+    serving that key's superseded rows — the overwritten MONTH enters
+    the mask (named by removed files' pmonth path segments even when no
+    added row exists for a key) and the tail holds only the survivors."""
     p = TierPipeline(spark, str(tmp_path / "tp"))
     p.ingest(raw_points)
     p.refresh(["daily"])
@@ -633,8 +717,9 @@ def test_pack_tier_repacks_buckets_of_overwrite_dropped_keys(
     )
     s = p.pack_tier("daily")
     man = p.packed["daily"]._manifest(s)["summary"]
-    assert man["mode"] == "incremental"
-    # parity for a key whose rows VANISHED from the month (its bucket was
+    assert man["mode"] == "tail_append"
+    assert "2019-10" in man["masked_months"]
+    # parity for a key whose rows VANISHED from the month (its month is
     # named only by removed files): packed must stop serving them
     victim = "doc0000000007"
     got = {

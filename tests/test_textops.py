@@ -66,6 +66,38 @@ def test_simhash_deterministic_and_discriminative(spark, docs):
         assert a[r["doc_id"]] == a[r["doc2"]]
 
 
+def test_simhash_near_pairs_matches_blocking_contract(spark, docs):
+    """simhash_near_pairs' exact contract, pinned (registry-invariant
+    pin for the rows-only `simhash_neardup` driver query): emit every
+    pair (a < b) that BOTH shares at least one equal 16-bit chunk of the
+    64-bit SimHash (the blocking guarantee — complete for Hamming <= 3,
+    recall-tuned heuristic beyond) AND has Hamming distance <=
+    max_hamming; `hamming` itself must be the exact bit count."""
+    from c3s_sm_spark.operators.dedup_text import simhash_near_pairs
+
+    fps = {r["doc_id"]: r["simhash64"] for r in simhash(docs).collect()}
+
+    def chunks_of(h):
+        return [(h >> (16 * c)) & 0xFFFF for c in range(4)]
+
+    exp = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ca, cb = chunks_of(fps[a]), chunks_of(fps[b])
+            if not any(x == y for x, y in zip(ca, cb)):
+                continue
+            ham = bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1")
+            if ham <= 8:
+                exp[(min(a, b), max(a, b))] = ham
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    assert got == exp
+    assert exp  # the fixture corpus must actually exercise the operator
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, emb):
     queries = emb.where(F.col("vec_id") < 20)
     exact = cosine_topk(emb, queries, k=5).collect()
@@ -151,10 +183,96 @@ def test_multimodal_features_exact(spark, docs):
 
 
 def test_multimodal_real_decode_is_stubbed():
+    """Foreign formats (non-RB01/RV01) stay loudly stubbed."""
     from c3s_sm_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x00", fake=False)
+
+
+def test_multimodal_rb01_real_decode_features(spark, docs):
+    """r4 verdict task 7: the RB01 fixture payloads run a REAL numpy
+    decode-compute path end-to-end through Spark (fake=False!), and the
+    features equal a local reference computed from the same pixels."""
+    from c3s_sm_spark.operators.multimodal import (
+        attach_bitmap_media,
+        bitmap_features,
+        decode_bitmap,
+        encode_bitmap,
+    )
+
+    # codec round-trip is bit-exact and validated
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    np.testing.assert_array_equal(decode_bitmap(encode_bitmap(img)), img)
+    with pytest.raises(ValueError, match="not an RB01"):
+        decode_bitmap(b"XXXX" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="length"):
+        decode_bitmap(encode_bitmap(img)[:-1])
+
+    media = attach_bitmap_media(docs.limit(12))
+    rows = media.collect()
+    assert rows and all(bytes(r["payload"])[:4] == b"RB01" for r in rows)
+    feats = {
+        r["doc_id"]: r
+        for r in extract_features(media, fake=False).collect()
+    }
+    for m in rows:
+        pix = decode_bitmap(bytes(m["payload"]))
+        assert pix.shape == (m["height"], m["width"], 3)
+        exp = bitmap_features(pix)
+        np.testing.assert_array_equal(
+            np.array(feats[m["doc_id"]]["features"]), exp
+        )
+
+
+def test_multimodal_rb01_real_resize(spark, docs):
+    """Real nearest-neighbor resample: output pixels equal the index-map
+    reference, dimensions equal the target, still a valid RB01."""
+    from c3s_sm_spark.operators.multimodal import (
+        attach_bitmap_media,
+        decode_bitmap,
+        resize_images,
+    )
+
+    media = attach_bitmap_media(docs.limit(8))
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = resize_images(media, target_w=20, target_h=12, fake=False)
+    for r in out.collect():
+        assert (r["width"], r["height"]) == (20, 12)
+        got = decode_bitmap(bytes(r["payload"]))
+        img = decode_bitmap(src[r["doc_id"]])
+        h, w = img.shape[:2]
+        yi = (np.arange(12) * h) // 12
+        xi = (np.arange(20) * w) // 20
+        np.testing.assert_array_equal(got, img[yi][:, xi])
+
+
+def test_multimodal_rv01_real_frame_sample(spark, docs):
+    """Real video container: sampled frames are the exact sliced pixels
+    re-encoded as RB01 bitmaps."""
+    from c3s_sm_spark.operators.multimodal import (
+        attach_video_media,
+        decode_bitmap,
+        decode_video,
+        sample_frames,
+    )
+
+    media = attach_video_media(docs.limit(8), side=6, max_frames=30)
+    src = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    got: dict = {}
+    for r in sample_frames(media, every_n=4, max_frames=5, fake=False).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(
+            r["frame_payload"]
+        )
+    assert set(got) == set(src)
+    for d, frames in got.items():
+        vid = decode_video(src[d])
+        exp_idx = list(range(0, len(vid), 4))[:5]
+        assert sorted(frames) == exp_idx
+        for i in exp_idx:
+            np.testing.assert_array_equal(
+                decode_bitmap(frames[i]), vid[i]
+            )
 
 
 def test_grid_golden_gpi(spark):
@@ -1653,6 +1771,71 @@ def test_phrase_merge_train_matches_reference(spark):
             ).collect()
         }
         assert got_corpus == want_corpus, (n_merges, min_count)
+    # batched mode (batch_k > 1): up to k token-disjoint merges per
+    # corpus pass, selected greedily from the top 4*k candidates in the
+    # same total order; pair_cnt is the count in THAT pass
+    def ref_batched(n_merges, min_count, batch_k):
+        corpus = {d: t.split() for d, t in docs}
+        merges = []
+        while len(merges) < n_merges:
+            take = min(batch_k, n_merges - len(merges))
+            cnt = Counter()
+            for ws in corpus.values():
+                for i in range(len(ws) - 1):
+                    cnt[(ws[i], ws[i + 1])] += 1
+            cands = [
+                (c, w1, w2) for (w1, w2), c in cnt.items() if c >= min_count
+            ]
+            if not cands:
+                break
+            cands.sort(key=lambda x: (-x[0], x[1], x[2]))
+            used, table = set(), {}
+            for c, w1, w2 in cands[: 4 * take]:
+                if len(table) >= take:
+                    break
+                if w1 in used or w2 in used:
+                    continue
+                merges.append((len(merges) + 1, w1, w2, c))
+                table[(w1, w2)] = w1 + "_" + w2
+                used |= {w1, w2}
+            for d, ws in corpus.items():
+                out, i = [], 0
+                while i < len(ws):
+                    if i + 1 < len(ws) and (ws[i], ws[i + 1]) in table:
+                        out.append(table[(ws[i], ws[i + 1])])
+                        i += 2
+                    else:
+                        out.append(ws[i])
+                        i += 1
+                corpus[d] = out
+        return merges, corpus
+
+    for n_merges, min_count, k in ((3, 2, 2), (10, 2, 3), (10, 2, 8)):
+        want_merges, want_corpus = ref_batched(n_merges, min_count, k)
+        got = [
+            (r["merge_rank"], r["w1"], r["w2"], r["pair_cnt"])
+            for r in phrase_merge_train(df, n_merges, min_count, batch_k=k)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        assert got == want_merges, (n_merges, min_count, k)
+        got_corpus = {
+            r["doc_id"]: list(r["toks"])
+            for r in phrase_merge_train(
+                df, n_merges, min_count, return_corpus=True, batch_k=k
+            ).collect()
+        }
+        assert got_corpus == want_corpus, (n_merges, min_count, k)
+    # batch_k=1 IS the sequential mode: identical tables
+    w1_merges, _ = ref(10, 2)
+    got_k1 = [
+        (r["merge_rank"], r["w1"], r["w2"], r["pair_cnt"])
+        for r in phrase_merge_train(df, 10, 2, batch_k=1)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got_k1 == w1_merges
+
     # the "a a a a" doc: pair (a,a) counts 3 overlapped, but the greedy
     # non-overlapping rewrite fuses positions (0,1) and (2,3) only
     from c3s_sm_spark.operators.textstats import _merge_once
@@ -1666,6 +1849,8 @@ def test_phrase_merge_train_matches_reference(spark):
         phrase_merge_train(df, n_merges=0)
     with _pt.raises(ValueError, match="min_count"):
         phrase_merge_train(df, min_count=0)
+    with _pt.raises(ValueError, match="batch_k"):
+        phrase_merge_train(df, batch_k=0)
 
 
 def test_cluster_embeddings_recovers_blobs(spark):
@@ -3417,6 +3602,13 @@ def test_burst_detect_reference(spark):
     assert got == sorted(exp)
     # exactly the planted burst, nothing else
     assert got == [("boom", 4, 5, 2, got[0][4])] and got[0][4] > 0
+    # degenerate single-token corpus: p0 would hit 1.0 and poison every
+    # Viterbi cost with NaN without the clamp (ADVICE r4) — must run
+    # clean and find no bursts (a constant-rate token never bursts)
+    mono = spark.createDataFrame(
+        [(j, "solo solo solo") for j in range(40)], "doc_id long, text string"
+    )
+    assert burst_detect(mono, bucket_size=10, min_count=1).count() == 0
 
 
 def _sw_ref(A, B, M=2, X=-1, G=-1):

@@ -4068,8 +4068,16 @@ def test_croston_reference(spark):
     neg = spark.createDataFrame(
         [(1, base, -1.0)], "k long, ts timestamp, v double"
     )
-    with pytest.raises(Exception, match="negative demand"):
+    with pytest.raises(Exception, match="negative or NaN demand"):
         croston_smooth(neg, ["k"], "ts", "v").collect()
+    # NaN demand raises too (ADVICE r4: it used to pass both the x<0
+    # and x>0 checks and silently count as a zero-demand period)
+    nan_df = spark.createDataFrame(
+        [(1, base, 2.0), (1, base + dt.timedelta(days=1), float("nan"))],
+        "k long, ts timestamp, v double",
+    )
+    with pytest.raises(Exception, match="negative or NaN demand"):
+        croston_smooth(nan_df, ["k"], "ts", "v").collect()
 
 
 def test_adf_vs_numpy_ols(spark):
@@ -4292,6 +4300,26 @@ def test_whittaker_smooth_reference(spark):
     for k in got2:
         got2[k].sort()
     assert got2 == got
+    # lam=0 with missing values: diag(w) is singular for the gap rows —
+    # must pass observed values through with NaN gaps, not LinAlgError
+    # inside the executor (ADVICE r4)
+    import datetime as _dt
+
+    base0 = _dt.datetime(2024, 1, 1)
+    gappy = spark.createDataFrame(
+        [
+            (1, base0 + _dt.timedelta(days=i), v)
+            for i, v in enumerate([1.0, None, 3.0, 4.0, None, 6.0])
+        ],
+        "k long, ts timestamp, v double",
+    )
+    got0 = [
+        r["wh_smooth"]
+        for r in whittaker_smooth(gappy, ["k"], "ts", "v", lam=0.0)
+        .orderBy("ts")
+        .collect()
+    ]
+    assert got0 == [1.0, None, 3.0, 4.0, None, 6.0]
 
 
 def test_hampel_filter_reference(spark):
