@@ -877,6 +877,33 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rb01_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10 REAL multimodal decode path (r5): RB01 raw-bitmap payloads ->
+    nearest-neighbor resize (decode, resample, re-encode) -> pixel-
+    statistics featurization, all with fake=False — a genuine
+    decode-compute-encode pipeline over binary columns, numpy per Arrow
+    batch. Rows-only (binary payloads have no ANSI-SQL twin); codec
+    round-trip, resize index-map and feature values pinned exactly in
+    tests/test_textops.py (test_multimodal_rb01_*)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.multimodal import (
+        attach_bitmap_media,
+        extract_features,
+        resize_images,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id").limit(500)
+    media = attach_bitmap_media(docs)
+    resized = resize_images(media, target_w=24, target_h=24, fake=False)
+    feats = extract_features(resized, fake=False)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 4), 6).alias("px_mean"),
+        F.round(F.element_at("features", 5), 6).alias("px_std"),
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style intra-doc repetition ratio (repeated word bigrams)."""
     _prep(spark)
@@ -4236,6 +4263,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mapInPandas plumbing — least marginal driver signal.
         "simhash": _q_simhash,
         "frame_sample": _q_frame_sample,
+        # r5: the REAL (non-fake) multimodal decode-compute-encode path
+        # over the repo's RB01 raw-bitmap container (rows-only; codec
+        # and values pinned in tests/test_textops.py)
+        "rb01_pipeline": _q_rb01_pipeline,
     }
 
 

@@ -241,6 +241,11 @@ HEADLINE = [
     "multimodal_features",
     "frame_sample",
 ]
+# auto-sync with the registry: any queries() entry not named above is
+# appended, so a new operator can never be silently missing from the
+# bench (the r5 rb01_pipeline addition was — caught by the 206 vs 207
+# count mismatch)
+HEADLINE += [q for q in entry_mod.queries() if q not in set(HEADLINE)]
 
 #: docs per unit scale factor for the flagship pipeline (avg ~1056
 #: tokens/doc -> ~2.1e8 raw points per sf 1.0)
