@@ -484,6 +484,33 @@ def _q_rollup_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rollup_quantiles_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12's scale-right exact quantile (r5): the count-frame
+    decomposition (per-(group, value) counts -> distinct-value-sized
+    per-group running count -> conditional-aggregation order-statistic
+    pick) computes the SAME linear-interpolation quantiles as the
+    buffered ``percentile`` without ever materializing a group's values
+    in one aggregation buffer — closing the r4 "documented weak at
+    scale" row with an oracle-pinned variant instead of a prose escape
+    (operators/sampling.py:group_quantiles_exact)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.sampling import group_quantiles_exact
+
+    ev = _events(spark, sf_dir)
+    q = group_quantiles_exact(
+        ev, ["user_id"], "value", [0.5, 0.9], out_names=["q50", "q90"]
+    )
+    mm = ev.groupBy("user_id").agg(
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+    )
+    return q.select(
+        "user_id",
+        F.round("q50", 4).alias("p50"),
+        F.round("q90", 4).alias("p90"),
+    ).join(mm, "user_id")
+
+
 def _q_rollup_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 10^12-point scale path for percentile products:
     ``approx_percentile`` is a MERGEABLE sketch aggregate — map-side
@@ -4234,6 +4261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": _q_simhash_neardup,
         "ann_lsh": _q_ann_lsh,
         "rollup_quantiles_approx": _q_rollup_quantiles_approx,
+        # r5: X12's scale-right exact quantile — oracled against the
+        # SAME quantile_cont SQL as rollup_quantiles (the buffered form)
+        "rollup_quantiles_scalable": _q_rollup_quantiles_scalable,
         # rows-only (recursive/argmax kernels, no ANSI-SQL twin; exact
         # values pinned against pandas in tests):
         "ewma": _q_ewma,
@@ -5130,6 +5160,16 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rn = 1
         """,
         "rollup_quantiles": """
+            SELECT user_id,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(min(value), 4) AS v_min,
+                   round(max(value), 4) AS v_max
+            FROM events GROUP BY user_id
+        """,
+        # X12 scale-right exact quantile: IDENTICAL oracle to the
+        # buffered form above — the decomposition must not change a bit
+        "rollup_quantiles_scalable": """
             SELECT user_id,
                    round(quantile_cont(value, 0.5), 4) AS p50,
                    round(quantile_cont(value, 0.9), 4) AS p90,

@@ -1089,6 +1089,113 @@ def block_bootstrap_pieces(
     )
 
 
+def group_quantiles_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    ps: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """X12 exact per-group quantiles WITHOUT per-group value buffering —
+    the scale-right form of ``F.percentile`` (r4 verdict "weak" row
+    closed). Same linear-interpolation semantics as Spark's exact
+    ``percentile`` / DuckDB ``quantile_cont`` (position ``p*(n-1)`` in
+    the sorted non-null values, interpolate the straddling pair), so it
+    pins against the SAME SQL oracle as the buffered form.
+
+    Why the buffered form is scale-weak: ``percentile`` materializes
+    every group value in its aggregation buffer — a hot group means an
+    O(group-rows) array in ONE task's memory. This decomposition never
+    holds more than a (value, count) pair stream:
+
+    1. Per-``(group, value)`` counts — map-side combined shuffle; the
+       frame is DISTINCT-VALUE-sized, ties collapse.
+    2. One per-group window over that frame (ordered by value) derives
+       the exclusive running count and the group total ``n`` — a
+       sort-based window spills gracefully; per-group cost is distinct
+       values, not rows.
+    3. Each count row covers sorted positions ``(cum, cum+cnt]``; for
+       every requested ``p`` the straddling order statistics at
+       ``floor(p*(n-1))+1`` and ``floor(p*(n-1))+2`` are picked by
+       conditional aggregation in ONE final group-sized groupBy — no
+       join, no second scan of ``df``.
+
+    Residual bound: a group whose values are ~all distinct still sorts
+    its distinct values in one window partition (disk-spilling sort,
+    not an in-memory array — strictly weaker failure mode than the
+    buffered aggregate); the sketch escape for that regime stays
+    ``approx_percentile`` (X24). Groups with only NULL values emit no
+    row (``percentile`` would emit NULL — callers needing those join
+    back on the group key). Rows-level NULLs are ignored, matching both
+    ``percentile`` and ``quantile_cont``.
+    """
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    ps = [float(p) for p in ps]
+    if not ps:
+        raise ValueError("ps must name at least one quantile")
+    if any(p < 0 or p > 1 for p in ps):
+        raise ValueError(f"quantiles must be in [0, 1], got {ps}")
+    names = list(out_names) if out_names is not None else [
+        f"q{str(p).replace('0.', '').replace('.', '_')}" for p in ps
+    ]
+    if len(names) != len(ps):
+        raise ValueError("out_names must match ps in length")
+    v = F.col(value_col).cast("double")
+    cf = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    w_ord = Window.partitionBy(*group_cols).orderBy(F.col("__v").asc())
+    w_all = Window.partitionBy(*group_cols)
+    cf = cf.select(
+        *group_cols,
+        "__v",
+        "__cnt",
+        F.coalesce(
+            F.sum("__cnt").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__cum"),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for p, name in zip(ps, names):
+        # 0-based interpolation position p*(n-1): lo index k, hi k+1,
+        # fraction f — float, exactly as percentile/quantile_cont do it
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        k = F.floor(pos).cast("long")
+        frac = pos - k.cast("double")
+        # 1-based order-statistic positions covered by this count row:
+        # (cum, cum+cnt]
+        covers_lo = (F.col("__cum") < k + 1) & (
+            k + 1 <= F.col("__cum") + F.col("__cnt")
+        )
+        covers_hi = (F.col("__cum") < k + 2) & (
+            k + 2 <= F.col("__cum") + F.col("__cnt")
+        )
+        lo = F.max(F.when(covers_lo, F.col("__v")))
+        hi = F.max(F.when(covers_hi, F.col("__v")))
+        # frac is constant per group; max() lifts it out of the rows.
+        # hi is NULL when k+1 == n (p lands exactly on the last value);
+        # frac is 0 there, so coalesce to lo. The interpolation form is
+        # exactly Spark Percentile.getPercentile's
+        # (higherIndex - position) * lower + (position - lowerIndex) *
+        # higher — i.e. lo*(1-frac) + hi*frac; the algebraically-equal
+        # lo + (hi-lo)*frac differs by 1 ulp on some inputs and would
+        # break the bit-parity pin against the buffered percentile()
+        fmax = F.max(F.when(covers_lo, frac))
+        aggs.append(
+            (
+                lo * (F.lit(1.0) - fmax) + F.coalesce(hi, lo) * fmax
+            ).alias(name)
+        )
+    return cf.groupBy(*group_cols).agg(*aggs)
+
+
 def quantile_normalize(
     df: DataFrame,
     group_col: str,

@@ -3476,6 +3476,54 @@ def test_quantile_normalize_brute_force(spark):
     } == exp
 
 
+def test_group_quantiles_exact_matches_percentile(spark):
+    """X12's scale-right exact quantile (count-frame decomposition, no
+    per-group value buffering) must equal Spark's buffered exact
+    `percentile` bit-for-bit — ties, single-row groups, edge
+    ps in {0, 1}, NULL values ignored, all-NULL groups absent."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.operators.sampling import group_quantiles_exact
+
+    random.seed(42)
+    rows = []
+    for g in range(9):
+        vals = [round(random.uniform(-5, 5), 1) for _ in range(4)]
+        for _ in range(random.randint(1, 150)):
+            rows.append((g, random.choice([None] + vals)))
+    rows += [(100, None), (100, None)]  # all-NULL group
+    rows += [(101, 7.25)]  # single-row group
+    df = spark.createDataFrame(rows, "g int, v double")
+    ps = [0.0, 0.1, 0.5, 0.75, 0.9, 1.0]
+    names = [f"p{i}" for i in range(len(ps))]
+    got = {
+        r["g"]: tuple(r[n] for n in names)
+        for r in group_quantiles_exact(df, ["g"], "v", ps, names).collect()
+    }
+    exp_rows = df.groupBy("g").agg(
+        *[F.percentile("v", p).alias(n) for p, n in zip(ps, names)]
+    ).collect()
+    for r in exp_rows:
+        if r[names[0]] is None:
+            assert r["g"] not in got  # all-NULL group emits no row
+            continue
+        assert got[r["g"]] == tuple(r[n] for n in names), r["g"]
+    # parallelism invariance (identical bits at different layouts)
+    got2 = {
+        r["g"]: tuple(r[n] for n in names)
+        for r in group_quantiles_exact(
+            df.repartition(13), ["g"], "v", ps, names
+        ).collect()
+    }
+    assert got2 == got
+    with pytest.raises(ValueError, match="ps"):
+        group_quantiles_exact(df, ["g"], "v", [])
+    with pytest.raises(ValueError, match="quantiles"):
+        group_quantiles_exact(df, ["g"], "v", [1.5])
+
+
 def test_trending_tokens_brute_force(spark):
     import collections
     import re
