@@ -783,25 +783,25 @@ def nearest_match_scalable(
     preceding-frame window over them), the forward candidate to the
     earliest in any LATER chunk (``min(struct)`` + a following-frame
     window). Both carries are associative, so there is no driver collect
-    at all; ``localCheckpoint`` pins the sampled range bounds as in the
-    sibling variants.
+    at all; chunk labels come from the deterministic
+    :func:`_time_chunk` buckets (r5 — no ``localCheckpoint``, see
+    :func:`asof_join_scalable`).
     """
     keys = list(keys)
-    n = n_partitions or left.sparkSession.sparkContext.defaultParallelism * 4
+    n = n_partitions or left.sparkSession.sparkContext.defaultParallelism * 8
     unioned, left_cols = _nearest_union(
         left, right, keys, left_ts, right_ts, value_col, tiebreak
     )
-    d = (
-        unioned.repartitionByRange(
-            n,
-            *[F.col(k) for k in keys],
-            F.col("__ts").asc(),
-            F.col("__is_right").desc(),
-            F.col("__tb").asc(),
+    # deterministic time-bucket chunks, no localCheckpoint (r5 — see
+    # _time_chunk and the asof_join_scalable note)
+    tc = _time_chunk(unioned, "__ts", n)
+    if tc is None:
+        return nearest_match(
+            left, right, keys, left_ts, right_ts, value_col,
+            window_s, tiebreak,
         )
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    chunk, _lo, _width = tc
+    d = unioned.withColumn("__pid", chunk)
     order = [F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc()]
     wb = Window.partitionBy("__pid", *keys).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, 0
@@ -871,110 +871,123 @@ def sessionize_scalable(
     order-dependent operator where it bites hardest (a 10^9-event user
     is a real thing in clickstreams; a 10^9-point GPI is not).
 
-    Two-phase boundary merge (the distributed-scan pattern of
-    ``sampling.py:pack_sequences``):
+    Two-phase boundary merge, fully distributed (r5 redesign):
 
-    1. ``repartitionByRange(key, ts)`` splits every key's timeline into
-       CONTIGUOUS time chunks across partitions; sessionize each chunk
-       locally (window keyed by ``(__pid, key)`` — parallel).
-    2. Per ``(__pid, key)`` chunk, aggregate ``(first_epoch, last_epoch,
-       n_local_sessions)``; only keys spanning >1 partition matter —
-       at most ``n_partitions - 1`` of them (range chunks are
-       contiguous), so the driver-side merge walk is bounded by the
-       partition count, never the key count. A chunk's first local
-       session continues the previous chunk's last session iff the
-       boundary gap <= ``gap_s``; global ordinal = local ordinal +
-       per-(pid, key) offset, shipped back as a typed broadcast
-       relation joined null-safely on the key (NULL and float/bool
-       keys round-trip exactly).
-
-    ``localCheckpoint`` pins the sampled range bounds exactly as in
-    ``pack_sequences`` — the offsets are computed against THIS
-    materialization, and a lazy recompute would re-sample different
-    bounds. At 10^12 rows the materialization is a written intermediate
-    table instead; the merge walk stays partition-count-sized.
+    1. A DETERMINISTIC fixed-width time-bucket chunk id
+       (:func:`_time_chunk`) splits every key's timeline into
+       contiguous chunks; sessionize each ``(chunk, key)`` locally
+       (window — parallel, a hot key spreads over its occupied
+       buckets). Being a pure column expression, the chunk label is
+       identical on every recompute — no ``localCheckpoint`` of the
+       whole input (the pre-r5 design's dominant cost: it pinned
+       ``repartitionByRange``'s SAMPLED bounds, materializing every
+       row per call).
+    2. Per ``(chunk, key)``, aggregate ``(first_epoch, last_epoch,
+       n_local_sessions)``. A chunk's first local session continues
+       the previous occupied chunk's last session iff the boundary gap
+       <= ``gap_s``; the per-chunk ordinal offset is then a pair of
+       prefix sums over the summary frame — ``sum(n_loc) - sum
+       (merged)`` — computed with per-key windows over a frame of
+       (keys x occupied chunks) rows. No driver collect at all (the
+       pre-r5 walk collected boundary-spanning keys, which the
+       time-bucket layout would make key-cardinality-sized). The
+       offset relation joins back on ``(chunk, key)``; the big side
+       already hashes on exactly those attributes from its window, so
+       only the summary-sized side moves.
     """
-    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
+    n = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 8
+    tc = _time_chunk(df, ts_col, n)
+    if tc is None:
+        # empty / all-null-ts input: the plain operator's window handles
+        # the degenerate shapes; there is nothing to scale
+        return sessionize(df, key, ts_col, gap_s)
+    chunk, _lo, _width = tc
     epoch = F.unix_timestamp(ts_col)
-    d = (
-        df.repartitionByRange(n, F.col(key), F.col(ts_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn("__e", epoch)
-    )
+    d = df.withColumn("__pid", chunk).withColumn("__e", epoch)
     w = Window.partitionBy("__pid", key).orderBy(F.col(ts_col).asc())
     run = Window.partitionBy("__pid", key).orderBy(F.col(ts_col).asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
     prev = F.lag(F.col("__e")).over(w)
     is_new = F.when(prev.isNull() | ((F.col("__e") - prev) > gap_s), 1).otherwise(0)
-    part = d.withColumn(
-        "__local_seq", F.sum(is_new).over(run).cast("long")
-    ).localCheckpoint()
+    part = d.withColumn("__local_seq", F.sum(is_new).over(run).cast("long"))
 
-    # bounded collect at ANY key cardinality: the summary relation has
-    # ~one row per key (not per partition), so collecting it whole would
-    # scale with n_keys and OOM the driver at corpus scale. Only keys
-    # spanning >1 partition need a merge decision, and range chunks are
-    # contiguous, so each of the n-1 partition boundaries splits at most
-    # one key: the filtered collect is <= 2*(n-1) rows no matter how
-    # many keys exist. Non-spanning keys keep offset 0 implicitly.
-    # Spanning detection is a window count, not a self-join — a NULL key
-    # groups like any other value (a join on the key would miss it).
     s = part.groupBy("__pid", key).agg(
         F.min("__e").alias("first_e"),
         F.max("__e").alias("last_e"),
         F.max("__local_seq").alias("n_loc"),
     )
-    n_chunks = F.count(F.lit(1)).over(Window.partitionBy(key))
-    summaries = (
-        s.withColumn("__nc", n_chunks).filter(F.col("__nc") > 1).collect()
+    w_key = Window.partitionBy(key).orderBy("__pid")
+    prev_last = F.lag("last_e").over(w_key)
+    merged = F.when(
+        prev_last.isNotNull() & ((F.col("first_e") - prev_last) <= gap_s), 1
+    ).otherwise(0)
+    # offset_i = sum_{j<i} n_loc_j - sum_{j<=i} merged_j  (the pre-r5
+    # driver walk's cum/merged recurrence, unrolled into prefix sums)
+    off = (
+        F.coalesce(
+            F.sum("n_loc").over(
+                w_key.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        - F.sum(merged).over(w_key.rowsBetween(Window.unboundedPreceding, 0))
+    ).cast("long")
+    offdf = (
+        s.select(
+            F.col("__pid").alias("__o_pid"),
+            F.col(key).alias("__o_key"),
+            off.alias("__off"),
+        )
+        # offset 0 rows carry no information — drop them so the joined
+        # side stays as small as the data allows (often empty)
+        .where(F.col("__off") != 0)
+    )
+    out = part.join(
+        offdf,
+        (F.col("__pid") == F.col("__o_pid"))
+        & F.col(key).eqNullSafe(F.col("__o_key")),
+        "left",
+    )
+    seq = F.col("__local_seq") + F.coalesce(F.col("__off"), F.lit(0))
+    return out.withColumn("session_seq", seq.cast("long")).drop(
+        "__pid", "__e", "__local_seq", "__o_pid", "__o_key", "__off"
     )
 
-    by_key: dict = {}
-    for r in summaries:
-        by_key.setdefault(r[key], []).append(r)
-    offsets: list[tuple] = []  # (pid, key_value, offset)
-    for k, chunks in by_key.items():
-        chunks.sort(key=lambda r: r["__pid"])
-        cum, prev_last = 0, None
-        for r in chunks:
-            merged = 1 if (
-                prev_last is not None and (r["first_e"] - prev_last) <= gap_s
-            ) else 0
-            off = cum - merged
-            if off != 0:
-                offsets.append((r["__pid"], k, off))
-            cum = cum - merged + r["n_loc"]
-            prev_last = r["last_e"]
 
-    if offsets:
-        # ship the offsets back as a TYPED broadcast relation joined
-        # null-safely on the real key column — a string-rendered map
-        # lookup diverges for float/bool keys (str(1e-4) != Spark's
-        # CAST) and can never match a NULL key
-        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+def _time_chunk(df: DataFrame, ts_field: str, n_chunks: int):
+    """Deterministic fixed-width time-bucket chunk id for the scalable
+    variants (r5): ``floor((epoch - min_epoch) / width)`` — a PURE
+    column expression, identical on every recompute, so the multi-pass
+    two-phase operators need NO ``localCheckpoint`` to keep their chunk
+    labels consistent (the pre-r5 ``repartitionByRange`` +
+    ``spark_partition_id`` labels depended on sampled range bounds,
+    forcing a full materialization of the unioned input per call —
+    measured as the dominant cost of every scalable variant). Chunk ids
+    are monotone in the timestamp, so chunks are CONTIGUOUS in any
+    ``(ts, ...)`` window order and equal timestamps never straddle a
+    boundary. Returns ``(chunk_col, lo, width)``, or None for an
+    empty/all-null input (caller falls back to the plain operator,
+    which handles those shapes trivially).
 
-        off_schema = StructType(
-            [
-                StructField("__o_pid", IntegerType(), False),
-                StructField("__o_key", df.schema[key].dataType, True),
-                StructField("__off", LongType(), False),
-            ]
-        )
-        offdf = df.sparkSession.createDataFrame(offsets, off_schema)
-        out = part.join(
-            F.broadcast(offdf),
-            (F.col("__pid") == F.col("__o_pid"))
-            & F.col(key).eqNullSafe(F.col("__o_key")),
-            "left",
-        )
-        seq = F.col("__local_seq") + F.coalesce(F.col("__off"), F.lit(0))
-        return out.withColumn("session_seq", seq.cast("long")).drop(
-            "__pid", "__e", "__local_seq", "__o_pid", "__o_key", "__off"
-        )
-    return part.withColumn(
-        "session_seq", F.col("__local_seq").cast("long")
-    ).drop("__pid", "__e", "__local_seq")
+    Skew note: a key whose rows all land in one time bucket degrades to
+    the plain single-task behavior FOR THAT SPAN ONLY; n_chunks
+    defaults to cores*8 so a uniformly-spread hot key splits ~8 ways
+    per core. The driver-side min/max probe is two longs — bounded at
+    any scale (and served from parquet footer stats when available).
+    """
+    row = df.agg(
+        F.min(F.unix_timestamp(ts_field)).alias("mn"),
+        F.max(F.unix_timestamp(ts_field)).alias("mx"),
+    ).head()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None:
+        return None
+    width = max(1, (int(mx) - int(mn)) // n_chunks + 1)
+    chunk = (
+        (F.unix_timestamp(ts_field) - F.lit(int(mn))) / F.lit(width)
+    ).cast("long")
+    return chunk, int(mn), width
 
 
 def _carry_cond(keys: list[str]) -> Column:
@@ -1008,44 +1021,44 @@ def asof_join_scalable(
     chunk start", which is ASSOCIATIVE. So this variant is fully
     distributed, no driver collect at all:
 
-    1. ``repartitionByRange`` over the exact window sort key
-       ``(keys, __ts, __is_right DESC, __tb)`` splits every key's
-       timeline into contiguous chunks (equal sort keys never straddle a
-       boundary); run the plain last-non-null window per
-       ``(_pid, keys)`` chunk — parallel.
+    1. A DETERMINISTIC fixed-width time-bucket chunk id over ``__ts``
+       (:func:`_time_chunk`) splits every key's timeline into
+       contiguous chunks (chunk is monotone in ``__ts``, so equal sort
+       keys never straddle a boundary); run the plain last-non-null
+       window per ``(chunk, keys)`` — parallel. Being a pure column
+       expression, the label is identical on every recompute: the
+       window pass and the summary pass agree WITHOUT checkpointing
+       the unioned input (the pre-r5 ``repartitionByRange`` labels
+       depended on sampled bounds, forcing a full ``localCheckpoint``
+       materialization per call — its dominant cost).
     2. Per-chunk summaries: for ``__r_epoch`` and each value column, the
        chunk's last *non-null* right observation as a
        ``max(struct(__ts, __tb, x))`` — per COLUMN, because the plain
        window's ``last(x, ignorenulls)`` skips right rows where that
        one column is null. A key-partitioned window over the summaries
-       (``O(n_keys + n_partitions)`` rows, still distributed) turns them
-       into per-chunk carry-ins; a join on ``(_pid, keys)`` (AQE
+       (keys x occupied chunks rows, still distributed) turns them
+       into per-chunk carry-ins; a join on ``(chunk, keys)`` (AQE
        broadcasts it when small) patches rows the local window left
        unfilled via ``coalesce(local, carry)``.
-
-    ``localCheckpoint`` pins the sampled range bounds so the window pass
-    and the summary pass see the SAME ``_pid`` labels (two lazy
-    recomputes may re-sample different boundaries); at 10^12 rows this
-    materialization is a written intermediate table, exactly as in
-    :func:`sessionize_scalable`.
     """
     keys = list(keys)
     value_cols = list(value_cols)
-    n = n_partitions or left.sparkSession.sparkContext.defaultParallelism * 4
+    n = n_partitions or left.sparkSession.sparkContext.defaultParallelism * 8
     unioned, left_cols = _asof_union(
         left, right, keys, left_ts, right_ts, value_cols, tiebreak
     )
-    d = (
-        unioned.repartitionByRange(
-            n,
-            *[F.col(k) for k in keys],
-            F.col("__ts").asc(),
-            F.col("__is_right").desc(),
-            F.col("__tb").asc(),
+    # deterministic time-bucket chunks (r5): a pure column expr — equal
+    # __ts never straddles a boundary, every recompute labels rows
+    # identically, so NO localCheckpoint (see _time_chunk; the pre-r5
+    # sampled-range labels forced a full materialization per call)
+    tc = _time_chunk(unioned, "__ts", n)
+    if tc is None:
+        return asof_join(
+            left, right, keys, left_ts, right_ts, value_cols,
+            tolerance_s, tiebreak,
         )
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+    chunk, _lo, _width = tc
+    d = unioned.withColumn("__pid", chunk)
     w = (
         Window.partitionBy("__pid", *keys)
         .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__tb").asc())
