@@ -190,10 +190,13 @@ def main() -> None:
         )
     )
 
-    # 11. pack member scan: tier tables are (pmonth, kb)-partitioned and
-    # pack_tier's bucket repack filters on kb — the predicate must land
-    # in the scan's PartitionFilters (file-listing-time pruning: only the
-    # touched buckets' files are ever opened), not as a row filter
+    # 11. kb bucket scan: tier tables are (pmonth, kb)-partitioned; the
+    # kb predicate must land in the scan's PartitionFilters
+    # (file-listing-time pruning: only the named buckets' files are ever
+    # opened), not as a row filter. r5 note: pack_tier's incremental
+    # path no longer scans members at all (it tail-appends the delta);
+    # this layout is what the point-read FALLBACK (kb == hash(key)) and
+    # any caller-side bucket-restricted read prune on
     import re
     import shutil
     import tempfile
@@ -210,7 +213,7 @@ def main() -> None:
         mtxt = plan_text(member)
         sections.append(
             (
-                "pack-bucket-prune: (pmonth, kb) tier layout, kb IN-list prunes at file listing (pack_tier)",
+                "pack-bucket-prune: (pmonth, kb) tier layout, kb IN-list prunes at file listing (point-read fallback / bucket-restricted reads)",
                 mtxt,
                 {
                     "kb predicate in PartitionFilters": bool(
@@ -223,16 +226,22 @@ def main() -> None:
 
         # 12. packed point read: bucket partition-prunes at file listing,
         # doc_id + (ts_min, ts_max) sidecar predicates push into the
-        # parquet scan so whole blobs are dropped BEFORE the Python
-        # decode (unpack_series' MapInPandas) sees a row
+        # parquet scan so whole blobs are dropped BEFORE any decode sees
+        # a row. r5: the DEFAULT point read decodes driver-side (its
+        # bounded collect runs this same pruned scan, but the returned
+        # frame is a LocalTableScan — nothing to audit in the final
+        # plan), so the distributed-decode path is pinned explicitly
+        # with local_decode=False; the assertions are identical because
+        # both paths share the pruned `packed` scan.
         p.pack_tier("daily")
         pr = p.point_read(
-            "doc0000000003", "daily", start="2019-10-15", end="2019-11-15"
+            "doc0000000003", "daily", start="2019-10-15", end="2019-11-15",
+            local_decode=False,
         )
         pr_txt = plan_text(pr)
         sections.append(
             (
-                "packed point read (S5): bucket prune + sidecar min/max pushdown before decode",
+                "packed point read (S5): bucket prune + sidecar min/max pushdown before decode (distributed-decode path; the default driver-local path runs the same pruned scan inside its bounded collect)",
                 pr_txt,
                 {
                     "bucket in PartitionFilters": bool(
@@ -977,6 +986,29 @@ def main() -> None:
                 "pooled totals broadcast": "Broadcast" in kwtxt,
                 "no pandas": "InPandas" not in kwtxt,
                 "no cartesian": "CartesianProduct" not in kwtxt,
+            },
+        )
+    )
+
+    # r5: the scalable hot-key variants' deterministic time-bucket plan —
+    # the whole point of the redesign is what the plan must NOT contain:
+    # no checkpointed-RDD scan barrier (the pre-r5 localCheckpoint
+    # materialization showed up as "Scan ExistingRDD"), and no
+    # range-partitioning exchange (the sampled-bounds shuffle). The
+    # chunked window plus the summary-frame offset join remain.
+    from c3s_sm_spark.operators.timeseries import sessionize_scalable
+
+    ssc_txt = plan_text(sessionize_scalable(ev, "user_id", "ts", 1800))
+    sections.append(
+        (
+            "sessionize_scalable (X35, r5): deterministic time-bucket chunks — no checkpoint barrier, no range sampling",
+            ssc_txt,
+            {
+                "no checkpointed-RDD scan": "ExistingRDD" not in ssc_txt,
+                "no range partitioning": "rangepartitioning" not in ssc_txt,
+                "chunked window": "Window" in ssc_txt,
+                "offset join present": "Join" in ssc_txt,
+                "no pandas": "InPandas" not in ssc_txt,
             },
         )
     )
