@@ -268,8 +268,16 @@ def pack_sequences(
     the offsets adapt to wherever the range partitioner draws bounds.
     """
     n = n_partitions or docs.sparkSession.sparkContext.defaultParallelism * 4
+    # pin the SLIM projection before range partitioning (r5):
+    # repartitionByRange runs a sampling job over its input, so an
+    # expensive caller lineage (e.g. tokenize-to-count) would be
+    # evaluated twice — once to sample, once to shuffle. The pinned
+    # frame is doc-count-sized (id + count), the same scale as the
+    # two-phase scan's own intermediate below. Measured: seq_pack
+    # 1.32 -> 0.72 s warm at sf0.1.
+    slim = docs.select(id_col, token_col).localCheckpoint(eager=False)
     d = (
-        docs.select(id_col, token_col)
+        slim
         .repartitionByRange(n, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -486,8 +494,10 @@ def pack_sequences_strict(
         ).cast("long"),
         F.lit(0),
     )
+    # slim-projection pin before the sampling pass — see pack_sequences
     d = (
         docs.select(id_col, (tok + guard).alias("__n"))
+        .localCheckpoint(eager=False)
         .repartitionByRange(n, F.col(id_col))
         .withColumn("_pid", F.spark_partition_id())
     )
@@ -591,9 +601,10 @@ def global_rank(
     """
     keys = [F.col(c) for c in order_cols]
     n = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 4
-    d = df.repartitionByRange(n, *keys).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # input pin before the sampling pass — see pack_sequences
+    d = df.localCheckpoint(eager=False).repartitionByRange(
+        n, *keys
+    ).withColumn("_pid", F.spark_partition_id())
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(*keys)
@@ -979,9 +990,13 @@ def global_cumsum(
     cols = list(sum_cols)
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism * 4
-    d = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    # pin the input before the sampling pass: callers pass per-value
+    # count frames DERIVED from a corpus aggregation, and
+    # repartitionByRange's sampling job would re-run that whole
+    # aggregation a second time (see pack_sequences)
+    d = df.localCheckpoint(eager=False).repartitionByRange(
+        n, F.col(order_col)
+    ).withColumn("_pid", F.spark_partition_id())
     from pyspark.sql import Window
 
     w = Window.partitionBy("_pid").orderBy(order_col).rowsBetween(
@@ -1321,11 +1336,18 @@ def quantile_normalize(
         "k",
         "__tb",
     )
-    u = (
-        bounds.unionByName(probe_rows)
-        .repartitionByRange(n, F.col("__pos").asc(), F.col("__is_b").desc())
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
+    # deterministic position chunks (r5): __pos ranges over [1,
+    # n_pool+1] and n_pool is a known driver-side count, so the chunk
+    # id is a pure arithmetic column — identical on every recompute.
+    # The pre-r5 repartitionByRange + localCheckpoint materialized the
+    # corpus-sized bounds-union-probes frame per call just to pin the
+    # SAMPLED partition labels (the same flaw the scalable time-series
+    # variants had; see timeseries._time_chunk). Chunk is monotone in
+    # __pos, so chunks stay contiguous and the per-chunk LOCF window +
+    # the carry walk below are unchanged.
+    width = n_pool // n + 1
+    u = bounds.unionByName(probe_rows).withColumn(
+        "__pid", ((F.col("__pos") - 1) / F.lit(width)).cast("int")
     )
     wl = (
         Window.partitionBy("__pid")
