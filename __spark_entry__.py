@@ -904,6 +904,26 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 bigram-LM perplexity scoring (CCNet / Wenzek 2020 quality
+    filter): add-0.5-smoothed bigram model trained on the corpus itself,
+    every doc scored with summed log-probability + perplexity. Rows-only
+    by house policy (ln is a transcendental, kept off the oracle hash
+    boundary); pinned rel-1e-12 against a pure-Python reference incl.
+    unseen-bigram/unseen-w1 backoff and the n_big=0 short-doc contract
+    (tests/test_textops.py::test_bigram_lm_perplexity_reference)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import bigram_lm_perplexity
+
+    out = bigram_lm_perplexity(_docs(spark, sf_dir), alpha=0.5)
+    return out.select(
+        "doc_id",
+        "n_big",
+        F.round("logprob", 4).alias("logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def _q_rb01_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 REAL multimodal decode path (r5): RB01 raw-bitmap payloads ->
     nearest-neighbor resize (decode, resample, re-encode) -> pixel-
@@ -4297,6 +4317,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # over the repo's RB01 raw-bitmap container (rows-only; codec
         # and values pinned in tests/test_textops.py)
         "rb01_pipeline": _q_rb01_pipeline,
+        # r5: X184 bigram-LM perplexity quality filter (rows-only —
+        # transcendental ln stays off the hash boundary; Python-reference
+        # pinned incl. backoff)
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 

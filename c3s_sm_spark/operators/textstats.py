@@ -859,6 +859,105 @@ def bigram_pmi_pieces(
     )
 
 
+def bigram_lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.5,
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """X184 bigram-LM perplexity scoring — THE classic corpus-quality
+    filter (CCNet / Wenzek et al. 2020 score documents with a KenLM
+    n-gram model and drop the high-perplexity tail; gibberish,
+    boilerplate and wrong-language text all score high). Trains an
+    add-``alpha``-smoothed bigram model on ``train`` (default: the
+    scored corpus itself — self-perplexity, the usual in-corpus outlier
+    signal) and scores every document:
+
+    ``P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1 .) + alpha * V)``
+
+    with ``V`` the trained left-slot vocabulary size; a bigram whose
+    ``w1`` was never seen in training backs off to the uniform
+    ``alpha / (alpha * V)`` = ``1/V``. Output per doc:
+    ``(doc_id, n_big, logprob, ppl)`` where ``logprob`` is the summed
+    natural log-probability over the doc's adjacent bigrams and ``ppl =
+    exp(-logprob / n_big)``; single-token/empty docs emit ``n_big=0``
+    with NULL logprob/ppl (no evidence is not the same fact as perfect
+    score). Rows-only by house policy: ``ln`` is a transcendental, and
+    the witness discipline keeps those off the oracle hash boundary —
+    pinned bit-tight (rel 1e-12) against a pure-Python reference in
+    pytest instead.
+
+    Plan (one corpus parse each for train and score): train-side
+    map-side-combined pair counts + a left-marginal window over the SAME
+    counted relation (the :func:`bigram_pmi_pieces` pattern — no
+    vocabulary join, no recompute); score-side bigrams LEFT-join the
+    pair table on ``(w1, w2)`` (one shuffle each side; AQE broadcasts a
+    small model) and aggregate per doc. V is a 1-row broadcast. No
+    Python anywhere — ``ln`` runs in whole-stage codegen.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from pyspark.sql import Window
+
+    tr = train if train is not None else docs
+    pair_arr = F.expr(
+        "transform(sequence(1, size(__ws) - 1), "
+        "i -> struct(element_at(__ws, i) AS w1, element_at(__ws, i + 1) AS w2))"
+    )
+    tr_pairs = (
+        tr.select(words_col(text_col).alias("__ws"))
+        .filter(F.size("__ws") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_cnt"))
+    )
+    model = tr_pairs.withColumn(
+        "left_cnt", F.sum("pair_cnt").over(Window.partitionBy("w1")).cast("long")
+    )
+    vocab = model.select(F.count_distinct("w1").cast("long").alias("__V"))
+    # explode_outer: a <2-token doc's pair array is forced EMPTY (a bare
+    # sequence(1, size-1) would count DOWN [1, 0] for size=1 and index
+    # out of bounds), and the outer explode keeps the doc as one
+    # all-NULL bigram row — so n_big=0 docs survive to the output
+    # instead of vanishing
+    safe_pairs = F.when(F.size("__ws") >= 2, pair_arr).otherwise(
+        F.expr("CAST(array() AS array<struct<w1:string,w2:string>>)")
+    )
+    doc_bigrams = (
+        docs.select(F.col("doc_id"), words_col(text_col).alias("__ws"))
+        .select("doc_id", F.explode_outer(safe_pairs).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    # distinct-w1-sized marginal relation for the backoff lookups
+    # (left_cnt is NULL after the pair join BOTH for unseen-(w1,w2) and
+    # unseen-w1 — the separate marginal disambiguates the two)
+    w1_marg = model.groupBy("w1").agg(F.max("left_cnt").alias("__w1_cnt"))
+    scored = (
+        doc_bigrams.join(model.select("w1", "w2", "pair_cnt"), ["w1", "w2"], "left")
+        .join(w1_marg, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    num = F.coalesce(F.col("pair_cnt"), F.lit(0)) + F.lit(float(alpha))
+    den = F.coalesce(F.col("__w1_cnt"), F.lit(0)) + F.lit(float(alpha)) * F.col(
+        "__V"
+    )
+    term = F.when(F.col("w1").isNotNull(), F.log(num / den))
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.col("w1")).cast("long").alias("n_big"),
+        F.sum(term).alias("logprob"),
+    )
+    return out.select(
+        "doc_id",
+        "n_big",
+        "logprob",
+        F.when(
+            F.col("n_big") > 0,
+            F.exp(-F.col("logprob") / F.col("n_big")),
+        ).alias("ppl"),
+    )
+
+
 def novelty_curve(
     docs: DataFrame,
     text_col: str = "text",

@@ -3524,6 +3524,85 @@ def test_group_quantiles_exact_matches_percentile(spark):
         group_quantiles_exact(df, ["g"], "v", [1.5])
 
 
+def test_bigram_lm_perplexity_reference(spark):
+    """X184 CCNet-style bigram-LM perplexity: add-alpha model trained on
+    the corpus itself, every doc scored — pinned against a pure-Python
+    reference (same smoothing, same backoff), including unseen-bigram
+    and unseen-w1 backoff via a held-out scoring frame and the n_big=0
+    contract for short docs."""
+    import math
+    from collections import Counter
+
+    from c3s_sm_spark.operators.textstats import bigram_lm_perplexity
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat"),
+        (3, "a dog ran fast"),
+        (4, "single"),
+        (5, ""),
+        (6, "the cat the cat the cat"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    alpha = 0.5
+
+    def ref(train, score):
+        pairs = Counter()
+        left = Counter()
+        for _, t in train:
+            ws = t.split()
+            for i in range(len(ws) - 1):
+                pairs[(ws[i], ws[i + 1])] += 1
+                left[ws[i]] += 1
+        V = len(left)
+        out = {}
+        for d, t in score:
+            ws = t.split()
+            n = max(0, len(ws) - 1)
+            if n == 0:
+                out[d] = (0, None, None)
+                continue
+            lp = 0.0
+            for i in range(len(ws) - 1):
+                num = pairs.get((ws[i], ws[i + 1]), 0) + alpha
+                den = left.get(ws[i], 0) + alpha * V
+                lp += math.log(num / den)
+            out[d] = (n, lp, math.exp(-lp / n))
+        return out
+
+    exp = ref(docs, docs)
+    got = {
+        r["doc_id"]: (r["n_big"], r["logprob"], r["ppl"])
+        for r in bigram_lm_perplexity(df, alpha=alpha).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        en, el, ep = exp[d]
+        gn, gl, gp = got[d]
+        assert gn == en, d
+        if el is None:
+            assert gl is None and gp is None, d
+        else:
+            assert gl == pytest.approx(el, rel=1e-12), d
+            assert gp == pytest.approx(ep, rel=1e-12), d
+    # a constant-bigram doc must be the LEAST perplexing, gibberish the
+    # most (sanity on the ranking the filter actually uses)
+    assert got[6][2] < got[1][2]
+    # held-out scoring: unseen bigrams and unseen w1 back off
+    held = [(10, "the cat flew"), (11, "zz qq")]
+    hdf = spark.createDataFrame(held, "doc_id long, text string")
+    exp_h = ref(docs, held)
+    got_h = {
+        r["doc_id"]: (r["n_big"], r["logprob"], r["ppl"])
+        for r in bigram_lm_perplexity(hdf, alpha=alpha, train=df).collect()
+    }
+    for d in exp_h:
+        assert got_h[d][0] == exp_h[d][0]
+        assert got_h[d][1] == pytest.approx(exp_h[d][1], rel=1e-12), d
+    with pytest.raises(ValueError, match="alpha"):
+        bigram_lm_perplexity(df, alpha=0.0)
+
+
 def test_trending_tokens_brute_force(spark):
     import collections
     import re
