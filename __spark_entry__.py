@@ -924,6 +924,25 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X185 DSIR importance scores (Xie 2023): hashed unigram+bigram
+    bucket distributions for a target slice (sources src1/src2 — the
+    'curated domain') vs the whole corpus; every doc scored with the
+    summed log-likelihood ratio. Rows-only by house policy (ln off the
+    hash boundary); pinned rel-1e-12 against a pure-Python reference
+    sharing Spark's own xxhash64 bucketing
+    (tests/test_textops.py::test_dsir_scores_reference)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import dsir_scores
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    out = dsir_scores(docs, target, n_buckets=4096, alpha=0.5)
+    return out.select(
+        "doc_id", "n_feat", F.round("dsir_score", 4).alias("dsir_score")
+    )
+
+
 def _q_rb01_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10 REAL multimodal decode path (r5): RB01 raw-bitmap payloads ->
     nearest-neighbor resize (decode, resample, re-encode) -> pixel-
@@ -4321,6 +4340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcendental ln stays off the hash boundary; Python-reference
         # pinned incl. backoff)
         "lm_perplexity": _q_lm_perplexity,
+        # r5: X185 DSIR hashed-ngram importance scores (rows-only, same
+        # ln policy; Python-reference pinned with shared xxhash64)
+        "dsir": _q_dsir,
     }
 
 

@@ -958,6 +958,116 @@ def bigram_lm_perplexity(
     )
 
 
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """X185 DSIR importance scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling") — the standard
+    recipe for skewing a raw web corpus toward a quality/domain target:
+    featurize every doc into HASHED unigram+bigram buckets, fit add-
+    ``alpha`` bucket distributions for the raw and target corpora, and
+    score each raw doc with the summed log-likelihood ratio
+
+    ``score(d) = sum_{f in d} ln( p_target(f) / p_raw(f) )``
+
+    High scores read "target-like"; importance resampling then keeps
+    docs with probability proportional to exp(score) — the repo's
+    deterministic samplers (quality_select / weighted hash-cut) consume
+    these scores directly. Output: ``(doc_id, n_feat, dsir_score)``;
+    feature-less docs (empty text) emit ``n_feat=0`` with NULL score.
+
+    Hashing (xxhash64 mod ``n_buckets``) is the point, not a shortcut:
+    DSIR's estimator lives in a FIXED feature space, so both corpus
+    distributions are ``n_buckets``-sized relations (broadcastable at
+    any corpus scale) and an unseen raw n-gram still lands in a bucket
+    with mass — no backoff machinery. Rows-only by house policy (ln off
+    the hash boundary); pinned rel-1e-12 against a pure-Python
+    reference in pytest.
+
+    Plan: one parse per corpus -> per-bucket counts (map-side combined,
+    n_buckets-sized output); the two distributions broadcast-join the
+    raw side's per-doc bucket counts; everything JVM-side.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+
+    def feats(df: DataFrame, with_doc: bool) -> DataFrame:
+        ws = df.select(
+            *(["doc_id"] if with_doc else []),
+            words_col(text_col).alias("__ws"),
+        )
+        uni = F.expr("transform(__ws, w -> w)")
+        bi = F.expr(
+            "CASE WHEN size(__ws) >= 2 THEN transform(sequence(1, "
+            "size(__ws) - 1), i -> concat(element_at(__ws, i), ' ', "
+            "element_at(__ws, i + 1))) ELSE CAST(array() AS "
+            "array<string>) END"
+        )
+        return ws.select(
+            *(["doc_id"] if with_doc else []),
+            F.explode_outer(F.concat(uni, bi)).alias("__f"),
+        ).select(
+            *(["doc_id"] if with_doc else []),
+            F.when(
+                F.col("__f").isNotNull(),
+                F.pmod(F.xxhash64("__f"), F.lit(n_buckets)),
+            ).alias("__b"),
+        )
+
+    def dist(df: DataFrame, name: str) -> DataFrame:
+        cnt = (
+            feats(df, with_doc=False)
+            .where(F.col("__b").isNotNull())
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        tot = cnt.agg(F.sum("__c").cast("long").alias("__n"))
+        return cnt.crossJoin(F.broadcast(tot)).select(
+            "__b",
+            (
+                (F.col("__c") + F.lit(float(alpha)))
+                / (F.col("__n") + F.lit(float(alpha)) * F.lit(n_buckets))
+            ).alias(name),
+            F.col("__n").alias(f"__n_{name}"),
+        )
+
+    p_t = dist(target, "__pt")
+    p_r = dist(raw, "__pr")
+    # bucket rows absent from a corpus still carry alpha mass: keep the
+    # totals to reconstruct the unseen-bucket probability after the
+    # outer-ish joins below (left joins + coalesce with alpha/(N+aB))
+    nt = p_t.select(F.max("__n___pt").alias("n")).head()["n"] or 0
+    nr = p_r.select(F.max("__n___pr").alias("n")).head()["n"] or 0
+    floor_t = float(alpha) / (nt + float(alpha) * n_buckets)
+    floor_r = float(alpha) / (nr + float(alpha) * n_buckets)
+    doc_feats = feats(raw, with_doc=True)
+    scored = (
+        doc_feats.join(F.broadcast(p_t.select("__b", "__pt")), ["__b"], "left")
+        .join(F.broadcast(p_r.select("__b", "__pr")), ["__b"], "left")
+        .select(
+            "doc_id",
+            F.col("__b").isNotNull().alias("__has"),
+            F.when(
+                F.col("__b").isNotNull(),
+                F.log(
+                    F.coalesce(F.col("__pt"), F.lit(floor_t))
+                    / F.coalesce(F.col("__pr"), F.lit(floor_r))
+                ),
+            ).alias("__t"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.when(F.col("__has"), 1)).cast("long").alias("n_feat"),
+        F.sum("__t").alias("dsir_score"),
+    )
+
+
 def novelty_curve(
     docs: DataFrame,
     text_col: str = "text",

@@ -3603,6 +3603,94 @@ def test_bigram_lm_perplexity_reference(spark):
         bigram_lm_perplexity(df, alpha=0.0)
 
 
+def test_dsir_scores_reference(spark):
+    """X185 DSIR hashed-ngram importance scores pinned against a pure-
+    Python reference: same xxhash64 bucketing (read back from Spark so
+    the hash itself is shared), same add-alpha distributions, same
+    unseen-bucket floors; target-like docs must outscore off-target."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from c3s_sm_spark.operators.textstats import dsir_scores
+
+    raw = [
+        (1, "the cat sat on the mat"),
+        (2, "stock market prices fell hard today"),
+        (3, "the cat ran"),
+        (4, ""),
+    ]
+    tgt = [
+        (100, "the cat sat"),
+        (101, "a cat ran on the mat"),
+    ]
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    tdf = spark.createDataFrame(tgt, "doc_id long, text string")
+    B, A = 64, 0.5
+
+    # shared hash: evaluate xxhash64 through Spark for every feature
+    def featurize(docs):
+        out = {}
+        for d, t in docs:
+            ws = t.split()
+            fs = ws + [f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)]
+            out[d] = fs
+        return out
+
+    all_feats = sorted(
+        {f for fs in featurize(raw + tgt).values() for f in fs}
+    )
+    hdf = spark.createDataFrame([(f,) for f in all_feats], "f string")
+    hmap = {
+        r["f"]: r["b"]
+        for r in hdf.select(
+            "f", F.pmod(F.xxhash64("f"), F.lit(B)).alias("b")
+        ).collect()
+    }
+
+    def dist(docs):
+        cnt: dict = {}
+        n = 0
+        for fs in featurize(docs).values():
+            for f in fs:
+                cnt[hmap[f]] = cnt.get(hmap[f], 0) + 1
+                n += 1
+        return cnt, n
+
+    ct, nt = dist(tgt)
+    cr, nr = dist(raw)
+    exp = {}
+    for d, fs in featurize(raw).items():
+        if not fs:
+            exp[d] = (0, None)
+            continue
+        s = 0.0
+        for f in fs:
+            b = hmap[f]
+            pt = (ct.get(b, 0) + A) / (nt + A * B)
+            pr = (cr.get(b, 0) + A) / (nr + A * B)
+            s += math.log(pt / pr)
+        exp[d] = (len(fs), s)
+    got = {
+        r["doc_id"]: (r["n_feat"], r["dsir_score"])
+        for r in dsir_scores(rdf, tdf, n_buckets=B, alpha=A).collect()
+    }
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == exp[d][0], d
+        if exp[d][1] is None:
+            assert got[d][1] is None
+        else:
+            assert got[d][1] == pytest.approx(exp[d][1], rel=1e-12), d
+    # ranking sanity: cat-domain docs beat the finance doc
+    per = {d: got[d][1] / got[d][0] for d in (1, 2, 3)}
+    assert per[1] > per[2] and per[3] > per[2]
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_scores(rdf, tdf, alpha=0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_scores(rdf, tdf, n_buckets=1)
+
+
 def test_trending_tokens_brute_force(spark):
     import collections
     import re
