@@ -924,6 +924,19 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X186 SemDeDup (Abbas 2023): spherical k-means over the embedding
+    corpus, within-cluster cosine pairs >= 0.4 (this corpus's near-dup
+    tail) into semantic-duplicate groups, one representative kept per
+    group (max centroid-cosine, ties to lowest id). Rows-only (cosine
+    floats); pinned exactly against a union-find Python reference
+    (tests/test_textops.py::test_semdedup_matches_union_find_reference)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.similarity import semdedup
+
+    return semdedup(_emb(spark, sf_dir), threshold=0.4, k=8, n_iters=3)
+
+
 def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X185 DSIR importance scores (Xie 2023): hashed unigram+bigram
     bucket distributions for a target slice (sources src1/src2 — the
@@ -4343,6 +4356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: X185 DSIR hashed-ngram importance scores (rows-only, same
         # ln policy; Python-reference pinned with shared xxhash64)
         "dsir": _q_dsir,
+        # r5: X186 SemDeDup semantic dedup (rows-only — cosine floats;
+        # union-find Python-reference pinned)
+        "semdedup": _q_semdedup,
     }
 
 

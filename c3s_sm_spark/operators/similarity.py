@@ -721,6 +721,108 @@ def cluster_embeddings(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_cluster_rows: int = 2_000_000,
+) -> DataFrame:
+    """X186 SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication") — the
+    embedding-space dedup that exact/MinHash dedup cannot see:
+    paraphrases, template re-renders and near-identical captions land in
+    the same semantic-duplicate group even with zero token overlap. The
+    paper's recipe, verbatim: k-means the embeddings, compute pairwise
+    cosine WITHIN each cluster only (the scale trick — never corpus
+    all-pairs), connect pairs >= ``threshold`` into groups, keep ONE
+    representative per group (here: highest cosine to the own centroid,
+    ties to the lowest id — the paper's "closest to centroid" variant,
+    deterministic).
+
+    Output: one row per vector — ``(id_col, cluster, group, keep)``
+    where ``group`` is the smallest member id of the vector's
+    semantic-duplicate group (its own id when it has no duplicate) and
+    ``keep`` marks the representative. Filtering on ``keep`` IS the
+    dedup; ``group`` supports audit joins.
+
+    Scale shape: clustering is the bounded-sample spherical k-means of
+    :func:`cluster_embeddings` (assignment is a shuffle-free matmul
+    pass); the within-cluster pair scan is ``applyInPandas`` per
+    cluster — O(m^2) in CLUSTER size, the paper's own budget knob (pick
+    k so m ~ n/k fits a task; guarded here by ``max_cluster_rows``,
+    which raises with the measured sizes rather than letting one
+    mega-cluster OOM an executor); components + representative pick run
+    on the pair relation, which duplicate density keeps orders of
+    magnitude below corpus size (:func:`~c3s_sm_spark.operators.
+    dedup_text.neardup_components`' dual driver/distributed strategy).
+    Rows-only by house policy (cosine floats); pinned against a pure-
+    Python reference (same clustering call, numpy pairs, union-find,
+    same representative rule) in pytest.
+    """
+    import pandas as pd
+
+    assigned = cluster_embeddings(
+        corpus, k, n_iters, id_col, vec_col, sample_fraction, seed
+    )
+    d = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    ).join(assigned, id_col)
+    sizes = d.groupBy("cluster").agg(F.count(F.lit(1)).alias("m"))
+    too_big = sizes.where(F.col("m") > max_cluster_rows).collect()
+    if too_big:
+        raise ValueError(
+            "semdedup: cluster(s) exceed max_cluster_rows="
+            f"{max_cluster_rows}: "
+            f"{[(r['cluster'], r['m']) for r in too_big]} — raise k (the "
+            "paper's knob) or max_cluster_rows"
+        )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a": pdf[id_col][:0], "b": pdf[id_col][:0]})
+        # deterministic id order so (a < b) pairs are stable
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        mat = np.array(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        iu, ju = np.triu_indices(n, 1)
+        hit = np.round(sims[iu, ju], 4) >= threshold
+        return pd.DataFrame({"a": ids[iu[hit]], "b": ids[ju[hit]]})
+
+    pairs = d.groupBy("cluster").applyInPandas(
+        _pairs, schema=f"a {id_type}, b {id_type}"
+    )
+    from c3s_sm_spark.operators.dedup_text import neardup_components
+
+    comp = neardup_components(pairs, "a", "b")  # (node, component)
+    labeled = d.select(id_col, "cluster", "cos_sim").join(
+        comp.select(
+            F.col("node").alias(id_col), F.col("component").alias("__g")
+        ),
+        id_col,
+        "left",
+    )
+    group = F.coalesce(F.col("__g"), F.col(id_col))
+    w = Window.partitionBy(group).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return labeled.select(
+        id_col,
+        "cluster",
+        group.alias("group"),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 def embedding_audit(
     emb: DataFrame,
     vec_col: str = "embedding",

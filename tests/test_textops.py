@@ -98,6 +98,73 @@ def test_simhash_near_pairs_matches_blocking_contract(spark, docs):
     assert exp  # the fixture corpus must actually exercise the operator
 
 
+def test_semdedup_matches_union_find_reference(spark, emb):
+    """X186 SemDeDup pinned exactly: same clustering (the deterministic
+    cluster_embeddings call), numpy within-cluster pairs at the same
+    round(4) >= tau rule, union-find groups, representative = (max
+    centroid-cosine, min id). The synthetic embeddings are
+    near-orthogonal, so tau=0.4 marks this corpus's near-dup tail."""
+    import numpy as np
+
+    from c3s_sm_spark.operators.similarity import (
+        cluster_embeddings,
+        semdedup,
+    )
+
+    tau, K = 0.4, 4
+    got = {
+        r["vec_id"]: (r["cluster"], r["group"], r["keep"])
+        for r in semdedup(emb, threshold=tau, k=K, n_iters=3).collect()
+    }
+    # reference
+    assigned = {
+        r["vec_id"]: (r["cluster"], r["cos_sim"])
+        for r in cluster_embeddings(emb, k=K, n_iters=3).collect()
+    }
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    by_cluster: dict = {}
+    for vid, (c, _s) in assigned.items():
+        by_cluster.setdefault(c, []).append(vid)
+    parent = {v: v for v in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for c, ids in by_cluster.items():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            va = vecs[a] / np.linalg.norm(vecs[a])
+            for b in ids[i + 1:]:
+                vb = vecs[b] / np.linalg.norm(vecs[b])
+                if round(float(va @ vb), 4) >= tau:
+                    union(a, b)
+    groups: dict = {}
+    for v in vecs:
+        groups.setdefault(find(v), []).append(v)
+    exp = {}
+    for g, members in groups.items():
+        rep = min(members, key=lambda m: (-assigned[m][1], m))
+        for m in members:
+            exp[m] = (assigned[m][0], g, m == rep)
+    assert got == exp
+    # sanity: at least one multi-member group exists and dedup dropped rows
+    assert any(len(m) > 1 for m in groups.values())
+    kept = sum(1 for _, _, k in got.values() if k)
+    assert kept < len(got)
+    # the cluster guard raises with measured sizes
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semdedup(emb, threshold=tau, k=2, n_iters=2, max_cluster_rows=3)
+
+
 def test_ann_lsh_recall_vs_brute_force(spark, emb):
     queries = emb.where(F.col("vec_id") < 20)
     exact = cosine_topk(emb, queries, k=5).collect()
