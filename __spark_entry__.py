@@ -924,6 +924,18 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X187 Gopher rule-based quality filter (Rae 2021 §A1.1): word
+    count, mean word length, symbol/bullet/ellipsis ratios, alpha-word
+    ratio, common-stop-word hits + composite verdict — pure column
+    exprs, fully oracled (min_words=40 so the synthetic corpus's 10-99
+    word docs split both ways)."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_docs(spark, sf_dir), min_words=40)
+
+
 def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X186 SemDeDup (Abbas 2023): spherical k-means over the embedding
     corpus, within-cluster cosine pairs >= 0.4 (this corpus's near-dup
@@ -4359,6 +4371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: X186 SemDeDup semantic dedup (rows-only — cosine floats;
         # union-find Python-reference pinned)
         "semdedup": _q_semdedup,
+        # r5: X187 Gopher rule filter (fully oracled — pure column exprs)
+        "gopher_rules": _q_gopher_rules,
     }
 
 
@@ -4527,6 +4541,53 @@ def oracle_sql() -> dict[str, str]:
                    round((alpha / n_chars) * 0.5 + (spaces / n_chars) * 0.3
                          + least(n_tokens / 100.0, 1.0) * 0.2, 4) AS quality
             FROM b
+        """,
+        "gopher_rules": """
+            WITH b AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')
+                     END AS ws,
+                     string_split(text, chr(10)) AS ls,
+                     length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS nospace,
+                     (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+                     ((length(text) - length(replace(text, '...', ''))) / 3)::BIGINT AS n_ell,
+                     ' ' || lower(text) || ' ' AS pad
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     len(ws)::BIGINT AS n_words,
+                     nullif(len(ws), 0)::BIGINT AS nzw,
+                     nullif(len(ls), 0)::BIGINT AS n_lines,
+                     len(list_filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%'))::BIGINT AS bullet,
+                     len(list_filter(ls, l -> rtrim(l) LIKE '%...'))::BIGINT AS ell_end,
+                     len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT AS alpha_w,
+                     nospace, n_hash, n_ell,
+                     (CASE WHEN pad LIKE '% the %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% be %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% to %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% of %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% and %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% that %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% have %' THEN 1 ELSE 0 END
+                    + CASE WHEN pad LIKE '% with %' THEN 1 ELSE 0 END)::INTEGER AS stop_hits
+              FROM b)
+            SELECT doc_id,
+                   n_words,
+                   round(nospace / nzw, 4) AS mean_wlen,
+                   round((n_hash + n_ell) / nzw, 4) AS symbol_ratio,
+                   round(bullet / n_lines, 4) AS bullet_ratio,
+                   round(ell_end / n_lines, 4) AS ellipsis_ratio,
+                   round(alpha_w / nzw, 4) AS alpha_word_ratio,
+                   stop_hits,
+                   coalesce(n_words >= 40 AND n_words <= 100000
+                        AND nospace / nzw >= 3 AND nospace / nzw <= 10
+                        AND (n_hash + n_ell) / nzw <= 0.1
+                        AND bullet / n_lines <= 0.9
+                        AND ell_end / n_lines <= 0.3
+                        AND alpha_w / nzw >= 0.8
+                        AND stop_hits >= 2, false) AS pass_gopher
+            FROM c
         """,
         "lang_id": """
             WITH s AS (

@@ -77,6 +77,107 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Gopher rule stop-word set (Rae et al. 2021 §A1.1: a doc must contain
+#: at least 2 of these to pass the "contains common English words" rule)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """X187 Gopher quality rules (Rae et al. 2021, §A1.1 — the
+    rule-based document filter every big English web corpus since
+    MassiveText applies before model-based scoring): word-count bounds,
+    mean-word-length window [3, 10], symbol-to-word ratio (# and
+    ellipsis) <= 0.1, <= 90% of lines starting with a bullet, <= 30%
+    ending with an ellipsis, >= 80% of words containing an alphabetic
+    character, and >= 2 distinct common-English stop words. Emits the
+    exact signals plus the composite verdict::
+
+        (doc_id, n_words, mean_wlen, symbol_ratio, bullet_ratio,
+         ellipsis_ratio, alpha_word_ratio, stop_hits, pass_gopher)
+
+    Every signal is a pure column expression (codegen, zero shuffle,
+    per-row work at any corpus size) with an exact ANSI-SQL twin —
+    fully ORACLED, unlike the model-based quality family. Empty docs
+    emit NULL ratios and ``pass_gopher = false`` (no evidence fails
+    closed, the filter's semantics).
+    """
+    t = F.col(text_col)
+    w = words_col(text_col)
+    n_words = F.size(w).cast("long")
+    nzw = F.nullif(n_words, F.lit(0))
+    nospace = F.length(F.regexp_replace(t, r"\s+", "")).cast("long")
+    mean_wlen = nospace / nzw
+    n_hash = (F.length(t) - F.length(F.translate(t, "#", ""))).cast("long")
+    n_ellipsis = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    symbol_ratio = (n_hash + n_ellipsis) / nzw
+    lines = F.split(t, "\n")
+    n_lines = F.nullif(F.size(lines).cast("long"), F.lit(0))
+    bullet = F.size(
+        F.expr(
+            f"filter(split({text_col}, '\\n'), l -> "
+            "ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%' "
+            "OR ltrim(l) LIKE '•%')"
+        )
+    ).cast("long")
+    ell_end = F.size(
+        F.expr(
+            f"filter(split({text_col}, '\\n'), l -> rtrim(l) LIKE '%...')"
+        )
+    ).cast("long")
+    alpha_words = F.size(
+        F.expr(
+            f"filter({_WORDS_SQL(text_col)}, w -> w RLIKE '[A-Za-z]')"
+        )
+    ).cast("long")
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    stop_hits = None
+    for s in _GOPHER_STOPS:
+        hit = F.when(padded.like(f"% {s} %"), 1).otherwise(0)
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    ratios = {
+        "mean_wlen": mean_wlen,
+        "symbol_ratio": symbol_ratio,
+        "bullet_ratio": bullet / n_lines,
+        "ellipsis_ratio": ell_end / n_lines,
+        "alpha_word_ratio": alpha_words / nzw,
+    }
+    ok = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wlen >= 3)
+        & (mean_wlen <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet / n_lines <= 0.9)
+        & (ell_end / n_lines <= 0.3)
+        & (alpha_words / nzw >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[F.round(c, 4).alias(name) for name, c in ratios.items()],
+        stop_hits.cast("int").alias("stop_hits"),
+        F.coalesce(ok, F.lit(False)).alias("pass_gopher"),
+    )
+
+
+def _WORDS_SQL(text_col: str) -> str:
+    """The :func:`words_col` expression as a SQL string (for lambdas
+    that must filter the SAME word array the operators count)."""
+    return (
+        f"CASE WHEN length(trim({text_col})) = 0 THEN "
+        "CAST(array() AS array<string>) ELSE "
+        f"split(regexp_replace(trim({text_col}), '\\\\s+', ' '), ' ') END"
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-based language ID (n-gram-heuristic family, deliberately
     simple so it is oracle-checkable in ANSI SQL): counts English

@@ -3670,6 +3670,40 @@ def test_bigram_lm_perplexity_reference(spark):
         bigram_lm_perplexity(df, alpha=0.0)
 
 
+def test_gopher_rules_golden(spark):
+    """X187 Gopher rule signals pinned on hand-computed docs covering
+    each rule's trip wire: bullets, ellipses, symbols, short docs,
+    empty docs (fail closed), and a passing doc."""
+    from c3s_sm_spark.operators.textstats import gopher_rules
+
+    good = " ".join(["the quick brown fox and that dog have fun with it"] * 8)
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short doc"),
+            (3, ""),
+            (4, "- bullet one\n- bullet two\nnormal line"),
+            (5, "### ### " + "word " * 60 + "tail..."),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(docs, min_words=20).collect()
+    }
+    assert got[1]["n_words"] == 88 and got[1]["pass_gopher"] is True
+    assert got[1]["stop_hits"] == 5
+    assert got[1]["mean_wlen"] == pytest.approx(3.5455)
+    assert got[2]["pass_gopher"] is False  # below min_words
+    assert got[3]["n_words"] == 0 and got[3]["mean_wlen"] is None
+    assert got[3]["pass_gopher"] is False  # empty fails CLOSED
+    assert got[4]["bullet_ratio"] == pytest.approx(0.6667)
+    assert got[4]["alpha_word_ratio"] == pytest.approx(0.75)
+    assert got[5]["symbol_ratio"] == pytest.approx(0.1111)
+    assert got[5]["ellipsis_ratio"] == 1.0
+    assert got[5]["pass_gopher"] is False  # symbols + ellipsis + stops
+
+
 def test_dsir_scores_reference(spark):
     """X185 DSIR hashed-ngram importance scores pinned against a pure-
     Python reference: same xxhash64 bucketing (read back from Spark so
