@@ -924,6 +924,17 @@ def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X188 C4 cleaning rules (Raffel 2020 §2.2): line-level terminal-
+    punctuation / short-line / brace counts, lorem-ipsum + javascript
+    page drops, sentence-count proxy, composite verdict — pure column
+    exprs, fully oracled."""
+    _prep(spark)
+    from c3s_sm_spark.operators.textstats import c4_rules
+
+    return c4_rules(_docs(spark, sf_dir))
+
+
 def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X187 Gopher rule-based quality filter (Rae 2021 §A1.1): word
     count, mean word length, symbol/bullet/ellipsis ratios, alpha-word
@@ -4373,6 +4384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         # r5: X187 Gopher rule filter (fully oracled — pure column exprs)
         "gopher_rules": _q_gopher_rules,
+        # r5: X188 C4 cleaning rules (fully oracled — pure column exprs)
+        "c4_rules": _q_c4_rules,
     }
 
 
@@ -4541,6 +4554,35 @@ def oracle_sql() -> dict[str, str]:
                    round((alpha / n_chars) * 0.5 + (spaces / n_chars) * 0.3
                          + least(n_tokens / 100.0, 1.0) * 0.2, 4) AS quality
             FROM b
+        """,
+        "c4_rules": """
+            WITH b AS (
+              SELECT doc_id,
+                     string_split(text, chr(10)) AS ls,
+                     lower(text) AS low,
+                     (length(text) - length(regexp_replace(text, '[.!?]', '', 'g')))::BIGINT AS n_sent
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     len(ls)::BIGINT AS n_lines,
+                     len(list_filter(ls, l -> regexp_matches(rtrim(l), '[.!?"]$')))::BIGINT AS terminal,
+                     len(list_filter(ls, l -> len(list_filter(string_split(regexp_replace(trim(l), '\\s+', ' ', 'g'), ' '), w -> w != '')) < 5))::BIGINT AS short_l,
+                     len(list_filter(ls, l -> l LIKE '%{%' OR l LIKE '%}%'))::BIGINT AS brace,
+                     contains(low, 'lorem ipsum') AS has_lorem,
+                     contains(low, 'javascript') AS has_js,
+                     n_sent
+              FROM b)
+            SELECT doc_id,
+                   n_lines,
+                   terminal AS n_terminal_lines,
+                   short_l AS n_short_lines,
+                   brace AS n_brace_lines,
+                   has_lorem,
+                   has_js AS has_javascript,
+                   n_sent AS n_sentences,
+                   coalesce(n_sent >= 3 AND brace = 0 AND NOT has_lorem
+                        AND NOT has_js AND terminal >= 1, false) AS pass_c4
+            FROM c
         """,
         "gopher_rules": """
             WITH b AS (

@@ -168,6 +168,86 @@ def gopher_rules(
     )
 
 
+def c4_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+) -> DataFrame:
+    """X188 C4 cleaning rules (Raffel et al. 2020 §2.2 — the filter
+    that built C4 from Common Crawl, the companion to
+    :func:`gopher_rules`' doc-level statistics): line-level counts of
+    the paper's drop conditions plus the doc-level verdict signals::
+
+        (doc_id, n_lines, n_terminal_lines, n_short_lines,
+         n_brace_lines, has_lorem, has_javascript, n_sentences,
+         pass_c4)
+
+    - ``n_terminal_lines``: lines ending in terminal punctuation
+      (. ! ? ") after rtrim — C4 keeps only such lines;
+    - ``n_short_lines``: lines with fewer than ``min_line_words``
+      words (C4 drops them);
+    - ``n_brace_lines``: lines containing ``{`` or ``}`` (code smell —
+      C4 drops any page with a brace);
+    - ``has_lorem`` / ``has_javascript``: the paper's phrase/token
+      page-level drops (case-insensitive);
+    - ``n_sentences``: terminal-punctuation count as the sentence
+      proxy; C4 keeps pages with >= ``min_sentences``;
+    - ``pass_c4``: >= min_sentences AND no brace line AND no lorem
+      ipsum AND no 'javascript' token AND at least one terminal line.
+
+    Pure column expressions with an exact ANSI-SQL twin (fully
+    oracled); empty docs fail closed. The line-level counts are emitted
+    rather than a rewritten text so callers can implement either the
+    page-drop (filter on ``pass_c4``) or the line-drop variant (join
+    back and keep terminal lines) without re-parsing.
+    """
+    t = F.col(text_col)
+    lines_expr = f"split({text_col}, '\\n')"
+    n_lines = F.size(F.split(t, "\n")).cast("long")
+    terminal = F.size(
+        F.expr(
+            f"filter({lines_expr}, l -> rtrim(l) RLIKE '[.!?\"]$')"
+        )
+    ).cast("long")
+    short = F.size(
+        F.expr(
+            f"filter({lines_expr}, l -> size(filter(split(regexp_replace("
+            "trim(l), '\\\\s+', ' '), ' '), w -> w != '')) < "
+            f"{int(min_line_words)})"
+        )
+    ).cast("long")
+    brace = F.size(
+        F.expr(
+            f"filter({lines_expr}, l -> l LIKE '%{{%' OR l LIKE '%}}%')"
+        )
+    ).cast("long")
+    low = F.lower(t)
+    has_lorem = low.contains("lorem ipsum")
+    has_js = low.contains("javascript")
+    n_sent = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.!?]", ""))
+    ).cast("long")
+    ok = (
+        (n_sent >= min_sentences)
+        & (brace == 0)
+        & ~has_lorem
+        & ~has_js
+        & (terminal >= 1)
+    )
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        terminal.alias("n_terminal_lines"),
+        short.alias("n_short_lines"),
+        brace.alias("n_brace_lines"),
+        has_lorem.alias("has_lorem"),
+        has_js.alias("has_javascript"),
+        n_sent.alias("n_sentences"),
+        F.coalesce(ok, F.lit(False)).alias("pass_c4"),
+    )
+
+
 def _WORDS_SQL(text_col: str) -> str:
     """The :func:`words_col` expression as a SQL string (for lambdas
     that must filter the SAME word array the operators count)."""

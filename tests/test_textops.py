@@ -3704,6 +3704,31 @@ def test_gopher_rules_golden(spark):
     assert got[5]["pass_gopher"] is False  # symbols + ellipsis + stops
 
 
+def test_c4_rules_golden(spark):
+    """X188 C4 rule signals pinned on docs covering each drop: braces,
+    lorem ipsum, javascript, short/terminal lines, empty fail-closed."""
+    from c3s_sm_spark.operators.textstats import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a proper sentence. And another one follows it! A third one?"),
+            (2, "function() { return 1; }"),
+            (3, "Lorem ipsum dolor sit amet. More filler text here. And more."),
+            (4, "short\nEnable JavaScript to view this page. Thanks. Ok."),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_rules(docs).collect()}
+    assert got[1]["pass_c4"] is True and got[1]["n_sentences"] == 3
+    assert got[1]["n_terminal_lines"] == 1 and got[1]["n_short_lines"] == 0
+    assert got[2]["n_brace_lines"] == 1 and got[2]["pass_c4"] is False
+    assert got[3]["has_lorem"] is True and got[3]["pass_c4"] is False
+    assert got[4]["has_javascript"] is True and got[4]["n_short_lines"] == 1
+    assert got[4]["n_lines"] == 2 and got[4]["pass_c4"] is False
+    assert got[5]["n_sentences"] == 0 and got[5]["pass_c4"] is False
+
+
 def test_dsir_scores_reference(spark):
     """X185 DSIR hashed-ngram importance scores pinned against a pure-
     Python reference: same xxhash64 bucketing (read back from Spark so
