@@ -627,6 +627,74 @@ def test_pack_tier_incremental_appends_tail_not_reencode(
         assert got == exp and got
 
 
+def test_pack_tier_tail_month_overwrite_not_accumulate(
+    spark, tmp_path, raw_points
+):
+    """The LSM tail's subtlest contract: a month touched by TWO
+    successive incremental packs must hold only the LATEST refresh's
+    rows (month-grain overwrite) — naive appends would serve the
+    superseded version alongside the new one. Sequence: full pack;
+    delta month M1 -> tail; delta month M2 -> tail; re-ingest M1 with
+    HIGHER-version rows (keep-latest flips the survivor) -> tail M1
+    replaced, M2 untouched; point reads match the tier bit-for-bit
+    throughout."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points)
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    key = "doc0000000001"
+    base = raw_points.where(F.col("doc_id") == key).where(
+        F.col("ts") < "2019-10-05"
+    )
+    # delta 1: new month 2020-01
+    p.ingest(base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 95 DAYS")))
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    # delta 2: new month 2020-02
+    p.ingest(base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 126 DAYS")))
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    man = p.packed["daily"]._manifest(p.packed["daily"].head())["summary"]
+    assert man["masked_months"] == ["2020-01", "2020-02"]
+    # delta 3: REPROCESS 2020-01 with higher version + shifted values —
+    # keep-latest makes these the survivors, the refresh overwrites the
+    # month, and the tail's 2020-01 partition must be REPLACED
+    p.ingest(
+        base.withColumn("ts", F.col("ts") + F.expr("INTERVAL 95 DAYS"))
+        .withColumn("v", F.col("v") + 100.0)
+        .withColumn("version", F.lit("v9"))
+    )
+    p.refresh(["daily"])
+    s = p.pack_tier("daily")
+    man = p.packed["daily"]._manifest(s)["summary"]
+    assert man["mode"] == "tail_append"
+    assert man["masked_months"] == ["2020-01", "2020-02"]
+    tail_rows = p.tails["daily"].read(spark)
+    jan = tail_rows.where(F.col("pmonth") == "2020-01")
+    # replaced, not accumulated: exactly one row per (doc, day), values
+    # from the v9 reprocess
+    assert jan.groupBy("doc_id", "ts").count().where(
+        F.col("count") > 1
+    ).count() == 0
+    assert jan.where(F.col("v_mean") < 100).count() == 0
+    got = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.point_read(key, "daily").collect()
+    }
+    exp = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.read_tier("daily").where(F.col("doc_id") == key).collect()
+    }
+    assert got == exp and got
+    # and the distributed-decode path agrees (exercises the Spark-side
+    # mask + tail union too)
+    got_dist = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.point_read(key, "daily", local_decode=False).collect()
+    }
+    assert got_dist == exp
+
+
 def test_pack_tier_auto_folds_when_tail_outgrows_packed(
     spark, tmp_path, raw_points
 ):
