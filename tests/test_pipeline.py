@@ -695,6 +695,70 @@ def test_pack_tier_tail_month_overwrite_not_accumulate(
     assert got_dist == exp
 
 
+def test_point_read_ignores_stale_tail_after_fold_crash(
+    spark, tmp_path, raw_points
+):
+    """Crash ordering (pack_tier folds packed-commit FIRST, tail
+    truncate second): a crash in between leaves tail rows on disk while
+    the packed manifest carries no mask — point reads must serve the
+    fresh packed form and never union the stale tail (both decode
+    paths). Simulated by re-appending poisoned rows to the tail AFTER a
+    clean fold."""
+    p = TierPipeline(spark, str(tmp_path / "tp"))
+    p.ingest(raw_points.where(F.col("ts") < "2019-11-01"))
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    key = "doc0000000002"
+    late = (
+        raw_points.where(F.col("doc_id") == key)
+        .where(F.col("ts") < "2019-10-05")
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 95 DAYS"))
+    )
+    p.ingest(late)
+    p.refresh(["daily"])
+    p.pack_tier("daily")  # tail now holds 2020-01
+    s = p.pack_tier("daily", fold=True)
+    assert p.packed["daily"]._manifest(s)["summary"]["mode"] == "full"
+    # simulate the crash leftover: stale (poisoned) tail rows reappear
+    poison = p.read_tier("daily").where(
+        (F.col("doc_id") == key) & (F.col("pmonth") == "2020-01")
+    ).select(
+        F.col("doc_id"),
+        "ts",
+        (F.col("v_mean") + 999).alias("v_mean"),
+        "pmonth",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(32)).cast("int").alias("kb"),
+    )
+    p.tails["daily"].overwrite_partitions(poison, {"op": "crash-leftover"})
+    exp = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.read_tier("daily").where(F.col("doc_id") == key).collect()
+    }
+    for local in (None, False):
+        got = {
+            (str(r["ts"]), round(r["v_mean"], 9))
+            for r in p.point_read(key, "daily", local_decode=local).collect()
+        }
+        assert got == exp and got, local
+    # and the NEXT incremental pack replaces the month it touches, so
+    # the poison cannot resurface through a later mask either
+    late2 = late.withColumn("v", F.col("v") + 1.0).withColumn(
+        "version", F.lit("v9")
+    )
+    p.ingest(late2)
+    p.refresh(["daily"])
+    p.pack_tier("daily")
+    exp2 = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.read_tier("daily").where(F.col("doc_id") == key).collect()
+    }
+    got2 = {
+        (str(r["ts"]), round(r["v_mean"], 9))
+        for r in p.point_read(key, "daily").collect()
+    }
+    assert got2 == exp2 and got2
+
+
 def test_pack_tier_auto_folds_when_tail_outgrows_packed(
     spark, tmp_path, raw_points
 ):
