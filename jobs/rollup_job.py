@@ -143,6 +143,29 @@ def cmd_status(args) -> None:
         {k: str(v) for k, v in r.asDict().items()}
         for r in p.coverage().collect()
     ]
+    # packed/tail state (r5 LSM design): which tier snapshot the packed
+    # form serves, how many months currently ride in the unpacked tail,
+    # and the fold pressure (tail bytes as a fraction of packed bytes)
+    packed: dict = {}
+    for t in TIERS:
+        ptbl = p.packed[t]
+        head = ptbl.head()
+        if head is None:
+            continue
+        summ = ptbl._manifest(head)["summary"]
+        pb = p._table_bytes(ptbl)
+        tb = p._table_bytes(p.tails[t])
+        packed[t] = {
+            "src_snapshot": summ.get("src_snapshot"),
+            "stale": summ.get("src_snapshot") != p.tiers[t].head(),
+            "mode": summ.get("mode", "full"),
+            "masked_months": summ.get("masked_months", []),
+            "packed_bytes": pb,
+            "tail_bytes": tb,
+            "fold_pressure": round(tb / pb, 3) if pb else None,
+        }
+    if packed:
+        out["packed"] = packed
     print(json.dumps(out))
 
 
