@@ -37,6 +37,8 @@ main(["--base", {base!r}, "--master", "local[4]", "retention",
       "--keep", "raw=1", "--as-of", "2019-12"])
 main(["--base", {base!r}, "--master", "local[4]", "maintain",
       "--keep-snapshots", "2"])
+main(["--base", {base!r}, "--master", "local[4]", "pack", "--tier", "daily"])
+main(["--base", {base!r}, "--master", "local[4]", "status"])
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -56,14 +58,22 @@ def test_cli_matches_api(spark, tmp_path):
     assert report["daily"]["rows"] > 0
     status = json.loads(cli_lines[2])
     assert set(status["tiers"]) == {"daily", "dekadal", "monthly"}
-    # last two lines: retention report then maintain report
-    maintain = json.loads(cli_lines[-1])
+    # tail: retention, maintain, pack, then a final status whose packed
+    # section reports the freshly-packed daily tier (r5 LSM view)
+    status2 = json.loads(cli_lines[-1])
+    assert status2["packed"]["daily"]["stale"] is False
+    assert status2["packed"]["daily"]["mode"] == "full"
+    assert status2["packed"]["daily"]["masked_months"] == []
+    assert status2["packed"]["daily"]["fold_pressure"] == 0.0
+    pack_line = json.loads(cli_lines[-2])
+    assert pack_line["tier"] == "daily" and pack_line["snapshot"]
+    maintain = json.loads(cli_lines[-3])
     # maintain also reports the bookkeeping tables it maintains
     # (lineage/metrics squash, packed expiry) when they exist
     assert {"raw", "daily", "dekadal", "monthly"} <= set(maintain)
-    retention = json.loads(cli_lines[-2])
+    retention = json.loads(cli_lines[-4])
     assert retention["raw"]["dropped_months"] >= 1  # 2019-10/11 aged out
-    read_rows = [json.loads(l) for l in cli_lines[3:-2]]
+    read_rows = [json.loads(l) for l in cli_lines[3:-4]]
     assert read_rows
 
     # API path on the same deterministic input
